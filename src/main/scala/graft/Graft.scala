@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Session factory + table helpers shared by Verify, Bench, tests. */
+object Graft {
+
+  /** Configs applied to every graft session. Sized for the local[32]
+    * harness but chosen to be correct on a real cluster too: AQE handles
+    * runtime re-planning/skew, shuffle partitions match local cores (on a
+    * cluster AQE coalesces upward from the initial number anyway).
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader does not
+    // natively map; read as raw nanos and convert (see eventsTable).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = configure(
+      SparkSession.builder().appName(appName).master(s"local[$cpus]")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.registerAll(spark)
+    spark
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with `ts` normalized to TimestampType (micros). The file
+    * stores int64 nanos; with nanosAsLong we get a LongType to convert.
+    * Keeps full ordering fidelity (ties broken by event_id downstream).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _ => raw
+    }
+  }
+}

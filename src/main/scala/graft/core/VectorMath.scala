@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Dense-vector kernels used by the similarity operators. Static-forwarder
+  * friendly (callable from generated Java in Catalyst codegen).
+  *
+  * All accumulation is in Double, in ascending element order, so results are
+  * bit-deterministic and match an oracle computing the same fold.
+  */
+object VectorMath {
+
+  /** cosine(a, b) = dot / (sqrt(||a||^2) * sqrt(||b||^2)); 0 when a norm is 0. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Catalyst-codegen entry point over ArrayData (ArrayType(FloatType)). */
+  def cosineArrayData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotArrayData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** Random-hyperplane (SimHash/SRP) signature of a float vector: bit i is
+    * sign(v . h_i) where hyperplane h_i is a deterministic pseudo-random
+    * Gaussian-ish vector derived from murmur3(seed, i, j) — no RNG state, so
+    * executors regenerate identical planes (cluster-safe, nothing shipped).
+    */
+  def srpSignature(v: ArrayData, bits: Int, seed: Long): Long = {
+    var sig = 0L
+    val n = v.numElements()
+    var i = 0
+    while (i < bits) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += v.getFloat(j).toDouble * planeComponent(seed, i, j)
+        j += 1
+      }
+      if (dot >= 0.0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Deterministic ~N(0,1) component via fmix64 bit-mixing of (seed,i,j):
+    * take 2 uniform(0,1] doubles and Box-Muller-free sum-of-12 approximation
+    * is avoided — instead use the irwin-hall-2 (triangular) shifted, which is
+    * sign-symmetric; for SRP only the sign of the projection matters, so any
+    * zero-mean symmetric component distribution is valid.
+    */
+  def planeComponent(seed: Long, plane: Int, dim: Int): Double = {
+    val h = Murmur3x64.fmix64(seed ^ (plane.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xc2b2ae3d27d4eb4fL))
+    // map to uniform(-1, 1); zero-mean symmetric
+    (h >> 11).toDouble / (1L << 52).toDouble
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, Murmur3Token}
+
+/** Column-level entry points for the graft expressions, plus SQL
+  * registration.
+  */
+package object functions {
+
+  /** 64-bit murmur3 token of a partition key (string or binary column). */
+  def murmur3_token(c: Column): Column = GraftColumns.murmur3Token(c)
+
+  /** Cosine similarity of two ArrayType(FloatType) columns. */
+  def cosine_sim(a: Column, b: Column): Column = GraftColumns.cosineSim(a, b)
+
+  /** Hyperplane-LSH signature (sign bits) of an ArrayType(FloatType) column. */
+  def srp_signature(v: Column, bits: Int, seed: Long): Column =
+    GraftColumns.srpSignature(v, bits, seed)
+
+  /** Register graft functions for SQL use on an existing session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "murmur3_token", exprs => Murmur3Token(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,118 @@
+/** Graft's native Catalyst expressions.
+  *
+  * Lives under `org.apache.spark.sql` because the expression type-check API
+  * (`AbstractDataType`, `TypeCollection`) is `private[sql]` — the standard
+  * pattern for Spark extension libraries shipping codegen'd expressions.
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Murmur3x64, VectorMath}
+
+/** 64-bit Murmur3 (x64-128 h1) of a string/binary — the reference's
+  * partition-key token hash (`internal/types/token.go:44`,
+  * `internal/types/murmur.go:37`). Spark's built-in `hash()` is 32-bit
+  * murmur3 and `xxhash64` is a different function, so exact token parity
+  * needs this expression. Codegen'd: stays inside whole-stage codegen.
+  */
+case class Murmur3Token(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, BinaryType))
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType => Murmur3x64.hash(input.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => Murmur3x64.hash(input.asInstanceOf[Array[Byte]])
+    case other => throw new IllegalStateException(s"unsupported type $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytes = child.dataType match {
+      case StringType => (c: String) => s"$c.getBytes()"
+      case _ => (c: String) => c
+    }
+    defineCodeGen(ctx, ev, c => s"graft.core.Murmur3x64.hash(${bytes(c)})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Murmur3Token =
+    copy(child = newChild)
+
+  override def prettyName: String = "murmur3_token"
+}
+
+/** Cosine similarity of two float vectors (ArrayType(FloatType)), double
+  * accumulation in ascending element order (deterministic, oracle-matchable).
+  * A native codegen'd expression: no intermediate array allocation per row,
+  * unlike composing `aggregate(zip_with(...))`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorMath.cosineArrayData(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VectorMath.cosineArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Signed-random-projection (hyperplane LSH) signature of a float vector:
+  * `bits` sign bits of projections onto deterministic pseudo-random planes.
+  * Planes derive from (seed, planeIdx, dim) via bit mixing so every executor
+  * regenerates them locally — nothing is broadcast, cluster-safe by
+  * construction.
+  */
+case class SrpSignature(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorMath.srpSignature(input.asInstanceOf[ArrayData], bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.VectorMath.srpSignature($c, $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_signature"
+}
+
+/** Public Column-level bridge (Column <-> Expression conversion is
+  * `private[sql]` on Spark 4, so the bridge lives here).
+  */
+object GraftColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+
+  def murmur3Token(c: Column): Column = column(Murmur3Token(expression(c)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def srpSignature(v: Column, bits: Int, seed: Long): Column =
+    column(SrpSignature(expression(v), bits, seed))
+}
