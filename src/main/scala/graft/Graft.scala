@@ -46,7 +46,9 @@ object Graft {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integral `div`, NOT `/`: double division loses precision at
+        // 1.7e18 ns and shifts timestamps by up to a microsecond
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

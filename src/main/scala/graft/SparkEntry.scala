@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{DocOps, EmbeddingOps, EventOps, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator pack contributes (name, query, optional DuckDB oracle);
+  * queries and oracles stay colocated in the pack so the parity contract
+  * (column names, types, ordering) is reviewed in one place.
+  */
 object SparkEntry {
+
+  private val packs: Seq[(String, Relational.Q, Option[String])] =
+    Relational.all ++ EventOps.all ++ DocOps.all ++ EmbeddingOps.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    functions.registerAll(spark)
+    Relational.q01(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map { case (name, q, _) =>
+      name -> ((s: SparkSession, d: String) => { functions.registerAll(s); q(s, d) })
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (murmur3 tokens, minhash/simhash signatures, LSH buckets) — those get
+    * the driver's rows-only check plus unit-vector specs.
+    */
+  def oracleSql: Map[String, String] =
+    packs.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

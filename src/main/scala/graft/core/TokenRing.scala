@@ -87,6 +87,14 @@ object TokenRing {
     (start, end)
   }
 
+  /** Flat partition ordinal `brokerIdx * rangesPerToken + rangeIdx` — the
+    * value the RingPartition expression emits (codegen entry point).
+    */
+  def partitionOrdinal(token: Long, clusterSize: Int, rangesPerToken: Int): Int = {
+    val (b, r) = primaryTokenIndex(token, clusterSize, rangesPerToken)
+    b * rangesPerToken + r
+  }
+
   /** All (token, rangeIndex) partitions of a ring — the full partition set a
     * consumer group divides among its members.
     */

@@ -18,6 +18,10 @@ package object functions {
   def srp_signature(v: Column, bits: Int, seed: Long): Column =
     GraftColumns.srpSignature(v, bits, seed)
 
+  /** Ring partition ordinal (broker*rangesPerToken + range) of a token. */
+  def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
+    GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
+
   /** Register graft functions for SQL use on an existing session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

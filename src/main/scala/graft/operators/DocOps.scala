@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.murmur3_token
+
+/** Training-data pipeline operators over the `documents` table:
+  * deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash),
+  * language ID, quality scoring, token stats, fingerprinting, and the
+  * multimodal binary-column plumbing.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup, token stats, lang-id, quality: embarrassingly parallel
+  *    map + one hash aggregation — scale linearly.
+  *  - q19 exhaustive Jaccard is the *small-scale correctness baseline*; the
+  *    production path is q20: MinHash signatures (one shuffle, map-side
+  *    combined), banded LSH bucketing (shuffle on band key), and exact
+  *    verification only on candidates — O(n·perms + candidates), not O(n²).
+  *  - q21 SimHash: 64-bit fingerprint per doc, candidates via 4×16-bit band
+  *    equality (pigeonhole-complete for hamming <= 3).
+  */
+object DocOps {
+  import Relational.Q
+
+  private def docs(s: SparkSession, d: String) = Graft.table(s, d, "documents")
+
+  /** (doc_id, shingle): distinct 3-word shingles per document. Array-local
+    * transform — no shuffle until the consumer aggregates.
+    */
+  private def shingles(dd: DataFrame): DataFrame =
+    dd.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise(array())).as("shingle"))
+      .distinct()
+
+  /** DuckDB equivalent of `shingles` (list_zip against shifted slices). */
+  private val shinglesSqlCte: String =
+    """sh0 AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, UNNEST(list_transform(list_zip(s, s[2:], s[3:]),
+      |    x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+      |  FROM sh0
+      |),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id)""".stripMargin
+
+  /** Exhaustive pairwise Jaccard >= 0.6 over 3-word shingles (shared by q19
+    * output and q20's oracle; both must produce identical rows).
+    */
+  private val jaccardPairsSql: String =
+    s"""WITH $shinglesSqlCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Exact dedup: group identical texts, keep the smallest doc_id. */
+  val q18: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"))
+      .orderBy("rep_id")
+
+  val q18Sql: String =
+    """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Exhaustive n-gram Jaccard near-dup pairs (correctness baseline). */
+  val q19: Q = (s, d) => {
+    val sh = shingles(docs(s, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** MinHash + banded LSH near-dup pairs with exact verification — the
+    * scalable dedup. 64 perms, 16 bands × 4 rows: P(candidate | J=0.9)
+    * ≈ 1 - (1 - 0.9^4)^16 ≈ 1 - 3.4e-8, so at this corpus' similarity gap
+    * (pairs are either >= 0.9 or <= 0.1) the verified output equals the
+    * exhaustive q19 — which is exactly what the oracle asserts.
+    */
+  val q20: Q = (s, d) => {
+    val numPerms = 64
+    val bands = 16
+    val rows = numPerms / bands
+    val mh = udaf(new MinHashAgg(numPerms, seed = 42L), Encoders.scalaLong)
+
+    val sh = shingles(docs(s, d)).withColumn("h", murmur3_token(col("shingle")))
+    val sigs = sh.groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
+
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        xxhash64(((0 until rows).map(i => element_at(col("sig"), bIdx * rows + i + 1)) :+ lit(bIdx)): _*).as("bk"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bk"))
+
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verification on candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("s1"), col("doc_a") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("doc_b") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** SimHash near-dup: hamming distance <= 3 pairs, candidates from
+    * 4×16-bit chunk equality (complete by pigeonhole). No oracle — 64-bit
+    * simhash isn't SQL-expressible; covered by spec + rows-only check.
+    */
+  val q21: Q = (s, d) => {
+    val sim = udaf(new SimHashAgg, Encoders.scalaLong)
+    val words = docs(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .withColumn("h", murmur3_token(col("word")))
+    val sigs = words.groupBy(col("doc_id")).agg(sim(col("h")).as("simhash"))
+
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.c"), col("b.ck"))
+
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- q22
+  private val dicts: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "im"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un", "los", "se", "no", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "du", "est", "dans", "et", "qui", "pas"))
+
+  /** Heuristic language ID: stopword-dictionary hit counts, argmax with a
+    * fixed en > es > de > fr tie-break.
+    */
+  val q22: Q = (s, d) => {
+    val w = docs(s, d).select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val scored = dicts.foldLeft(w) { case (df, (lang, dict)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("w"), t => array_contains(lit(dict.toArray), t))).cast("long"))
+    }
+    scored.select(
+      col("doc_id"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr").as("pred_lang"),
+      col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+      .orderBy("doc_id")
+  }
+
+  val q22Sql: String = {
+    def dict(lang: String) = dicts.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(${dict("en")}, x))) AS s_en,
+       |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(${dict("es")}, x))) AS s_es,
+       |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(${dict("de")}, x))) AS s_de,
+       |    len(list_filter(string_split(lower(text), ' '), x -> list_contains(${dict("fr")}, x))) AS s_fr
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+       |  s_en, s_es, s_de, s_fr
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Quality scoring: word/char stats and a deterministic composite score
+    * (no transcendental functions, so doubles match the oracle exactly).
+    */
+  val q23: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("avg_wlen",
+        length(regexp_replace(col("t"), " ", "")).cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        size(filter(col("w"), t => array_contains(lit(dicts.toMap.apply("en").toArray), t)))
+          .cast("double") / col("n_words"))
+      .withColumn("long_ratio",
+        size(filter(col("w"), t => length(t) > 6)).cast("double") / col("n_words"))
+      .withColumn("score",
+        lit(0.4) * col("stop_ratio") + lit(0.3) * col("long_ratio")
+          + lit(0.3) * (least(col("avg_wlen"), lit(8.0)) / lit(8.0)))
+      .select(col("doc_id"), col("n_words"), col("avg_wlen"),
+        col("stop_ratio"), col("long_ratio"), col("score"))
+      .orderBy("doc_id")
+
+  val q23Sql: String = {
+    val en = dicts.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words AS avg_wlen,
+       |  CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words AS stop_ratio,
+       |  CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words AS long_ratio,
+       |  0.4 * (CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words)
+       |    + 0.3 * (CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words)
+       |    + 0.3 * (least(CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words, 8.0) / 8.0) AS score
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Token counting: whitespace tokens + BPE-ish regex tokens, aggregated
+    * per (lang, source). Pure integers — exact.
+    */
+  val q24: Q = (s, d) =>
+    docs(s, d)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("re_tokens")).as("re_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang", "source")
+
+  val q24Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Document fingerprint: murmur3-x64 of the normalized text (the
+    * reference's own hash function repurposed as content address). Not
+    * SQL-expressible; unit vectors + rows-only check.
+    */
+  val q25: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        murmur3_token(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q26
+  /** Multimodal plumbing: text -> opaque binary payload -> per-partition
+    * "decode" stub -> typed metadata. The decode is a deterministic fake
+    * (container has no image/audio libs); the Spark side — binary column,
+    * typed Dataset, mapPartitions batch shape, schema — is real.
+    */
+  val q26: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val payloads = docs(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // stub decode: metadata derived from the bytes alone
+        val width = 64L + (bytes.length % 512)
+        val height = 64L + ((bytes(0) & 0xff) % 64)
+        val fmt = (bytes.length % 3) match {
+          case 0 => "jpeg"
+          case 1 => "png"
+          case _ => "webp"
+        }
+        (id, width, height, fmt)
+      }
+    }.toDF("doc_id", "width", "height", "format")
+      .orderBy("doc_id")
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |  CAST(64 + (length(text) % 512) AS BIGINT) AS width,
+      |  CAST(64 + (ascii(text) % 64) AS BIGINT) AS height,
+      |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q18_dedup_exact", q18, Some(q18Sql)),
+    ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
+    ("q20_dedup_minhash_lsh", q20, Some(jaccardPairsSql)),
+    ("q21_dedup_simhash", q21, None),
+    ("q22_lang_id", q22, Some(q22Sql)),
+    ("q23_quality_score", q23, Some(q23Sql)),
+    ("q24_token_stats", q24, Some(q24Sql)),
+    ("q25_fingerprint", q25, None),
+    ("q26_multimodal_stub", q26, Some(q26Sql))
+  )
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.{cosine_sim, srp_signature}
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType)).
+  *
+  * q27 brute-force top-k: broadcast the (single) query vector, codegen'd
+  * cosine over one scan — the exact baseline, linear in corpus size and
+  * embarrassingly parallel (this IS the right plan at any scale for one
+  * query vector).
+  *
+  * q28 all-pairs near-dup: exact O(n²) — correctness baseline at test SFs.
+  * q29 hyperplane-LSH bucketing: the scale path — signatures partition the
+  * corpus so candidate generation is a bucket-equality join, O(n·bits +
+  * collisions); deterministic planes mean executors never exchange model
+  * state.
+  */
+object EmbeddingOps {
+  import Relational.Q
+
+  private def emb(s: SparkSession, d: String) = Graft.table(s, d, "embeddings")
+
+  /** The fixed query vector: embedding of vec_id 0 (broadcast single row). */
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    emb(s, d).filter(col("vec_id") === 0L).select(col("embedding").as("q_vec"))
+
+  // ---------------------------------------------------------------- q27
+  val q27: Q = (s, d) =>
+    emb(s, d)
+      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+
+  val q27Sql: String =
+    """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT vec_id, label,
+      |    list_sum(list_transform(list_zip(embedding, (SELECT e FROM q)),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    (SELECT sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM q) AS nb
+      |  FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id, label, round(dot / (na * nb), 6) AS sim
+      |FROM s ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Exact all-pairs cosine >= 0.4 (this corpus' near-dup band). */
+  val q28: Q = (s, d) => {
+    val a = emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine_sim(col("e_a"), col("e_b")))
+      .filter(col("sim") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q28Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum(list_transform(list_zip(a.e, b.e),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS sim
+      |FROM s a JOIN s b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.e, b.e),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** LSH-bucketed ANN: 12-bit hyperplane signatures; search only the query
+    * vector's bucket. Rows-only check (signature isn't SQL-expressible);
+    * recall vs q27 is asserted in the spec.
+    */
+  val q29: Q = (s, d) => {
+    val bits = 6
+    val seed = 42L
+    val signed = emb(s, d).withColumn("bucket", srp_signature(col("embedding"), bits, seed))
+    val qRow = signed.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"), col("bucket").as("q_bucket"))
+    signed
+      .crossJoin(broadcast(qRow))
+      .filter(col("vec_id") =!= 0L && col("bucket") === col("q_bucket"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
+  }
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q27_embed_knn", q27, Some(q27Sql)),
+    ("q28_embed_neardup", q28, Some(q28Sql)),
+    ("q29_ann_lsh", q29, None)
+  )
+}

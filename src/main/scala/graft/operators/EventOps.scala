@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.murmur3_token
+
+/** Stream-semantics operators over the `events` table, expressed as batch
+  * queries: JSON payload lifting, event-time windowed aggregation,
+  * sessionization (gaps-and-islands), and the reference's delivery
+  * guarantees — per-key total order with monotonic contiguous offsets
+  * (SURVEY.md §2.6) — plus murmur3 token routing stats.
+  *
+  * Time arithmetic happens on epoch MICROseconds (the reference's timestamp
+  * unit, `internal/producing/models.go:146`), truncated per-timestamp so the
+  * DuckDB oracle (epoch_us) agrees bit-for-bit.
+  */
+object EventOps {
+  import Relational.Q
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    c.cast(s"decimal(18,$scale)")
+
+  // ---------------------------------------------------------------- q13
+  val q13: Q = (s, d) =>
+    Graft.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_k"))
+      .orderBy("event_type")
+
+  val q13Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS min_k,
+      |  MAX(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS max_k,
+      |  COUNT(DISTINCT CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  val q14: Q = (s, d) =>
+    Graft.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val q14Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Sessionize: a new session starts after a >30 min silence per user.
+    * Pure integer (micros) gaps-and-islands, exact parity with the oracle.
+    */
+  val q15: Q = (s, d) => {
+    val e = Graft.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q15Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events
+      |), t2 AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM t
+      |), t3 AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM t2
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  MAX(us) - MIN(us) AS duration_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM t3 GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Per-key ordered delivery with monotonic contiguous offsets — the
+    * reference's core guarantee (coalescer offset assignment,
+    * `internal/producing/coalescer.go:164-170`), re-expressed as
+    * repartition-by-key + in-partition ordering.
+    */
+  val q16: Q = (s, d) => {
+    val e = Graft.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("msg_offset", row_number().over(w).cast("long") - 1L)
+      .select(col("event_id"), col("user_id"), col("msg_offset"))
+      .orderBy("user_id", "msg_offset")
+  }
+
+  val q16Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) - 1 AS msg_offset
+      |FROM events ORDER BY user_id, msg_offset""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Token routing stats: murmur3 partition token per key + ring placement
+    * over a 3-broker × 4-range ring. Not SQL-expressible (64-bit murmur3) —
+    * covered by unit vectors + rows-only check.
+    */
+  val q17: Q = (s, d) => {
+    val e = Graft.events(s, d).withColumn("key", col("user_id").cast("string"))
+    e.withColumn("token", murmur3_token(col("key")))
+      .withColumn("part", graft.functions.ring_partition(col("token"), 3, 4))
+      .groupBy(col("user_id"), col("token"), col("part"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q13_json_extract", q13, Some(q13Sql)),
+    ("q14_time_window_agg", q14, Some(q14Sql)),
+    ("q15_sessionize", q15, Some(q15Sql)),
+    ("q16_per_key_order", q16, Some(q16Sql)),
+    ("q17_token_routing", q17, None)
+  )
+}

@@ -101,6 +101,32 @@ case class SrpSignature(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "srp_signature"
 }
 
+/** Ring placement of a murmur3 token: flat partition ordinal
+  * `brokerIdx * rangesPerToken + rangeIdx` on a `clusterSize`-broker ring —
+  * the reference's `GetPrimaryTokenIndex` (token.go:49-66) as a codegen'd
+  * scalar, so produce-path routing stays inside whole-stage codegen.
+  */
+case class RingPartition(child: Expression, clusterSize: Int, rangesPerToken: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(clusterSize >= 1 && rangesPerToken >= 1)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.TokenRing.partitionOrdinal(input.asInstanceOf[Long], clusterSize, rangesPerToken)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.TokenRing.partitionOrdinal($c, $clusterSize, $rangesPerToken)")
+
+  override protected def withNewChildInternal(newChild: Expression): RingPartition =
+    copy(child = newChild)
+
+  override def prettyName: String = "ring_partition"
+}
+
 /** Public Column-level bridge (Column <-> Expression conversion is
   * `private[sql]` on Spark 4, so the bridge lives here).
   */
@@ -109,6 +135,9 @@ object GraftColumns {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
 
   def murmur3Token(c: Column): Column = column(Murmur3Token(expression(c)))
+
+  def ringPartition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
+    column(RingPartition(expression(token), clusterSize, rangesPerToken))
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))

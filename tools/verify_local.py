@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the raw testdata tables and compare (columns sorted by name,
+rows sorted by all columns) against the parquet Verify.scala dumped.
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+(Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run.)
+"""
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        got = pd.read_parquet(qdir)
+        if name not in oracles:
+            status = f"rows-only ({len(got)} rows)"
+            if len(got) == 0:
+                status += "  *** EMPTY ***"
+                failures += 1
+            print(f"{name:28s} {status}")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} ORACLE SQL ERROR: {e}")
+            failures += 1
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"{name:28s} COLUMN MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(e):
+            print(f"{name:28s} ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
+            failures += 1
+            continue
+        # dtype-aware exact compare
+        bad = []
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            if str(gv.dtype).startswith("float") or str(ev.dtype).startswith("float"):
+                eq = (gv.astype("float64").fillna(1.5) == ev.astype("float64").fillna(1.5))
+            else:
+                eq = gv.astype(str) == ev.astype(str)
+            if not eq.all():
+                bad.append((c, int((~eq).sum()), gv[~eq].head(3).tolist(), ev[~eq].head(3).tolist()))
+        if bad:
+            print(f"{name:28s} VALUE MISMATCH {bad}")
+            failures += 1
+        else:
+            print(f"{name:28s} OK ({len(g)} rows)")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
