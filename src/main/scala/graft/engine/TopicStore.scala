@@ -1,0 +1,270 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TokenRing
+import graft.functions.{murmur3_token, ring_partition}
+
+/** Parquet-backed topic log with the reference's externally observable
+  * semantics (SURVEY.md §2.6):
+  *
+  *  1. per-key total order (same key -> same (token, range) partition;
+  *     offsets assigned in timestamp order within the partition),
+  *  2. monotonic contiguous offsets per (topic, token, range) — the
+  *     coalescer's offset assignment (`internal/producing/coalescer.go:
+  *     164-170`) re-expressed as base + row_number over one shuffle,
+  *  3. at-least-once delivery against committed consumer offsets,
+  *  4. deterministic disjoint consumer-group fan-out (R2 rebalance),
+  *  5. startFromEarliest / startFromLatest policies (R7),
+  *  6. topics auto-created on first write (`topics.go:34-36` — no DDL).
+  *
+  * Physical layout mirrors the reference's TopicDataId addressing
+  * (`datalog/{topic}/{token}/{rangeIndex}` -> Hive dirs
+  * `topic=X/token=N/range=R`), which buys Catalyst partition pruning on
+  * every poll — the Spark analog of the reference's segment-name pruning.
+  *
+  * Storage is zstd parquet (chunk ≈ row-group, compress-once ≈ write-once);
+  * durability/replication belong to the object store (W4/W6 are non-goals
+  * per SURVEY §7.1). Offset metadata lives in small parquet tables under
+  * `_meta/` — the SQLite `offsets` table analog (S11).
+  */
+class TopicStore(
+    val spark: SparkSession,
+    val root: String,
+    val clusterSize: Int = 3,
+    val rangesPerToken: Int = 4) {
+
+  private[graft] val dataDir = s"$root/data"
+  private val producerMeta = s"$root/_meta/producer_offsets"
+  private val groupMeta = s"$root/_meta/group_offsets"
+
+  private val numParts = clusterSize * rangesPerToken
+  private val brokerTokens: Seq[Long] =
+    (0 until clusterSize).map(TokenRing.tokenAtIndex(clusterSize, _))
+
+  /** Record envelope (SURVEY §1.2): key/value/timestamp in, plus
+    * topic/token/range/offset assigned by produce.
+    */
+  def recordSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", BinaryType),
+    StructField("timestamp", TimestampType),
+    StructField("part", IntegerType),
+    StructField("offset", LongType),
+    StructField("topic", StringType),
+    StructField("token", LongType),
+    StructField("range", IntegerType)))
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- produce
+
+  /** Append records (columns: key string, value binary, timestamp) to a
+    * topic. One shuffle on the ring partition; offsets are contiguous per
+    * partition continuing from the previous produce. Empty/null keys get
+    * hash-spread over all partitions (the reference round-robins keyless
+    * records — even spread, no order guarantee; we use a value hash, which
+    * is deterministic and shuffle-free).
+    */
+  def produce(topic: String, records: DataFrame): Long = {
+    val bases: Map[Int, Long] = producerOffsets(topic)
+
+    val keyed = records
+      .withColumn("__token_hash",
+        when(col("key").isNotNull && col("key") =!= "", murmur3_token(col("key")))
+          .otherwise(xxhash64(col("value"))))
+      .withColumn("part", ring_partition(col("__token_hash"), clusterSize, rangesPerToken))
+      .withColumn("token",
+        element_at(typedlit(brokerTokens), (col("part") / rangesPerToken).cast("int") + 1))
+      .withColumn("range", pmod(col("part"), lit(rangesPerToken)).cast("int"))
+
+    // contiguous offsets: base(part) + rank within this batch's partition.
+    // Window shuffle == the coalescer's per-range serialization point.
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("timestamp"), col("key"), xxhash64(col("value")))
+    val withOffsets = keyed
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("offset",
+        coalesce(element_at(typedlit(bases), col("part")), lit(0L)) + col("__rank") - 1L)
+      .withColumn("topic", lit(topic))
+      .select("key", "value", "timestamp", "part", "offset", "topic", "token", "range")
+
+    withOffsets.write
+      .mode(SaveMode.Append)
+      .partitionBy("topic", "token", "range")
+      .parquet(dataDir)
+
+    // advance the per-partition high watermarks (producer.offset analog)
+    val produced = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic)
+      .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
+      .as[(Int, Long)].collect().toMap
+    writeOffsets(producerMeta, topic, produced)
+    produced.values.sum
+  }
+
+  /** Convenience: string-valued records. */
+  def produceStrings(topic: String, rows: Seq[(String, String, java.sql.Timestamp)]): Long = {
+    val df = rows.toDF("key", "svalue", "timestamp")
+      .withColumn("value", encode(col("svalue"), "UTF-8"))
+      .select("key", "value", "timestamp")
+    produce(topic, df)
+  }
+
+  // ---------------------------------------------------------------- poll
+
+  /** Records for `consumerId` of `group` from its assigned partitions,
+    * starting at the group's committed offsets, at most `maxRecords` per
+    * partition, ordered by (part, offset) — the delivery order guarantee.
+    * Partition dirs outside the assignment are pruned at scan.
+    */
+  def poll(
+      group: String,
+      topic: String,
+      consumerId: String,
+      maxRecords: Long = Long.MaxValue,
+      autoCommit: Boolean = true): DataFrame = {
+    val assigned = registry.assignment(group, consumerId)
+    if (assigned.isEmpty) return spark.emptyDataFrame
+
+    val committed = groupOffsets(group, topic)
+    val partFilter = assigned.map { p =>
+      val from = committed.getOrElse(p, startingOffset(group, topic, p))
+      val upper = // guard Long overflow for the unbounded default
+        if (maxRecords == Long.MaxValue) lit(true)
+        else col("offset") < from + maxRecords
+      col("part") === p && col("offset") >= from && upper
+    }.reduce(_ || _)
+    // partition-dir pruning on (token, range)
+    val dirFilter = assigned.map { p =>
+      col("token") === brokerTokens(p / rangesPerToken) && col("range") === p % rangesPerToken
+    }.reduce(_ || _)
+
+    val out = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic && dirFilter && partFilter)
+      .orderBy(col("part"), col("offset"))
+
+    if (autoCommit) {
+      val next = out.groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
+        .as[(Int, Long)].collect().toMap
+      if (next.nonEmpty) commit(group, topic, next)
+    }
+    out
+  }
+
+  /** Manual offset commit (R4): set next-read positions for the group. */
+  def commit(group: String, topic: String, next: Map[Int, Long]): Unit = {
+    val merged = groupOffsets(group, topic) ++ next
+    writeOffsets(groupMeta, s"$group/$topic", merged)
+  }
+
+  /** High watermark per partition (R8 max-produced-offset). */
+  def producerOffsets(topic: String): Map[Int, Long] =
+    readOffsets(producerMeta, topic)
+
+  def groupOffsets(group: String, topic: String): Map[Int, Long] =
+    readOffsets(groupMeta, s"$group/$topic")
+
+  private def startingOffset(group: String, topic: String, part: Int): Long =
+    registry.policy(group) match {
+      case StartFrom.Earliest => 0L
+      case StartFrom.Latest => registry.latestSnapshot(group, topic).getOrElse(part, 0L)
+    }
+
+  // ------------------------------------------------------------ registry
+
+  object StartFrom extends Enumeration {
+    val Earliest, Latest = Value
+  }
+
+  /** Consumer-group registry (R1/R2): deterministic round-robin of the
+    * numParts ring partitions over sorted consumer ids. Driver-side state
+    * (the gossip/anti-entropy layers C7-C9 collapse into the single
+    * driver); committed offsets persist in parquet.
+    */
+  object registry {
+    private var groups: Map[String, Set[String]] = Map.empty
+    private var policies: Map[String, StartFrom.Value] = Map.empty
+    private var latestSnapshots: Map[(String, String), Map[Int, Long]] = Map.empty
+
+    /** Idempotent register; Latest groups snapshot current watermarks per
+      * topic at first registration (R7 default-offset derivation).
+      */
+    def register(
+        group: String,
+        consumerId: String,
+        topics: Seq[String],
+        onNewGroup: StartFrom.Value = StartFrom.Latest): Unit = synchronized {
+      val isNew = !groups.contains(group)
+      groups = groups.updated(group, groups.getOrElse(group, Set.empty) + consumerId)
+      if (isNew) {
+        policies = policies.updated(group, onNewGroup)
+        if (onNewGroup == StartFrom.Latest) {
+          topics.foreach { t =>
+            latestSnapshots = latestSnapshots.updated((group, t), producerOffsets(t))
+          }
+        }
+      }
+    }
+
+    def goodbye(group: String, consumerId: String): Unit = synchronized {
+      groups = groups.updated(group, groups.getOrElse(group, Set.empty) - consumerId)
+    }
+
+    def policy(group: String): StartFrom.Value =
+      policies.getOrElse(group, StartFrom.Latest)
+
+    def latestSnapshot(group: String, topic: String): Map[Int, Long] =
+      latestSnapshots.getOrElse((group, topic), Map.empty)
+
+    /** Partition ordinals owned by a consumer: sorted ids, round-robin over
+      * ordinals — `consumer_state.go:308-350` determinism.
+      */
+    def assignment(group: String, consumerId: String): Seq[Int] = {
+      val ids = groups.getOrElse(group, Set.empty).toSeq.sorted
+      if (!ids.contains(consumerId)) return Seq.empty
+      (0 until numParts).filter(p => ids(p % ids.size) == consumerId)
+    }
+  }
+
+  // ----------------------------------------------------------- retention
+
+  /** Retention sweep (S10): delete whole data files whose newest record is
+    * older than the cutoff — the analog of segment-file deletion
+    * (`datalog_cleaner.go`), file-granular so it never rewrites live data.
+    */
+  def retentionSweep(topic: String, cutoff: java.sql.Timestamp): Int = {
+    val files = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic)
+      .groupBy(input_file_name().as("f"))
+      .agg(max(col("timestamp")).as("newest"))
+      .where(col("newest") < lit(cutoff))
+      .select("f").as[String].collect()
+    files.foreach { f =>
+      Files.deleteIfExists(Paths.get(new java.net.URI(f)))
+    }
+    files.length
+  }
+
+  // --------------------------------------------------------- meta tables
+
+  private def readOffsets(dir: String, scope: String): Map[Int, Long] = {
+    val p = s"$dir/${scopeDir(scope)}"
+    if (!Files.exists(Paths.get(p))) Map.empty
+    else spark.read.parquet(p).as[(Int, Long)].collect().toMap
+  }
+
+  private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
+    val p = s"$dir/${scopeDir(scope)}"
+    offsets.toSeq.toDF("part", "next").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(p)
+  }
+
+  private def scopeDir(scope: String): String =
+    scope.replaceAll("[^A-Za-z0-9_/\\-]", "_")
+}

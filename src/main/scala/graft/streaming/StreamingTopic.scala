@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.engine.TopicStore
+
+/** Structured Streaming faces of the topic store.
+  *
+  * Ingest (S1/W1): every micro-batch runs the batch produce() path inside
+  * `foreachBatch`, so offset assignment stays contiguous across batches and
+  * the trigger interval plays the coalescer's group-window role
+  * (`internal/producing/coalescer.go:81-172`); the checkpoint is the
+  * durability ledger the reference builds from replica acks + SQLite.
+  *
+  * Consume (S5/R3): a file stream over the topic's partition directories;
+  * `maxFilesPerTrigger` is the poll-threshold rate control
+  * (`ConsumerReadThreshold`, `internal/conf/config.go:278-280`).
+  */
+class StreamingTopic(store: TopicStore) {
+
+  private val spark = store.spark
+
+  /** Start ingesting a streaming DataFrame (key, value, timestamp) into a
+    * topic; one produce() per micro-batch.
+    */
+  def ingest(topic: String, stream: DataFrame, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { store.produce(topic, batch); () }
+      }
+      .start()
+
+  /** The topic as an unbounded stream of records (envelope schema). The
+    * topic predicate lands on the partition column, so non-matching
+    * directories are skipped at scan.
+    */
+  def stream(topic: String, maxFilesPerTrigger: Int = 32): DataFrame =
+    spark.readStream
+      .schema(store.recordSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"${store.root}/data")
+      .where(col("topic") === topic)
+}
+
+/** Streaming operators beyond the reference's surface (SURVEY §2.7 —
+  * "beyond parity": the reference has no event-time/watermark/stateful
+  * semantics at all; these are the Spark-native extensions a user gets).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts with a watermark for late data. */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("key"), col("n"))
+
+  /** Exactly-once-flavored streaming dedup by key within the watermark. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  case class Evt(key: String, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(n: Long, sumValue: Double, lastUs: Long)
+  case class SessionUpdate(key: String, n: Long, sumValue: Double)
+
+  /** Custom per-key streaming state via flatMapGroupsWithState: running
+    * session accumulator emitting an update per batch (the §2.4 offset
+    * state-machine's Spark-native analog for user state).
+    */
+  def runningSessions(events: Dataset[Evt]): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Evt], state: GroupState[SessionState]) => {
+          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          rows.foreach { e =>
+            s = SessionState(s.n + 1, s.sumValue + e.value, math.max(s.lastUs, e.ts.getTime))
+          }
+          state.update(s)
+          Iterator.single(SessionUpdate(key, s.n, s.sumValue))
+        })
+  }
+}

@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.engine.TopicStore
+
+/** End-to-end engine drive with real data: publish the sf0.001 events
+  * table into a topic (user_id as partition key), consume it back with two
+  * consumers, and verify the reference's delivery guarantees hold at table
+  * scale. Exits nonzero on violation.
+  */
+object EngineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = Graft.session("graft-engine-demo")
+
+    val root = Files.createTempDirectory("graft-demo").toString
+    val store = new TopicStore(spark, root)
+    println(s"store root: $root")
+
+    val events = Graft.events(spark, sfDir)
+      .select(
+        col("user_id").cast("string").as("key"),
+        encode(to_json(struct(col("event_id"), col("event_type"), col("value"))), "UTF-8").as("value"),
+        col("ts").as("timestamp"))
+    val n = events.count()
+    store.produce("events", events)
+    println(s"produced $n records")
+
+    store.registry.register("g", "c-a", Seq("events"), store.StartFrom.Earliest)
+    store.registry.register("g", "c-b", Seq("events"), store.StartFrom.Earliest)
+    val pa = store.poll("g", "events", "c-a").cache()
+    val pb = store.poll("g", "events", "c-b").cache()
+    val total = pa.count() + pb.count()
+    println(s"polled ${pa.count()} + ${pb.count()} = $total")
+    assert(total == n, s"delivery loss: $total != $n")
+
+    // disjoint coverage
+    val partsA = pa.select("part").distinct().collect().map(_.getInt(0)).toSet
+    val partsB = pb.select("part").distinct().collect().map(_.getInt(0)).toSet
+    assert(partsA.intersect(partsB).isEmpty, "overlapping assignments")
+    println(s"consumer parts: a=$partsA b=$partsB")
+
+    // per-key order: within every key, offset order == timestamp order
+    val violations = pa.unionAll(pb)
+      .withColumn("ts_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy("timestamp", "offset")))
+      .withColumn("off_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy("offset")))
+      .filter(col("ts_rank") =!= col("off_rank"))
+      .count()
+    assert(violations == 0, s"$violations per-key order violations")
+    println("per-key order: OK")
+
+    // second poll returns nothing (offsets committed)
+    assert(store.poll("g", "events", "c-a").isEmpty, "recommitted records re-delivered")
+    println("commit semantics: OK")
+    println("ENGINE DEMO OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.TopicStore
+
+/** Engine roundtrip specs mirroring the reference's integration suite
+  * (`internal/test/integration/roundtrip_test.go`): produce with the
+  * fixture partition keys "123"/"567"/"234", poll, assert delivery order,
+  * offsets, fan-out and start-policy semantics.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("engine-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def freshStore(): TopicStore =
+    new TopicStore(spark, Files.createTempDirectory("graft-engine").toString)
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("produce/poll roundtrip: per-key order + contiguous offsets") {
+    val store = freshStore()
+    val rows = (0 until 30).map { i =>
+      (Seq("123", "567", "234")(i % 3), s"msg-$i", ts(i))
+    }
+    store.produceStrings("events", rows)
+
+    store.registry.register("g1", "c1", Seq("events"), store.StartFrom.Earliest)
+    val polled = store.poll("g1", "events", "c1").collect()
+    assert(polled.length == 30)
+
+    // per-key delivery order == produce (timestamp) order
+    val byKey = polled
+      .map(r => (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value")),
+        r.getAs[Long]("offset"), r.getAs[Int]("part")))
+      .groupBy(_._1)
+    assert(byKey.keySet == Set("123", "567", "234"))
+    byKey.foreach { case (key, msgs) =>
+      val inOffsetOrder = msgs.sortBy(_._3).map(_._2)
+      val inProduceOrder = (0 until 30)
+        .filter(i => Seq("123", "567", "234")(i % 3) == key).map(i => s"msg-$i")
+      assert(inOffsetOrder.toSeq == inProduceOrder, s"key $key out of order")
+      // same key always lands in the same partition
+      assert(msgs.map(_._4).distinct.length == 1)
+    }
+
+    // offsets contiguous from 0 within each partition
+    polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+      val offs = rs.map(_.getAs[Long]("offset")).sorted
+      assert(offs.head == 0L && offs.last == offs.length - 1L, s"part $p gaps: ${offs.toSeq}")
+    }
+  }
+
+  test("offsets continue across produce batches") {
+    val store = freshStore()
+    store.produceStrings("t", Seq(("a", "1", ts(0)), ("a", "2", ts(1))))
+    store.produceStrings("t", Seq(("a", "3", ts(2))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val out = store.poll("g", "t", "c").collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("value")), r.getAs[Long]("offset")))
+      .sortBy(_._2)
+    assert(out.toSeq == Seq(("1", 0L), ("2", 1L), ("3", 2L)))
+  }
+
+  test("auto-commit advances; manual re-poll is at-least-once") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 10).map(i => ("k" + i % 2, s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+
+    val first = store.poll("g", "t", "c").collect()
+    assert(first.length == 10)
+    // committed -> nothing new
+    assert(store.poll("g", "t", "c").collect().isEmpty)
+    // new produce -> only the new records
+    store.produceStrings("t", Seq(("k0", "new", ts(99))))
+    val second = store.poll("g", "t", "c").collect()
+    assert(second.map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq == Seq("new"))
+  }
+
+  test("two consumers get disjoint covering assignments") {
+    val store = freshStore()
+    store.registry.register("g", "c-a", Seq("t"), store.StartFrom.Earliest)
+    store.registry.register("g", "c-b", Seq("t"), store.StartFrom.Earliest)
+    val a = store.registry.assignment("g", "c-a")
+    val b = store.registry.assignment("g", "c-b")
+    assert((a ++ b).sorted == (0 until 12))
+    assert(a.intersect(b).isEmpty)
+    assert(math.abs(a.size - b.size) <= 0)
+
+    store.produceStrings("t", (0 until 40).map(i => (s"key-$i", s"m$i", ts(i))))
+    val pa = store.poll("g", "t", "c-a").collect()
+    val pb = store.poll("g", "t", "c-b").collect()
+    assert(pa.length + pb.length == 40)
+    assert(pa.map(_.getAs[Int]("part")).toSet.intersect(pb.map(_.getAs[Int]("part")).toSet).isEmpty)
+  }
+
+  test("startFromLatest sees only post-registration records") {
+    val store = freshStore()
+    store.produceStrings("t", Seq(("a", "old", ts(0))))
+    store.registry.register("g", "c", Seq("t")) // default Latest
+    store.produceStrings("t", Seq(("a", "new", ts(1))))
+    val out = store.poll("g", "t", "c").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+    assert(out.toSeq == Seq("new"))
+  }
+
+  test("retention sweep deletes only fully-expired files") {
+    val store = freshStore()
+    store.produceStrings("t", Seq(("a", "old1", ts(0)), ("b", "old2", ts(1))))
+    store.produceStrings("t", Seq(("a", "fresh", ts(1000))))
+    val deleted = store.retentionSweep("t", ts(500))
+    assert(deleted > 0)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val left = store.poll("g", "t", "c").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+    assert(left.toSeq == Seq("fresh"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.TopicStore
+import graft.streaming.{StreamOps, StreamingTopic}
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("streaming-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("streaming ingest keeps offsets contiguous across micro-batches") {
+    import spark.implicits._
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-stream").toString)
+    val streaming = new StreamingTopic(store)
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val input = mem.toDF().toDF("key", "svalue", "timestamp")
+      .withColumn("value", encode(col("svalue"), "UTF-8"))
+      .select("key", "value", "timestamp")
+
+    val q = streaming.ingest("t", input,
+      Files.createTempDirectory("graft-ckpt").toString)
+    mem.addData(("a", "m0", ts(0)), ("b", "m1", ts(1)))
+    q.processAllAvailable()
+    mem.addData(("a", "m2", ts(2)))
+    q.processAllAvailable()
+    q.stop()
+
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val out = store.poll("g", "t", "c").collect()
+      .map(r => (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value")),
+        r.getAs[Long]("offset")))
+    assert(out.length == 3)
+    val aMsgs = out.filter(_._1 == "a").sortBy(_._3).map(_._2)
+    assert(aMsgs.toSeq == Seq("m0", "m2")) // per-key order across batches
+    // contiguous offsets within a's partition
+    val aOffs = out.filter(_._1 == "a").map(_._3).sorted
+    assert(aOffs.last - aOffs.head == aOffs.length - 1L)
+  }
+
+  test("topic readStream delivers produced records") {
+    import spark.implicits._
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-stream2").toString)
+    store.produceStrings("t", Seq(("k1", "v1", ts(0)), ("k2", "v2", ts(1))))
+
+    val streaming = new StreamingTopic(store)
+    val q = streaming.stream("t")
+      .writeStream.format("memory").queryName("topic_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT key FROM topic_out").as[String].collect().sorted
+    assert(got.toSeq == Seq("k1", "k2"))
+  }
+
+  test("watermarked windowed aggregation over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("key", "ts")
+
+    val agg = StreamOps.windowedAgg(events, "ts", "10 seconds", "30 seconds")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    mem.addData(("a", ts(1)), ("a", ts(2)), ("b", ts(11)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT key, n FROM win_out").as[(String, Long)].collect().toMap
+    assert(rows == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes streaming dupes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("key", "ts")
+    val dedup = StreamOps.dedupWithinWatermark(events, "ts", "1 minute", Seq("key"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(("x", ts(0)), ("x", ts(5)), ("y", ts(6)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT key FROM dedup_out").as[String].collect().sorted
+    assert(got.toSeq == Seq("x", "y"))
+  }
+
+  test("flatMapGroupsWithState keeps running per-key session state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.runningSessions(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    mem.addData(StreamOps.Evt("u1", ts(0), 1.0), StreamOps.Evt("u1", ts(1), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Evt("u1", ts(2), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val finalRow = spark.sql("SELECT n, sumValue FROM sess_out ORDER BY n DESC LIMIT 1")
+      .as[(Long, Double)].head()
+    assert(finalRow == ((3L, 6.0))) // state carried across micro-batches
+  }
+}
