@@ -34,8 +34,45 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val (prodRate, pollRate) = ingestBench(spark, sfDir)
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +
+        s""""msg_bytes":1024,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Engine ingest/consume throughput at the reference benchmark's shape:
+    * 1 KiB messages, partition keys on (per-key ordering enabled — the
+    * BASELINE.md ">250K msgs/s with partitionKey" row is the comparable),
+    * durable zstd parquet. Rates are msgs/sec end-to-end including offset
+    * assignment and commit bookkeeping.
+    */
+  private def ingestBench(spark: SparkSession, sfDir: String): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
+    // 12-broker ring: 48 partitions ~ local[32] (the reference scales the
+    // same way — "partitions = brokers x consumer_ranges")
+    val store = new engine.TopicStore(spark, root, clusterSize = 12)
+    // replicate events up to ~2M messages — the reference benchmark's -n
+    val base = Graft.events(spark, sfDir)
+    val mult = math.max(1L, 2000000L / math.max(1L, base.count()))
+    val msgs = base
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(
+        concat(col("user_id").cast("string"), lit("-"), col("rep")).as("key"),
+        encode(rpad(col("props"), 1024, "x"), "UTF-8").as("value"),
+        col("ts").as("timestamp"))
+    val n = msgs.count().toDouble
+
+    val t0 = System.nanoTime()
+    store.produce("bench", msgs)
+    val produceSec = (System.nanoTime() - t0) / 1e9
+
+    store.registry.register("g", "c", Seq("bench"), store.StartFrom.Earliest)
+    val t1 = System.nanoTime()
+    val polled = store.poll("g", "bench", "c").count().toDouble
+    val pollSec = (System.nanoTime() - t1) / 1e9
+    (n / produceSec, polled / pollSec)
   }
 }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimilarity, Murmur3Token}
+
+/** Standard extension entry point: makes the graft SQL functions available
+  * in every session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — no code changes
+  * needed in the consuming application.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("murmur3_token"),
+      new ExpressionInfo(classOf[Murmur3Token].getName, "murmur3_token"),
+      (exprs: Seq[Expression]) => Murmur3Token(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

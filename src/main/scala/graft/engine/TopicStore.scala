@@ -99,13 +99,17 @@ class TopicStore(
       .partitionBy("topic", "token", "range")
       .parquet(dataDir)
 
-    // advance the per-partition high watermarks (producer.offset analog)
-    val produced = spark.read.schema(recordSchema).parquet(dataDir)
-      .where(col("topic") === topic)
-      .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
+    // advance the high watermarks from THIS batch only (producer.offset
+    // analog): next = base + batch count per partition. Map-side combined
+    // count — never rescans the topic, never caches the payload.
+    val batchCounts = keyed.select(col("part"))
+      .groupBy(col("part")).count()
       .as[(Int, Long)].collect().toMap
-    writeOffsets(producerMeta, topic, produced)
-    produced.values.sum
+    val merged = bases ++ batchCounts.map { case (p, c) =>
+      p -> (bases.getOrElse(p, 0L) + c)
+    }
+    writeOffsets(producerMeta, topic, merged)
+    merged.values.sum
   }
 
   /** Convenience: string-valued records. */
