@@ -43,6 +43,9 @@ object Graft {
     * Keeps full ordering fidelity (ties broken by event_id downstream).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // harden against foreign sessions (driver-created) that lack the flag;
+    // it's a runtime-settable SQLConf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -87,6 +87,40 @@ object TokenRing {
     (start, end)
   }
 
+  /** Ranges under a `newClusterSize` ring intersecting one range of the
+    * current ring — the elastic-rescale projection
+    * (token.go:133-163 `ProjectRangeByClusterSize`): scale-up splits a
+    * range over the new brokers, scale-down folds ranges together.
+    * Returns (newBrokerToken, rangeIndices) groups in ring order.
+    */
+  def projectRange(
+      token: Long,
+      index: Int,
+      rangesPerToken: Int,
+      clusterSize: Int,
+      newClusterSize: Int): Seq[(Long, Seq[Int])] = {
+    val (start, end) = rangeBounds(token, index, rangesPerToken, clusterSize)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Seq[Int])]
+    for (i <- 0 until newClusterSize) {
+      val newToken = tokenAtIndex(newClusterSize, i)
+      val idxs = (0 until rangesPerToken).filter { newIndex =>
+        val (ns, ne) = rangeBounds(newToken, newIndex, rangesPerToken, newClusterSize)
+        intersects(start, end, ns, ne)
+      }
+      if (idxs.nonEmpty) out += ((newToken, idxs))
+    }
+    out.toSeq
+  }
+
+  /** Open-interval intersection with the MaxValue tail special case
+    * (token.go:165-179).
+    */
+  def intersects(startA: Long, endA: Long, startB: Long, endB: Long): Boolean = {
+    val (mn, mx) =
+      if (startA >= startB) (endB, startA) else (endA, startB)
+    if (mn == Long.MaxValue) mn >= mx else mn > mx
+  }
+
   /** Flat partition ordinal `brokerIdx * rangesPerToken + rangeIdx` — the
     * value the RingPartition expression emits (codegen entry point).
     */

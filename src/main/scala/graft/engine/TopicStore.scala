@@ -74,7 +74,13 @@ class TopicStore(
   def produce(topic: String, records: DataFrame): Long = {
     val bases: Map[Int, Long] = producerOffsets(topic)
 
-    val keyed = records
+    // optional __seq column: produce-order tiebreak within one request
+    // (NDJSON line order, binary-producer stream order)
+    val seqed =
+      if (records.columns.contains("__seq")) records
+      else records.withColumn("__seq", lit(0L))
+
+    val keyed = seqed
       .withColumn("__token_hash",
         when(col("key").isNotNull && col("key") =!= "", murmur3_token(col("key")))
           .otherwise(xxhash64(col("value"))))
@@ -86,7 +92,7 @@ class TopicStore(
     // contiguous offsets: base(part) + rank within this batch's partition.
     // Window shuffle == the coalescer's per-range serialization point.
     val w = Window.partitionBy(col("part"))
-      .orderBy(col("timestamp"), col("key"), xxhash64(col("value")))
+      .orderBy(col("timestamp"), col("key"), col("__seq"), xxhash64(col("value")))
     val withOffsets = keyed
       .withColumn("__rank", row_number().over(w).cast("long"))
       .withColumn("offset",
@@ -118,6 +124,44 @@ class TopicStore(
       .withColumn("value", encode(col("svalue"), "UTF-8"))
       .select("key", "value", "timestamp")
     produce(topic, df)
+  }
+
+  /** NDJSON produce (S2, `marshalRecordsByLine`): one request body becomes
+    * N records, split on newlines; all lines share the request's key and
+    * timestamp. Distributed split — no driver-side parsing.
+    */
+  def produceNdjson(topic: String, bodies: DataFrame): Long = {
+    val exploded = bodies
+      .select(
+        col("key"), col("timestamp"),
+        posexplode(split(decode(col("value"), "UTF-8"), "\n")).as(Seq("__seq", "__line")))
+      .filter(length(trim(col("__line"))) > 0)
+      .withColumn("value", encode(col("__line"), "UTF-8"))
+      .select(col("key"), col("value"), col("timestamp"), col("__seq").cast("long"))
+    produce(topic, exploded)
+  }
+
+  /** JSON delivery shape (S9, `consumerResponseItem.MarshalJson`): one
+    * object per (topic, token, range) group with int64s as strings and the
+    * decoded record bodies in produce order under `values`.
+    */
+  def pollJson(group: String, topic: String, consumerId: String): DataFrame = {
+    val polled = poll(group, topic, consumerId)
+    if (polled.isEmpty) return polled
+    polled
+      .withColumn("svalue", decode(col("value"), "UTF-8"))
+      .sort(col("part"), col("offset"))
+      .groupBy(col("topic"), col("token"), col("range"))
+      .agg(
+        min(col("offset")).as("__start"),
+        sort_array(collect_list(struct(col("offset"), col("svalue")))).as("__vals"))
+      .select(to_json(struct(
+        col("topic"),
+        col("token").cast("string").as("token"),
+        col("range").as("rangeIndex"),
+        lit(1).as("version"),
+        col("__start").cast("string").as("startOffset"),
+        expr("transform(__vals, x -> x.svalue)").as("values"))).as("json"))
   }
 
   // ---------------------------------------------------------------- poll

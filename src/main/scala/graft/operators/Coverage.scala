@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Coverage pack: the long tail of the relational surface — cube grouping,
+  * aggregate-filtered joins (HAVING), string function library, date
+  * arithmetic, and null semantics. Same oracle-parity discipline as
+  * Relational.
+  */
+object Coverage {
+  import Relational.Q
+
+  private def dec(c: Column, scale: Int = 4): Column = c.cast(s"decimal(18,$scale)")
+
+  // ---------------------------------------------------------------- q30
+  val q30: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("flag", "status")
+
+  val q30Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Aggregate-then-filter join (HAVING semantics): big spenders. */
+  val q31: Q = (s, d) => {
+    val spend = Graft.table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+      .filter(col("spend") > 3000000.0)
+    val c = Graft.table(s, d, "customer")
+    spend.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("spend"))
+      .orderBy("c_custkey")
+  }
+
+  val q31Sql: String =
+    """SELECT c_custkey, c_name, spend FROM customer
+      |JOIN (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      |      FROM orders GROUP BY o_custkey HAVING spend > 3000000.0) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Scalar string-function library over part names. */
+  val q32: Q = (s, d) =>
+    Graft.table(s, d, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).cast("long").as("nlen"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        reverse(col("p_brand")).as("rbrand"),
+        instr(col("p_type"), "ED").cast("long").as("ed_pos"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+        col("p_name").like("%gre%").as("has_gre"))
+      .orderBy("p_partkey")
+
+  val q32Sql: String =
+    """SELECT p_partkey, upper(p_name) AS uname, CAST(length(p_name) AS BIGINT) AS nlen,
+      |  substring(p_type, 1, 5) AS type5, replace(p_name, ' ', '_') AS snake,
+      |  reverse(p_brand) AS rbrand, CAST(strpos(p_type, 'ED') AS BIGINT) AS ed_pos,
+      |  p_brand || '|' || p_type AS bt, p_name LIKE '%gre%' AS has_gre
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Date/time arithmetic and parts. */
+  val q33: Q = (s, d) =>
+    Graft.table(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  val q33Sql: String =
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+      |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Null semantics: nullif/coalesce, count(col) vs count(*), null-skipping
+    * aggregates.
+    */
+  val q34: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .withColumn("disc_or_null", expr("nullif(l_discount, 0.0)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("disc_or_null")).as("n_discounted"),
+        sum(dec(coalesce(col("disc_or_null"), lit(0.0)), 6)).cast("double").as("sum_disc"),
+        min(col("disc_or_null")).as("min_disc"),
+        max(col("disc_or_null")).as("max_disc"))
+      .orderBy("l_returnflag")
+
+  val q34Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+      |  CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+      |  MIN(NULLIF(l_discount, 0.0)) AS min_disc,
+      |  MAX(NULLIF(l_discount, 0.0)) AS max_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q30_cube", q30, Some(q30Sql)),
+    ("q31_having_join", q31, Some(q31Sql)),
+    ("q32_string_funcs", q32, Some(q32Sql)),
+    ("q33_date_arith", q33, Some(q33Sql)),
+    ("q34_null_semantics", q34, Some(q34Sql))
+  )
+}

@@ -115,6 +115,52 @@ class EngineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("new"))
   }
 
+  test("ndjson produce splits bodies into records") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    val bodies = Seq(("k1", "{\"a\":1}\n{\"a\":2}\n{\"a\":3}", ts(0)))
+      .toDF("key", "body", "timestamp")
+      .withColumn("value", encode(col("body"), "UTF-8"))
+      .select("key", "value", "timestamp")
+    store.produceNdjson("t", bodies)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val out = store.poll("g", "t", "c").collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("value")), r.getAs[Long]("offset")))
+      .sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq("{\"a\":1}", "{\"a\":2}", "{\"a\":3}"))
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 2L)) // split preserves line order
+  }
+
+  test("pollJson emits the reference delivery shape") {
+    val store = freshStore()
+    store.produceStrings("t", Seq(("a", "v1", ts(0)), ("a", "v2", ts(1))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val json = store.pollJson("g", "t", "c").collect().map(_.getString(0))
+    assert(json.length == 1)
+    val j = json.head
+    assert(j.contains("\"topic\":\"t\"") && j.contains("\"rangeIndex\":"))
+    assert(j.contains("\"startOffset\":\"0\""))
+    assert(j.contains("\"values\":[\"v1\",\"v2\"]")) // produce order
+  }
+
+  test("range projection: scale-up splits, scale-down joins") {
+    import graft.core.TokenRing._
+    // 3 -> 6 brokers: each range of broker 0 maps into broker {0,3}'s space
+    for (r <- 0 until 4) {
+      val proj = projectRange(tokenAtIndex(3, 0), r, 4, 3, 6)
+      val totalNewRanges = proj.map(_._2.size).sum
+      assert(totalNewRanges >= 1 && totalNewRanges <= 3, s"r=$r got $proj")
+      // projected ranges must cover the original bounds
+      val (lo, hi) = rangeBounds(tokenAtIndex(3, 0), r, 4, 3)
+      val newBounds = proj.flatMap { case (t, idxs) => idxs.map(i => rangeBounds(t, i, 4, 6)) }
+      assert(newBounds.head._1 <= lo && newBounds.last._2 >= hi)
+    }
+    // 6 -> 3: projection of sibling ranges folds into one range
+    val down = projectRange(tokenAtIndex(6, 1), 0, 4, 6, 3)
+    assert(down.map(_._1).distinct.size == 1) // lands in a single broker
+  }
+
   test("retention sweep deletes only fully-expired files") {
     val store = freshStore()
     store.produceStrings("t", Seq(("a", "old1", ts(0)), ("b", "old2", ts(1))))

@@ -32,6 +32,14 @@ class QueryPackSpec extends AnyFunSuite {
     mustBeNonEmpty.foreach { case (n, c) => assert(c > 0, s"$n is empty") }
   }
 
+  test("events queries survive a fresh session without graft configs") {
+    // the round driver may invoke queries with its own SparkSession that
+    // lacks nanosAsLong; Graft.events must self-configure
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    assert(SparkEntry.queries("q13_json_extract")(fresh, sf).count() > 0)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
