@@ -90,10 +90,15 @@ class TopicStore(
       .withColumn("range", pmod(col("part"), lit(rangesPerToken)).cast("int"))
 
     // contiguous offsets: base(part) + rank within this batch's partition.
-    // Window shuffle == the coalescer's per-range serialization point.
+    // The explicit repartition to numParts (one ring partition per task)
+    // is the coalescer's per-range serialization point; Window's required
+    // ClusteredDistribution(part) is satisfied by it, so there is exactly
+    // ONE shuffle and no hash-collision skew from folding 48 ring
+    // partitions into 32 shuffle buckets.
     val w = Window.partitionBy(col("part"))
       .orderBy(col("timestamp"), col("key"), col("__seq"), xxhash64(col("value")))
     val withOffsets = keyed
+      .repartition(numParts, col("part"))
       .withColumn("__rank", row_number().over(w).cast("long"))
       .withColumn("offset",
         coalesce(element_at(typedlit(bases), col("part")), lit(0L)) + col("__rank") - 1L)
@@ -105,15 +110,20 @@ class TopicStore(
       .partitionBy("topic", "token", "range")
       .parquet(dataDir)
 
-    // advance the high watermarks from THIS batch only (producer.offset
-    // analog): next = base + batch count per partition. Map-side combined
-    // count — never rescans the topic, never caches the payload.
-    val batchCounts = keyed.select(col("part"))
-      .groupBy(col("part")).count()
+    // advance the high watermarks (producer.offset analog) from the files
+    // just written — an offset-column-only scan where parquet row-group
+    // min/max stats prune every pre-existing file (their offsets are all
+    // below the old base), so the cost is O(batch), not O(topic) and not
+    // a recompute of the upstream plan.
+    val newPred = (0 until numParts).map { p =>
+      val base = bases.getOrElse(p, 0L)
+      col("part") === p && col("offset") >= base
+    }.reduce(_ || _)
+    val next = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic && newPred)
+      .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
       .as[(Int, Long)].collect().toMap
-    val merged = bases ++ batchCounts.map { case (p, c) =>
-      p -> (bases.getOrElse(p, 0L) + c)
-    }
+    val merged = bases ++ next
     writeOffsets(producerMeta, topic, merged)
     merged.values.sum
   }

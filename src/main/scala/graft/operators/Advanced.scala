@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Advanced relational pack: pivot, grouping sets, full-outer join, as-of
+  * join, range-band join, correlated subqueries, array/lambda functions,
+  * exact percentiles, approximate sketches, stratified sampling.
+  *
+  * The as-of join is the union-plus-window formulation (one shuffle on the
+  * key, no join explosion): tag both sides, sort by time within key, carry
+  * the last order forward with last(ignoreNulls) — the shape that survives
+  * 100 TB because the state per key is one row, never a cross product.
+  */
+object Advanced {
+  import Relational.Q
+
+  private def dec(c: Column, scale: Int = 4): Column = c.cast(s"decimal(18,$scale)")
+
+  // ---------------------------------------------------------------- q35
+  /** Pivot: order count + revenue per year, one column set per status. */
+  val q35: Q = (s, d) =>
+    Graft.table(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+      .select(
+        col("yr"),
+        coalesce(col("F"), lit(0.0)).as("f_price"),
+        coalesce(col("O"), lit(0.0)).as("o_price"),
+        coalesce(col("P"), lit(0.0)).as("p_price"))
+      .orderBy("yr")
+
+  val q35Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS f_price,
+      |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS o_price,
+      |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS p_price
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Grouping sets (beyond rollup/cube): independent status and priority
+    * margins in one pass.
+    */
+  val q36: Q = (s, d) => {
+    Graft.table(s, d, "orders").createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS sum_price
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin)
+  }
+
+  val q36Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS prio,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, prio""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Full outer join: every customer and every order-cohort, matched or
+    * not. The orders side is pre-aggregated so the join carries one row
+    * per key (and AQE can pick a broadcast at small SF).
+    */
+  val q37: Q = (s, d) => {
+    val spend = Graft.table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+    Graft.table(s, d, "customer")
+      .join(spend, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy("custkey")
+  }
+
+  val q37Sql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  COALESCE(n_orders, 0) AS n_orders, COALESCE(spend, 0.0) AS spend
+      |FROM customer
+      |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+      |                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+      |                 FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** As-of join: each event matched to the latest order (by order date,
+    * ties to the highest orderkey) of the same user at or before the
+    * event. Union + window: one shuffle, O(1) state per key.
+    */
+  val q38: Q = (s, d) => {
+    val ord = Graft.table(s, d, "orders").select(
+      col("o_custkey").as("uid"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+      lit(1).as("is_order"),
+      col("o_orderkey"),
+      lit(null).cast("long").as("event_id"))
+    val evs = Graft.events(s, d).select(
+      col("user_id").as("uid"),
+      unix_micros(col("ts")).as("t"),
+      lit(0).as("is_order"),
+      lit(null).cast("long").as("o_orderkey"),
+      col("event_id"))
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("t").asc, col("is_order").desc, col("o_orderkey").asc_nulls_last,
+        col("event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(evs)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .where(col("is_order") === 0)
+      .select(col("event_id"), col("uid").as("user_id"), col("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val q38Sql: String =
+    """WITH u AS (
+      |  SELECT o_custkey AS uid, epoch_us(o_orderdate) AS t, 1 AS is_order,
+      |         o_orderkey, CAST(NULL AS BIGINT) AS event_id FROM orders
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 0, CAST(NULL AS BIGINT), event_id FROM events
+      |), w AS (
+      |  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+      |      PARTITION BY uid
+      |      ORDER BY t ASC, is_order DESC, o_orderkey ASC NULLS LAST, event_id ASC NULLS LAST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      |  FROM u
+      |)
+      |SELECT event_id, uid AS user_id, asof_orderkey FROM w
+      |WHERE is_order = 0 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Range-band join: line items shipped within 60 days of their order's
+    * date. The equi key (orderkey) carries the join; the band is a
+    * post-join filter, so this stays a plain shuffled/broadcast hash join
+    * rather than an O(n*m) interval product.
+    */
+  val q39: Q = (s, d) => {
+    val o = Graft.table(s, d, "orders")
+    val l = Graft.table(s, d, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= date_add(col("o_orderdate"), 60))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q39Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Correlated subquery semantics: customers richer than their nation's
+    * average balance. Decorrelated by hand into an aggregate + broadcast
+    * join (what Catalyst does to the SQL form anyway).
+    */
+  val q40: Q = (s, d) => {
+    val c = Graft.table(s, d, "customer")
+    val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nat_avg"))
+    c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .where(col("c_acctbal") > col("nat_avg"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("nat_avg"))
+      .orderBy("c_custkey")
+  }
+
+  val q40Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |  (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nat_avg
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT AVG(c3.c_acctbal) FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Array construction + lambda functions over part names. */
+  val q41: Q = (s, d) =>
+    Graft.table(s, d, "part")
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        size(col("toks")).cast("long").as("n_toks"),
+        element_at(col("toks"), 1).as("first_tok"),
+        array_join(array_sort(col("toks")), ",").as("sorted_toks"),
+        size(expr("filter(toks, x -> x LIKE '%a%')")).cast("long").as("n_with_a"),
+        array_contains(col("toks"), "green").as("has_green"))
+      .orderBy("p_partkey")
+
+  val q41Sql: String =
+    """SELECT p_partkey,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_toks,
+      |  string_split(p_name, ' ')[1] AS first_tok,
+      |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_toks,
+      |  CAST(len(list_filter(string_split(p_name, ' '), x -> x LIKE '%a%')) AS BIGINT) AS n_with_a,
+      |  list_contains(string_split(p_name, ' '), 'green') AS has_green
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Exact interpolated percentiles (median / p90) — Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation formula.
+    */
+  val q42: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag")
+
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Approximate sketches: HLL distinct + t-digest-style percentile.
+    * Algorithm-specific results — no SQL oracle (rows-only check);
+    * accuracy is asserted against exact values in the unit spec.
+    */
+  val q43: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- q44
+  /** Deterministic stratified sample: ~10% of each return flag via a hash
+    * gate on the row key — reproducible across runs and cluster sizes
+    * (unlike `sample()`, whose output depends on partitioning).
+    */
+  val q44: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .where(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q35_pivot", q35, Some(q35Sql)),
+    ("q36_grouping_sets", q36, Some(q36Sql)),
+    ("q37_full_outer", q37, Some(q37Sql)),
+    ("q38_asof_join", q38, Some(q38Sql)),
+    ("q39_range_band_join", q39, Some(q39Sql)),
+    ("q40_correlated_sub", q40, Some(q40Sql)),
+    ("q41_array_funcs", q41, Some(q41Sql)),
+    ("q42_percentiles", q42, Some(q42Sql)),
+    ("q43_approx_sketches", q43, None),
+    ("q44_stratified_sample", q44, None)
+  )
+}

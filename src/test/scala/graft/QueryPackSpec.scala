@@ -46,7 +46,8 @@ class QueryPackSpec extends AnyFunSuite {
     // non-SQL-expressible ops are the only ones without oracles
     val noOracle = qs -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set(
-      "q17_token_routing", "q21_dedup_simhash", "q25_fingerprint", "q29_ann_lsh"))
+      "q17_token_routing", "q21_dedup_simhash", "q25_fingerprint", "q29_ann_lsh",
+      "q43_approx_sketches", "q44_stratified_sample"))
   }
 
   test("minhash-LSH dedup equals exhaustive jaccard dedup") {
