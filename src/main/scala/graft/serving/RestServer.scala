@@ -1,0 +1,314 @@
+package graft.serving
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{CompletableFuture, Executors, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.engine.TopicStore
+
+/** REST serving shim over [[TopicStore]] — the reference's HTTP surface
+  * (`docs/rest_api/README.md`) on one port:
+  *
+  *  - `GET /status`, `GET /v1/brokers` — discovery (C6,
+  *    `internal/discovery/discoverer_client_service.go:30-124`); a single
+  *    engine address replaces the broker list.
+  *  - `POST /v1/topic/{topic}/messages?partitionKey=&timestamp=` — produce
+  *    (S1 `internal/producing/server.go:126-190`); `application/x-ndjson`
+  *    splits the body into per-line records (S2 `models.go:44-87`);
+  *    `timestamp` is client-supplied micros, else server ingest time.
+  *  - `PUT /v1/consumer/register?consumerId=&group=&topic=&onNewGroup=`,
+  *    `POST /v1/consumer/{poll|commit|goodbye}?consumerId=` — the consumer
+  *    flow (R1/R3/R4, `internal/consuming/server.go:203-488`): poll answers
+  *    200 with the JSON delivery shape (S9 `models.go:136-199`), 204 +
+  *    `Retry-After: 5` when empty (`utils.go:158-165`), 409 when the
+  *    consumer is unknown or evicted after 2 min idle (R11,
+  *    `server.go:191-201`).
+  *
+  * Produce requests funnel through a W1-style coalescer
+  * (`internal/producing/coalescer.go:81-172`): handlers enqueue and block
+  * on an ack future; a single drain loop groups up to `maxGroupBytes` or
+  * whatever arrived in one `coalesceMs` window into ONE `TopicStore
+  * .produce` micro-batch per topic, and acks only after the durable write
+  * returns — at-least-once, per-key ordered (request order is threaded
+  * through as the `__seq` tiebreak). The bounded queue is the backpressure
+  * analog of the fixed producer buffer pool (W7).
+  *
+  * Delivery bookkeeping matches the reference's at-least-once flow: a poll
+  * response's end position is only *staged*; it commits on the consumer's
+  * NEXT poll/commit/goodbye (`docs/rest_api/README.md` Consumer API — "the
+  * brokers will automatically commit the previous position when new data
+  * is requested"), so a consumer that dies mid-processing re-reads.
+  */
+class RestServer(
+    val store: TopicStore,
+    port: Int = 0,
+    readTimeoutMs: Long = 2 * 60 * 1000L,
+    coalesceMs: Long = 50L,
+    maxGroupBytes: Long = 2L * 1024 * 1024) {
+
+  // ------------------------------------------------------ produce pipeline
+
+  private case class Pending(
+      topic: String,
+      key: String, // null => keyless (round-robin analog)
+      tsMicros: Long,
+      lines: Seq[Array[Byte]],
+      ack: CompletableFuture[java.lang.Boolean])
+
+  private val queue = new LinkedBlockingQueue[Pending](8192)
+  private val running = new AtomicBoolean(true)
+
+  private val flusher = new Thread(() => {
+    while (running.get()) {
+      val first = queue.poll(coalesceMs, TimeUnit.MILLISECONDS)
+      if (first != null) flush(first)
+    }
+  }, "graft-rest-coalescer")
+  flusher.setDaemon(true)
+
+  private def flush(first: Pending): Unit = {
+    val batch = mutable.ArrayBuffer(first)
+    var bytes = first.lines.iterator.map(_.length.toLong).sum
+    var drained = false
+    while (!drained && bytes < maxGroupBytes) {
+      val nxt = queue.poll()
+      if (nxt == null) drained = true
+      else { batch += nxt; bytes += nxt.lines.iterator.map(_.length.toLong).sum }
+    }
+    batch.groupBy(_.topic).foreach { case (topic, reqs) =>
+      try {
+        import store.spark.implicits._
+        var seq = 0L
+        val rows = reqs.iterator.flatMap { r =>
+          r.lines.iterator.map { line =>
+            seq += 1
+            (r.key, line, r.tsMicros, seq)
+          }
+        }.toSeq
+        val df = rows.toDF("key", "value", "tsMicros", "__seq")
+          .withColumn("timestamp", timestamp_micros(col("tsMicros")))
+          .select("key", "value", "timestamp", "__seq")
+        store.produce(topic, df)
+        reqs.foreach(_.ack.complete(java.lang.Boolean.TRUE))
+      } catch {
+        case e: Throwable => reqs.foreach(_.ack.completeExceptionally(e))
+      }
+    }
+  }
+
+  // ------------------------------------------------------- consumer state
+
+  private class Session(val group: String, val topics: Seq[String]) {
+    @volatile var lastSeen: Long = System.currentTimeMillis()
+    // staged next-read positions from the LAST poll, commit deferred
+    val pendingCommit: mutable.Map[String, Map[Int, Long]] = mutable.Map.empty
+  }
+
+  private val sessions = new java.util.concurrent.ConcurrentHashMap[String, Session]()
+
+  private def commitPending(s: Session): Unit = s.synchronized {
+    s.pendingCommit.foreach { case (topic, next) =>
+      if (next.nonEmpty) store.commit(s.group, topic, next)
+    }
+    s.pendingCommit.clear()
+  }
+
+  /** R11: unregister consumers idle beyond the read timeout (activity =
+    * any consumer-API request). Their next poll answers 409.
+    */
+  private def evictIdle(): Unit = {
+    val now = System.currentTimeMillis()
+    sessions.forEach { (id, s) =>
+      if (now - s.lastSeen > readTimeoutMs) {
+        commitPending(s)
+        store.registry.goodbye(s.group, id)
+        sessions.remove(id)
+      }
+    }
+  }
+
+  // --------------------------------------------------------- http plumbing
+
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool = Executors.newFixedThreadPool(16)
+  http.setExecutor(pool)
+
+  def boundPort: Int = http.getAddress.getPort
+
+  def start(): RestServer = { flusher.start(); http.start(); this }
+
+  def stop(): Unit = {
+    running.set(false)
+    http.stop(0)
+    pool.shutdownNow() // non-daemon workers would otherwise pin the JVM
+    flusher.join(1000)
+  }
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.nonEmpty).toSeq
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (URLDecoder.decode(kv, UTF_8), "")
+        else (URLDecoder.decode(kv.take(i), UTF_8), URLDecoder.decode(kv.drop(i + 1), UTF_8))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def respond(
+      ex: HttpExchange, code: Int, body: String = "",
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      val bytes = body.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      os.write(bytes); os.close()
+    }
+    ex.close()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  http.createContext("/", (ex: HttpExchange) => {
+    try route(ex)
+    catch {
+      case e: Throwable =>
+        try respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""",
+          Map("Content-Type" -> "application/json"))
+        catch { case _: Throwable => () }
+    }
+  })
+
+  private val TopicPath = "^/v1/topic/([^/]+)/messages$".r
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("GET", "/status") => respond(ex, 200, "OK")
+      case ("GET", "/v1/brokers") =>
+        // single engine address: Spark schedules internally (C6 mapping)
+        respond(ex, 200,
+          s"""{"length":1,"names":["localhost"],"producerPort":$boundPort,"consumerPort":$boundPort}""",
+          Map("Content-Type" -> "application/json"))
+      case ("POST", TopicPath(topic)) => handleProduce(ex, topic)
+      case ("PUT" | "POST", "/v1/consumer/register") => handleRegister(ex)
+      case ("POST", "/v1/consumer/poll") => handlePoll(ex)
+      case ("POST", "/v1/consumer/commit") => handleCommit(ex)
+      case ("POST", "/v1/consumer/goodbye") => handleGoodbye(ex)
+      case _ => respond(ex, 404, """{"error":"not found"}""",
+        Map("Content-Type" -> "application/json"))
+    }
+  }
+
+  // ------------------------------------------------------------- handlers
+
+  private def handleProduce(ex: HttpExchange, topic: String): Unit = {
+    val qs = params(ex)
+    val body = ex.getRequestBody.readAllBytes()
+    if (body.isEmpty) { respond(ex, 400, """{"error":"empty body"}"""); return }
+    val key = qs.get("partitionKey").flatMap(_.headOption).orNull
+    val tsMicros = qs.get("timestamp").flatMap(_.headOption)
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
+      .getOrElse(System.currentTimeMillis() * 1000L)
+    val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("application/json")
+    val lines: Seq[Array[Byte]] =
+      if (ctype.startsWith("application/x-ndjson"))
+        new String(body, UTF_8).split("\n").toSeq
+          .filter(_.trim.nonEmpty).map(_.getBytes(UTF_8))
+      else Seq(body)
+
+    val ack = new CompletableFuture[java.lang.Boolean]()
+    queue.put(Pending(topic, key, tsMicros, lines, ack)) // blocks when full (W7 backpressure)
+    try { ack.get(120, TimeUnit.SECONDS); respond(ex, 200, "OK") }
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getCause.getMessage))}}""")
+    }
+  }
+
+  private def handleRegister(ex: HttpExchange): Unit = {
+    evictIdle()
+    val qs = params(ex)
+    val cid = qs.get("consumerId").flatMap(_.headOption).getOrElse {
+      respond(ex, 400, """{"error":"consumerId required"}"""); return
+    }
+    val group = qs.get("group").flatMap(_.headOption).getOrElse("default")
+    val topics = qs.getOrElse("topic", Seq.empty)
+    if (topics.isEmpty) { respond(ex, 400, """{"error":"topic required"}"""); return }
+    val policy = qs.get("onNewGroup").flatMap(_.headOption) match {
+      case Some("startFromEarliest") => store.StartFrom.Earliest
+      case _ => store.StartFrom.Latest
+    }
+    store.registry.register(group, cid, topics, policy)
+    sessions.put(cid, new Session(group, topics))
+    respond(ex, 200, "OK")
+  }
+
+  /** Consumer lookup shared by poll/commit/goodbye: touch activity, evict
+    * idlers, answer None (and 409) for unknown ids.
+    */
+  private def consumer(ex: HttpExchange): Option[(String, Session)] = {
+    evictIdle()
+    val cid = params(ex).get("consumerId").flatMap(_.headOption).getOrElse("")
+    Option(sessions.get(cid)) match {
+      case Some(s) => s.lastSeen = System.currentTimeMillis(); Some((cid, s))
+      case None => respond(ex, 409, """{"error":"consumer not registered"}"""); None
+    }
+  }
+
+  private def handlePoll(ex: HttpExchange): Unit = consumer(ex).foreach { case (cid, s) =>
+    s.synchronized {
+      commitPending(s) // the previous poll's position becomes durable now
+
+      val items = mutable.ArrayBuffer.empty[String]
+      s.topics.foreach { topic =>
+        val rows = store.poll(s.group, topic, cid, autoCommit = false).collect()
+        if (rows.nonEmpty) {
+          // rows arrive (part, offset)-ordered; one response item per part
+          rows.groupBy(_.getAs[Int]("part")).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+            val sorted = rs.sortBy(_.getAs[Long]("offset"))
+            val head = sorted.head
+            val values = sorted.iterator
+              .map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8))
+              .mkString(",")
+            items += s"""{"topic":${jstr(topic)},"token":"${head.getAs[Long]("token")}"""" +
+              s""","rangeIndex":${head.getAs[Int]("range")},"version":1""" +
+              s""","startOffset":"${head.getAs[Long]("offset")}","values":[$values]}"""
+          }
+          val next = rows.groupBy(_.getAs[Int]("part")).view
+            .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
+          s.pendingCommit(topic) = s.pendingCommit.getOrElse(topic, Map.empty) ++ next
+        }
+      }
+
+      if (items.isEmpty)
+        respond(ex, 204, headers = Map("Retry-After" -> "5", "Cache-Control" -> "no-store"))
+      else
+        respond(ex, 200, items.mkString("[", ",", "]"),
+          Map("Content-Type" -> "application/json"))
+    }
+  }
+
+  private def handleCommit(ex: HttpExchange): Unit = consumer(ex).foreach { case (_, s) =>
+    commitPending(s)
+    respond(ex, 204)
+  }
+
+  private def handleGoodbye(ex: HttpExchange): Unit = consumer(ex).foreach { case (cid, s) =>
+    commitPending(s)
+    store.registry.goodbye(s.group, cid)
+    sessions.remove(cid)
+    respond(ex, 200, "OK")
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.TopicStore
+import graft.serving.RestServer
+
+/** Drives the REST surface end-to-end over real HTTP, mirroring the
+  * request flows in the reference's `docs/rest_api/README.md` and
+  * `docs/rest_api/consumer_flow/`: produce (JSON + NDJSON), register,
+  * poll (200/204/409 + Retry-After), deferred auto-commit, manual commit,
+  * goodbye, and R11 idle eviction.
+  */
+class RestServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("rest-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def startServer(readTimeoutMs: Long = 120000L): RestServer = {
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-rest").toString)
+    new RestServer(store, port = 0, readTimeoutMs = readTimeoutMs, coalesceMs = 20L).start()
+  }
+
+  private def get(base: String, path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      BodyHandlers.ofString())
+
+  private def send(base: String, method: String, path: String, body: String = "",
+      ctype: String = "application/json"): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    val req = (method match {
+      case "PUT" => b.PUT(BodyPublishers.ofString(body))
+      case _ => b.POST(BodyPublishers.ofString(body))
+    }).header("Content-Type", ctype).build()
+    client.send(req, BodyHandlers.ofString())
+  }
+
+  test("discovery, produce/poll flow, deferred commit, goodbye") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(get(base, "/status").statusCode() == 200)
+      val brokers = get(base, "/v1/brokers")
+      assert(brokers.statusCode() == 200)
+      assert(brokers.body().contains("\"length\":1"))
+      assert(brokers.body().contains("\"producerPort\""))
+
+      // poll before register -> 409 (consumer_flow docs)
+      assert(send(base, "POST", "/v1/consumer/poll?consumerId=c1").statusCode() == 409)
+
+      // produce 3 JSON events on one partition key + 2 on another;
+      // explicit timestamps (micros) fix the per-key order
+      for (i <- 0 until 3)
+        assert(send(base, "POST",
+          s"/v1/topic/stock/messages?partitionKey=123&timestamp=${1700000000000000L + i}",
+          s"""{"productId":123,"units":$i}""").statusCode() == 200)
+      for (i <- 0 until 2)
+        assert(send(base, "POST",
+          s"/v1/topic/stock/messages?partitionKey=567&timestamp=${1700000000000000L + i}",
+          s"""{"productId":567,"units":$i}""").statusCode() == 200)
+
+      // register from earliest, poll everything
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c1&group=g1&topic=stock&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      val poll1 = send(base, "POST", "/v1/consumer/poll?consumerId=c1")
+      assert(poll1.statusCode() == 200)
+      // values embedded raw, in produce order per key; startOffset from 0
+      assert(poll1.body().contains("""{"productId":123,"units":0},{"productId":123,"units":1},{"productId":123,"units":2}"""))
+      assert(poll1.body().contains("""{"productId":567,"units":0},{"productId":567,"units":1}"""))
+      assert(poll1.body().contains(""""startOffset":"0""""))
+      assert(poll1.body().contains(""""version":1"""))
+
+      // nothing new: 204 + Retry-After (this poll also commits poll1's position)
+      val poll2 = send(base, "POST", "/v1/consumer/poll?consumerId=c1")
+      assert(poll2.statusCode() == 204)
+      assert(poll2.headers().firstValue("Retry-After").orElse("") == "5")
+
+      // produce one more; the next poll returns ONLY the new record
+      assert(send(base, "POST",
+        s"/v1/topic/stock/messages?partitionKey=123&timestamp=${1700000000000010L}",
+        """{"productId":123,"units":99}""").statusCode() == 200)
+      val poll3 = send(base, "POST", "/v1/consumer/poll?consumerId=c1")
+      assert(poll3.statusCode() == 200)
+      assert(poll3.body().contains(""""units":99"""))
+      assert(!poll3.body().contains(""""units":1"""))
+      assert(poll3.body().contains(""""startOffset":"3"""")) // continues after 0..2
+
+      // manual commit -> 204; goodbye -> 200; post-goodbye poll -> 409
+      assert(send(base, "POST", "/v1/consumer/commit?consumerId=c1").statusCode() == 204)
+      assert(send(base, "POST", "/v1/consumer/goodbye?consumerId=c1").statusCode() == 200)
+      assert(send(base, "POST", "/v1/consumer/poll?consumerId=c1").statusCode() == 409)
+    } finally server.stop()
+  }
+
+  test("ndjson produce splits lines and preserves order; goodbye commits") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val body = """{"n":1}
+{"n":2}
+{"n":3}"""
+      assert(send(base, "POST",
+        s"/v1/topic/nd/messages?partitionKey=k&timestamp=1700000000000000",
+        body, ctype = "application/x-ndjson").statusCode() == 200)
+
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c2&group=g2&topic=nd&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      val poll = send(base, "POST", "/v1/consumer/poll?consumerId=c2")
+      assert(poll.statusCode() == 200)
+      assert(poll.body().contains("""[{"n":1},{"n":2},{"n":3}]"""))
+
+      // goodbye commits the staged position: a new consumer in the SAME
+      // group starts after it (no redelivery)
+      assert(send(base, "POST", "/v1/consumer/goodbye?consumerId=c2").statusCode() == 200)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c3&group=g2&topic=nd").statusCode() == 200)
+      assert(send(base, "POST", "/v1/consumer/poll?consumerId=c3").statusCode() == 204)
+    } finally server.stop()
+  }
+
+  test("at-least-once: un-committed poll position is redelivered") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(send(base, "POST",
+        s"/v1/topic/alo/messages?partitionKey=k&timestamp=1700000000000000",
+        """{"v":1}""").statusCode() == 200)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c4&group=g4&topic=alo&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      // first poll delivers; consumer "dies" (no second poll/commit/goodbye)
+      assert(send(base, "POST", "/v1/consumer/poll?consumerId=c4").statusCode() == 200)
+      // same consumer id re-registers (idempotent) and re-reads the record:
+      // re-register drops the staged (uncommitted) position, so the group's
+      // durable offset still points at it
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c4&group=g4&topic=alo").statusCode() == 200)
+      val poll = send(base, "POST", "/v1/consumer/poll?consumerId=c4")
+      assert(poll.statusCode() == 200)
+      assert(poll.body().contains("""{"v":1}"""))
+    } finally server.stop()
+  }
+
+  test("R11: idle consumers are evicted; next poll answers 409") {
+    val server = startServer(readTimeoutMs = 150L)
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c5&group=g5&topic=t").statusCode() == 200)
+      Thread.sleep(400L)
+      assert(send(base, "POST", "/v1/consumer/poll?consumerId=c5").statusCode() == 409)
+    } finally server.stop()
+  }
+}
