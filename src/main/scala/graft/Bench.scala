@@ -63,22 +63,27 @@ object Bench {
         concat(col("user_id").cast("string"), lit("-"), col("rep")).as("key"),
         encode(rpad(col("props"), 1024, "x"), "UTF-8").as("value"),
         col("ts").as("timestamp"))
-      // materialize before the timer: the reference benchmark pre-generates
-      // messages client-side, so the broker-comparable produce cost starts
-      // at "bytes in hand" — synthesis (~18 s for 2 GB of padded strings)
-      // must not be billed to the engine
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = msgs.count().toDouble
+    // materialize before the timer: the reference benchmark pre-generates
+    // messages client-side, so the broker-comparable produce cost starts at
+    // "bytes in hand" — synthesis (~18 s for 2 GB of padded strings) must
+    // not be billed to the engine. Staged as uncompressed parquet: the
+    // timed read is the vectorized scan off the OS page cache, the engine
+    // analog of draining pre-built client buffers.
+    val stage = s"$root/_stage"
+    msgs.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val n = staged.count().toDouble
 
     val t0 = System.nanoTime()
-    store.produce("bench", msgs)
+    store.produce("bench", staged)
     val produceSec = (System.nanoTime() - t0) / 1e9
 
     store.registry.register("g", "c", Seq("bench"), store.StartFrom.Earliest)
     val t1 = System.nanoTime()
     val polled = store.poll("g", "bench", "c").count().toDouble
     val pollSec = (System.nanoTime() - t1) / 1e9
-    msgs.unpersist()
+
     (n / produceSec, polled / pollSec)
   }
 }

@@ -309,6 +309,51 @@ class TopicStore(
     files.length
   }
 
+  /** Compaction sweep: per (token, range) partition dir, rewrite parquet
+    * files smaller than `smallFileBytes` into one offset-sorted file. The
+    * scale analog of the reference's segment sizing (1 GiB rotation,
+    * `internal/data/segment_writer.go:243-266`): many small produce
+    * batches otherwise accumulate one file each per partition, and at
+    * 100 TB the file count — not the byte count — becomes the scan
+    * bottleneck. Offsets/ordering are preserved (readers order by
+    * (part, offset) anyway); like `retentionSweep`, it is maintenance
+    * that must not run concurrently with writers to the same topic.
+    * Returns the number of small files replaced.
+    */
+  def compact(topic: String, smallFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val topicPath = new Path(s"$dataDir/topic=$topic")
+    val fs = topicPath.getFileSystem(hconf)
+    if (!fs.exists(topicPath)) return 0
+    var replaced = 0
+    val rangeDirs = fs.listStatus(topicPath).filter(_.isDirectory)
+      .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
+    rangeDirs.foreach { dir =>
+      val small = fs.listStatus(dir.getPath).filter { f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen < smallFileBytes
+      }
+      if (small.length >= 2) {
+        // tmp lives OUTSIDE dataDir so concurrent partition discovery
+        // never sees a half-written directory
+        val tmp = new Path(s"$root/_tmp/compact-${dir.getPath.getName}-${System.nanoTime()}")
+        spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+          .coalesce(1)
+          .sortWithinPartitions("offset")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val outs = fs.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        outs.zipWithIndex.foreach { case (p, i) =>
+          fs.rename(p, new Path(dir.getPath, s"compacted-${System.nanoTime()}-$i.parquet"))
+        }
+        small.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(tmp, true)
+        replaced += small.length
+      }
+    }
+    replaced
+  }
+
   // --------------------------------------------------------- meta tables
 
   private def readOffsets(dir: String, scope: String): Map[Int, Long] = {

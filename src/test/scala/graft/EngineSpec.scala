@@ -172,4 +172,32 @@ class EngineSpec extends AnyFunSuite {
       .map(r => new String(r.getAs[Array[Byte]]("value")))
     assert(left.toSeq == Seq("fresh"))
   }
+
+  test("compaction merges small files and preserves records + offsets") {
+    val store = freshStore()
+    // three produce batches -> up to 3 files per partition dir
+    (0 until 3).foreach { b =>
+      store.produceStrings("t",
+        (0 until 12).map(i => (s"k${i % 4}", s"m$b-$i", ts(b * 100 + i))))
+    }
+    def snapshot() = {
+      store.registry.register("snap", "c", Seq("t"), store.StartFrom.Earliest)
+      spark.read.schema(store.recordSchema).parquet(store.dataDir)
+        .collect()
+        .map(r => (r.getAs[Int]("part"), r.getAs[Long]("offset"),
+          new String(r.getAs[Array[Byte]]("value"))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    def fileCount() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store.dataDir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val before = snapshot()
+    val filesBefore = fileCount()
+    val replaced = store.compact("t")
+    assert(replaced > 0)
+    assert(fileCount() < filesBefore)
+    assert(snapshot() == before) // same rows, same offsets, nothing lost
+  }
 }

@@ -6,9 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("graft functions resolve via spark.sql.extensions") {
+    // other suites may hold a session (and SparkContext) already; the
+    // static `spark.sql.extensions` conf cannot apply over a reused
+    // context, so drive the same injection through the builder's
+    // withExtensions hook — it calls the identical GraftExtensions.apply.
+    // Clear thread bindings so getOrCreate builds a NEW session, and
+    // restore them instead of stop()ping a shared context.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     val spark = SparkSession.builder()
       .appName("ext-spec").master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions().apply)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
@@ -18,6 +28,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
-    } finally spark.stop()
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
