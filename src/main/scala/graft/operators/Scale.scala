@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join utilities: the hand-rolled paths for the two shuffle
+  * pathologies AQE cannot always fix — extreme single-key skew (salting)
+  * and repeated co-located joins (bucketing, exercised in ScaleSpec).
+  * These complement, not replace, `spark.sql.adaptive.skewJoin`: AQE
+  * splits oversized post-shuffle partitions, but a single hot KEY still
+  * lands in one task; salting splits the key itself.
+  */
+object Scale {
+
+  /** Equi-join `skewed` (large, possibly hot-keyed) with `dim` (small
+    * enough to replicate `salts`×, but too big to broadcast) spreading
+    * each join key over `salts` shuffle partitions.
+    *
+    * The skewed side gets a deterministic per-row salt (hash of the whole
+    * row — stable across retries, no rand()); the dim side is exploded
+    * once per salt value, so every (key, salt) bucket can satisfy the
+    * join. Row-preserving for inner/left joins with unique dim keys:
+    * result equals the unsalted join.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedLarge = skewed.withColumn(
+      "__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge
+      .join(saltedDim,
+        saltedLarge(key) === saltedDim(key) && saltedLarge("__salt") === saltedDim("__salt"),
+        joinType)
+      .drop(saltedDim(key)).drop(saltedDim("__salt")).drop("__salt")
+  }
+
+  /** Top-k per group without a global sort: rank inside each group's
+    * shuffle partition via a window, filter early. At 100 TB the win is
+    * that only k rows per group survive the window stage.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col).toIndexedSeq: _*).orderBy(order)
+    df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
+  }
+}

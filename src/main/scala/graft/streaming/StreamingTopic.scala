@@ -64,6 +64,36 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("key"), col("n"))
 
+  /** Sliding event-time window counts (window length + slide interval). */
+  def slidingAgg(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("key"), col("n"))
+
+  /** Session windows: gap-based grouping via the native session_window
+    * operator (state closes once the watermark passes the gap).
+    */
+  def sessionAgg(
+      events: DataFrame,
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("key"), col("n"))
+
   /** Exactly-once-flavored streaming dedup by key within the watermark. */
   def dedupWithinWatermark(
       events: DataFrame,

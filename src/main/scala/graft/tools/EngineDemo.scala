@@ -60,6 +60,28 @@ object EngineDemo {
     // second poll returns nothing (offsets committed)
     assert(store.poll("g", "events", "c-a").isEmpty, "recommitted records re-delivered")
     println("commit semantics: OK")
+
+    // streaming face: the topic consumed as a stream, session-windowed
+    val streaming = new graft.streaming.StreamingTopic(store)
+    val sess = graft.streaming.StreamOps.sessionAgg(
+      streaming.stream("events").select(col("key"), col("timestamp").as("ts")),
+      "ts", "30 minutes", "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.sql("SELECT count(*) FROM demo_sessions").head().getLong(0)
+    assert(sessions > 0, "no session windows emitted")
+    println(s"session windows: $sessions")
+
+    // maintenance: a second small batch on an EXISTING key (so its
+    // partition dir gains a second file), then compaction merges them
+    val existingKey = pa.select("key").head().getString(0)
+    store.produceStrings("events",
+      Seq((existingKey, "tail-record", new java.sql.Timestamp(1700000000000L))))
+    val replaced = store.compact("events")
+    assert(replaced >= 2, s"expected a merge, replaced=$replaced")
+    println(s"compaction replaced $replaced files")
+
     println("ENGINE DEMO OK")
     spark.stop()
   }

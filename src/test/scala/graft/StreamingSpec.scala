@@ -86,6 +86,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("sliding windows count each event in every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("key", "ts")
+    val agg = StreamOps.slidingAgg(events, "ts", "10 seconds", "5 seconds", "30 seconds")
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("update").start()
+    mem.addData(("a", ts(7)))
+    q.processAllAvailable()
+    q.stop()
+    // one event at t=7s falls in windows [0,10) and [5,15)
+    val rows = spark.sql("SELECT win_start, n FROM slide_out")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(rows.size == 2 && rows.values.forall(_ == 1L))
+  }
+
+  test("session windows split on gaps and close via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val events = mem.toDF().toDF("key", "ts")
+    val agg = StreamOps.sessionAgg(events, "ts", "10 seconds", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("complete").start()
+    // two bursts 30s apart: two sessions for key a
+    mem.addData(("a", ts(0)), ("a", ts(3)), ("a", ts(40)), ("b", ts(41)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT key, n FROM sess_win_out ORDER BY key, n")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark removes streaming dupes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
