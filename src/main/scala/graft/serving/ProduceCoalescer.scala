@@ -1,0 +1,91 @@
+package graft.serving
+
+import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.TopicStore
+
+/** W1-analog micro-batcher shared by the HTTP and binary produce fronts
+  * (`internal/producing/coalescer.go:81-172`): callers enqueue and block
+  * on an ack future; one drain loop groups up to `maxGroupBytes` or one
+  * `coalesceMs` window into a single `TopicStore.produce` per topic and
+  * acks only after the durable write returns. Request order is threaded
+  * through as the `__seq` window tiebreak, so same-key records keep
+  * arrival order. The bounded queue is the producer buffer-pool
+  * backpressure analog (W7).
+  */
+class ProduceCoalescer(
+    store: TopicStore,
+    coalesceMs: Long = 50L,
+    maxGroupBytes: Long = 2L * 1024 * 1024,
+    queueCapacity: Int = 8192) {
+
+  private case class Pending(
+      topic: String,
+      key: String, // null => keyless (round-robin analog)
+      tsMicros: Long,
+      lines: Seq[Array[Byte]],
+      ack: CompletableFuture[java.lang.Boolean])
+
+  private val queue = new LinkedBlockingQueue[Pending](queueCapacity)
+  private val running = new AtomicBoolean(true)
+
+  private val flusher = new Thread(() => {
+    while (running.get()) {
+      val first = queue.poll(coalesceMs, TimeUnit.MILLISECONDS)
+      if (first != null) flush(first)
+    }
+  }, "graft-produce-coalescer")
+  flusher.setDaemon(true)
+
+  def start(): ProduceCoalescer = { flusher.start(); this }
+
+  def stop(): Unit = { running.set(false); flusher.join(1000) }
+
+  /** Enqueue one request (N records sharing key+timestamp); blocks when
+    * the queue is full; the future completes after the durable write.
+    */
+  def submit(
+      topic: String,
+      key: String,
+      tsMicros: Long,
+      lines: Seq[Array[Byte]]): CompletableFuture[java.lang.Boolean] = {
+    val ack = new CompletableFuture[java.lang.Boolean]()
+    queue.put(Pending(topic, key, tsMicros, lines, ack))
+    ack
+  }
+
+  private def flush(first: Pending): Unit = {
+    val batch = mutable.ArrayBuffer(first)
+    var bytes = first.lines.iterator.map(_.length.toLong).sum
+    var drained = false
+    while (!drained && bytes < maxGroupBytes) {
+      val nxt = queue.poll()
+      if (nxt == null) drained = true
+      else { batch += nxt; bytes += nxt.lines.iterator.map(_.length.toLong).sum }
+    }
+    batch.groupBy(_.topic).foreach { case (topic, reqs) =>
+      try {
+        import store.spark.implicits._
+        var seq = 0L
+        val rows = reqs.iterator.flatMap { r =>
+          r.lines.iterator.map { line =>
+            seq += 1
+            (r.key, line, r.tsMicros, seq)
+          }
+        }.toSeq
+        val df = rows.toDF("key", "value", "tsMicros", "__seq")
+          .withColumn("timestamp", timestamp_micros(col("tsMicros")))
+          .select("key", "value", "timestamp", "__seq")
+        store.produce(topic, df)
+        reqs.foreach(_.ack.complete(java.lang.Boolean.TRUE))
+      } catch {
+        case e: Throwable => reqs.foreach(_.ack.completeExceptionally(e))
+      }
+    }
+  }
+}

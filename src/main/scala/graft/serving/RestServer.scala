@@ -2,14 +2,11 @@ package graft.serving
 
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.{CompletableFuture, Executors, LinkedBlockingQueue, TimeUnit}
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.{Executors, TimeUnit}
 
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.functions._
 
 import graft.engine.TopicStore
 
@@ -55,53 +52,8 @@ class RestServer(
 
   // ------------------------------------------------------ produce pipeline
 
-  private case class Pending(
-      topic: String,
-      key: String, // null => keyless (round-robin analog)
-      tsMicros: Long,
-      lines: Seq[Array[Byte]],
-      ack: CompletableFuture[java.lang.Boolean])
-
-  private val queue = new LinkedBlockingQueue[Pending](8192)
-  private val running = new AtomicBoolean(true)
-
-  private val flusher = new Thread(() => {
-    while (running.get()) {
-      val first = queue.poll(coalesceMs, TimeUnit.MILLISECONDS)
-      if (first != null) flush(first)
-    }
-  }, "graft-rest-coalescer")
-  flusher.setDaemon(true)
-
-  private def flush(first: Pending): Unit = {
-    val batch = mutable.ArrayBuffer(first)
-    var bytes = first.lines.iterator.map(_.length.toLong).sum
-    var drained = false
-    while (!drained && bytes < maxGroupBytes) {
-      val nxt = queue.poll()
-      if (nxt == null) drained = true
-      else { batch += nxt; bytes += nxt.lines.iterator.map(_.length.toLong).sum }
-    }
-    batch.groupBy(_.topic).foreach { case (topic, reqs) =>
-      try {
-        import store.spark.implicits._
-        var seq = 0L
-        val rows = reqs.iterator.flatMap { r =>
-          r.lines.iterator.map { line =>
-            seq += 1
-            (r.key, line, r.tsMicros, seq)
-          }
-        }.toSeq
-        val df = rows.toDF("key", "value", "tsMicros", "__seq")
-          .withColumn("timestamp", timestamp_micros(col("tsMicros")))
-          .select("key", "value", "timestamp", "__seq")
-        store.produce(topic, df)
-        reqs.foreach(_.ack.complete(java.lang.Boolean.TRUE))
-      } catch {
-        case e: Throwable => reqs.foreach(_.ack.completeExceptionally(e))
-      }
-    }
-  }
+  private val coalescer =
+    new ProduceCoalescer(store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes)
 
   // ------------------------------------------------------- consumer state
 
@@ -142,13 +94,12 @@ class RestServer(
 
   def boundPort: Int = http.getAddress.getPort
 
-  def start(): RestServer = { flusher.start(); http.start(); this }
+  def start(): RestServer = { coalescer.start(); http.start(); this }
 
   def stop(): Unit = {
-    running.set(false)
     http.stop(0)
     pool.shutdownNow() // non-daemon workers would otherwise pin the JVM
-    flusher.join(1000)
+    coalescer.stop()
   }
 
   private def params(ex: HttpExchange): Map[String, Seq[String]] = {
@@ -228,8 +179,7 @@ class RestServer(
           .filter(_.trim.nonEmpty).map(_.getBytes(UTF_8))
       else Seq(body)
 
-    val ack = new CompletableFuture[java.lang.Boolean]()
-    queue.put(Pending(topic, key, tsMicros, lines, ack)) // blocks when full (W7 backpressure)
+    val ack = coalescer.submit(topic, key, tsMicros, lines)
     try { ack.get(120, TimeUnit.SECONDS); respond(ex, 200, "OK") }
     catch {
       case e: java.util.concurrent.ExecutionException =>

@@ -8,7 +8,7 @@ import java.nio.file.Files
 
 import graft.Graft
 import graft.engine.TopicStore
-import graft.serving.RestServer
+import graft.serving.{BinaryProducerServer, ProduceCoalescer, RestServer}
 
 /** Boots the REST serving shim on an ephemeral port and drives the
   * reference's documented client flow against it over real HTTP:
@@ -24,8 +24,10 @@ object Serve {
     val store = new TopicStore(spark, Files.createTempDirectory("graft-serve").toString)
     val port = args.headOption.map(_.toInt).getOrElse(0)
     val server = new RestServer(store, port = port, coalesceMs = 20L).start()
+    val binServer = new BinaryProducerServer(
+      new ProduceCoalescer(store, coalesceMs = 20L).start()).start()
     val base = s"http://localhost:${server.boundPort}"
-    println(s"serving $base")
+    println(s"serving $base (binary producer on :${binServer.boundPort})")
     if (args.nonEmpty) { Thread.currentThread().join(); return }
 
     val client = HttpClient.newHttpClient()
@@ -43,18 +45,67 @@ object Serve {
       require(post(s"/v1/topic/demo/messages?partitionKey=123&timestamp=1700000000000001",
         "{\"stock\":6}\n{\"stock\":7}", "application/x-ndjson").statusCode() == 200,
         "produce ndjson")
+
+      // binary framed produce on the same key, later timestamp
+      binaryProduce(binServer.boundPort, 1700000000000002L, "123", "demo", "{\"stock\":8}")
+
       require(put("/v1/consumer/register?consumerId=d&group=demo&topic=demo&onNewGroup=startFromEarliest")
         .statusCode() == 200, "register")
       val poll = post("/v1/consumer/poll?consumerId=d", "")
       require(poll.statusCode() == 200, s"poll ${poll.statusCode()}")
-      require(poll.body().contains("""[{"stock":5},{"stock":6},{"stock":7}]"""),
+      require(poll.body().contains("""[{"stock":5},{"stock":6},{"stock":7},{"stock":8}]"""),
         s"poll body: ${poll.body()}")
       require(post("/v1/consumer/poll?consumerId=d", "").statusCode() == 204, "empty poll")
       require(post("/v1/consumer/goodbye?consumerId=d", "").statusCode() == 200, "goodbye")
       println("SERVE OK")
     } finally {
+      binServer.stop()
       server.stop()
       spark.stop()
     }
+  }
+
+  /** Minimal binary-protocol client: startup handshake + one framed
+    * produce (withTimestamp), blocking on the produceResponse ack.
+    */
+  private def binaryProduce(
+      port: Int, tsMicros: Long, key: String, topic: String, msg: String): Unit = {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.nio.charset.StandardCharsets.UTF_8
+    def frame(streamId: Int, op: Int, flags: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](13 + body.length)
+      out(0) = 1; out(1) = flags.toByte
+      out(2) = ((streamId >> 8) & 0xff).toByte; out(3) = (streamId & 0xff).toByte
+      out(4) = op.toByte
+      out(5) = ((body.length >> 24) & 0xff).toByte; out(6) = ((body.length >> 16) & 0xff).toByte
+      out(7) = ((body.length >> 8) & 0xff).toByte; out(8) = (body.length & 0xff).toByte
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 0, 9)
+      val c = crc.getValue
+      out(9) = ((c >> 24) & 0xff).toByte; out(10) = ((c >> 16) & 0xff).toByte
+      out(11) = ((c >> 8) & 0xff).toByte; out(12) = (c & 0xff).toByte
+      System.arraycopy(body, 0, out, 13, body.length)
+      out
+    }
+    val sock = new java.net.Socket("localhost", port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      def readOp(): Int = {
+        val h = new Array[Byte](13); in.readFully(h)
+        val len = ((h(5) & 0xff) << 24) | ((h(6) & 0xff) << 16) | ((h(7) & 0xff) << 8) | (h(8) & 0xff)
+        in.skipBytes(len); h(4) & 0xff
+      }
+      out.write(frame(1, 1, 0, Array.emptyByteArray)); out.flush()
+      require(readOp() == 2, "expected ready")
+      val buf = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(buf)
+      d.writeLong(tsMicros)
+      val k = key.getBytes(UTF_8); d.writeByte(k.length); d.write(k)
+      val t = topic.getBytes(UTF_8); d.writeByte(t.length); d.write(t)
+      val m = msg.getBytes(UTF_8); d.writeInt(m.length); d.write(m)
+      out.write(frame(2, 4, 1, buf.toByteArray)); out.flush()
+      require(readOp() == 5, "expected produceResponse")
+    } finally sock.close()
   }
 }
