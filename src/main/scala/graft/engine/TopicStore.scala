@@ -354,6 +354,40 @@ class TopicStore(
     replaced
   }
 
+  /** Elastic rescale (C3 range split / C4 range join): rewrite a topic
+    * into a store with `newClusterSize` brokers — the Spark expression of
+    * the reference's generation dance (`ownership/process_local_split_
+    * range.go`, `process_local_join_range.go`): data moves to the ring
+    * partitions of the new topology and offsets restart per partition
+    * (each split/join opens a new generation whose offsets begin at 0,
+    * `coalescer.go:124-135`). Like the reference — which waits for
+    * consumers to drain old generations before joining ranges — callers
+    * rescale between consumption epochs; group offsets re-derive from the
+    * registered start policy. Per-key order carries over because produce
+    * re-sequences on (timestamp, key, original offset).
+    *
+    * One shuffle + one partitioned write per topic: the same cost shape
+    * as a `repartition()` of the topic, executed fully distributed.
+    */
+  def rescale(newRoot: String, newClusterSize: Int): TopicStore = {
+    val next = new TopicStore(spark, newRoot, newClusterSize, rangesPerToken)
+    val topicPath = Paths.get(dataDir)
+    if (Files.exists(topicPath)) {
+      val topics = spark.read.schema(recordSchema).parquet(dataDir)
+        .select("topic").distinct().as[String].collect()
+      topics.foreach { t =>
+        val old = spark.read.schema(recordSchema).parquet(dataDir)
+          .where(col("topic") === t)
+          // old (part, offset) becomes the produce-order tiebreak, so the
+          // new generation's per-key order equals the old delivery order
+          .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
+          .select("key", "value", "timestamp", "__seq")
+        next.produce(t, old)
+      }
+    }
+    next
+  }
+
   // --------------------------------------------------------- meta tables
 
   private def readOffsets(dir: String, scope: String): Map[Int, Long] = {

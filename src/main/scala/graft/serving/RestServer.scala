@@ -115,11 +115,15 @@ class RestServer(
 
   private def respond(
       ex: HttpExchange, code: Int, body: String = "",
+      headers: Map[String, String] = Map.empty): Unit =
+    respondBytes(ex, code, body.getBytes(UTF_8), headers)
+
+  private def respondBytes(
+      ex: HttpExchange, code: Int, bytes: Array[Byte],
       headers: Map[String, String] = Map.empty): Unit = {
     headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
-    if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+    if (bytes.isEmpty) ex.sendResponseHeaders(code, -1)
     else {
-      val bytes = body.getBytes(UTF_8)
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       os.write(bytes); os.close()
@@ -217,24 +221,32 @@ class RestServer(
     }
   }
 
+  /** One poll response item: a contiguous run of records for one
+    * (topic, token, range) partition.
+    */
+  private case class PollItem(
+      topic: String, token: Long, range: Int, startOffset: Long,
+      records: Seq[(Long, Array[Byte])]) // (timestamp micros, body)
+
   private def handlePoll(ex: HttpExchange): Unit = consumer(ex).foreach { case (cid, s) =>
     s.synchronized {
       commitPending(s) // the previous poll's position becomes durable now
 
-      val items = mutable.ArrayBuffer.empty[String]
+      val items = mutable.ArrayBuffer.empty[PollItem]
       s.topics.foreach { topic =>
         val rows = store.poll(s.group, topic, cid, autoCommit = false).collect()
         if (rows.nonEmpty) {
-          // rows arrive (part, offset)-ordered; one response item per part
           rows.groupBy(_.getAs[Int]("part")).toSeq.sortBy(_._1).foreach { case (_, rs) =>
             val sorted = rs.sortBy(_.getAs[Long]("offset"))
             val head = sorted.head
-            val values = sorted.iterator
-              .map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8))
-              .mkString(",")
-            items += s"""{"topic":${jstr(topic)},"token":"${head.getAs[Long]("token")}"""" +
-              s""","rangeIndex":${head.getAs[Int]("range")},"version":1""" +
-              s""","startOffset":"${head.getAs[Long]("offset")}","values":[$values]}"""
+            items += PollItem(
+              topic, head.getAs[Long]("token"), head.getAs[Int]("range"),
+              head.getAs[Long]("offset"),
+              sorted.toIndexedSeq.map { r =>
+                val ts = r.getAs[java.sql.Timestamp]("timestamp")
+                val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+                (micros, r.getAs[Array[Byte]]("value"))
+              })
           }
           val next = rows.groupBy(_.getAs[Int]("part")).view
             .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
@@ -244,10 +256,54 @@ class RestServer(
 
       if (items.isEmpty)
         respond(ex, 204, headers = Map("Retry-After" -> "5", "Cache-Control" -> "no-store"))
-      else
-        respond(ex, 200, items.mkString("[", ",", "]"),
-          Map("Content-Type" -> "application/json"))
+      else {
+        // format by Accept, like the reference (`consuming/server.go:412-415`):
+        // binary unless the client asks for application/json
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+        if (accept.contains("application/json")) {
+          val body = items.iterator.map { i =>
+            val values = i.records.iterator
+              .map(r => new String(r._2, UTF_8)).mkString(",")
+            s"""{"topic":${jstr(i.topic)},"token":"${i.token}"""" +
+              s""","rangeIndex":${i.range},"version":1""" +
+              s""","startOffset":"${i.startOffset}","values":[$values]}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, body, Map("Content-Type" -> "application/json"))
+        } else
+          respondBytes(ex, 200, marshalBinary(items.toSeq),
+            Map("Content-Type" -> "application/octet-stream"))
+      }
     }
+  }
+
+  /** The reference's binary poll response (`consuming/models.go:101-134` +
+    * `NETWORK_FORMATS.md:5-32`): uint16 item count, then per item
+    * token i64, rangeIndex u8, version u32, topicLen u8 + topic,
+    * startOffset i64, payloadLen i32, zstd payload. The payload is the
+    * chunk record framing (`FILE_FORMATS.md`): per record
+    * timestamp-micros i64, length u32, body — all big-endian.
+    */
+  private def marshalBinary(items: Seq[PollItem]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(buf)
+    d.writeShort(items.length)
+    items.foreach { i =>
+      val raw = new java.io.ByteArrayOutputStream()
+      val rd = new java.io.DataOutputStream(raw)
+      i.records.foreach { case (tsMicros, body) =>
+        rd.writeLong(tsMicros); rd.writeInt(body.length); rd.write(body)
+      }
+      val payload = com.github.luben.zstd.Zstd.compress(raw.toByteArray)
+      d.writeLong(i.token)
+      d.writeByte(i.range)
+      d.writeInt(1) // generation version
+      val t = i.topic.getBytes(UTF_8)
+      d.writeByte(t.length); d.write(t)
+      d.writeLong(i.startOffset)
+      d.writeInt(payload.length)
+      d.write(payload)
+    }
+    buf.toByteArray
   }
 
   private def handleCommit(ex: HttpExchange): Unit = consumer(ex).foreach { case (_, s) =>

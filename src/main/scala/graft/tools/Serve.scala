@@ -33,7 +33,8 @@ object Serve {
     val client = HttpClient.newHttpClient()
     def post(path: String, body: String, ctype: String = "application/json") =
       client.send(HttpRequest.newBuilder(URI.create(base + path))
-        .POST(BodyPublishers.ofString(body)).header("Content-Type", ctype).build(),
+        .POST(BodyPublishers.ofString(body)).header("Content-Type", ctype)
+        .header("Accept", "application/json").build(),
         BodyHandlers.ofString())
     def put(path: String) =
       client.send(HttpRequest.newBuilder(URI.create(base + path))
@@ -57,6 +58,16 @@ object Serve {
         s"poll body: ${poll.body()}")
       require(post("/v1/consumer/poll?consumerId=d", "").statusCode() == 204, "empty poll")
       require(post("/v1/consumer/goodbye?consumerId=d", "").statusCode() == 200, "goodbye")
+
+      // binary delivery: no Accept header -> framed items (uint16 count first)
+      require(put("/v1/consumer/register?consumerId=b&group=bdemo&topic=demo&onNewGroup=startFromEarliest")
+        .statusCode() == 200, "register binary consumer")
+      val bin = client.send(HttpRequest.newBuilder(URI.create(base + "/v1/consumer/poll?consumerId=b"))
+        .POST(BodyPublishers.noBody()).build(),
+        BodyHandlers.ofByteArray())
+      require(bin.statusCode() == 200, s"binary poll ${bin.statusCode()}")
+      val itemCount = ((bin.body()(0) & 0xff) << 8) | (bin.body()(1) & 0xff)
+      require(itemCount >= 1, s"binary items: $itemCount")
       println("SERVE OK")
     } finally {
       binServer.stop()

@@ -173,6 +173,40 @@ class EngineSpec extends AnyFunSuite {
     assert(left.toSeq == Seq("fresh"))
   }
 
+  test("rescale 3 -> 6 brokers keeps every record and per-key order") {
+    val store = freshStore()
+    val keys = Seq("123", "567", "234", "89", "alpha")
+    val rows = (0 until 40).map(i => (keys(i % keys.size), s"m$i", ts(i)))
+    store.produceStrings("t", rows)
+
+    val scaled = store.rescale(
+      Files.createTempDirectory("graft-engine-rescale").toString, 6)
+    scaled.registry.register("g", "c", Seq("t"), scaled.StartFrom.Earliest)
+    val polled = scaled.poll("g", "t", "c").collect()
+    assert(polled.length == 40)
+
+    // the new ring has 6 broker tokens; records redistribute under it
+    val tokens = polled.map(_.getAs[Long]("token")).distinct
+    assert(tokens.length > 1)
+
+    // per-key order still equals produce order after the move
+    polled.map(r => (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value")),
+        r.getAs[Long]("offset"), r.getAs[Int]("part")))
+      .groupBy(_._1).foreach { case (key, msgs) =>
+        val inOffsetOrder = msgs.sortBy(m => (m._4, m._3)).map(_._2)
+        val inProduceOrder = (0 until 40)
+          .filter(i => keys(i % keys.size) == key).map(i => s"m$i")
+        assert(inOffsetOrder.toSeq == inProduceOrder, s"key $key out of order")
+        assert(msgs.map(_._4).distinct.length == 1) // one partition per key
+      }
+
+    // offsets restart per partition (new generation), contiguous from 0
+    polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+      val offs = rs.map(_.getAs[Long]("offset")).sorted
+      assert(offs.toSeq == (0L until offs.length.toLong), s"part $p offsets: ${offs.toSeq}")
+    }
+  }
+
   test("compaction merges small files and preserves records + offsets") {
     val store = freshStore()
     // three produce batches -> up to 3 files per partition dir

@@ -46,7 +46,9 @@ class RestServerSpec extends AnyFunSuite {
     val req = (method match {
       case "PUT" => b.PUT(BodyPublishers.ofString(body))
       case _ => b.POST(BodyPublishers.ofString(body))
-    }).header("Content-Type", ctype).build()
+    }).header("Content-Type", ctype)
+      .header("Accept", "application/json") // binary is the default otherwise
+      .build()
     client.send(req, BodyHandlers.ofString())
   }
 
@@ -155,6 +157,41 @@ class RestServerSpec extends AnyFunSuite {
       val poll = send(base, "POST", "/v1/consumer/poll?consumerId=c4")
       assert(poll.statusCode() == 200)
       assert(poll.body().contains("""{"v":1}"""))
+    } finally server.stop()
+  }
+
+  test("binary poll response carries the documented item + chunk framing") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(send(base, "POST",
+        s"/v1/topic/bt/messages?partitionKey=k&timestamp=1700000000000000",
+        """{"p":1}""").statusCode() == 200)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cb&group=gb&topic=bt&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      // no Accept header -> binary (the reference's default)
+      val req = HttpRequest.newBuilder(URI.create(base + "/v1/consumer/poll?consumerId=cb"))
+        .POST(BodyPublishers.noBody()).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(resp.body()))
+      assert(in.readShort() == 1) // item count
+      in.readLong() // token
+      assert((in.readByte() & 0xff) >= 0) // rangeIndex
+      assert(in.readInt() == 1) // version
+      val topic = new Array[Byte](in.readByte() & 0xff)
+      in.readFully(topic)
+      assert(new String(topic, java.nio.charset.StandardCharsets.UTF_8) == "bt")
+      assert(in.readLong() == 0L) // startOffset
+      val payload = new Array[Byte](in.readInt())
+      in.readFully(payload)
+      val records = new java.io.DataInputStream(
+        new com.github.luben.zstd.ZstdInputStream(new java.io.ByteArrayInputStream(payload)))
+      assert(records.readLong() == 1700000000000000L) // timestamp micros
+      val body = new Array[Byte](records.readInt())
+      records.readFully(body)
+      assert(new String(body, java.nio.charset.StandardCharsets.UTF_8) == """{"p":1}""")
     } finally server.stop()
   }
 
