@@ -203,9 +203,15 @@ class TopicStore(
       col("token") === brokerTokens(p / rangesPerToken) && col("range") === p % rangesPerToken
     }.reduce(_ || _)
 
+    // per-partition order is the delivery guarantee (§2.6.1 — the
+    // reference serves per-range chunks; there is no cross-range order),
+    // so cluster-by-part + in-partition sort, NOT a global orderBy: a
+    // global sort range-partitions with a sampling pass over the data,
+    // which at 100 TB doubles the read for an ordering nobody gets.
     val out = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic && dirFilter && partFilter)
-      .orderBy(col("part"), col("offset"))
+      .repartition(math.max(assigned.size, 1), col("part"))
+      .sortWithinPartitions(col("part"), col("offset"))
 
     if (autoCommit) {
       val next = out.groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.core.{Murmur3x64, TokenRing}
+
+/** Property tests for the pure core (SURVEY §5 carry-over: ordering/offset
+  * invariants under arbitrary inputs). Mirrors the invariant style of the
+  * reference's token/consumer-state unit suites
+  * (`internal/types/token_test.go`, `internal/consuming/
+  * consumer_state_test.go`) but generative instead of hand-cased.
+  */
+object CoreProperties extends Properties("graft.core") {
+
+  private val ringSizes = Gen.oneOf(1, 3, 6, 12, 24, 48)
+  private val rangeCounts = Gen.oneOf(1, 2, 4, 8)
+  private val tokens = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+
+  property("partitionOrdinal is always a valid slot") =
+    forAll(tokens, ringSizes, rangeCounts) { (t, c, r) =>
+      val p = TokenRing.partitionOrdinal(t, c, r)
+      p >= 0 && p < c * r
+    }
+
+  property("every token lies inside its assigned range bounds (or the ring tail quirk)") =
+    forAll(tokens, ringSizes, rangeCounts) { (t, c, r) =>
+      (c <= 1) || { // guards shrunk args too; dev-mode bounds are separate math
+        val (b, ri) = TokenRing.primaryTokenIndex(t, c, r)
+        val (start, end) = TokenRing.rangeBounds(TokenRing.tokenAtIndex(c, b), ri, r, c)
+        val inLower = t >= start
+        // the ring's final range closes at MaxValue inclusive
+        val inUpper = t < end || (end == Long.MaxValue && t == Long.MaxValue)
+        // reference parity quirk (token.go:60-63): tokens in the ring's
+        // mod-remainder tail (beyond rangesPerToken * rangeSize from their
+        // broker's start) clamp to rangeIndex 0, while rangeBounds assigns
+        // the tail to the LAST range — we reproduce placement exactly
+        val slice = TokenRing.ChunkSizeUnit * (TokenRing.MaxRingSize / c).toLong
+        val rangeSize = java.lang.Long.divideUnsigned(slice, r.toLong)
+        val diff = t - TokenRing.tokenAtIndex(c, b)
+        val isTail = java.lang.Long.compareUnsigned(
+          java.lang.Long.divideUnsigned(diff, rangeSize), r.toLong) >= 0
+        Prop((inLower && inUpper) || (ri == 0 && isTail)) :|
+          s"token $t not in [$start, $end) for broker $b range $ri (tail=$isTail)"
+      }
+    }
+
+  property("broker tokens are strictly increasing along the ring") =
+    forAll(ringSizes) { c =>
+      val ts = (0 until c).map(TokenRing.tokenAtIndex(c, _))
+      ts == ts.sorted && ts.distinct.size == ts.size
+    }
+
+  property("projectRange covers the original range under any new ring size") =
+    forAll(ringSizes.suchThat(_ > 1), ringSizes.suchThat(_ > 1), rangeCounts) { (c, nc, r) =>
+      val projections = for {
+        b <- 0 until c
+        ri <- 0 until r
+      } yield TokenRing.projectRange(TokenRing.tokenAtIndex(c, b), ri, r, c, nc)
+      // every source range maps to at least one target range, and scale-up
+      // by k multiplies targets while scale-down folds them
+      projections.forall(_.nonEmpty)
+    }
+
+  property("assignPartitions is disjoint and covering for any consumer set") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), ringSizes, rangeCounts) {
+      (ids, c, r) =>
+        val assign = TokenRing.assignPartitions(ids, c, r)
+        val all = assign.values.flatten.toSeq
+        val everyPartitionOnce = all.sorted == TokenRing.allPartitions(c, r).sorted
+        val balanced = {
+          val sizes = assign.values.map(_.size)
+          sizes.isEmpty || (sizes.max - sizes.min) <= 1 ||
+            ids.distinct.size > c * r // more consumers than partitions: zeros allowed
+        }
+        Prop(everyPartitionOnce && balanced) :| s"assign=$assign"
+    }
+
+  property("assignment is deterministic under permutation of consumer ids") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), ringSizes, rangeCounts) {
+      (ids, c, r) =>
+        TokenRing.assignPartitions(ids, c, r) ==
+          TokenRing.assignPartitions(scala.util.Random.shuffle(ids), c, r)
+    }
+
+  property("murmur3 slicing equals standalone hash of the slice") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { list =>
+      val bytes = list.map(_.toByte).toArray
+      forAll(Gen.chooseNum(0, bytes.length - 1)) { off =>
+        forAll(Gen.chooseNum(0, bytes.length - off)) { len =>
+          Murmur3x64.hash(bytes, off, len) ==
+            Murmur3x64.hash(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        }
+      }
+    }
+
+  property("hashToken spreads arbitrary keys over every partition of a 3x4 ring") =
+    forAll(Gen.listOfN(500, Gen.alphaNumStr.suchThat(_.nonEmpty))) { keys =>
+      // distribution sanity, not uniformity: with hundreds of distinct keys
+      // no partition of a 12-slot ring stays empty
+      val distinct = keys.distinct
+      (distinct.size < 100) || {
+        val parts = distinct.map(k =>
+          TokenRing.partitionOrdinal(TokenRing.hashToken(k), 3, 4)).toSet
+        parts.size == 12
+      }
+    }
+}
