@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Multimodal-column plumbing beyond q26's metadata stub: the Spark-side
+  * shapes a training pipeline needs for image/audio/video payloads held as
+  * opaque binary columns. The decode itself is stubbed deterministically
+  * (this container carries no media libs — SURVEY §2.7 / builder brief),
+  * but the schema, partitioning, batch iteration and explode patterns are
+  * the real ones: swap the stub body for an actual codec and nothing else
+  * changes.
+  *
+  * Scale: both ops are embarrassingly parallel over the payload column —
+  * no shuffle at all until a downstream aggregation; frame explosion
+  * multiplies rows partition-locally exactly like a real frame sampler
+  * feeding a vision encoder.
+  */
+object Multimodal {
+  import Relational.Q
+
+  private def payloads(s: SparkSession, d: String) =
+    Graft.table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  // ---------------------------------------------------------------- q45
+  /** Frame sampling: one row per fixed-stride frame of each payload
+    * (video frame-sample / audio windowing shape). Pure column ops —
+    * sequence + transform + explode — so the planner sees through it.
+    */
+  val q45: Q = (s, d) =>
+    payloads(s, d)
+      .select(col("doc_id"), length(col("payload")).as("len"))
+      .where(col("len") > 0)
+      .select(col("doc_id"), col("len"),
+        explode(expr("sequence(0, cast((len - 1) div 256 as int))")).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * 256).cast("long").as("frame_offset"),
+        least(lit(256), col("len") - col("frame_idx") * 256).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  val q45Sql: String =
+    """SELECT doc_id, frame_idx,
+      |  CAST(frame_idx * 256 AS BIGINT) AS frame_offset,
+      |  CAST(LEAST(256, length(text) - frame_idx * 256) AS BIGINT) AS frame_len
+      |FROM (
+      |  SELECT doc_id, text, UNNEST(range(0, ((length(text) - 1) // 256) + 1)) AS frame_idx
+      |  FROM documents WHERE length(text) > 0
+      |)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Batched "decode + featurize" over typed partitions: the Scala analog
+    * of a mapInPandas feature extractor — one iterator pass per partition,
+    * emitting a fixed-width feature vector and thumbnail dims per payload.
+    * The stub derives features from payload bytes alone; a real codec
+    * would replace ONLY the lambda body.
+    */
+  val q46: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    payloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val len = bytes.length
+          // fixed-width feature vector, flattened to scalar columns (the
+          // oracle comparator hashes scalars; a real extractor would emit
+          // Array[Float] straight into the embeddings pipeline)
+          val f0 = len.toDouble
+          val f1 = (bytes(0) & 0xff).toDouble
+          val f2 = (bytes(len / 2) & 0xff).toDouble
+          val f3 = (bytes(len - 1) & 0xff).toDouble
+          val thumbW = math.min(len, 128)
+          val thumbH = math.min(len / 2, 128)
+          (id, f0, f1, f2, f3, thumbW, thumbH)
+        }
+      }
+      .toDF("doc_id", "f0", "f1", "f2", "f3", "thumb_w", "thumb_h")
+      .orderBy("doc_id")
+  }
+
+  // documents text is ASCII (fixture invariant), so byte k == the
+  // codepoint of character k+1 and the SQL mirror is exact
+  val q46Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS f0,
+      |  CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS f1,
+      |  CAST(unicode(substr(text, (length(text) // 2) + 1, 1)) AS DOUBLE) AS f2,
+      |  CAST(unicode(substr(text, length(text), 1)) AS DOUBLE) AS f3,
+      |  LEAST(length(text), 128) AS thumb_w,
+      |  LEAST(length(text) // 2, 128) AS thumb_h
+      |FROM documents WHERE length(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q45_frame_sample", q45, Some(q45Sql)),
+    ("q46_mm_features", q46, Some(q46Sql))
+  )
+}

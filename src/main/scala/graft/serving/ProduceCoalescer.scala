@@ -22,7 +22,8 @@ class ProduceCoalescer(
     store: TopicStore,
     coalesceMs: Long = 50L,
     maxGroupBytes: Long = 2L * 1024 * 1024,
-    queueCapacity: Int = 8192) {
+    queueCapacity: Int = 8192,
+    metrics: EngineMetrics = new EngineMetrics) {
 
   private case class Pending(
       topic: String,
@@ -82,6 +83,8 @@ class ProduceCoalescer(
           .withColumn("timestamp", timestamp_micros(col("tsMicros")))
           .select("key", "value", "timestamp", "__seq")
         store.produce(topic, df)
+        metrics.messagesReceived.addAndGet(rows.size.toLong)
+        metrics.groupsFlushed.incrementAndGet()
         reqs.foreach(_.ack.complete(java.lang.Boolean.TRUE))
       } catch {
         case e: Throwable => reqs.foreach(_.ack.completeExceptionally(e))

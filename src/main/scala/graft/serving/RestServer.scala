@@ -52,8 +52,10 @@ class RestServer(
 
   // ------------------------------------------------------ produce pipeline
 
-  private val coalescer =
-    new ProduceCoalescer(store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes)
+  val metrics = new EngineMetrics
+
+  private val coalescer = new ProduceCoalescer(
+    store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics)
 
   // ------------------------------------------------------- consumer state
 
@@ -82,6 +84,7 @@ class RestServer(
         commitPending(s)
         store.registry.goodbye(s.group, id)
         sessions.remove(id)
+        metrics.activeConsumers.set(sessions.size.toLong)
       }
     }
   }
@@ -151,6 +154,9 @@ class RestServer(
     val method = ex.getRequestMethod
     (method, path) match {
       case ("GET", "/status") => respond(ex, 200, "OK")
+      case ("GET", "/metrics") => // C10: Prometheus exposition endpoint
+        respond(ex, 200, metrics.render,
+          Map("Content-Type" -> "text/plain; version=0.0.4"))
       case ("GET", "/v1/brokers") =>
         // single engine address: Spark schedules internally (C6 mapping)
         respond(ex, 200,
@@ -206,6 +212,7 @@ class RestServer(
     }
     store.registry.register(group, cid, topics, policy)
     sessions.put(cid, new Session(group, topics))
+    metrics.activeConsumers.set(sessions.size.toLong)
     respond(ex, 200, "OK")
   }
 
@@ -253,6 +260,9 @@ class RestServer(
           s.pendingCommit(topic) = s.pendingCommit.getOrElse(topic, Map.empty) ++ next
         }
       }
+
+      metrics.pollsServed.incrementAndGet()
+      metrics.recordsDelivered.addAndGet(items.iterator.map(_.records.size.toLong).sum)
 
       if (items.isEmpty)
         respond(ex, 204, headers = Map("Retry-After" -> "5", "Cache-Control" -> "no-store"))
@@ -315,6 +325,7 @@ class RestServer(
     commitPending(s)
     store.registry.goodbye(s.group, cid)
     sessions.remove(cid)
+    metrics.activeConsumers.set(sessions.size.toLong)
     respond(ex, 200, "OK")
   }
 }

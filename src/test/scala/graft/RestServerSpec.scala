@@ -103,6 +103,15 @@ class RestServerSpec extends AnyFunSuite {
       assert(!poll3.body().contains(""""units":1"""))
       assert(poll3.body().contains(""""startOffset":"3"""")) // continues after 0..2
 
+      // C10 metrics reflect the traffic so far
+      val m = get(base, "/metrics")
+      assert(m.statusCode() == 200)
+      assert("graft_messages_received_total (\\d+)".r.findFirstMatchIn(m.body())
+        .exists(_.group(1).toLong >= 6L), m.body())
+      assert(m.body().contains("graft_active_consumers 1"))
+      assert("graft_polls_served_total (\\d+)".r.findFirstMatchIn(m.body())
+        .exists(_.group(1).toLong >= 3L))
+
       // manual commit -> 204; goodbye -> 200; post-goodbye poll -> 409
       assert(send(base, "POST", "/v1/consumer/commit?consumerId=c1").statusCode() == 204)
       assert(send(base, "POST", "/v1/consumer/goodbye?consumerId=c1").statusCode() == 200)
