@@ -96,9 +96,57 @@ object EmbeddingOps {
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
   }
 
+  // ---------------------------------------------------------------- q47
+  /** IVF-flat ANN: k-means coarse quantizer (Spark ML), probe the
+    * `nprobe` cells nearest the query, exact cosine rerank inside them —
+    * the inverted-file scale path next to q29's hash-bucket one. At
+    * 100 TB the quantizer trains on a sample, the cell id becomes a
+    * partition column, and a probe prunes partitions; here cells are a
+    * column and the filter is the same semantics. Centroid selection is
+    * `nlist` driver-side vectors (model metadata, not data). Rows-only check;
+    * recall vs the q27 exact baseline is asserted in QueryPackSpec.
+    */
+  val q47: Q = (s, d) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nprobe = 4
+    val nlist = 8
+    // L2-normalize BEFORE clustering: k-means partitions by Euclidean
+    // distance, which only matches the cosine query metric on the unit
+    // sphere — unnormalized cells split by magnitude, not direction
+    val e = emb(s, d)
+      .withColumn("__norm", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("features", array_to_vector(
+        transform(col("embedding"), x => x.cast("double") / col("__norm"))))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    val qArr = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * qArr(i); na += a(i) * a(i); nb += qArr(i) * qArr(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probed = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -cos(c.toArray) }
+      .take(nprobe).map(_._2).toSeq
+    model.transform(e)
+      .filter(col("vec_id") =!= 0L && col("cell").isin(probed: _*))
+      .crossJoin(broadcast(queryVec(s, d)))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
-    ("q29_ann_lsh", q29, None)
+    ("q29_ann_lsh", q29, None),
+    ("q47_ann_ivf", q47, None)
   )
 }

@@ -47,7 +47,7 @@ class QueryPackSpec extends AnyFunSuite {
     val noOracle = qs -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set(
       "q17_token_routing", "q21_dedup_simhash", "q25_fingerprint", "q29_ann_lsh",
-      "q43_approx_sketches", "q44_stratified_sample"))
+      "q43_approx_sketches", "q44_stratified_sample", "q47_ann_ivf"))
   }
 
   test("minhash-LSH dedup equals exhaustive jaccard dedup") {
@@ -81,6 +81,15 @@ class QueryPackSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     assert(lsh.distinct.length == lsh.length)
     val _ = brute // recall ratio is data-dependent; tracked in bench notes
+  }
+
+  test("ivf ann recalls most of the brute-force top-k") {
+    val exact = operators.EmbeddingOps.q27(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = operators.EmbeddingOps.q47(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.size == 10)
+    assert((exact intersect ivf).size >= 5, s"recall too low: exact=$exact ivf=$ivf")
   }
 
   test("per-key order: offsets are contiguous from 0 per user") {
