@@ -396,16 +396,25 @@ class TopicStore(
 
   // --------------------------------------------------------- meta tables
 
+  // this store is the only writer of its _meta tables, so a write-through
+  // cache makes the per-produce/poll offset lookups memory-speed; the
+  // parquet table remains the durable copy a fresh store recovers from
+  private val offsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
   private def readOffsets(dir: String, scope: String): Map[Int, Long] = {
     val p = s"$dir/${scopeDir(scope)}"
-    if (!Files.exists(Paths.get(p))) Map.empty
-    else spark.read.parquet(p).as[(Int, Long)].collect().toMap
+    offsetCache.computeIfAbsent(p, _ =>
+      if (!Files.exists(Paths.get(p))) Map.empty
+      else spark.read.parquet(p).as[(Int, Long)].collect().toMap)
   }
 
   private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
     val p = s"$dir/${scopeDir(scope)}"
     offsets.toSeq.toDF("part", "next").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(p)
+    offsetCache.put(p, offsets)
+    ()
   }
 
   private def scopeDir(scope: String): String =

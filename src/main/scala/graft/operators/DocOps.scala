@@ -82,21 +82,26 @@ object DocOps {
       |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin
 
   // ---------------------------------------------------------------- q19
-  /** Exhaustive n-gram Jaccard near-dup pairs (correctness baseline). */
+  /** Exhaustive n-gram Jaccard near-dup pairs (correctness baseline).
+    *
+    * Result-identical prefilter: J = i/(na+nb-i) with i <= min(na,nb)
+    * bounds J <= min/max, so J >= 0.6 forces 10*min >= 6*max — evaluated
+    * INSIDE the self-join (sizes ride along via a broadcast), so hot
+    * shingles never enumerate pairs the final threshold would discard,
+    * and the carried sizes make the post-aggregation re-joins unnecessary.
+    */
   val q19: Q = (s, d) => {
     val sh = shingles(docs(s, d))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val shz = sh.join(broadcast(sizes), "doc_id")
+    val inter = shz.as("a").join(shz.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 6 && col("b.n") * 10 >= col("a.n") * 6)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+      .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
     inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy("doc_a", "doc_b")
   }

@@ -120,9 +120,17 @@ object EmbeddingOps {
         lit(0.0), (acc, x) => acc + x)))
       .withColumn("features", array_to_vector(
         transform(col("embedding"), x => x.cast("double") / col("__norm"))))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
+    // quantizer fit runs on a compacted cached sample — at 100 TB a
+    // coarse quantizer NEVER trains on the full corpus, and per-iteration
+    // scheduling over wide partitions, not math, dominates the fit here;
+    // random init skips kmeans||'s extra seeding passes (the quantizer
+    // only needs rough Voronoi cells — the in-cell rerank is exact)
+    val fitInput = e.select(col("features")).coalesce(1).cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(4)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e)
+      .fit(fitInput)
+    fitInput.unpersist()
     val qArr = e.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     def cos(a: Array[Double]): Double = {

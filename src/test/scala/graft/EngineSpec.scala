@@ -173,6 +173,24 @@ class EngineSpec extends AnyFunSuite {
     assert(left.toSeq == Seq("fresh"))
   }
 
+  test("dev mode: single-broker store roundtrips with per-key order") {
+    // the reference's dev-mode (clusterSize=1) has special-cased ring math
+    // (`token.go:120-131`, `dev_mode_test.go`); exercise ours end-to-end
+    val store = new TopicStore(spark,
+      Files.createTempDirectory("graft-engine-dev").toString, clusterSize = 1)
+    val rows = (0 until 12).map(i => (s"k${i % 3}", s"m$i", ts(i)))
+    store.produceStrings("t", rows)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 12)
+    polled.groupBy(_.getAs[String]("key")).foreach { case (key, msgs) =>
+      val got = msgs.sortBy(_.getAs[Long]("offset"))
+        .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq
+      val want = (0 until 12).filter(i => s"k${i % 3}" == key).map(i => s"m$i")
+      assert(got == want, s"key $key out of order in dev mode")
+    }
+  }
+
   test("rescale 3 -> 6 brokers keeps every record and per-key order") {
     val store = freshStore()
     val keys = Seq("123", "567", "234", "89", "alpha")
