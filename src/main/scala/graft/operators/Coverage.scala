@@ -124,11 +124,54 @@ object Coverage {
       |  MAX(NULLIF(l_discount, 0.0)) AS max_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Map-typed columns (build / keys / filter / transform / lookup) plus
+    * the math scalar library; rounded to 6dp where libm ulp differences
+    * between engines could surface.
+    */
+  val q48: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .withColumn("m", map(
+        lit("qty"), col("l_quantity"),
+        lit("price"), col("l_extendedprice"),
+        lit("disc"), col("l_discount")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+        size(expr("map_filter(m, (k, v) -> v >= 10.0)")).cast("long").as("n_big"),
+        element_at(col("m"), "qty").as("qty_lookup"),
+        round(expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2.0)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 6).as("doubled_sum"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        signum(col("l_quantity") - 25.0).as("qty_sign"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q48Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  'disc,price,qty' AS keys,
+      |  CAST((CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN l_extendedprice >= 10 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN l_discount >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  l_quantity AS qty_lookup,
+      |  round((l_quantity + l_extendedprice + l_discount) * 2.0, 6) AS doubled_sum,
+      |  round(ln(l_extendedprice), 6) AS ln_price,
+      |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+      |  round(pow(l_discount, 2), 6) AS disc_sq,
+      |  sign(l_quantity - 25.0) AS qty_sign,
+      |  greatest(l_quantity, l_discount * 100) AS gr,
+      |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q30_cube", q30, Some(q30Sql)),
     ("q31_having_join", q31, Some(q31Sql)),
     ("q32_string_funcs", q32, Some(q32Sql)),
     ("q33_date_arith", q33, Some(q33Sql)),
-    ("q34_null_semantics", q34, Some(q34Sql))
+    ("q34_null_semantics", q34, Some(q34Sql)),
+    ("q48_map_math_funcs", q48, Some(q48Sql))
   )
 }
