@@ -231,6 +231,17 @@ class TopicStore(
   def producerOffsets(topic: String): Map[Int, Long] =
     readOffsets(producerMeta, topic)
 
+  /** Per-partition consumer lag: high watermark minus committed next-read
+    * (the operational metric every broker exposes; derived from the same
+    * two offset maps the reference's R8 gossip aggregates). Partitions
+    * with no committed offset report the full watermark as lag.
+    */
+  def lag(group: String, topic: String): Map[Int, Long] = {
+    val high = producerOffsets(topic)
+    val committed = groupOffsets(group, topic)
+    high.map { case (p, hw) => p -> math.max(0L, hw - committed.getOrElse(p, 0L)) }
+  }
+
   def groupOffsets(group: String, topic: String): Map[Int, Long] =
     readOffsets(groupMeta, s"$group/$topic")
 

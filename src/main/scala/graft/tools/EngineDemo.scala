@@ -57,9 +57,10 @@ object EngineDemo {
     assert(violations == 0, s"$violations per-key order violations")
     println("per-key order: OK")
 
-    // second poll returns nothing (offsets committed)
+    // second poll returns nothing (offsets committed); lag is drained
     assert(store.poll("g", "events", "c-a").isEmpty, "recommitted records re-delivered")
-    println("commit semantics: OK")
+    assert(store.lag("g", "events").values.sum == 0L, "lag after full drain")
+    println("commit semantics + lag: OK")
 
     // streaming face: the topic consumed as a stream, session-windowed
     val streaming = new graft.streaming.StreamingTopic(store)

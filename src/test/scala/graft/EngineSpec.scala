@@ -173,6 +173,17 @@ class EngineSpec extends AnyFunSuite {
     assert(left.toSeq == Seq("fresh"))
   }
 
+  test("lag reports high-watermark minus committed and drains to zero") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 10).map(i => (s"k$i", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    assert(store.lag("g", "t").values.sum == 10L) // nothing consumed yet
+    store.poll("g", "t", "c").collect()           // auto-commits
+    assert(store.lag("g", "t").values.sum == 0L)
+    store.produceStrings("t", Seq(("k0", "late", ts(100))))
+    assert(store.lag("g", "t").values.sum == 1L)
+  }
+
   test("dev mode: single-broker store roundtrips with per-key order") {
     // the reference's dev-mode (clusterSize=1) has special-cased ring math
     // (`token.go:120-131`, `dev_mode_test.go`); exercise ours end-to-end
@@ -222,6 +233,39 @@ class EngineSpec extends AnyFunSuite {
     polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
       val offs = rs.map(_.getAs[Long]("offset")).sorted
       assert(offs.toSeq == (0L until offs.length.toLong), s"part $p offsets: ${offs.toSeq}")
+    }
+  }
+
+  test("randomized: arbitrary key sets keep order, contiguity, and counts") {
+    // generative engine invariant (SURVEY §5 carry-over) — three seeded
+    // shapes: many keys few records, few keys many records, skewed
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = Seq(50, 3, 7)(seed - 1)
+      val n = 120
+      val rows = (0 until n).map { i =>
+        val key = seed match {
+          case 3 => if (rnd.nextDouble() < 0.8) "hot" else s"k${rnd.nextInt(nKeys)}"
+          case _ => s"k${rnd.nextInt(nKeys)}"
+        }
+        (key, s"m$i", ts(i))
+      }
+      val store = freshStore()
+      store.produceStrings("t", rows)
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      val polled = store.poll("g", "t", "c").collect()
+      assert(polled.length == n, s"seed $seed lost records")
+      polled.groupBy(_.getAs[String]("key")).foreach { case (key, msgs) =>
+        val got = msgs.sortBy(m => (m.getAs[Int]("part"), m.getAs[Long]("offset")))
+          .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq
+        val want = rows.zipWithIndex.filter(_._1._1 == key).map(r => s"m${r._2}")
+        assert(got == want, s"seed $seed key $key order broken")
+        assert(msgs.map(_.getAs[Int]("part")).distinct.length == 1)
+      }
+      polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+        val offs = rs.map(_.getAs[Long]("offset")).sorted
+        assert(offs.toSeq == (0L until offs.length.toLong), s"seed $seed part $p gap")
+      }
     }
   }
 
