@@ -48,7 +48,8 @@ class RestServer(
     port: Int = 0,
     readTimeoutMs: Long = 2 * 60 * 1000L,
     coalesceMs: Long = 50L,
-    maxGroupBytes: Long = 2L * 1024 * 1024) {
+    maxGroupBytes: Long = 2L * 1024 * 1024,
+    maxMessageBytes: Int = 1024 * 1024) { // POLAR_MAX_MESSAGE_SIZE default
 
   // ------------------------------------------------------ produce pipeline
 
@@ -178,6 +179,11 @@ class RestServer(
     val qs = params(ex)
     val body = ex.getRequestBody.readAllBytes()
     if (body.isEmpty) { respond(ex, 400, """{"error":"empty body"}"""); return }
+    if (body.length > maxMessageBytes) { // reference: 400 over MaxMessageSize
+      respond(ex, 400,
+        s"""{"error":"content length must be greater than 0 and less than $maxMessageBytes bytes"}""")
+      return
+    }
     val key = qs.get("partitionKey").flatMap(_.headOption).orNull
     val tsMicros = qs.get("timestamp").flatMap(_.headOption)
       .flatMap(t => scala.util.Try(t.toLong).toOption)

@@ -204,6 +204,38 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("oversized bodies answer 400; concurrent producers coalesce losslessly") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // > 1 MiB body rejected like the reference's MaxMessageSize check
+      val big = "x" * (1024 * 1024 + 1)
+      assert(send(base, "POST", "/v1/topic/cc/messages?partitionKey=k", big)
+        .statusCode() == 400)
+
+      // 8 threads x 5 requests, 3 keys — all coalesced, none lost,
+      // per-key arrival order preserved within each sender's key lane
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val results = (0 until 40).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = send(base, "POST",
+            s"/v1/topic/cc/messages?partitionKey=k${i % 3}&timestamp=${1700000000000000L + i}",
+            s"""{"i":$i}""").statusCode()
+        })
+      }
+      assert(results.map(_.get()).forall(_ == 200))
+      pool.shutdown()
+
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cc&group=gc&topic=cc&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      val poll = send(base, "POST", "/v1/consumer/poll?consumerId=cc")
+      assert(poll.statusCode() == 200)
+      val seen = """\{"i":(\d+)\}""".r.findAllMatchIn(poll.body()).map(_.group(1).toInt).toSet
+      assert(seen == (0 until 40).toSet, s"lost: ${(0 until 40).toSet -- seen}")
+    } finally server.stop()
+  }
+
   test("R11: idle consumers are evicted; next poll answers 409") {
     val server = startServer(readTimeoutMs = 150L)
     val base = s"http://localhost:${server.boundPort}"
