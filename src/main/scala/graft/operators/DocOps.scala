@@ -24,7 +24,7 @@ import graft.functions.murmur3_token
 object DocOps {
   import Relational.Q
 
-  private def docs(s: SparkSession, d: String) = Graft.table(s, d, "documents")
+  private[operators] def docs(s: SparkSession, d: String) = Graft.table(s, d, "documents")
 
   /** (doc_id, shingle): distinct 3-word shingles per document. Array-local
     * transform — no shuffle until the consumer aggregates.
@@ -51,20 +51,28 @@ object DocOps {
   /** Exhaustive pairwise Jaccard >= 0.6 over 3-word shingles (shared by q19
     * output and q20's oracle; both must produce identical rows).
     */
-  private val jaccardPairsSql: String =
-    s"""WITH $shinglesSqlCte,
+  /** CTE list ending in `jpairs` (the J >= 0.6 pair set) — shared by the
+    * q19/q20 oracles and the q50 connected-components oracle.
+    */
+  private[operators] val jaccardPairsCtes: String =
+    s"""$shinglesSqlCte,
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT doc_a, doc_b,
-       |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+       |)""".stripMargin
+
+  private val jaccardPairsSql: String =
+    s"""WITH $jaccardPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q18
   /** Exact dedup: group identical texts, keep the smallest doc_id. */
@@ -90,7 +98,7 @@ object DocOps {
     * shingles never enumerate pairs the final threshold would discard,
     * and the carried sizes make the post-aggregation re-joins unnecessary.
     */
-  val q19: Q = (s, d) => {
+  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(docs(s, d))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shz = sh.join(broadcast(sizes), "doc_id")
@@ -103,8 +111,9 @@ object DocOps {
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-      .orderBy("doc_a", "doc_b")
   }
+
+  val q19: Q = (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------- q20
   /** MinHash + banded LSH near-dup pairs with exact verification — the

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus construction over `documents`: normalize →
+  * cluster near-duplicates → keep one representative per cluster that
+  * passes language + quality gates. These compose the q18-q25 primitives
+  * into the pipeline a data-curation job actually runs.
+  *
+  * Scale notes: q49 is a stateless map (linear). q50 is min-label
+  * propagation over the near-dup pair graph — per iteration one shuffle
+  * on doc_id; near-dup components are copy-cliques with tiny diameter, so
+  * it converges in 2-3 rounds (at petabyte graph scale you'd switch to
+  * the large-star/small-star formulation, same join shape). q51 is three
+  * broadcast-size joins over per-doc scores.
+  */
+object Pipeline {
+  import Relational.Q
+
+  // ---------------------------------------------------------------- q49
+  /** Text normalization: lowercase, redact emails/URLs, collapse
+    * whitespace — the canonical pre-dedup cleanup pass.
+    */
+  val q49: Q = (s, d) =>
+    DocOps.docs(s, d)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[\\w.]+@[\\w.]+\\.[a-z]{2,}", "<email>"),
+          "https?://\\S+", "<url>"),
+        "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        length(col("norm")).cast("long").as("n_after"),
+        substring(col("norm"), 1, 40).as("prefix"))
+      .orderBy("doc_id")
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_before,
+      |  CAST(length(norm) AS BIGINT) AS n_after,
+      |  substr(norm, 1, 40) AS prefix
+      |FROM (
+      |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(regexp_replace(
+      |    lower(text), '[\w.]+@[\w.]+\.[a-z]{2,}', '<email>', 'g'),
+      |    'https?://\S+', '<url>', 'g'),
+      |    '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Near-dup clusters: connected components over the J >= 0.6 pair graph
+    * by iterated min-label propagation (converges when the label sum goes
+    * stationary — labels only ever decrease). cluster_id = smallest
+    * doc_id in the component; is_rep marks the doc a dedup would keep.
+    */
+  val q50: Q = (s, d) => {
+    val pairs = DocOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = DocOps.docs(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var prevSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .groupBy(edges("doc_b").as("nbr_doc"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === col("nbr_doc"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
+  val q50Sql: String =
+    s"""WITH RECURSIVE ${DocOps.jaccardPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs
+       |),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.doc_b, r.label FROM reach r JOIN edges e ON e.doc_a = r.doc_id
+       |)
+       |SELECT doc_id, MIN(label) AS cluster_id,
+       |  doc_id = MIN(label) AS is_rep
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Corpus construction: keep each near-dup cluster's representative if
+    * it passes the language gate (predicted en) and quality gate
+    * (score >= 0.2) — the composed output a curation job materializes.
+    */
+  val q51: Q = (s, d) => {
+    val lang = DocOps.q22(s, d).select(col("doc_id"), col("pred_lang"))
+    val qual = DocOps.q23(s, d).select(col("doc_id"), col("score"))
+    val reps = q50(s, d).filter(col("is_rep")).select("doc_id")
+    lang.join(qual, "doc_id").join(reps, "doc_id")
+      .filter(col("pred_lang") === "en" && col("score") >= 0.2)
+      .select(col("doc_id"), col("pred_lang"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val q51Sql: String =
+    s"""WITH RECURSIVE ${DocOps.jaccardPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs
+       |),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.doc_b, r.label FROM reach r JOIN edges e ON e.doc_a = r.doc_id
+       |),
+       |clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |lang AS (SELECT doc_id, pred_lang FROM (${DocOps.q22Sql})),
+       |qual AS (SELECT doc_id, score FROM (${DocOps.q23Sql}))
+       |SELECT l.doc_id AS doc_id, pred_lang, round(score, 6) AS score
+       |FROM lang l
+       |JOIN qual q ON l.doc_id = q.doc_id
+       |JOIN clusters c ON l.doc_id = c.doc_id
+       |WHERE pred_lang = 'en' AND score >= 0.2 AND c.cluster_id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q49_normalize", q49, Some(q49Sql)),
+    ("q50_dup_clusters", q50, Some(q50Sql)),
+    ("q51_corpus_filter", q51, Some(q51Sql))
+  )
+}
