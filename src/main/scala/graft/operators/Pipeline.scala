@@ -55,7 +55,11 @@ object Pipeline {
     * doc_id in the component; is_rep marks the doc a dedup would keep.
     */
   val q50: Q = (s, d) => {
-    val pairs = DocOps.jaccardPairs(s, d).select("doc_a", "doc_b")
+    // edge source is the LSH-candidates-then-verify path (q20), not the
+    // exhaustive self-join: both produce the exact J >= 0.6 pair set
+    // (QueryPackSpec asserts equality; both share the jpairs oracle), and
+    // only the LSH path survives a 100 TB corpus
+    val pairs = DocOps.q20(s, d).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
