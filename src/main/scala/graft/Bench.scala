@@ -34,10 +34,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val (prodRate, pollRate) = ingestBench(spark, sfDir)
+    val (prodRate, pollRate, streamRate) = ingestBench(spark, sfDir)
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +
+        s""""stream_produce_msgs_per_sec":${f"$streamRate%.0f"},""" +
         s""""msg_bytes":1024,"sf":"$sfDir"}""")
     spark.stop()
   }
@@ -48,7 +49,7 @@ object Bench {
     * durable zstd parquet. Rates are msgs/sec end-to-end including offset
     * assignment and commit bookkeeping.
     */
-  private def ingestBench(spark: SparkSession, sfDir: String): (Double, Double) = {
+  private def ingestBench(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
     // 12-broker ring: 48 partitions ~ local[32] (the reference scales the
@@ -84,6 +85,33 @@ object Bench {
     val polled = store.poll("g", "bench", "c").count().toDouble
     val pollSec = (System.nanoTime() - t1) / 1e9
 
-    (n / produceSec, polled / pollSec)
+    (n / produceSec, polled / pollSec, streamIngestBench(spark, staged, n))
+  }
+
+  /** Structured Streaming ingest rate: the same staged messages consumed
+    * as a file stream in ~4 micro-batches through the checkpointed
+    * foreachBatch produce path — the trigger interval playing the
+    * coalescer's group-window role. Includes per-batch offset bookkeeping
+    * and checkpoint commits, so it is the end-to-end streaming number, not
+    * the batch one.
+    */
+  private def streamIngestBench(
+      spark: SparkSession,
+      staged: org.apache.spark.sql.DataFrame,
+      n: Double): Double = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+    val store = new engine.TopicStore(spark, root, clusterSize = 12)
+    val topic = new streaming.StreamingTopic(store)
+    val stagePath = staged.inputFiles.head.replaceAll("/[^/]+$", "")
+    val files = staged.inputFiles.length
+    val src = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", math.max(1, files / 4))
+      .parquet(stagePath)
+    val t0 = System.nanoTime()
+    val q = topic.ingest("bench_stream", src, s"$root/_chk")
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    n / sec
   }
 }
