@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, Murmur3Token}
+import org.apache.spark.sql.graft.{CosineSimilarity, Murmur3Token, RingPartitionsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectTableFunction((
+      FunctionIdentifier("ring_partitions"),
+      new ExpressionInfo(RingPartitionsTable.getClass.getName, "ring_partitions"),
+      (exprs: Seq[Expression]) => RingPartitionsTable.plan(exprs)))
   }
 }

@@ -30,7 +30,8 @@ import scala.collection.mutable
   */
 class BinaryProducerServer(
     coalescer: ProduceCoalescer,
-    port: Int = 0) {
+    port: Int = 0,
+    maxBodyBytes: Int = 16 * 1024 * 1024) {
 
   private val OpStartup = 1
   private val OpReady = 2
@@ -95,22 +96,28 @@ class BinaryProducerServer(
           val op = header(4) & 0xff
           val bodyLen = ((header(5) & 0xff) << 24) | ((header(6) & 0xff) << 16) |
             ((header(7) & 0xff) << 8) | (header(8) & 0xff)
-          val body = new Array[Byte](bodyLen)
-          in.readFully(body)
+          if (bodyLen < 0 || bodyLen > maxBodyBytes) {
+            // a corrupt/hostile length would otherwise allocate unbounded
+            respond(streamId, OpError, errorBody(0, s"body length $bodyLen out of range"))
+            open = false
+          } else {
+            val body = new Array[Byte](bodyLen)
+            in.readFully(body)
 
-          if (!initialized) {
-            initialized = true
-            if (op != OpStartup) {
-              respond(streamId, OpError, errorBody(0, "Invalid first message"))
-              open = false
-            } else respond(streamId, OpReady)
-          } else op match {
-            case OpProduce =>
-              handleProduce(streamId, flags, body, respond)
-            case OpHeartbeat =>
-              respond(streamId, OpReady)
-            case _ =>
-              respond(streamId, OpError, errorBody(0, "Only producer operations are supported"))
+            if (!initialized) {
+              initialized = true
+              if (op != OpStartup) {
+                respond(streamId, OpError, errorBody(0, "Invalid first message"))
+                open = false
+              } else respond(streamId, OpReady)
+            } else op match {
+              case OpProduce =>
+                handleProduce(streamId, flags, body, respond)
+              case OpHeartbeat =>
+                respond(streamId, OpReady)
+              case _ =>
+                respond(streamId, OpError, errorBody(0, "Only producer operations are supported"))
+            }
           }
         }
       }

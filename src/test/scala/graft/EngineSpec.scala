@@ -173,6 +173,21 @@ class EngineSpec extends AnyFunSuite {
     assert(left.toSeq == Seq("fresh"))
   }
 
+  test("edge cases: empty produce batch, poll of unknown topic, compact of missing topic") {
+    val store = freshStore()
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("key", StringType), StructField("value", BinaryType),
+        StructField("timestamp", TimestampType))))
+    assert(store.produce("t", empty) == 0L)
+    store.registry.register("g", "c", Seq("missing"), store.StartFrom.Earliest)
+    assert(store.poll("g", "missing", "c").isEmpty)
+    assert(store.compact("nope") == 0)
+    assert(store.lag("g", "missing").isEmpty)
+  }
+
   test("lag reports high-watermark minus committed and drains to zero") {
     val store = freshStore()
     store.produceStrings("t", (0 until 10).map(i => (s"k$i", s"m$i", ts(i))))

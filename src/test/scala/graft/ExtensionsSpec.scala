@@ -28,6 +28,14 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
+      // table-valued function: the ring partition table on the SQL surface
+      val ring = spark.sql(
+        "SELECT part, token, range FROM ring_partitions(3, 4) ORDER BY part").collect()
+      assert(ring.length == 12)
+      assert(ring.head.getLong(1) == Long.MinValue) // StartToken
+      assert(ring.map(_.getInt(2)).toSeq == Seq(0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3))
+      val planParts = graft.core.TokenRing.allPartitions(3, 4)
+      assert(ring.map(r => (r.getLong(1), r.getInt(2))).toSeq == planParts)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

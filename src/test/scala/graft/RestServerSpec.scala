@@ -236,6 +236,29 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("two consumers in one group drain disjoint partitions covering everything") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      for (i <- 0 until 12)
+        assert(send(base, "POST",
+          s"/v1/topic/fo/messages?partitionKey=k$i&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""").statusCode() == 200)
+      for (c <- Seq("f1", "f2"))
+        assert(send(base, "PUT",
+          s"/v1/consumer/register?consumerId=$c&group=gf&topic=fo&onNewGroup=startFromEarliest")
+          .statusCode() == 200)
+      def drain(cid: String): Set[Int] = {
+        val r = send(base, "POST", s"/v1/consumer/poll?consumerId=$cid")
+        if (r.statusCode() == 204) Set.empty
+        else """\{"i":(\d+)\}""".r.findAllMatchIn(r.body()).map(_.group(1).toInt).toSet
+      }
+      val a = drain("f1"); val b = drain("f2")
+      assert((a intersect b).isEmpty, s"overlap: ${a intersect b}")
+      assert((a union b) == (0 until 12).toSet, s"missing: ${(0 until 12).toSet -- a -- b}")
+    } finally server.stop()
+  }
+
   test("R11: idle consumers are evicted; next poll answers 409") {
     val server = startServer(readTimeoutMs = 150L)
     val base = s"http://localhost:${server.boundPort}"
