@@ -72,11 +72,15 @@ object Pipeline {
       val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
         .groupBy(edges("doc_b").as("nbr_doc"))
         .agg(min(col("cluster_id")).as("nbr_min"))
+      // localCheckpoint (not cache): truncates lineage every iteration so
+      // the logical plan stays O(1) instead of chaining every round's
+      // joins — at real graph scale the un-truncated plan is what blows
+      // up, not the data
       val next = labels.join(nbrMin, labels("doc_id") === col("nbr_doc"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
       labels.unpersist()
       labels = next

@@ -24,8 +24,11 @@ object Serve {
     val store = new TopicStore(spark, Files.createTempDirectory("graft-serve").toString)
     val port = args.headOption.map(_.toInt).getOrElse(0)
     val server = new RestServer(store, port = port, coalesceMs = 20L).start()
+    // fixed-port mode pins the binary port next to the HTTP one, like the
+    // reference's 9251/9252/9253 port block
     val binServer = new BinaryProducerServer(
-      new ProduceCoalescer(store, coalesceMs = 20L).start()).start()
+      new ProduceCoalescer(store, coalesceMs = 20L).start(),
+      port = if (port == 0) 0 else port + 1).start()
     val base = s"http://localhost:${server.boundPort}"
     println(s"serving $base (binary producer on :${binServer.boundPort})")
     if (args.nonEmpty) { Thread.currentThread().join(); return }

@@ -223,8 +223,13 @@ class EngineSpec extends AnyFunSuite {
     val rows = (0 until 40).map(i => (keys(i % keys.size), s"m$i", ts(i)))
     store.produceStrings("t", rows)
 
+    // a second topic must ride along through the same rescale
+    store.produceStrings("t2", Seq(("x", "other-topic", ts(0))))
+
     val scaled = store.rescale(
       Files.createTempDirectory("graft-engine-rescale").toString, 6)
+    scaled.registry.register("g2", "c2", Seq("t2"), scaled.StartFrom.Earliest)
+    assert(scaled.poll("g2", "t2", "c2").count() == 1L)
     scaled.registry.register("g", "c", Seq("t"), scaled.StartFrom.Earliest)
     val polled = scaled.poll("g", "t", "c").collect()
     assert(polled.length == 40)
