@@ -81,6 +81,54 @@ object VectorMath {
     sig
   }
 
+  /** Driver-side spherical k-means (Lloyd's) over unit-normalized vectors —
+    * the IVF coarse-quantizer fit. The input is a model-fit-sized sample
+    * (~100·k rows), so this is driver math like any model metadata; nothing
+    * here scales with corpus size. Deterministic: init picks k evenly
+    * spaced vectors from the sample ordered by fmix64 of the row index
+    * (stable for a fixed seeded sample), assignment ties break on the
+    * lower centroid index, and empty clusters keep their previous center.
+    */
+  def sphericalKMeans(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val xs = sample.map(normalize)
+    val order = xs.indices.sortBy(i => Murmur3x64.fmix64(i.toLong))
+    var cents = Array.tabulate(k)(i => xs(order(i * xs.length / k)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0; var bestDot = dot(x, cents(0)); var c = 1
+        while (c < k) {
+          val dc = dot(x, cents(c))
+          if (dc > bestDot) { best = c; bestDot = dc }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Deterministic ~N(0,1) component via fmix64 bit-mixing of (seed,i,j):
     * take 2 uniform(0,1] doubles and Box-Muller-free sum-of-12 approximation
     * is avoided — instead use the irwin-hall-2 (triangular) shifted, which is

@@ -146,7 +146,7 @@ object Coverage {
         round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
         round(pow(col("l_discount"), 2), 6).as("disc_sq"),
         signum(col("l_quantity") - 25.0).as("qty_sign"),
-        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        round(greatest(col("l_quantity"), col("l_discount") * 100), 6).as("gr"),
         pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -157,12 +157,12 @@ object Coverage {
       |       (CASE WHEN l_extendedprice >= 10 THEN 1 ELSE 0 END) +
       |       (CASE WHEN l_discount >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
       |  l_quantity AS qty_lookup,
-      |  round((l_quantity + l_extendedprice + l_discount) * 2.0, 6) AS doubled_sum,
+      |  round(((l_quantity * 2.0 + l_extendedprice * 2.0) + l_discount * 2.0), 6) AS doubled_sum,
       |  round(ln(l_extendedprice), 6) AS ln_price,
       |  round(sqrt(l_quantity), 6) AS sqrt_qty,
       |  round(pow(l_discount, 2), 6) AS disc_sq,
       |  sign(l_quantity - 25.0) AS qty_sign,
-      |  greatest(l_quantity, l_discount * 100) AS gr,
+      |  round(greatest(l_quantity, l_discount * 100), 6) AS gr,
       |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 

@@ -97,40 +97,34 @@ object EmbeddingOps {
   }
 
   // ---------------------------------------------------------------- q47
-  /** IVF-flat ANN: k-means coarse quantizer (Spark ML), probe the
-    * `nprobe` cells nearest the query, exact cosine rerank inside them —
-    * the inverted-file scale path next to q29's hash-bucket one. At
-    * 100 TB the quantizer trains on a sample, the cell id becomes a
-    * partition column, and a probe prunes partitions; here cells are a
-    * column and the filter is the same semantics. Centroid selection is
-    * `nlist` driver-side vectors (model metadata, not data). Rows-only check;
-    * recall vs the q27 exact baseline is asserted in QueryPackSpec.
+  /** IVF-flat ANN: spherical k-means coarse quantizer, probe the `nprobe`
+    * cells nearest the query, exact cosine rerank inside them — the
+    * inverted-file scale path next to q29's hash-bucket one.
+    *
+    * The quantizer fit is FAISS-shaped: one seeded sampling scan pulls
+    * ~100·nlist vectors to the driver, Lloyd's iterations run driver-side
+    * (the quantizer is model metadata — nlist·dim doubles — not data),
+    * and cell assignment is an argmax over codegen'd `cosine_sim` columns
+    * against literal centroids, so the corpus-side work is one narrow
+    * whole-stage-codegen map. At 100 TB the cell id becomes a partition
+    * column and a probe prunes partitions; here cells are a column and
+    * the `isin` filter is the same semantics. Spherical (unit-normalized
+    * means) because Euclidean Voronoi cells only match the cosine query
+    * metric on the unit sphere. Rows-only check; recall vs the q27 exact
+    * baseline is asserted in QueryPackSpec.
     */
   val q47: Q = (s, d) => {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val nprobe = 4
     val nlist = 8
-    // L2-normalize BEFORE clustering: k-means partitions by Euclidean
-    // distance, which only matches the cosine query metric on the unit
-    // sphere — unnormalized cells split by magnitude, not direction
     val e = emb(s, d)
-      .withColumn("__norm", sqrt(aggregate(
-        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x)))
-      .withColumn("features", array_to_vector(
-        transform(col("embedding"), x => x.cast("double") / col("__norm"))))
-    // quantizer fit runs on a compacted cached sample — at 100 TB a
-    // coarse quantizer NEVER trains on the full corpus, and per-iteration
-    // scheduling over wide partitions, not math, dominates the fit here;
-    // random init skips kmeans||'s extra seeding passes (the quantizer
-    // only needs rough Voronoi cells — the in-cell rerank is exact)
-    val fitInput = e.select(col("features")).coalesce(1).cache()
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(4)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(fitInput)
-    fitInput.unpersist()
+    val fitTarget = 100L * nlist
+    val total = e.count() // parquet metadata count
+    val sample = (if (total > fitTarget)
+        e.select(col("embedding")).sample(withReplacement = false, fitTarget.toDouble / total, 42L)
+      else e.select(col("embedding")))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = graft.core.VectorMath.sphericalKMeans(sample, nlist, iters = 8)
+
     val qArr = e.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     def cos(a: Array[Double]): Double = {
@@ -139,10 +133,20 @@ object EmbeddingOps {
       while (i < a.length) { dot += a(i) * qArr(i); na += a(i) * a(i); nb += qArr(i) * qArr(i); i += 1 }
       dot / math.sqrt(na * nb)
     }
-    val probed = model.clusterCenters.zipWithIndex
-      .sortBy { case (c, _) => -cos(c.toArray) }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c) }
       .take(nprobe).map(_._2).toSeq
-    model.transform(e)
+
+    // argmax over (sim, idx) structs: struct comparison is field-ordered,
+    // so array_max yields the highest sim with the highest idx breaking
+    // exact ties — deterministic, and every term is codegen'd
+    val cellCol = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        cosine_sim(col("embedding"), typedLit(c.map(_.toFloat))).as("sim"),
+        lit(i).as("idx"))
+    }: _*)).getField("idx").as("cell")
+
+    e.withColumn("cell", cellCol)
       .filter(col("vec_id") =!= 0L && col("cell").isin(probed: _*))
       .crossJoin(broadcast(queryVec(s, d)))
       .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))

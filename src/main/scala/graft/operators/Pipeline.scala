@@ -54,12 +54,23 @@ object Pipeline {
     * stationary — labels only ever decrease). cluster_id = smallest
     * doc_id in the component; is_rep marks the doc a dedup would keep.
     */
-  val q50: Q = (s, d) => {
+  /** Memoized (doc_id, cluster_id) labels — computed once per (session,
+    * scale) so q50 and q51 don't each pay the label-propagation loop.
+    */
+  private val labelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def dupLabels(s: SparkSession, d: String): DataFrame =
+    labelsMemo.computeIfAbsent((s, d), _ => computeDupLabels(s, d))
+
+  private def computeDupLabels(s: SparkSession, d: String): DataFrame = {
     // edge source is the LSH-candidates-then-verify path (q20), not the
     // exhaustive self-join: both produce the exact J >= 0.6 pair set
     // (QueryPackSpec asserts equality; both share the jpairs oracle), and
-    // only the LSH path survives a 100 TB corpus
-    val pairs = DocOps.q20(s, d).select("doc_a", "doc_b")
+    // only the LSH path survives a 100 TB corpus. verifiedPairs is itself
+    // memoized+checkpointed, so the LSH pipeline runs once per scale even
+    // across q20/q50/q51.
+    val pairs = DocOps.verifiedPairs(s, d).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
@@ -90,10 +101,13 @@ object Pipeline {
     }
     edges.unpersist()
     labels
+  }
+
+  val q50: Q = (s, d) =>
+    dupLabels(s, d)
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_rep"))
       .orderBy("doc_id")
-  }
 
   val q50Sql: String =
     s"""WITH RECURSIVE ${DocOps.jaccardPairsCtes},
@@ -118,7 +132,8 @@ object Pipeline {
   val q51: Q = (s, d) => {
     val lang = DocOps.q22(s, d).select(col("doc_id"), col("pred_lang"))
     val qual = DocOps.q23(s, d).select(col("doc_id"), col("score"))
-    val reps = q50(s, d).filter(col("is_rep")).select("doc_id")
+    val reps = dupLabels(s, d)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     lang.join(qual, "doc_id").join(reps, "doc_id")
       .filter(col("pred_lang") === "en" && col("score") >= 0.2)
       .select(col("doc_id"), col("pred_lang"), round(col("score"), 6).as("score"))
