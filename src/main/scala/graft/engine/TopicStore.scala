@@ -39,13 +39,52 @@ class TopicStore(
     val clusterSize: Int = 3,
     val rangesPerToken: Int = 4) {
 
+  import spark.implicits._
+
   private[graft] val dataDir = s"$root/data"
   private val producerMeta = s"$root/_meta/producer_offsets"
   private val groupMeta = s"$root/_meta/group_offsets"
+  private val genMeta = s"$root/_meta/generations"
+  private val registryMeta = s"$root/_meta/groups"
 
-  private val numParts = clusterSize * rangesPerToken
-  private val brokerTokens: Seq[Long] =
-    (0 until clusterSize).map(TokenRing.tokenAtIndex(clusterSize, _))
+  // ---------------------------------------------------------- generations
+
+  /** Current generation of a topic — the reference's genVersion dimension
+    * (`internal/types/models.go:250-255`): every address is
+    * (topic, token, rangeIndex, genVersion), the layout carries a
+    * `version=` dir (`internal/conf/config.go:354-357`), and offsets
+    * restart at 0 when a split/join opens the next generation
+    * (`internal/producing/coalescer.go:124-135`). A generation pins its
+    * own ring size, so rescale is an in-place version bump, not a new
+    * store. Durable in `_meta/generations`, cached write-through.
+    */
+  def generation(topic: String): Generation = {
+    val key = scopeDir(topic)
+    genCache.computeIfAbsent(key, _ => {
+      val p = s"$genMeta/$key"
+      if (!Files.exists(Paths.get(p))) Generation(1, clusterSize)
+      else {
+        val r = spark.read.parquet(p).select("version", "cluster_size")
+          .as[(Int, Int)].head()
+        Generation(r._1, r._2)
+      }
+    })
+  }
+
+  private def setGeneration(topic: String, g: Generation): Unit = {
+    val key = scopeDir(topic)
+    Seq((g.version, g.clusterSize)).toDF("version", "cluster_size").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$genMeta/$key")
+    genCache.put(key, g)
+    ()
+  }
+
+  private val genCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Generation]()
+
+  private def partsOf(g: Generation): Int = g.clusterSize * rangesPerToken
+  private def tokensOf(g: Generation): Seq[Long] =
+    (0 until g.clusterSize).map(TokenRing.tokenAtIndex(g.clusterSize, _))
 
   /** Record envelope (SURVEY §1.2): key/value/timestamp in, plus
     * topic/token/range/offset assigned by produce.
@@ -58,9 +97,8 @@ class TopicStore(
     StructField("offset", LongType),
     StructField("topic", StringType),
     StructField("token", LongType),
-    StructField("range", IntegerType)))
-
-  import spark.implicits._
+    StructField("range", IntegerType),
+    StructField("version", IntegerType)))
 
   // ------------------------------------------------------------- produce
 
@@ -72,6 +110,7 @@ class TopicStore(
     * is deterministic and shuffle-free).
     */
   def produce(topic: String, records: DataFrame): Long = {
+    val g = generation(topic)
     val bases: Map[Int, Long] = producerOffsets(topic)
 
     // optional __seq column: produce-order tiebreak within one request
@@ -84,13 +123,22 @@ class TopicStore(
       .withColumn("__token_hash",
         when(col("key").isNotNull && col("key") =!= "", murmur3_token(col("key")))
           .otherwise(xxhash64(col("value"))))
-      .withColumn("part", ring_partition(col("__token_hash"), clusterSize, rangesPerToken))
+      .withColumn("part", ring_partition(col("__token_hash"), g.clusterSize, rangesPerToken))
       .withColumn("token",
-        element_at(typedlit(brokerTokens), (col("part") / rangesPerToken).cast("int") + 1))
+        element_at(typedlit(tokensOf(g)), (col("part") / rangesPerToken).cast("int") + 1))
       .withColumn("range", pmod(col("part"), lit(rangesPerToken)).cast("int"))
 
+    // new high watermarks derive from the BATCH (per-partition counts on
+    // top of the old bases: max(offset)+1 == base + count), not from a
+    // post-write listing of the topic dir — file listing is O(files in
+    // topic), which at 100 TB of small produce batches becomes the
+    // throughput ceiling. One map-side-combined aggregation over the
+    // batch, collected as partsOf(g) longs of metadata.
+    val counts = keyed.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+
     // contiguous offsets: base(part) + rank within this batch's partition.
-    // The explicit repartition to numParts (one ring partition per task)
+    // The explicit repartition to partsOf(g) (one ring partition per task)
     // is the coalescer's per-range serialization point; Window's required
     // ClusteredDistribution(part) is satisfied by it, so there is exactly
     // ONE shuffle and no hash-collision skew from folding 48 ring
@@ -98,33 +146,21 @@ class TopicStore(
     val w = Window.partitionBy(col("part"))
       .orderBy(col("timestamp"), col("key"), col("__seq"), xxhash64(col("value")))
     val withOffsets = keyed
-      .repartition(numParts, col("part"))
+      .repartition(partsOf(g), col("part"))
       .withColumn("__rank", row_number().over(w).cast("long"))
       .withColumn("offset",
         coalesce(element_at(typedlit(bases), col("part")), lit(0L)) + col("__rank") - 1L)
       .withColumn("topic", lit(topic))
-      .select("key", "value", "timestamp", "part", "offset", "topic", "token", "range")
+      .withColumn("version", lit(g.version))
+      .select("key", "value", "timestamp", "part", "offset", "topic", "token", "range", "version")
 
     withOffsets.write
       .mode(SaveMode.Append)
-      .partitionBy("topic", "token", "range")
+      .partitionBy("topic", "token", "range", "version")
       .parquet(dataDir)
 
-    // advance the high watermarks (producer.offset analog) from the files
-    // just written — an offset-column-only scan where parquet row-group
-    // min/max stats prune every pre-existing file (their offsets are all
-    // below the old base), so the cost is O(batch), not O(topic) and not
-    // a recompute of the upstream plan.
-    val newPred = (0 until numParts).map { p =>
-      val base = bases.getOrElse(p, 0L)
-      col("part") === p && col("offset") >= base
-    }.reduce(_ || _)
-    val next = spark.read.schema(recordSchema).parquet(dataDir)
-      .where(col("topic") === topic && newPred)
-      .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
-      .as[(Int, Long)].collect().toMap
-    val merged = bases ++ next
-    writeOffsets(producerMeta, topic, merged)
+    val merged = bases ++ counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
+    writeOffsets(producerMeta, producerScope(topic), merged)
     merged.values.sum
   }
 
@@ -161,7 +197,7 @@ class TopicStore(
     polled
       .withColumn("svalue", decode(col("value"), "UTF-8"))
       .sort(col("part"), col("offset"))
-      .groupBy(col("topic"), col("token"), col("range"))
+      .groupBy(col("topic"), col("token"), col("range"), col("version"))
       .agg(
         min(col("offset")).as("__start"),
         sort_array(collect_list(struct(col("offset"), col("svalue")))).as("__vals"))
@@ -169,7 +205,7 @@ class TopicStore(
         col("topic"),
         col("token").cast("string").as("token"),
         col("range").as("rangeIndex"),
-        lit(1).as("version"),
+        col("version"),
         col("__start").cast("string").as("startOffset"),
         expr("transform(__vals, x -> x.svalue)").as("values"))).as("json"))
   }
@@ -177,20 +213,31 @@ class TopicStore(
   // ---------------------------------------------------------------- poll
 
   /** Records for `consumerId` of `group` from its assigned partitions,
-    * starting at the group's committed offsets, at most `maxRecords` per
-    * partition, ordered by (part, offset) — the delivery order guarantee.
-    * Partition dirs outside the assignment are pruned at scan.
+    * starting at the group's committed offsets, at most `maxRecords` AND
+    * `maxBytes` of record bodies per partition, ordered by (part, offset)
+    * — the delivery order guarantee. Partition dirs outside the assignment
+    * are pruned at scan; the `maxRecords` bound lands on the offset column
+    * so parquet row-group stats prune the read, and the byte bound is a
+    * running-sum window that trims the page after the bounded scan (the
+    * reference's `ConsumerReadThreshold` rate control,
+    * `internal/conf/config.go:278-280`). A record that straddles the byte
+    * boundary is still delivered, so a single oversized record cannot
+    * stall the consumer.
     */
   def poll(
       group: String,
       topic: String,
       consumerId: String,
       maxRecords: Long = Long.MaxValue,
+      maxBytes: Long = Long.MaxValue,
       autoCommit: Boolean = true): DataFrame = {
-    val assigned = registry.assignment(group, consumerId)
+    val g = generation(topic)
+    val assigned = registry.assignment(group, consumerId, topic)
     if (assigned.isEmpty) return spark.emptyDataFrame
+    assigned.foreach(p => lastReaders.put((group, topic, p), consumerId))
 
     val committed = groupOffsets(group, topic)
+    val tokens = tokensOf(g)
     val partFilter = assigned.map { p =>
       val from = committed.getOrElse(p, startingOffset(group, topic, p))
       val upper = // guard Long overflow for the unbounded default
@@ -198,9 +245,9 @@ class TopicStore(
         else col("offset") < from + maxRecords
       col("part") === p && col("offset") >= from && upper
     }.reduce(_ || _)
-    // partition-dir pruning on (token, range)
+    // partition-dir pruning on (token, range, version)
     val dirFilter = assigned.map { p =>
-      col("token") === brokerTokens(p / rangesPerToken) && col("range") === p % rangesPerToken
+      col("token") === tokens(p / rangesPerToken) && col("range") === p % rangesPerToken
     }.reduce(_ || _)
 
     // per-partition order is the delivery guarantee (§2.6.1 — the
@@ -208,28 +255,77 @@ class TopicStore(
     // so cluster-by-part + in-partition sort, NOT a global orderBy: a
     // global sort range-partitions with a sampling pass over the data,
     // which at 100 TB doubles the read for an ordering nobody gets.
-    val out = spark.read.schema(recordSchema).parquet(dataDir)
-      .where(col("topic") === topic && dirFilter && partFilter)
+    val scanned = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic && col("version") === g.version &&
+        dirFilter && partFilter)
       .repartition(math.max(assigned.size, 1), col("part"))
-      .sortWithinPartitions(col("part"), col("offset"))
+
+    val paged =
+      if (maxBytes == Long.MaxValue) scanned
+      else {
+        // bytes BEFORE this record per partition < maxBytes -> the first
+        // record always ships; the boundary record ships once
+        val wb = Window.partitionBy(col("part")).orderBy(col("offset"))
+        scanned
+          .withColumn("__before",
+            sum(length(col("value")).cast("long")).over(wb) - length(col("value")))
+          .filter(col("__before") < maxBytes)
+          .drop("__before")
+      }
+    val out = paged.sortWithinPartitions(col("part"), col("offset"))
 
     if (autoCommit) {
       val next = out.groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
         .as[(Int, Long)].collect().toMap
-      if (next.nonEmpty) commit(group, topic, next)
+      if (next.nonEmpty) commit(group, topic, next, origin = consumerId)
+      ()
     }
     out
   }
 
-  /** Manual offset commit (R4): set next-read positions for the group. */
-  def commit(group: String, topic: String, next: Map[Int, Long]): Unit = {
-    val merged = groupOffsets(group, topic) ++ next
-    writeOffsets(groupMeta, s"$group/$topic", merged)
+  // last registered reader per (group, topic, part) — the commit "origin"
+  // (reference `internal/data/segment_reader.go:115-135`)
+  private val lastReaders =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
+
+  /** Manual offset commit (R4): set next-read positions for the group.
+    *
+    * Conflict resolution mirrors the reference's origin check + stale-value
+    * rule (`internal/data/segment_reader.go:115-135`,
+    * `internal/consuming/offset_state.go:785-808` `isOldValue`): a commit
+    * carrying an `origin` consumer is rejected per-partition when another
+    * consumer has read that partition since (the reassigned reader owns the
+    * offset now), and committed offsets never move backwards. An empty
+    * origin is the trusted admin path (no ownership check; monotonicity
+    * still holds). Returns the accepted subset.
+    */
+  def commit(
+      group: String,
+      topic: String,
+      next: Map[Int, Long],
+      origin: String = ""): Map[Int, Long] = {
+    val cur = groupOffsets(group, topic)
+    val accepted = next.filter { case (p, off) =>
+      val reader = lastReaders.get((group, topic, p))
+      val owns = origin.isEmpty || reader == null || reader == origin
+      owns && off >= cur.getOrElse(p, 0L)
+    }
+    if (accepted.nonEmpty)
+      writeOffsets(groupMeta, groupScope(group, topic), cur ++ accepted)
+    accepted
   }
 
-  /** High watermark per partition (R8 max-produced-offset). */
+  private def producerScope(topic: String): String =
+    s"$topic/v${generation(topic).version}"
+
+  private def groupScope(group: String, topic: String): String =
+    s"$group/$topic/v${generation(topic).version}"
+
+  /** High watermark per partition (R8 max-produced-offset), current
+    * generation: offsets restart per genVersion (`coalescer.go:124-135`).
+    */
   def producerOffsets(topic: String): Map[Int, Long] =
-    readOffsets(producerMeta, topic)
+    readOffsets(producerMeta, producerScope(topic))
 
   /** Per-partition consumer lag: high watermark minus committed next-read
     * (the operational metric every broker exposes; derived from the same
@@ -243,7 +339,7 @@ class TopicStore(
   }
 
   def groupOffsets(group: String, topic: String): Map[Int, Long] =
-    readOffsets(groupMeta, s"$group/$topic")
+    readOffsets(groupMeta, groupScope(group, topic))
 
   private def startingOffset(group: String, topic: String, part: Int): Long =
     registry.policy(group) match {
@@ -258,24 +354,69 @@ class TopicStore(
   }
 
   /** Consumer-group registry (R1/R2): deterministic round-robin of the
-    * numParts ring partitions over sorted consumer ids. Driver-side state
-    * (the gossip/anti-entropy layers C7-C9 collapse into the single
-    * driver); committed offsets persist in parquet.
+    * topic generation's ring partitions over sorted consumer ids. Live
+    * membership is driver-side (the gossip/anti-entropy layers C7-C9
+    * collapse into the single driver; consumers re-register after a
+    * restart, as they re-gossip in the reference), but group POLICIES and
+    * Latest snapshots are durable in `_meta/groups` — the SQLite
+    * consumer-group state the reference persists and republishes
+    * (`internal/localdb/queries.go:237`) — so a fresh store over the same
+    * root resumes every group at its committed offsets with its policy.
     */
   object registry {
     private var groups: Map[String, Set[String]] = Map.empty
     private var policies: Map[String, StartFrom.Value] = Map.empty
     private var latestSnapshots: Map[(String, String), Map[Int, Long]] = Map.empty
 
+    private def persistedDir(group: String) = s"$registryMeta/${scopeDir(group)}"
+
+    /** Recover a group's durable policy + snapshots into the in-memory
+      * maps (no-op when already loaded or never persisted).
+      */
+    private def loadIfAbsent(group: String): Unit = {
+      if (policies.contains(group)) return
+      val p = persistedDir(group)
+      if (!Files.exists(Paths.get(p))) return
+      val rows = spark.read.parquet(p)
+        .select("policy", "topic", "part", "next")
+        .as[(String, Option[String], Option[Int], Option[Long])].collect()
+      rows.headOption.foreach { r =>
+        policies = policies.updated(group, StartFrom.withName(r._1))
+      }
+      rows.collect { case (_, Some(t), Some(part), Some(next)) => (t, part, next) }
+        .groupBy(_._1).foreach { case (t, snap) =>
+          latestSnapshots = latestSnapshots
+            .updated((group, t), snap.map(s => s._2 -> s._3).toMap)
+        }
+    }
+
+    private def persist(group: String): Unit = {
+      val pol = policies(group).toString
+      val snaps = latestSnapshots.collect {
+        case ((`group`, t), m) if m.nonEmpty =>
+          m.toSeq.map { case (part, next) =>
+            (pol, Option(t), Option(part), Option(next))
+          }
+      }.flatten.toSeq
+      val rows =
+        if (snaps.nonEmpty) snaps
+        else Seq((pol, Option.empty[String], Option.empty[Int], Option.empty[Long]))
+      rows.toDF("policy", "topic", "part", "next").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(persistedDir(group))
+    }
+
     /** Idempotent register; Latest groups snapshot current watermarks per
-      * topic at first registration (R7 default-offset derivation).
+      * topic at first registration (R7 default-offset derivation). First
+      * registration persists the group, so the policy survives a driver
+      * restart even though live membership does not.
       */
     def register(
         group: String,
         consumerId: String,
         topics: Seq[String],
         onNewGroup: StartFrom.Value = StartFrom.Latest): Unit = synchronized {
-      val isNew = !groups.contains(group)
+      loadIfAbsent(group)
+      val isNew = !policies.contains(group)
       groups = groups.updated(group, groups.getOrElse(group, Set.empty) + consumerId)
       if (isNew) {
         policies = policies.updated(group, onNewGroup)
@@ -284,6 +425,7 @@ class TopicStore(
             latestSnapshots = latestSnapshots.updated((group, t), producerOffsets(t))
           }
         }
+        persist(group)
       }
     }
 
@@ -291,19 +433,24 @@ class TopicStore(
       groups = groups.updated(group, groups.getOrElse(group, Set.empty) - consumerId)
     }
 
-    def policy(group: String): StartFrom.Value =
+    def policy(group: String): StartFrom.Value = synchronized {
+      loadIfAbsent(group)
       policies.getOrElse(group, StartFrom.Latest)
+    }
 
-    def latestSnapshot(group: String, topic: String): Map[Int, Long] =
+    def latestSnapshot(group: String, topic: String): Map[Int, Long] = synchronized {
+      loadIfAbsent(group)
       latestSnapshots.getOrElse((group, topic), Map.empty)
+    }
 
-    /** Partition ordinals owned by a consumer: sorted ids, round-robin over
-      * ordinals — `consumer_state.go:308-350` determinism.
+    /** Partition ordinals owned by a consumer under the topic's current
+      * generation: sorted ids, round-robin over ordinals —
+      * `consumer_state.go:308-350` determinism.
       */
-    def assignment(group: String, consumerId: String): Seq[Int] = {
+    def assignment(group: String, consumerId: String, topic: String): Seq[Int] = {
       val ids = groups.getOrElse(group, Set.empty).toSeq.sorted
       if (!ids.contains(consumerId)) return Seq.empty
-      (0 until numParts).filter(p => ids(p % ids.size) == consumerId)
+      (0 until partsOf(generation(topic))).filter(p => ids(p % ids.size) == consumerId)
     }
   }
 
@@ -344,8 +491,10 @@ class TopicStore(
     val fs = topicPath.getFileSystem(hconf)
     if (!fs.exists(topicPath)) return 0
     var replaced = 0
+    // leaf dirs are topic=/token=/range=/version=
     val rangeDirs = fs.listStatus(topicPath).filter(_.isDirectory)
       .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
+      .flatMap(r => fs.listStatus(r.getPath).filter(_.isDirectory))
     rangeDirs.foreach { dir =>
       val small = fs.listStatus(dir.getPath).filter { f =>
         f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen < smallFileBytes
@@ -371,38 +520,66 @@ class TopicStore(
     replaced
   }
 
-  /** Elastic rescale (C3 range split / C4 range join): rewrite a topic
-    * into a store with `newClusterSize` brokers — the Spark expression of
-    * the reference's generation dance (`ownership/process_local_split_
-    * range.go`, `process_local_join_range.go`): data moves to the ring
-    * partitions of the new topology and offsets restart per partition
-    * (each split/join opens a new generation whose offsets begin at 0,
-    * `coalescer.go:124-135`). Like the reference — which waits for
-    * consumers to drain old generations before joining ranges — callers
-    * rescale between consumption epochs; group offsets re-derive from the
-    * registered start policy. Per-key order carries over because produce
-    * re-sequences on (timestamp, key, original offset).
+  /** Elastic rescale (C3 range split / C4 range join): open the topic's
+    * NEXT GENERATION in place under a `newClusterSize` ring — the Spark
+    * expression of the reference's generation dance
+    * (`ownership/process_local_split_range.go`,
+    * `process_local_join_range.go`): data moves to the ring partitions of
+    * the new topology under `version=v+1` dirs, and offsets restart at 0
+    * per partition because the producer watermark scope includes the
+    * generation (`coalescer.go:124-135`). Like the reference — which waits
+    * for consumers to drain old generations before joining ranges —
+    * callers rescale between consumption epochs; polls then serve the new
+    * generation and group offsets re-derive from the registered start
+    * policy. Per-key order carries over because produce re-sequences on
+    * (timestamp, key, original (part, offset)). Old-generation files stay
+    * until `retentionSweep` reclaims them.
     *
-    * One shuffle + one partitioned write per topic: the same cost shape
-    * as a `repartition()` of the topic, executed fully distributed.
+    * One shuffle + one partitioned write: the same cost shape as a
+    * `repartition()` of the topic, executed fully distributed.
     */
-  def rescale(newRoot: String, newClusterSize: Int): TopicStore = {
-    val next = new TopicStore(spark, newRoot, newClusterSize, rangesPerToken)
-    val topicPath = Paths.get(dataDir)
-    if (Files.exists(topicPath)) {
-      val topics = spark.read.schema(recordSchema).parquet(dataDir)
-        .select("topic").distinct().as[String].collect()
-      topics.foreach { t =>
-        val old = spark.read.schema(recordSchema).parquet(dataDir)
-          .where(col("topic") === t)
-          // old (part, offset) becomes the produce-order tiebreak, so the
-          // new generation's per-key order equals the old delivery order
-          .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
-          .select("key", "value", "timestamp", "__seq")
-        next.produce(t, old)
-      }
-    }
+  def rescale(topic: String, newClusterSize: Int): Generation = {
+    val g = generation(topic)
+    val old = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic && col("version") === g.version)
+      // old (part, offset) becomes the produce-order tiebreak, so the
+      // new generation's per-key order equals the old delivery order
+      .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
+      .select("key", "value", "timestamp", "__seq")
+    val next = Generation(g.version + 1, newClusterSize)
+    setGeneration(topic, next)
+    produce(topic, old) // stamps v+1; fresh watermark scope -> offsets from 0
     next
+  }
+
+  /** Background retention: sweep every topic on a fixed cadence — the
+    * reference's datalog cleaner loop (5-min cadence, 168 h default
+    * retention; `internal/data/datalog_cleaner.go:16-100`,
+    * `internal/conf/config.go:291-302`). Returns a handle; `close()` stops
+    * the sweeper. Maintenance path: must not run concurrently with a
+    * rescale of the same topic.
+    */
+  def startRetentionSweeper(
+      intervalMs: Long = 5 * 60 * 1000L,
+      retentionMs: Long = 168L * 3600 * 1000L): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-retention"); t.setDaemon(true); t
+    })
+    exec.scheduleWithFixedDelay(() => {
+      try {
+        val p = Paths.get(dataDir)
+        if (Files.exists(p)) {
+          Files.list(p).iterator().forEachRemaining { dir =>
+            val name = dir.getFileName.toString
+            if (name.startsWith("topic=")) {
+              val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
+              retentionSweep(name.stripPrefix("topic="), cutoff)
+            }
+          }
+        }
+      } catch { case _: Throwable => () } // sweep again next tick
+    }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => { exec.shutdownNow(); () }
   }
 
   // --------------------------------------------------------- meta tables
@@ -431,3 +608,9 @@ class TopicStore(
   private def scopeDir(scope: String): String =
     scope.replaceAll("[^A-Za-z0-9_/\\-]", "_")
 }
+
+/** A topic generation: the genVersion addressing dimension plus the ring
+  * size it was produced under (`internal/types/models.go:250-255` — a
+  * generation pins its topology until the next split/join).
+  */
+case class Generation(version: Int, clusterSize: Int)

@@ -49,7 +49,18 @@ class RestServer(
     readTimeoutMs: Long = 2 * 60 * 1000L,
     coalesceMs: Long = 50L,
     maxGroupBytes: Long = 2L * 1024 * 1024,
-    maxMessageBytes: Int = 1024 * 1024) { // POLAR_MAX_MESSAGE_SIZE default
+    maxMessageBytes: Int = 1024 * 1024, // POLAR_MAX_MESSAGE_SIZE default
+    // ConsumerReadThreshold analog (`internal/conf/config.go:278-280`): a
+    // poll serves at most this many bytes/records per partition and pages
+    // across polls via the deferred-commit staging — a first poll of an
+    // `earliest` group on a huge topic returns one bounded page, never the
+    // whole backlog into the driver heap
+    maxPollBytes: Long = 2L * 1024 * 1024,
+    maxPollRecords: Long = 8192L,
+    // advertised alongside the consumer/producer HTTP port when the binary
+    // producer server runs (discovery parity: the reference returns
+    // `producerBinaryPort`, `discoverer_client_service.go:30-124`)
+    producerBinaryPort: Int = 0) {
 
   // ------------------------------------------------------ produce pipeline
 
@@ -60,7 +71,7 @@ class RestServer(
 
   // ------------------------------------------------------- consumer state
 
-  private class Session(val group: String, val topics: Seq[String]) {
+  private class Session(val consumerId: String, val group: String, val topics: Seq[String]) {
     @volatile var lastSeen: Long = System.currentTimeMillis()
     // staged next-read positions from the LAST poll, commit deferred
     val pendingCommit: mutable.Map[String, Map[Int, Long]] = mutable.Map.empty
@@ -68,9 +79,11 @@ class RestServer(
 
   private val sessions = new java.util.concurrent.ConcurrentHashMap[String, Session]()
 
+  // commits carry the consumer as origin, so a reassigned partition's
+  // stale deferred commit is rejected instead of rewinding the offset
   private def commitPending(s: Session): Unit = s.synchronized {
     s.pendingCommit.foreach { case (topic, next) =>
-      if (next.nonEmpty) store.commit(s.group, topic, next)
+      if (next.nonEmpty) store.commit(s.group, topic, next, origin = s.consumerId)
     }
     s.pendingCommit.clear()
   }
@@ -161,7 +174,8 @@ class RestServer(
       case ("GET", "/v1/brokers") =>
         // single engine address: Spark schedules internally (C6 mapping)
         respond(ex, 200,
-          s"""{"length":1,"names":["localhost"],"producerPort":$boundPort,"consumerPort":$boundPort}""",
+          s"""{"length":1,"names":["localhost"],"producerPort":$boundPort""" +
+            s""","producerBinaryPort":$producerBinaryPort,"consumerPort":$boundPort}""",
           Map("Content-Type" -> "application/json"))
       case ("POST", TopicPath(topic)) => handleProduce(ex, topic)
       case ("PUT" | "POST", "/v1/consumer/register") => handleRegister(ex)
@@ -217,7 +231,7 @@ class RestServer(
       case _ => store.StartFrom.Latest
     }
     store.registry.register(group, cid, topics, policy)
-    sessions.put(cid, new Session(group, topics))
+    sessions.put(cid, new Session(cid, group, topics))
     metrics.activeConsumers.set(sessions.size.toLong)
     respond(ex, 200, "OK")
   }
@@ -238,7 +252,7 @@ class RestServer(
     * (topic, token, range) partition.
     */
   private case class PollItem(
-      topic: String, token: Long, range: Int, startOffset: Long,
+      topic: String, token: Long, range: Int, version: Int, startOffset: Long,
       records: Seq[(Long, Array[Byte])]) // (timestamp micros, body)
 
   private def handlePoll(ex: HttpExchange): Unit = consumer(ex).foreach { case (cid, s) =>
@@ -247,13 +261,18 @@ class RestServer(
 
       val items = mutable.ArrayBuffer.empty[PollItem]
       s.topics.foreach { topic =>
-        val rows = store.poll(s.group, topic, cid, autoCommit = false).collect()
+        // bounded page: the offset cap prunes the scan, the byte cap trims
+        // the response; the rest of the backlog ships on later polls
+        val rows = store.poll(s.group, topic, cid,
+          maxRecords = maxPollRecords, maxBytes = maxPollBytes,
+          autoCommit = false).collect()
         if (rows.nonEmpty) {
           rows.groupBy(_.getAs[Int]("part")).toSeq.sortBy(_._1).foreach { case (_, rs) =>
             val sorted = rs.sortBy(_.getAs[Long]("offset"))
             val head = sorted.head
             items += PollItem(
               topic, head.getAs[Long]("token"), head.getAs[Int]("range"),
+              head.getAs[Int]("version"),
               head.getAs[Long]("offset"),
               sorted.toIndexedSeq.map { r =>
                 val ts = r.getAs[java.sql.Timestamp]("timestamp")
@@ -281,7 +300,7 @@ class RestServer(
             val values = i.records.iterator
               .map(r => new String(r._2, UTF_8)).mkString(",")
             s"""{"topic":${jstr(i.topic)},"token":"${i.token}"""" +
-              s""","rangeIndex":${i.range},"version":1""" +
+              s""","rangeIndex":${i.range},"version":${i.version}""" +
               s""","startOffset":"${i.startOffset}","values":[$values]}"""
           }.mkString("[", ",", "]")
           respond(ex, 200, body, Map("Content-Type" -> "application/json"))
@@ -312,7 +331,7 @@ class RestServer(
       val payload = com.github.luben.zstd.Zstd.compress(raw.toByteArray)
       d.writeLong(i.token)
       d.writeByte(i.range)
-      d.writeInt(1) // generation version
+      d.writeInt(i.version) // generation version
       val t = i.topic.getBytes(UTF_8)
       d.writeByte(t.length); d.write(t)
       d.writeLong(i.startOffset)

@@ -43,7 +43,10 @@ class StreamingTopic(store: TopicStore) {
       .schema(store.recordSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"${store.root}/data")
-      .where(col("topic") === topic)
+      // pin the generation current at stream start: both predicates land
+      // on partition columns, so stale generations are pruned at scan
+      .where(col("topic") === topic &&
+        col("version") === store.generation(topic).version)
 }
 
 /** Streaming operators beyond the reference's surface (SURVEY §2.7 —

@@ -92,8 +92,8 @@ class EngineSpec extends AnyFunSuite {
     val store = freshStore()
     store.registry.register("g", "c-a", Seq("t"), store.StartFrom.Earliest)
     store.registry.register("g", "c-b", Seq("t"), store.StartFrom.Earliest)
-    val a = store.registry.assignment("g", "c-a")
-    val b = store.registry.assignment("g", "c-b")
+    val a = store.registry.assignment("g", "c-a", "t")
+    val b = store.registry.assignment("g", "c-b", "t")
     assert((a ++ b).sorted == (0 until 12))
     assert(a.intersect(b).isEmpty)
     assert(math.abs(a.size - b.size) <= 0)
@@ -217,24 +217,28 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("rescale 3 -> 6 brokers keeps every record and per-key order") {
+  test("rescale 3 -> 6 brokers opens generation v2 in place, keeps order") {
     val store = freshStore()
     val keys = Seq("123", "567", "234", "89", "alpha")
     val rows = (0 until 40).map(i => (keys(i % keys.size), s"m$i", ts(i)))
     store.produceStrings("t", rows)
 
-    // a second topic must ride along through the same rescale
+    // an untouched second topic stays on generation 1
     store.produceStrings("t2", Seq(("x", "other-topic", ts(0))))
 
-    val scaled = store.rescale(
-      Files.createTempDirectory("graft-engine-rescale").toString, 6)
-    scaled.registry.register("g2", "c2", Seq("t2"), scaled.StartFrom.Earliest)
-    assert(scaled.poll("g2", "t2", "c2").count() == 1L)
-    scaled.registry.register("g", "c", Seq("t"), scaled.StartFrom.Earliest)
-    val polled = scaled.poll("g", "t", "c").collect()
+    val gen2 = store.rescale("t", 6)
+    assert(gen2 == graft.engine.Generation(2, 6))
+    assert(store.generation("t").version == 2)
+    assert(store.generation("t2") == graft.engine.Generation(1, 3))
+    store.registry.register("g2", "c2", Seq("t2"), store.StartFrom.Earliest)
+    assert(store.poll("g2", "t2", "c2").count() == 1L)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
     assert(polled.length == 40)
 
-    // the new ring has 6 broker tokens; records redistribute under it
+    // every delivered record carries the new generation version, and the
+    // new ring's 6 broker tokens redistribute the records
+    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(2))
     val tokens = polled.map(_.getAs[Long]("token")).distinct
     assert(tokens.length > 1)
 
@@ -287,6 +291,102 @@ class EngineSpec extends AnyFunSuite {
         assert(offs.toSeq == (0L until offs.length.toLong), s"seed $seed part $p gap")
       }
     }
+  }
+
+  test("poll pages under maxRecords/maxBytes with offset continuity") {
+    // record cap: 20 one-partition records drained in pages of <= 6
+    val store = freshStore()
+    store.produceStrings("t", (0 until 20).map(i => ("k", f"m$i%02d", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    var seen = Seq.empty[Long]
+    var guard = 0
+    var page = store.poll("g", "t", "c", maxRecords = 6).collect()
+    while (page.nonEmpty && guard < 10) {
+      assert(page.length <= 6)
+      seen ++= page.map(_.getAs[Long]("offset")).sorted
+      page = store.poll("g", "t", "c", maxRecords = 6).collect()
+      guard += 1
+    }
+    assert(seen == (0L until 20L), s"pages not contiguous: $seen")
+
+    // byte cap: 100-byte bodies, 350-byte budget -> 4-record pages (the
+    // boundary record ships), still drains completely
+    val store2 = freshStore()
+    store2.produceStrings("t", (0 until 10).map(i => ("k", "y" * 100, ts(i))))
+    store2.registry.register("g", "c", Seq("t"), store2.StartFrom.Earliest)
+    val first = store2.poll("g", "t", "c", maxBytes = 350).collect()
+    assert(first.length == 4, s"expected 4-record page, got ${first.length}")
+    var total = first.length
+    var g2 = 0
+    var pg = store2.poll("g", "t", "c", maxBytes = 350).collect()
+    while (pg.nonEmpty && g2 < 10) {
+      total += pg.length
+      pg = store2.poll("g", "t", "c", maxBytes = 350).collect()
+      g2 += 1
+    }
+    assert(total == 10)
+  }
+
+  test("stale commit from a reassigned consumer never rewinds offsets") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"m$i", ts(i))))
+    store.registry.register("g", "c1", Seq("t"), store.StartFrom.Earliest)
+    // c1 reads everything but defers its commit (the serving-path shape)
+    val c1Rows = store.poll("g", "t", "c1", autoCommit = false).collect()
+    assert(c1Rows.nonEmpty)
+    // rebalance: c2 joins, reads its share, auto-commits as the new reader
+    store.registry.register("g", "c2", Seq("t"), store.StartFrom.Earliest)
+    store.poll("g", "t", "c2").collect()
+    val afterC2 = store.groupOffsets("g", "t")
+    val c2Parts = store.registry.assignment("g", "c2", "t").toSet
+    assert(c2Parts.nonEmpty)
+
+    // c1's late commit: a rewind to 0 AND an overshoot on c2's partitions
+    // must both be rejected — c2 read them since (origin check)
+    val rewind = store.commit("g", "t", c2Parts.map(_ -> 0L).toMap, origin = "c1")
+    assert(rewind.isEmpty)
+    val overshoot = store.commit("g", "t",
+      c2Parts.map(p => p -> (afterC2.getOrElse(p, 0L) + 100L)).toMap, origin = "c1")
+    assert(overshoot.isEmpty)
+    val after = store.groupOffsets("g", "t")
+    c2Parts.foreach { p =>
+      assert(after.getOrElse(p, 0L) == afterC2.getOrElse(p, 0L), s"part $p moved")
+    }
+  }
+
+  test("fresh store over the same root resumes a group's policy and offsets") {
+    val root = Files.createTempDirectory("graft-engine-persist").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", (0 until 10).map(i => (s"k$i", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    store.poll("g", "t", "c").collect() // consume all, auto-commit
+    store.produceStrings("t", Seq(("k0", "late", ts(100))))
+
+    val store2 = new TopicStore(spark, root) // driver restart
+    assert(store2.registry.policy("g") == store2.StartFrom.Earliest)
+    // re-registration must NOT reset the persisted policy to the default
+    store2.registry.register("g", "c-new", Seq("t"))
+    assert(store2.registry.policy("g") == store2.StartFrom.Earliest)
+    val out = store2.poll("g", "t", "c-new").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+    assert(out.toSeq == Seq("late")) // committed offsets, not a policy restart
+  }
+
+  test("scheduled retention sweeper reclaims expired files") {
+    val store = freshStore()
+    store.produceStrings("t", Seq(("a", "old", ts(0)))) // 2023 timestamp
+    def files(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store.dataDir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+    }
+    assert(files() > 0)
+    val sweeper = store.startRetentionSweeper(intervalMs = 150L, retentionMs = 1000L)
+    try {
+      var waited = 0
+      while (files() > 0 && waited < 20000) { Thread.sleep(250); waited += 250 }
+      assert(files() == 0, "sweeper never reclaimed the expired files")
+    } finally sweeper.close()
   }
 
   test("compaction merges small files and preserves records + offsets") {

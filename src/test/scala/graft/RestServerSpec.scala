@@ -259,6 +259,45 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("poll pages the backlog under the read threshold with continuity") {
+    // ConsumerReadThreshold behavior: backlog >> page size, so the first
+    // poll returns a bounded page and successive polls drain the rest in
+    // offset order via the deferred-commit staging
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-rest-page").toString)
+    val server = new RestServer(store, port = 0, coalesceMs = 20L,
+      maxPollRecords = 4L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // 20 records on ONE key = one partition, offsets 0..19
+      for (i <- 0 until 20)
+        assert(send(base, "POST",
+          s"/v1/topic/pg/messages?partitionKey=k&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""").statusCode() == 200)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cp&group=gp&topic=pg&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+
+      var all = Vector.empty[Int]
+      var starts = Vector.empty[Long]
+      var code = 200
+      var guard = 0
+      while (code == 200 && guard < 10) {
+        val r = send(base, "POST", "/v1/consumer/poll?consumerId=cp")
+        code = r.statusCode()
+        if (code == 200) {
+          val page = """\{"i":(\d+)\}""".r.findAllMatchIn(r.body()).map(_.group(1).toInt).toVector
+          assert(page.length <= 4, s"page over threshold: $page")
+          starts :+= """"startOffset":"(\d+)"""".r.findFirstMatchIn(r.body()).get.group(1).toLong
+          all ++= page
+        }
+        guard += 1
+      }
+      assert(code == 204) // drained
+      assert(all == (0 until 20).toVector, s"lost or reordered: $all")
+      assert(starts == Vector(0L, 4L, 8L, 12L, 16L)) // contiguous pages
+    } finally server.stop()
+  }
+
   test("R11: idle consumers are evicted; next poll answers 409") {
     val server = startServer(readTimeoutMs = 150L)
     val base = s"http://localhost:${server.boundPort}"
