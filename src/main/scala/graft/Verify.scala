@@ -15,6 +15,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+
+    // fixtures for the hash-dependent oracles (q17/q25): murmur3 is
+    // deterministic (checked against the reference's vectors in
+    // Murmur3Spec) but not SQL-expressible; dumping the token map lets
+    // the DuckDB oracle verify everything downstream of the hash (ring
+    // placement arithmetic, normalization, joins, aggregation). The SQL
+    // references this fixed absolute path.
+    {
+      import org.apache.spark.sql.functions._
+      import graft.functions.murmur3_token
+      val fixDir = "/tmp/graft_fixtures"
+      Graft.events(spark, sfDir).select(col("user_id")).distinct()
+        .withColumn("token", murmur3_token(col("user_id").cast("string")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/token_map")
+      Graft.table(spark, sfDir, "documents")
+        .select(regexp_replace(lower(col("text")), "\\s+", " ").as("norm")).distinct()
+        .withColumn("fingerprint", murmur3_token(col("norm")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/doc_fingerprints")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

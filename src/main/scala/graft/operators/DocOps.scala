@@ -315,14 +315,29 @@ object DocOps {
 
   // ---------------------------------------------------------------- q25
   /** Document fingerprint: murmur3-x64 of the normalized text (the
-    * reference's own hash function repurposed as content address). Not
-    * SQL-expressible; unit vectors + rows-only check.
+    * reference's own hash function repurposed as content address). The
+    * hash isn't SQL-expressible, so Verify dumps the (normalized text,
+    * fingerprint) map as a fixture parquet; the DuckDB oracle recomputes
+    * the NORMALIZATION itself and joins the fixture on the normalized
+    * string, independently verifying everything downstream of the hash
+    * (the hash itself is covered by the reference's vectors in
+    * Murmur3Spec).
     */
   val q25: Q = (s, d) =>
     docs(s, d)
       .select(col("doc_id"),
         murmur3_token(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
       .orderBy("doc_id")
+
+  val q25Sql: String =
+    """WITH fp AS (
+      |  SELECT norm, fingerprint
+      |  FROM read_parquet('/tmp/graft_fixtures/doc_fingerprints/*.parquet')),
+      |d AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+      |  FROM documents)
+      |SELECT doc_id, fingerprint FROM d JOIN fp USING (norm)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** Multimodal plumbing: text -> opaque binary payload -> per-partition
@@ -367,7 +382,7 @@ object DocOps {
     ("q22_lang_id", q22, Some(q22Sql)),
     ("q23_quality_score", q23, Some(q23Sql)),
     ("q24_token_stats", q24, Some(q24Sql)),
-    ("q25_fingerprint", q25, None),
+    ("q25_fingerprint", q25, Some(q25Sql)),
     ("q26_multimodal_stub", q26, Some(q26Sql))
   )
 }

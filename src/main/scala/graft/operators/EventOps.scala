@@ -120,8 +120,13 @@ object EventOps {
 
   // ---------------------------------------------------------------- q17
   /** Token routing stats: murmur3 partition token per key + ring placement
-    * over a 3-broker × 4-range ring. Not SQL-expressible (64-bit murmur3) —
-    * covered by unit vectors + rows-only check.
+    * over a 3-broker × 4-range ring. The 64-bit murmur3 itself is not
+    * SQL-expressible, so Verify dumps the (user_id, token) map as a
+    * fixture parquet (the hash is deterministic and checked against the
+    * reference's published vectors in Murmur3Spec); the DuckDB oracle then
+    * recomputes the RING PLACEMENT from the token with its own integer
+    * arithmetic — broker index, range index, ordinal — so everything
+    * downstream of the hash is independently verified.
     */
   val q17: Q = (s, d) => {
     val e = Graft.events(s, d).withColumn("key", col("user_id").cast("string"))
@@ -132,11 +137,40 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  val q17Sql: String = {
+    import graft.core.TokenRing
+    // ring constants for clusterSize=3, rangesPerToken=4 (token.go:49-72
+    // math, interpolated so the SQL always matches TokenRing)
+    val t1 = TokenRing.tokenAtIndex(3, 1)
+    val t2 = TokenRing.tokenAtIndex(3, 2)
+    val slice = TokenRing.ChunkSizeUnit * (TokenRing.MaxRingSize / 3).toLong
+    val rangeSize = java.lang.Long.divideUnsigned(slice, 4L)
+    s"""WITH tm AS (
+       |  SELECT user_id, token
+       |  FROM read_parquet('/tmp/graft_fixtures/token_map/*.parquet')),
+       |placed AS (
+       |  SELECT user_id, token,
+       |    CASE WHEN token >= $t2 THEN 2 WHEN token >= $t1 THEN 1 ELSE 0 END AS bidx,
+       |    CASE WHEN token >= $t2 THEN CAST($t2 AS HUGEINT)
+       |         WHEN token >= $t1 THEN CAST($t1 AS HUGEINT)
+       |         ELSE CAST(${Long.MinValue} AS HUGEINT) END AS tstart
+       |  FROM tm),
+       |parts AS (
+       |  SELECT user_id, token,
+       |    CAST(bidx * 4 + (CASE WHEN r >= 4 THEN 0 ELSE r END) AS INT) AS part
+       |  FROM (SELECT user_id, token, bidx,
+       |          CAST((CAST(token AS HUGEINT) - tstart) // $rangeSize AS INT) AS r
+       |        FROM placed))
+       |SELECT e.user_id, p.token, p.part, COUNT(*) AS n
+       |FROM events e JOIN parts p USING (user_id)
+       |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
     ("q15_sessionize", q15, Some(q15Sql)),
     ("q16_per_key_order", q16, Some(q16Sql)),
-    ("q17_token_routing", q17, None)
+    ("q17_token_routing", q17, Some(q17Sql))
   )
 }
