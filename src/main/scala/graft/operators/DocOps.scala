@@ -122,12 +122,20 @@ object DocOps {
     * (pairs are either >= 0.9 or <= 0.1) the verified output equals the
     * exhaustive q19 — which is exactly what the oracle asserts.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Returns (verified pair set, cached shingle handle): the caller
+    * materializes the pairs, then unpersists the shingle cache.
+    */
+  private def minhashPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val numPerms = 64
     val bands = 16
     val rows = numPerms / bands
     val mh = udaf(new MinHashAgg(numPerms, seed = 42L), Encoders.scalaLong)
 
+    // the hashed shingle set feeds three consumers (signatures, sizes,
+    // exact verification) inside ONE plan — Spark reuses the distinct's
+    // exchange output (ReusedExchange) across them, so no explicit persist:
+    // a cache here would serialize the set into storage and block
+    // whole-stage codegen for zero avoided recompute
     val sh = shingles(docs(s, d)).withColumn("h", murmur3_token(col("shingle")))
     val sigs = sh.groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
 
@@ -155,12 +163,13 @@ object DocOps {
         col("doc_b") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
-    inter
+    val pairs = inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
+    (pairs, sh)
   }
 
   /** Memoized, eagerly-materialized verified pair set — the expensive step
@@ -174,7 +183,8 @@ object DocOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[operators] def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.computeIfAbsent((s, d), _ => minhashPairs(s, d).localCheckpoint(true))
+    pairsMemo.computeIfAbsent((s, d), _ =>
+      minhashPairs(s, d)._1.localCheckpoint(true)) // eager: pipeline runs HERE
 
   val q20: Q = (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b")
 
@@ -340,32 +350,27 @@ object DocOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q26
-  /** Multimodal plumbing: text -> opaque binary payload -> per-partition
-    * "decode" stub -> typed metadata. The decode is a deterministic fake
-    * (container has no image/audio libs); the Spark side — binary column,
-    * typed Dataset, mapPartitions batch shape, schema — is real.
+  /** Multimodal plumbing: text -> opaque binary payload -> typed metadata.
+    * The "decode" is a deterministic fake (container has no image/audio
+    * libs) whose arithmetic is pure column expressions over the binary
+    * column, so the whole stage stays inside whole-stage codegen — the
+    * batched-UDF shape a REAL decoder needs (per-partition library state,
+    * mapInPandas-style batches) lives in q46, which is the legitimate
+    * escape hatch; metadata that is expressible as columns should never
+    * leave codegen for it.
     */
-  val q26: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val payloads = docs(s, d)
+  val q26: Q = (s, d) =>
+    docs(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    payloads.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        // stub decode: metadata derived from the bytes alone
-        val width = 64L + (bytes.length % 512)
-        val height = 64L + ((bytes(0) & 0xff) % 64)
-        val fmt = (bytes.length % 3) match {
-          case 0 => "jpeg"
-          case 1 => "png"
-          case _ => "webp"
-        }
-        (id, width, height, fmt)
-      }
-    }.toDF("doc_id", "width", "height", "format")
+      .select(
+        col("doc_id"),
+        (length(col("payload")).cast("long") % 512L + 64L).as("width"),
+        // first payload byte (ASCII text: first char's code point)
+        (ascii(decode(col("payload"), "UTF-8")).cast("long") % 64L + 64L).as("height"),
+        when(length(col("payload")) % 3 === 0, "jpeg")
+          .when(length(col("payload")) % 3 === 1, "png")
+          .otherwise("webp").as("format"))
       .orderBy("doc_id")
-  }
 
   val q26Sql: String =
     """SELECT doc_id,

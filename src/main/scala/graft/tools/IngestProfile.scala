@@ -68,6 +68,32 @@ object IngestProfile {
         .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$tmp/full")
     }
 
+    // SPARK_GRAFT_SMALL_BATCHES=N: produce N tiny batches to one store and
+    // compare the first vs last quartile's mean produce time — the cost
+    // must stay FLAT as the topic's file count grows (watermarks derive
+    // from the batch, never from a listing of the topic dir; a linear
+    // growth here is the O(files) regression this guards against).
+    sys.env.get("SPARK_GRAFT_SMALL_BATCHES").map(_.toInt).foreach { n =>
+      import spark.implicits._
+      val store = new graft.engine.TopicStore(spark,
+        java.nio.file.Files.createTempDirectory("ingest-small").toString)
+      val times = (0 until n).map { b =>
+        val batch = (0 until 8).map(i =>
+          (s"k${i % 4}", s"b$b-m$i", new java.sql.Timestamp(1700000000000L + b * 1000L + i)))
+          .toDF("key", "svalue", "timestamp")
+          .withColumn("value", encode(col("svalue"), "UTF-8"))
+          .select("key", "value", "timestamp")
+        val t0 = System.nanoTime()
+        store.produce("small", batch)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val q = n / 4
+      val head = times.take(q).sum / q
+      val tail = times.takeRight(q).sum / q
+      println(f"[profile] small-batch produce: first-quartile mean ${head}%.3f s, " +
+        f"last-quartile mean ${tail}%.3f s, ratio ${tail / head}%.2f")
+    }
+
     spark.stop()
   }
 }
