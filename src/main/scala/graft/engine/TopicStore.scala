@@ -540,6 +540,8 @@ class TopicStore(
     */
   def rescale(topic: String, newClusterSize: Int): Generation = {
     val g = generation(topic)
+    val oldHigh = producerOffsets(topic)
+    val drained = drainedGroups(topic, g, oldHigh)
     val old = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic && col("version") === g.version)
       // old (part, offset) becomes the produce-order tiebreak, so the
@@ -549,7 +551,34 @@ class TopicStore(
     val next = Generation(g.version + 1, newClusterSize)
     setGeneration(topic, next)
     produce(topic, old) // stamps v+1; fresh watermark scope -> offsets from 0
+    // offset continuity for drained groups (the reference's OffsetCompleted
+    // projection, `offset_state.go` split/join): a group that had consumed
+    // the WHOLE old generation starts at the new generation's watermarks —
+    // nothing is re-delivered to it. Partially-consumed groups re-read
+    // under their start policy (at-least-once; the reference's discipline
+    // is drain-before-rescale precisely so this set is empty).
+    val newHigh = producerOffsets(topic)
+    drained.foreach(group => commit(group, topic, newHigh))
     next
+  }
+
+  /** Groups whose committed offsets cover every produced record of the
+    * topic's generation `g` (metadata-only: two small offset maps each).
+    */
+  private def drainedGroups(topic: String, g: Generation, high: Map[Int, Long]): Seq[String] = {
+    val dir = Paths.get(groupMeta)
+    if (!Files.exists(dir)) return Seq.empty
+    val groups = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    groups.forEachRemaining { gdir =>
+      val group = gdir.getFileName.toString
+      if (Files.exists(gdir.resolve(scopeDir(topic)).resolve(s"v${g.version}"))) {
+        val committed = groupOffsets(group, topic)
+        val covered = high.forall { case (p, hw) => committed.getOrElse(p, 0L) >= hw }
+        if (covered) out += group
+      }
+    }
+    out.toSeq
   }
 
   /** Background retention: sweep every topic on a fixed cadence — the

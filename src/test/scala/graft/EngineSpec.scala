@@ -260,6 +260,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rescale projects offsets for drained groups; undrained re-read") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"m$i", ts(i))))
+    store.registry.register("gd", "c1", Seq("t"), store.StartFrom.Earliest)
+    store.poll("gd", "t", "c1").collect() // drains gen 1, auto-commits
+    store.registry.register("gu", "c2", Seq("t"), store.StartFrom.Earliest)
+    // gu never polls before the rescale -> undrained
+
+    store.rescale("t", 6)
+    // drained group: nothing re-delivered from the rewritten generation
+    assert(store.poll("gd", "t", "c1").collect().isEmpty)
+    // but new-generation produce flows to it
+    store.produceStrings("t", Seq(("k0", "fresh", ts(100))))
+    val out = store.poll("gd", "t", "c1").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+    assert(out.toSeq == Seq("fresh"))
+    // undrained group re-reads everything under its Earliest policy
+    assert(store.poll("gu", "t", "c2").collect().length == 21)
+  }
+
   test("randomized: arbitrary key sets keep order, contiguity, and counts") {
     // generative engine invariant (SURVEY §5 carry-over) — three seeded
     // shapes: many keys few records, few keys many records, skewed
