@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, Murmur3Token, RingPartitionsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ring_partitions"),
       new ExpressionInfo(RingPartitionsTable.getClass.getName, "ring_partitions"),
       (exprs: Seq[Expression]) => RingPartitionsTable.plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("topic_records"),
+      new ExpressionInfo(TopicRecordsTable.getClass.getName, "topic_records"),
+      (exprs: Seq[Expression]) => TopicRecordsTable.plan(exprs)))
   }
 }

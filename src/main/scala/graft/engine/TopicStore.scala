@@ -41,7 +41,10 @@ class TopicStore(
 
   import spark.implicits._
 
-  private[graft] val dataDir = s"$root/data"
+  /** The partitioned log directory (public: the SQL `topic_records` TVF
+    * and external readers address it).
+    */
+  val dataDir = s"$root/data"
   private val producerMeta = s"$root/_meta/producer_offsets"
   private val groupMeta = s"$root/_meta/group_offsets"
   private val genMeta = s"$root/_meta/generations"

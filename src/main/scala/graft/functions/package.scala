@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, Murmur3Token}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -22,12 +22,19 @@ package object functions {
   def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
 
-  /** Register graft functions for SQL use on an existing session. */
+  /** Register graft functions (scalar + table-valued) for SQL use on an
+    * existing session — the same set `GraftExtensions` injects.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "murmur3_token", exprs => Murmur3Token(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    val tvf = spark.sessionState.tableFunctionRegistry
+    tvf.createOrReplaceTempFunction(
+      "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")
+    tvf.createOrReplaceTempFunction(
+      "topic_records", exprs => TopicRecordsTable.plan(exprs), "built-in")
   }
 }

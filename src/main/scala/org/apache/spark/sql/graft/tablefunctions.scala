@@ -5,10 +5,13 @@
   */
 package org.apache.spark.sql.graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.TokenRing
 
@@ -39,5 +42,33 @@ object RingPartitionsTable {
         AttributeReference("token", LongType, nullable = false)(),
         AttributeReference("range", IntegerType, nullable = false)()),
       rows)
+  }
+}
+
+/** `SELECT * FROM topic_records('<store root>', '<topic>')` — a topic's
+  * current-generation log as a SQL relation: the record envelope
+  * (key, value, timestamp, part, offset, topic, token, range, version)
+  * straight off the partitioned parquet layout. Both predicates land on
+  * partition columns, so other topics and stale generations are pruned at
+  * scan, and any WHERE the query adds pushes down like a normal parquet
+  * read. The Spark face of the reference's "a topic IS a table" data
+  * model — no registration or DDL, mirroring topics.go auto-creation.
+  */
+object TopicRecordsTable {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2,
+      "topic_records(root, topic) takes two string literals")
+    val Seq(root, topic) = exprs.map {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"topic_records arguments must be string literals, got $other")
+    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("topic_records requires an active SparkSession"))
+    val store = new graft.engine.TopicStore(spark, root)
+    val g = store.generation(topic)
+    spark.read.schema(store.recordSchema).parquet(store.dataDir)
+      .where(col("topic") === topic && col("version") === g.version)
+      .queryExecution.logical
   }
 }

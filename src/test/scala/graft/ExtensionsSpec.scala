@@ -36,6 +36,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ring.map(_.getInt(2)).toSeq == Seq(0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3))
       val planParts = graft.core.TokenRing.allPartitions(3, 4)
       assert(ring.map(r => (r.getLong(1), r.getInt(2))).toSeq == planParts)
+
+      // topic_records TVF: a produced topic is queryable straight from SQL
+      val root = java.nio.file.Files.createTempDirectory("graft-ext-topic").toString
+      val store = new graft.engine.TopicStore(spark, root)
+      store.produceStrings("t",
+        (0 until 6).map(i => (s"k${i % 2}", s"m$i",
+          new java.sql.Timestamp(1700000000000L + i * 1000L))))
+      val rows = spark.sql(
+        s"SELECT key, CAST(value AS STRING) AS v, offset FROM topic_records('$root', 't') " +
+          "ORDER BY part, offset").collect()
+      assert(rows.length == 6)
+      assert(rows.map(_.getString(1)).toSet == (0 until 6).map(i => s"m$i").toSet)
+      // WHERE on the envelope composes (and lands on the scan)
+      val one = spark.sql(
+        s"SELECT count(*) FROM topic_records('$root', 't') WHERE key = 'k0'")
+        .head().getLong(0)
+      assert(one == 3L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
