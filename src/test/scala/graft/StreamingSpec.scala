@@ -70,6 +70,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("k1", "k2"))
   }
 
+  test("topic readStream pins the current generation after a rescale") {
+    import spark.implicits._
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-stream3").toString)
+    store.produceStrings("t", (0 until 6).map(i => (s"k$i", s"m$i", ts(i))))
+    store.rescale("t", 6) // v1 files remain on disk until retention
+
+    val streaming = new StreamingTopic(store)
+    val q = streaming.stream("t")
+      .writeStream.format("memory").queryName("topic_gen_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // only the 6 generation-2 records — the stale v1 dirs are pruned, so
+    // the same data is not delivered twice
+    val got = spark.sql("SELECT version, key FROM topic_gen_out").collect()
+    assert(got.length == 6, s"stale generation leaked: ${got.length} rows")
+    assert(got.map(_.getInt(0)).distinct.toSeq == Seq(2))
+  }
+
   test("watermarked windowed aggregation over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
