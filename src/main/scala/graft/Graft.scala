@@ -38,6 +38,18 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** A topic's current-generation log as a DataFrame — the programmatic
+    * twin of the `topic_records(root, topic)` SQL TVF: record envelope
+    * off the partitioned layout, other topics and stale generations
+    * pruned at scan.
+    */
+  def topic(spark: SparkSession, root: String, name: String): DataFrame = {
+    val store = new engine.TopicStore(spark, root)
+    spark.read.schema(store.recordSchema).parquet(store.dataDir)
+      .where(col("topic") === name &&
+        col("version") === store.generation(name).version)
+  }
+
   /** `events` with `ts` normalized to TimestampType (micros). The file
     * stores int64 nanos; with nanosAsLong we get a LongType to convert.
     * Keeps full ordering fidelity (ties broken by event_id downstream).
