@@ -267,11 +267,13 @@ class TopicStore(
       if (maxBytes == Long.MaxValue) scanned
       else {
         // bytes BEFORE this record per partition < maxBytes -> the first
-        // record always ships; the boundary record ships once
+        // record always ships; the boundary record ships once. Null
+        // bodies count as 0 bytes (a null-valued record must still ship,
+        // or the committed position would skip it forever).
+        val len = coalesce(length(col("value")).cast("long"), lit(0L))
         val wb = Window.partitionBy(col("part")).orderBy(col("offset"))
         scanned
-          .withColumn("__before",
-            sum(length(col("value")).cast("long")).over(wb) - length(col("value")))
+          .withColumn("__before", sum(len).over(wb) - len)
           .filter(col("__before") < maxBytes)
           .drop("__before")
       }
@@ -302,11 +304,16 @@ class TopicStore(
     * origin is the trusted admin path (no ownership check; monotonicity
     * still holds). Returns the accepted subset.
     */
+  // serializes the commit read-modify-write: REST pool threads commit
+  // concurrently, and an unsynchronized interleaving could publish a
+  // stale map that silently rewinds another consumer's partitions
+  private val commitLock = new Object
+
   def commit(
       group: String,
       topic: String,
       next: Map[Int, Long],
-      origin: String = ""): Map[Int, Long] = {
+      origin: String = ""): Map[Int, Long] = commitLock.synchronized {
     val cur = groupOffsets(group, topic)
     val accepted = next.filter { case (p, off) =>
       val reader = lastReaders.get((group, topic, p))
@@ -326,9 +333,37 @@ class TopicStore(
 
   /** High watermark per partition (R8 max-produced-offset), current
     * generation: offsets restart per genVersion (`coalescer.go:124-135`).
+    *
+    * First access per (topic, generation) reconciles the persisted
+    * watermark against the files actually on disk: a produce that
+    * appended data but crashed before advancing the watermark would
+    * otherwise reissue the same offsets on restart, breaking per-partition
+    * contiguity. The reconcile scan's offset predicate sits on parquet
+    * row-group stats, so for a healthy store it reads footers only; it
+    * runs once per store lifetime, not per produce.
     */
-  def producerOffsets(topic: String): Map[Int, Long] =
-    readOffsets(producerMeta, producerScope(topic))
+  def producerOffsets(topic: String): Map[Int, Long] = {
+    val scope = producerScope(topic)
+    if (reconciled.add(scope) && Files.exists(Paths.get(dataDir))) {
+      val persisted = readOffsets(producerMeta, scope)
+      val g = generation(topic)
+      val pred = (0 until partsOf(g)).map { p =>
+        col("part") === p && col("offset") >= persisted.getOrElse(p, 0L)
+      }.reduce(_ || _)
+      val orphans = spark.read.schema(recordSchema).parquet(dataDir)
+        .where(col("topic") === topic && col("version") === g.version && pred)
+        .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
+        .as[(Int, Long)].collect().toMap
+      val healed = persisted ++ orphans.map { case (p, n) =>
+        p -> math.max(n, persisted.getOrElse(p, 0L))
+      }
+      if (healed != persisted) writeOffsets(producerMeta, scope, healed)
+    }
+    readOffsets(producerMeta, scope)
+  }
+
+  private val reconciled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Per-partition consumer lag: high watermark minus committed next-read
     * (the operational metric every broker exposes; derived from the same
@@ -571,16 +606,16 @@ class TopicStore(
   private def drainedGroups(topic: String, g: Generation, high: Map[Int, Long]): Seq[String] = {
     val dir = Paths.get(groupMeta)
     if (!Files.exists(dir)) return Seq.empty
-    val groups = Files.list(dir).iterator()
     val out = scala.collection.mutable.ListBuffer.empty[String]
-    groups.forEachRemaining { gdir =>
+    val stream = Files.list(dir)
+    try stream.iterator().forEachRemaining { gdir =>
       val group = gdir.getFileName.toString
       if (Files.exists(gdir.resolve(scopeDir(topic)).resolve(s"v${g.version}"))) {
         val committed = groupOffsets(group, topic)
         val covered = high.forall { case (p, hw) => committed.getOrElse(p, 0L) >= hw }
         if (covered) out += group
       }
-    }
+    } finally stream.close()
     out.toSeq
   }
 
@@ -601,13 +636,14 @@ class TopicStore(
       try {
         val p = Paths.get(dataDir)
         if (Files.exists(p)) {
-          Files.list(p).iterator().forEachRemaining { dir =>
+          val stream = Files.list(p)
+          try stream.iterator().forEachRemaining { dir =>
             val name = dir.getFileName.toString
             if (name.startsWith("topic=")) {
               val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
               retentionSweep(name.stripPrefix("topic="), cutoff)
             }
-          }
+          } finally stream.close()
         }
       } catch { case _: Throwable => () } // sweep again next tick
     }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)

@@ -122,10 +122,7 @@ object DocOps {
     * (pairs are either >= 0.9 or <= 0.1) the verified output equals the
     * exhaustive q19 — which is exactly what the oracle asserts.
     */
-  /** Returns (verified pair set, cached shingle handle): the caller
-    * materializes the pairs, then unpersists the shingle cache.
-    */
-  private def minhashPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val numPerms = 64
     val bands = 16
     val rows = numPerms / bands
@@ -163,13 +160,12 @@ object DocOps {
         col("doc_b") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
-    val pairs = inter
+    inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-    (pairs, sh)
   }
 
   /** Memoized, eagerly-materialized verified pair set — the expensive step
@@ -183,8 +179,8 @@ object DocOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private[operators] def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.computeIfAbsent((s, d), _ =>
-      minhashPairs(s, d)._1.localCheckpoint(true)) // eager: pipeline runs HERE
+    Memo.get(pairsMemo, s, d)(
+      minhashPairs(s, d).localCheckpoint(true)) // eager: pipeline runs HERE
 
   val q20: Q = (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b")
 
@@ -378,6 +374,21 @@ object DocOps {
       |  CAST(64 + (ascii(text) % 64) AS BIGINT) AS height,
       |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Session-scoped DataFrame memo shared by the curation-pipeline
+    * operators: entries for stopped sessions are evicted on every access,
+    * so checkpoint blocks and session references do not outlive their
+    * SparkContext.
+    */
+  private[operators] object Memo {
+    def get(
+        memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+        s: SparkSession,
+        d: String)(f: => DataFrame): DataFrame = {
+      memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      memo.computeIfAbsent((s, d), _ => f)
+    }
+  }
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),

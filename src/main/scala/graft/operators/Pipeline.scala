@@ -61,7 +61,7 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def dupLabels(s: SparkSession, d: String): DataFrame =
-    labelsMemo.computeIfAbsent((s, d), _ => computeDupLabels(s, d))
+    DocOps.Memo.get(labelsMemo, s, d)(computeDupLabels(s, d))
 
   private def computeDupLabels(s: SparkSession, d: String): DataFrame = {
     // edge source is the LSH-candidates-then-verify path (q20), not the

@@ -74,6 +74,7 @@ object IngestProfile {
     // from the batch, never from a listing of the topic dir; a linear
     // growth here is the O(files) regression this guards against).
     sys.env.get("SPARK_GRAFT_SMALL_BATCHES").map(_.toInt).foreach { n =>
+      require(n >= 4, s"SPARK_GRAFT_SMALL_BATCHES must be >= 4 (got $n): quartiles need data")
       import spark.implicits._
       val store = new graft.engine.TopicStore(spark,
         java.nio.file.Files.createTempDirectory("ingest-small").toString)

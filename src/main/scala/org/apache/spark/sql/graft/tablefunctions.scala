@@ -9,7 +9,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -65,10 +64,7 @@ object TopicRecordsTable {
     }
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("topic_records requires an active SparkSession"))
-    val store = new graft.engine.TopicStore(spark, root)
-    val g = store.generation(topic)
-    spark.read.schema(store.recordSchema).parquet(store.dataDir)
-      .where(col("topic") === topic && col("version") === g.version)
-      .queryExecution.logical
+    // single source of truth for the current-generation read rule
+    graft.Graft.topic(spark, root, topic).queryExecution.logical
   }
 }

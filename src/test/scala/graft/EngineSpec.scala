@@ -370,6 +370,51 @@ class EngineSpec extends AnyFunSuite {
     assert(total == 10)
   }
 
+  test("watermark reconciliation heals a produce that died before the offset write") {
+    val root = Files.createTempDirectory("graft-engine-heal").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", (0 until 10).map(i => ("k", s"m$i", ts(i))))
+    // simulate the crash window: data files landed, watermark never advanced
+    val meta = java.nio.file.Paths.get(s"$root/_meta/producer_offsets")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(meta).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+
+    val store2 = new TopicStore(spark, root) // restart
+    store2.produceStrings("t", Seq(("k", "after", ts(100))))
+    store2.registry.register("g", "c", Seq("t"), store2.StartFrom.Earliest)
+    val polled = store2.poll("g", "t", "c").collect()
+    assert(polled.length == 11, "offset collision dropped or duplicated records")
+    polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+      val offs = rs.map(_.getAs[Long]("offset")).sorted
+      assert(offs.toSeq == (0L until offs.length.toLong),
+        s"part $p offsets not contiguous/unique after heal: ${offs.toSeq}")
+    }
+  }
+
+  test("byte-capped poll still delivers null-valued records") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val store = freshStore()
+    val df = spark.range(6).toDF("i")
+      .select(
+        lit("k").as("key"),
+        when(col("i") =!= 2L, org.apache.spark.sql.functions.encode(
+          org.apache.spark.sql.functions.concat(lit("m"), col("i")), "UTF-8")).as("value"),
+        org.apache.spark.sql.functions.timestamp_millis(lit(1700000000000L) + col("i") * 1000L)
+          .as("timestamp"))
+    store.produce("t", df)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    var seen = Seq.empty[Long]
+    var guard = 0
+    var page = store.poll("g", "t", "c", maxBytes = 5).collect()
+    while (page.nonEmpty && guard < 12) {
+      seen ++= page.map(_.getAs[Long]("offset")).sorted
+      page = store.poll("g", "t", "c", maxBytes = 5).collect()
+      guard += 1
+    }
+    assert(seen == (0L until 6L), s"null-valued record skipped: $seen")
+  }
+
   test("stale commit from a reassigned consumer never rewinds offsets") {
     val store = freshStore()
     store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"m$i", ts(i))))
