@@ -33,6 +33,13 @@ object Verify {
         .select(regexp_replace(lower(col("text")), "\\s+", " ").as("norm")).distinct()
         .withColumn("fingerprint", murmur3_token(col("norm")))
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/doc_fingerprints")
+      // distinct: (l_orderkey, l_linenumber) repeats in the synthetic
+      // lineitem, and the oracle JOIN must stay 1:1 per lineitem row
+      Graft.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          murmur3_token(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("token"))
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/lineitem_tokens")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -245,14 +245,28 @@ object Advanced {
   // ---------------------------------------------------------------- q44
   /** Deterministic stratified sample: ~10% of each return flag via a hash
     * gate on the row key — reproducible across runs and cluster sizes
-    * (unlike `sample()`, whose output depends on partitioning).
+    * (unlike `sample()`, whose output depends on partitioning). The gate
+    * hash is the engine's own murmur3 token, which also makes the query
+    * oracle-checkable: Verify dumps the per-row-key hash as a fixture
+    * parquet and the DuckDB oracle re-applies the gate + stratified
+    * aggregation itself.
     */
   val q44: Q = (s, d) =>
     Graft.table(s, d, "lineitem")
-      .where(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) === 0)
+      .where(pmod(graft.functions.murmur3_token(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(10)) === 0)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
+
+  val q44Sql: String =
+    """WITH h AS (
+      |  SELECT l_orderkey, l_linenumber, token
+      |  FROM read_parquet('/tmp/graft_fixtures/lineitem_tokens/*.parquet'))
+      |SELECT l_returnflag, COUNT(*) AS n_sampled
+      |FROM lineitem JOIN h USING (l_orderkey, l_linenumber)
+      |WHERE ((token % 10) + 10) % 10 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q35_pivot", q35, Some(q35Sql)),
@@ -264,6 +278,6 @@ object Advanced {
     ("q41_array_funcs", q41, Some(q41Sql)),
     ("q42_percentiles", q42, Some(q42Sql)),
     ("q43_approx_sketches", q43, None),
-    ("q44_stratified_sample", q44, None)
+    ("q44_stratified_sample", q44, Some(q44Sql))
   )
 }

@@ -442,6 +442,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent commits never lose updates or rewind") {
+    val store = freshStore()
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // 24 admin-path commits racing over 4 partitions with increasing offsets
+    val futures = (1 to 24).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { store.commit("g", "t", Map(i % 4 -> i.toLong)); () }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val off = store.groupOffsets("g", "t")
+    (0 until 4).foreach { p =>
+      val expected = (1 to 24).filter(_ % 4 == p).max.toLong
+      assert(off(p) == expected, s"part $p lost a commit: ${off(p)} != $expected")
+    }
+  }
+
   test("fresh store over the same root resumes a group's policy and offsets") {
     val root = Files.createTempDirectory("graft-engine-persist").toString
     val store = new TopicStore(spark, root)

@@ -43,12 +43,12 @@ class QueryPackSpec extends AnyFunSuite {
   test("oracleSql keys are a subset of queries keys") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    // non-SQL-expressible ops are the only ones without oracles (q17/q25
-    // get exact oracles via the murmur3 fixture parquet Verify dumps)
+    // non-SQL-expressible ops are the only ones without oracles (q17/q25/
+    // q44 get exact oracles via the murmur3 fixture parquet Verify dumps)
     val noOracle = qs -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set(
       "q21_dedup_simhash", "q29_ann_lsh",
-      "q43_approx_sketches", "q44_stratified_sample", "q47_ann_ivf"))
+      "q43_approx_sketches", "q47_ann_ivf"))
   }
 
   test("minhash-LSH dedup equals exhaustive jaccard dedup") {
