@@ -382,7 +382,13 @@ class TopicStore(
   private def startingOffset(group: String, topic: String, part: Int): Long =
     registry.policy(group) match {
       case StartFrom.Earliest => 0L
-      case StartFrom.Latest => registry.latestSnapshot(group, topic).getOrElse(part, 0L)
+      case StartFrom.Latest =>
+        // a snapshot only applies to the generation it was taken under:
+        // offsets restart per generation, so a v1 watermark applied to v2
+        // would silently SKIP the first records of every partition. A
+        // stale snapshot degrades to 0 (at-least-once re-read, never loss).
+        val (snapVersion, snap) = registry.latestSnapshot(group, topic)
+        if (snapVersion == generation(topic).version) snap.getOrElse(part, 0L) else 0L
     }
 
   // ------------------------------------------------------------ registry
@@ -404,7 +410,8 @@ class TopicStore(
   object registry {
     private var groups: Map[String, Set[String]] = Map.empty
     private var policies: Map[String, StartFrom.Value] = Map.empty
-    private var latestSnapshots: Map[(String, String), Map[Int, Long]] = Map.empty
+    // snapshot value = (generation version it was taken under, offsets)
+    private var latestSnapshots: Map[(String, String), (Int, Map[Int, Long])] = Map.empty
 
     private def persistedDir(group: String) = s"$registryMeta/${scopeDir(group)}"
 
@@ -416,30 +423,32 @@ class TopicStore(
       val p = persistedDir(group)
       if (!Files.exists(Paths.get(p))) return
       val rows = spark.read.parquet(p)
-        .select("policy", "topic", "part", "next")
-        .as[(String, Option[String], Option[Int], Option[Long])].collect()
+        .select("policy", "topic", "part", "next", "snap_version")
+        .as[(String, Option[String], Option[Int], Option[Long], Option[Int])].collect()
       rows.headOption.foreach { r =>
         policies = policies.updated(group, StartFrom.withName(r._1))
       }
-      rows.collect { case (_, Some(t), Some(part), Some(next)) => (t, part, next) }
-        .groupBy(_._1).foreach { case (t, snap) =>
-          latestSnapshots = latestSnapshots
-            .updated((group, t), snap.map(s => s._2 -> s._3).toMap)
-        }
+      rows.collect {
+        case (_, Some(t), Some(part), Some(next), v) => (t, part, next, v.getOrElse(1))
+      }.groupBy(_._1).foreach { case (t, snap) =>
+        latestSnapshots = latestSnapshots
+          .updated((group, t), (snap.head._4, snap.map(s => s._2 -> s._3).toMap))
+      }
     }
 
     private def persist(group: String): Unit = {
       val pol = policies(group).toString
       val snaps = latestSnapshots.collect {
-        case ((`group`, t), m) if m.nonEmpty =>
+        case ((`group`, t), (v, m)) if m.nonEmpty =>
           m.toSeq.map { case (part, next) =>
-            (pol, Option(t), Option(part), Option(next))
+            (pol, Option(t), Option(part), Option(next), Option(v))
           }
       }.flatten.toSeq
       val rows =
         if (snaps.nonEmpty) snaps
-        else Seq((pol, Option.empty[String], Option.empty[Int], Option.empty[Long]))
-      rows.toDF("policy", "topic", "part", "next").coalesce(1)
+        else Seq((pol, Option.empty[String], Option.empty[Int],
+          Option.empty[Long], Option.empty[Int]))
+      rows.toDF("policy", "topic", "part", "next", "snap_version").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(persistedDir(group))
     }
 
@@ -460,7 +469,8 @@ class TopicStore(
         policies = policies.updated(group, onNewGroup)
         if (onNewGroup == StartFrom.Latest) {
           topics.foreach { t =>
-            latestSnapshots = latestSnapshots.updated((group, t), producerOffsets(t))
+            latestSnapshots = latestSnapshots
+              .updated((group, t), (generation(t).version, producerOffsets(t)))
           }
         }
         persist(group)
@@ -476,9 +486,10 @@ class TopicStore(
       policies.getOrElse(group, StartFrom.Latest)
     }
 
-    def latestSnapshot(group: String, topic: String): Map[Int, Long] = synchronized {
+    /** (generation version the snapshot was taken under, per-part offsets). */
+    def latestSnapshot(group: String, topic: String): (Int, Map[Int, Long]) = synchronized {
       loadIfAbsent(group)
-      latestSnapshots.getOrElse((group, topic), Map.empty)
+      latestSnapshots.getOrElse((group, topic), (0, Map.empty))
     }
 
     /** Partition ordinals owned by a consumer under the topic's current

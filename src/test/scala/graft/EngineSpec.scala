@@ -260,6 +260,20 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("a Latest snapshot taken before a rescale never skips new-generation records") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 10).map(i => (s"k$i", s"old$i", ts(i))))
+    // Latest group registers under gen 1: snapshot = gen-1 watermarks
+    store.registry.register("g", "c", Seq("t"))
+    store.rescale("t", 6) // gen 2: offsets restart at 0 per partition
+    store.produceStrings("t", Seq(("k0", "new", ts(100))))
+    val got = store.poll("g", "t", "c").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+    // the stale snapshot must degrade to re-read (at-least-once), never to
+    // skipping: "new" MUST be delivered
+    assert(got.contains("new"), s"new-generation record skipped: ${got.toSeq}")
+  }
+
   test("double rescale 3 -> 6 -> 3 keeps every record and per-key order") {
     val store = freshStore()
     val keys = Seq("123", "567", "234", "89")
