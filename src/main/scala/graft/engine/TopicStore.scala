@@ -630,6 +630,38 @@ class TopicStore(
     out.toSeq
   }
 
+  /** Reclaim the superseded generations of a topic: delete every
+    * `version=` dir below the current generation. Rescale rewrites all
+    * live records into the new generation but PRESERVES their timestamps,
+    * so time-based retention cannot distinguish a stale generation's
+    * files from their rewrites — this sweep is the generation-aware
+    * companion (the reference deletes old-generation segment dirs after
+    * consumers drain, `datalog_cleaner.go`). Call after consumers have
+    * moved to the current generation. Returns deleted file count.
+    */
+  def sweepStaleGenerations(topic: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val cur = generation(topic).version
+    val topicPath = new Path(s"$dataDir/topic=${scopeDir(topic)}")
+    val fs = topicPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(topicPath)) return 0
+    var deleted = 0
+    fs.listStatus(topicPath).filter(_.isDirectory).foreach { tokenDir =>
+      fs.listStatus(tokenDir.getPath).filter(_.isDirectory).foreach { rangeDir =>
+        fs.listStatus(rangeDir.getPath).filter(_.isDirectory).foreach { verDir =>
+          val name = verDir.getPath.getName
+          if (name.startsWith("version=") &&
+              name.stripPrefix("version=").toIntOption.exists(_ < cur)) {
+            deleted += fs.listStatus(verDir.getPath).count(_.isFile)
+            fs.delete(verDir.getPath, true)
+            ()
+          }
+        }
+      }
+    }
+    deleted
+  }
+
   /** Background retention: sweep every topic on a fixed cadence — the
     * reference's datalog cleaner loop (5-min cadence, 168 h default
     * retention; `internal/data/datalog_cleaner.go:16-100`,

@@ -493,6 +493,21 @@ class EngineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("late")) // committed offsets, not a policy restart
   }
 
+  test("sweepStaleGenerations reclaims superseded version dirs only") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
+    store.rescale("t", 6)
+    val deleted = store.sweepStaleGenerations("t")
+    assert(deleted > 0, "no stale-generation files reclaimed")
+    // the current generation still serves every record
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 12)
+    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(2))
+    // idempotent: nothing left to reclaim
+    assert(store.sweepStaleGenerations("t") == 0)
+  }
+
   test("scheduled retention sweeper reclaims expired files") {
     val store = freshStore()
     store.produceStrings("t", Seq(("a", "old", ts(0)))) // 2023 timestamp
