@@ -344,26 +344,36 @@ class TopicStore(
     */
   def producerOffsets(topic: String): Map[Int, Long] = {
     val scope = producerScope(topic)
-    if (reconciled.add(scope) && Files.exists(Paths.get(dataDir))) {
-      val persisted = readOffsets(producerMeta, scope)
-      val g = generation(topic)
-      val pred = (0 until partsOf(g)).map { p =>
-        col("part") === p && col("offset") >= persisted.getOrElse(p, 0L)
-      }.reduce(_ || _)
-      val orphans = spark.read.schema(recordSchema).parquet(dataDir)
-        .where(col("topic") === topic && col("version") === g.version && pred)
-        .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
-        .as[(Int, Long)].collect().toMap
-      val healed = persisted ++ orphans.map { case (p, n) =>
-        p -> math.max(n, persisted.getOrElse(p, 0L))
+    // double-checked under a lock: concurrent first accessors must WAIT
+    // for the heal (or they would read a stale watermark and reissue the
+    // orphaned offsets), and a thrown scan must NOT mark the scope done
+    if (!reconciled.contains(scope)) reconcileLock.synchronized {
+      if (!reconciled.contains(scope)) {
+        if (Files.exists(Paths.get(dataDir))) {
+          val persisted = readOffsets(producerMeta, scope)
+          val g = generation(topic)
+          val pred = (0 until partsOf(g)).map { p =>
+            col("part") === p && col("offset") >= persisted.getOrElse(p, 0L)
+          }.reduce(_ || _)
+          val orphans = spark.read.schema(recordSchema).parquet(dataDir)
+            .where(col("topic") === topic && col("version") === g.version && pred)
+            .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
+            .as[(Int, Long)].collect().toMap
+          val healed = persisted ++ orphans.map { case (p, n) =>
+            p -> math.max(n, persisted.getOrElse(p, 0L))
+          }
+          if (healed != persisted) writeOffsets(producerMeta, scope, healed)
+        }
+        reconciled.add(scope)
+        ()
       }
-      if (healed != persisted) writeOffsets(producerMeta, scope, healed)
     }
     readOffsets(producerMeta, scope)
   }
 
   private val reconciled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val reconcileLock = new Object
 
   /** Per-partition consumer lag: high watermark minus committed next-read
     * (the operational metric every broker exposes; derived from the same
@@ -422,7 +432,12 @@ class TopicStore(
       if (policies.contains(group)) return
       val p = persistedDir(group)
       if (!Files.exists(Paths.get(p))) return
-      val rows = spark.read.parquet(p)
+      val raw = spark.read.parquet(p)
+      // tolerate registries persisted before snapshots carried a version
+      val compat =
+        if (raw.columns.contains("snap_version")) raw
+        else raw.withColumn("snap_version", lit(1))
+      val rows = compat
         .select("policy", "topic", "part", "next", "snap_version")
         .as[(String, Option[String], Option[Int], Option[Long], Option[Int])].collect()
       rows.headOption.foreach { r =>
@@ -461,7 +476,20 @@ class TopicStore(
         group: String,
         consumerId: String,
         topics: Seq[String],
-        onNewGroup: StartFrom.Value = StartFrom.Latest): Unit = synchronized {
+        onNewGroup: StartFrom.Value = StartFrom.Latest): Unit = {
+      // warm the watermark reconcile OUTSIDE the registry lock: the first
+      // producerOffsets per (topic, generation) runs a Spark scan, and
+      // holding the lock through it would stall every concurrent
+      // policy()/latestSnapshot() lookup on the serving path
+      if (onNewGroup == StartFrom.Latest) topics.foreach(producerOffsets)
+      registerLocked(group, consumerId, topics, onNewGroup)
+    }
+
+    private def registerLocked(
+        group: String,
+        consumerId: String,
+        topics: Seq[String],
+        onNewGroup: StartFrom.Value): Unit = synchronized {
       loadIfAbsent(group)
       val isNew = !policies.contains(group)
       groups = groups.updated(group, groups.getOrElse(group, Set.empty) + consumerId)
@@ -642,7 +670,9 @@ class TopicStore(
   def sweepStaleGenerations(topic: String): Int = {
     import org.apache.hadoop.fs.Path
     val cur = generation(topic).version
-    val topicPath = new Path(s"$dataDir/topic=${scopeDir(topic)}")
+    // raw topic name: the layout is written by partitionBy, which does its
+    // own escaping — same addressing as compact(), NOT the _meta scopeDir
+    val topicPath = new Path(s"$dataDir/topic=$topic")
     val fs = topicPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(topicPath)) return 0
     var deleted = 0
@@ -652,7 +682,8 @@ class TopicStore(
           val name = verDir.getPath.getName
           if (name.startsWith("version=") &&
               name.stripPrefix("version=").toIntOption.exists(_ < cur)) {
-            deleted += fs.listStatus(verDir.getPath).count(_.isFile)
+            val it = fs.listFiles(verDir.getPath, true)
+            while (it.hasNext) { it.next(); deleted += 1 }
             fs.delete(verDir.getPath, true)
             ()
           }

@@ -253,8 +253,12 @@ object Advanced {
     */
   val q44: Q = (s, d) =>
     Graft.table(s, d, "lineitem")
-      .where(pmod(graft.functions.murmur3_token(
-        concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(10)) === 0)
+      // null keys are excluded from the sample, matching the oracle's
+      // inner join (concat_ws would silently skip a null component and
+      // alias differently-shaped keys onto one token)
+      .where(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull &&
+        pmod(graft.functions.murmur3_token(
+          concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(10)) === 0)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
