@@ -429,6 +429,31 @@ class EngineSpec extends AnyFunSuite {
     assert(seen == (0L until 6L), s"null-valued record skipped: $seen")
   }
 
+  test("randomized paging: any (maxRecords, maxBytes) drains exactly once in order") {
+    val store = freshStore()
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 24).map(i => (s"k${rnd.nextInt(5)}", "v" * (1 + rnd.nextInt(40)), ts(i)))
+    store.produceStrings("t", rows)
+    for ((mr, mb) <- Seq((7L, Long.MaxValue), (Long.MaxValue, 64L), (5L, 48L), (2L, 16L))) {
+      val group = s"g-$mr-$mb"
+      store.registry.register(group, "c", Seq("t"), store.StartFrom.Earliest)
+      var seen = Map.empty[Int, Seq[Long]]
+      var guard = 0
+      var page = store.poll(group, "t", "c", maxRecords = mr, maxBytes = mb).collect()
+      while (page.nonEmpty && guard < 60) {
+        page.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+          seen += p -> (seen.getOrElse(p, Seq.empty) ++ rs.map(_.getAs[Long]("offset")).sorted)
+        }
+        page = store.poll(group, "t", "c", maxRecords = mr, maxBytes = mb).collect()
+        guard += 1
+      }
+      assert(seen.values.map(_.size).sum == 24, s"($mr,$mb) lost/duplicated records: $seen")
+      seen.foreach { case (p, offs) =>
+        assert(offs == (0L until offs.length.toLong), s"($mr,$mb) part $p gaps: $offs")
+      }
+    }
+  }
+
   test("stale commit from a reassigned consumer never rewinds offsets") {
     val store = freshStore()
     store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"m$i", ts(i))))
