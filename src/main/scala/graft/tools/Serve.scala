@@ -23,12 +23,14 @@ object Serve {
     val spark = Graft.session("graft-serve")
     val store = new TopicStore(spark, Files.createTempDirectory("graft-serve").toString)
     val port = args.headOption.map(_.toInt).getOrElse(0)
-    val server = new RestServer(store, port = port, coalesceMs = 20L).start()
     // fixed-port mode pins the binary port next to the HTTP one, like the
-    // reference's 9251/9252/9253 port block
+    // reference's 9251/9252/9253 port block; the REST discovery payload
+    // advertises it (the reference's producerBinaryPort field)
     val binServer = new BinaryProducerServer(
       new ProduceCoalescer(store, coalesceMs = 20L).start(),
       port = if (port == 0) 0 else port + 1).start()
+    val server = new RestServer(store, port = port, coalesceMs = 20L,
+      producerBinaryPort = binServer.boundPort).start()
     val base = s"http://localhost:${server.boundPort}"
     println(s"serving $base (binary producer on :${binServer.boundPort})")
     if (args.nonEmpty) { Thread.currentThread().join(); return }
@@ -44,6 +46,10 @@ object Serve {
         .PUT(BodyPublishers.noBody()).build(), BodyHandlers.ofString())
 
     try {
+      val brokers = client.send(HttpRequest.newBuilder(URI.create(base + "/v1/brokers"))
+        .GET().build(), BodyHandlers.ofString())
+      require(brokers.body().contains(s""""producerBinaryPort":${binServer.boundPort}"""),
+        s"discovery missing binary port: ${brokers.body()}")
       require(post(s"/v1/topic/demo/messages?partitionKey=123&timestamp=1700000000000000",
         """{"stock":5}""").statusCode() == 200, "produce json")
       require(post(s"/v1/topic/demo/messages?partitionKey=123&timestamp=1700000000000001",
