@@ -199,6 +199,21 @@ class EngineSpec extends AnyFunSuite {
     assert(store.lag("g", "t").values.sum == 1L)
   }
 
+  test("non-default rangesPerToken roundtrips with contiguous offsets") {
+    val store = new TopicStore(spark,
+      Files.createTempDirectory("graft-engine-rpt").toString,
+      clusterSize = 2, rangesPerToken = 2)
+    store.produceStrings("t", (0 until 12).map(i => (s"k${i % 5}", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 12)
+    assert(polled.map(_.getAs[Int]("part")).forall(p => p >= 0 && p < 4))
+    polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+      val offs = rs.map(_.getAs[Long]("offset")).sorted
+      assert(offs.toSeq == (0L until offs.length.toLong), s"part $p gaps")
+    }
+  }
+
   test("dev mode: single-broker store roundtrips with per-key order") {
     // the reference's dev-mode (clusterSize=1) has special-cased ring math
     // (`token.go:120-131`, `dev_mode_test.go`); exercise ours end-to-end
