@@ -236,7 +236,8 @@ class TopicStore(
       autoCommit: Boolean = true): DataFrame = {
     val g = generation(topic)
     val assigned = registry.assignment(group, consumerId, topic)
-    if (assigned.isEmpty) return spark.emptyDataFrame
+    if (assigned.isEmpty || !Files.exists(Paths.get(dataDir)))
+      return spark.emptyDataFrame
     assigned.foreach(p => lastReaders.put((group, topic, p), consumerId))
 
     val committed = groupOffsets(group, topic)
@@ -538,6 +539,7 @@ class TopicStore(
     * (`datalog_cleaner.go`), file-granular so it never rewrites live data.
     */
   def retentionSweep(topic: String, cutoff: java.sql.Timestamp): Int = {
+    if (!Files.exists(Paths.get(dataDir))) return 0
     val files = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic)
       .groupBy(input_file_name().as("f"))

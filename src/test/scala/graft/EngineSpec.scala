@@ -186,6 +186,14 @@ class EngineSpec extends AnyFunSuite {
     assert(store.poll("g", "missing", "c").isEmpty)
     assert(store.compact("nope") == 0)
     assert(store.lag("g", "missing").isEmpty)
+
+    // a store that never produced anything: every surface answers empty
+    val virgin = freshStore()
+    virgin.registry.register("g", "c", Seq("t"), virgin.StartFrom.Earliest)
+    assert(virgin.poll("g", "t", "c").isEmpty)
+    assert(virgin.retentionSweep("t", ts(0)) == 0)
+    assert(virgin.sweepStaleGenerations("t") == 0)
+    assert(virgin.producerOffsets("t").isEmpty)
   }
 
   test("lag reports high-watermark minus committed and drains to zero") {
