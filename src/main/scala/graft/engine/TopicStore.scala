@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
+
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -45,6 +45,15 @@ class TopicStore(
     * and external readers address it).
     */
   val dataDir = s"$root/data"
+
+  // every existence probe and listing goes through the Hadoop FS API so
+  // the store works unchanged when `root` is an object-store/HDFS URI —
+  // java.nio answers false for s3a:// paths, which would silently turn
+  // polls empty and forget metadata on a real cluster
+  private def hpath(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
+    hpath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def pathExists(p: String): Boolean = hfs(p).exists(hpath(p))
   private val producerMeta = s"$root/_meta/producer_offsets"
   private val groupMeta = s"$root/_meta/group_offsets"
   private val genMeta = s"$root/_meta/generations"
@@ -65,7 +74,7 @@ class TopicStore(
     val key = scopeDir(topic)
     genCache.computeIfAbsent(key, _ => {
       val p = s"$genMeta/$key"
-      if (!Files.exists(Paths.get(p))) Generation(1, clusterSize)
+      if (!pathExists(p)) Generation(1, clusterSize)
       else {
         val r = spark.read.parquet(p).select("version", "cluster_size")
           .as[(Int, Int)].head()
@@ -236,7 +245,7 @@ class TopicStore(
       autoCommit: Boolean = true): DataFrame = {
     val g = generation(topic)
     val assigned = registry.assignment(group, consumerId, topic)
-    if (assigned.isEmpty || !Files.exists(Paths.get(dataDir)))
+    if (assigned.isEmpty || !pathExists(dataDir))
       return spark.emptyDataFrame
     assigned.foreach(p => lastReaders.put((group, topic, p), consumerId))
 
@@ -350,7 +359,7 @@ class TopicStore(
     // orphaned offsets), and a thrown scan must NOT mark the scope done
     if (!reconciled.contains(scope)) reconcileLock.synchronized {
       if (!reconciled.contains(scope)) {
-        if (Files.exists(Paths.get(dataDir))) {
+        if (pathExists(dataDir)) {
           val persisted = readOffsets(producerMeta, scope)
           val g = generation(topic)
           val pred = (0 until partsOf(g)).map { p =>
@@ -432,7 +441,7 @@ class TopicStore(
     private def loadIfAbsent(group: String): Unit = {
       if (policies.contains(group)) return
       val p = persistedDir(group)
-      if (!Files.exists(Paths.get(p))) return
+      if (!pathExists(p)) return
       val raw = spark.read.parquet(p)
       // tolerate registries persisted before snapshots carried a version
       val compat =
@@ -539,7 +548,7 @@ class TopicStore(
     * (`datalog_cleaner.go`), file-granular so it never rewrites live data.
     */
   def retentionSweep(topic: String, cutoff: java.sql.Timestamp): Int = {
-    if (!Files.exists(Paths.get(dataDir))) return 0
+    if (!pathExists(dataDir)) return 0
     val files = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic)
       .groupBy(input_file_name().as("f"))
@@ -547,7 +556,9 @@ class TopicStore(
       .where(col("newest") < lit(cutoff))
       .select("f").as[String].collect()
     files.foreach { f =>
-      Files.deleteIfExists(Paths.get(new java.net.URI(f)))
+      val fp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      fp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fp, false)
+      ()
     }
     files.length
   }
@@ -645,18 +656,18 @@ class TopicStore(
     * topic's generation `g` (metadata-only: two small offset maps each).
     */
   private def drainedGroups(topic: String, g: Generation, high: Map[Int, Long]): Seq[String] = {
-    val dir = Paths.get(groupMeta)
-    if (!Files.exists(dir)) return Seq.empty
+    if (!pathExists(groupMeta)) return Seq.empty
+    val fs = hfs(groupMeta)
     val out = scala.collection.mutable.ListBuffer.empty[String]
-    val stream = Files.list(dir)
-    try stream.iterator().forEachRemaining { gdir =>
-      val group = gdir.getFileName.toString
-      if (Files.exists(gdir.resolve(scopeDir(topic)).resolve(s"v${g.version}"))) {
+    fs.listStatus(hpath(groupMeta)).filter(_.isDirectory).foreach { gdir =>
+      val group = gdir.getPath.getName
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          gdir.getPath, s"${scopeDir(topic)}/v${g.version}"))) {
         val committed = groupOffsets(group, topic)
         val covered = high.forall { case (p, hw) => committed.getOrElse(p, 0L) >= hw }
         if (covered) out += group
       }
-    } finally stream.close()
+    }
     out.toSeq
   }
 
@@ -710,16 +721,15 @@ class TopicStore(
     })
     exec.scheduleWithFixedDelay(() => {
       try {
-        val p = Paths.get(dataDir)
-        if (Files.exists(p)) {
-          val stream = Files.list(p)
-          try stream.iterator().forEachRemaining { dir =>
-            val name = dir.getFileName.toString
+        if (pathExists(dataDir)) {
+          hfs(dataDir).listStatus(hpath(dataDir)).filter(_.isDirectory).foreach { dir =>
+            val name = dir.getPath.getName
             if (name.startsWith("topic=")) {
               val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
               retentionSweep(name.stripPrefix("topic="), cutoff)
+              ()
             }
-          } finally stream.close()
+          }
         }
       } catch { case _: Throwable => () } // sweep again next tick
     }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -737,7 +747,7 @@ class TopicStore(
   private def readOffsets(dir: String, scope: String): Map[Int, Long] = {
     val p = s"$dir/${scopeDir(scope)}"
     offsetCache.computeIfAbsent(p, _ =>
-      if (!Files.exists(Paths.get(p))) Map.empty
+      if (!pathExists(p)) Map.empty
       else spark.read.parquet(p).as[(Int, Long)].collect().toMap)
   }
 
