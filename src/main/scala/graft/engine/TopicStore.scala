@@ -54,6 +54,23 @@ class TopicStore(
   private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
     hpath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pathExists(p: String): Boolean = hfs(p).exists(hpath(p))
+
+  // dataDir existence is sticky — once the first produce creates it, it
+  // never disappears in normal operation. Cache the positive answer so
+  // the hot poll path doesn't pay object-store HEAD/LIST round-trips on
+  // every request.
+  @volatile private var dataDirSeen = false
+  private def dataDirExists: Boolean = {
+    if (!dataDirSeen && pathExists(dataDir)) dataDirSeen = true
+    dataDirSeen
+  }
+
+  /** Empty result with the record envelope schema — poll's early returns
+    * must stay schema-stable so callers can reference columns.
+    */
+  private def emptyRecords: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], recordSchema)
   private val producerMeta = s"$root/_meta/producer_offsets"
   private val groupMeta = s"$root/_meta/group_offsets"
   private val genMeta = s"$root/_meta/generations"
@@ -245,8 +262,7 @@ class TopicStore(
       autoCommit: Boolean = true): DataFrame = {
     val g = generation(topic)
     val assigned = registry.assignment(group, consumerId, topic)
-    if (assigned.isEmpty || !pathExists(dataDir))
-      return spark.emptyDataFrame
+    if (assigned.isEmpty || !dataDirExists) return emptyRecords
     assigned.foreach(p => lastReaders.put((group, topic, p), consumerId))
 
     val committed = groupOffsets(group, topic)
@@ -556,8 +572,8 @@ class TopicStore(
       .where(col("newest") < lit(cutoff))
       .select("f").as[String].collect()
     files.foreach { f =>
-      val fp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      fp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(fp, false)
+      val fp = hpath(new java.net.URI(f).toString)
+      hfs(f).delete(fp, false)
       ()
     }
     files.length
@@ -576,9 +592,8 @@ class TopicStore(
     */
   def compact(topic: String, smallFileBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.hadoop.fs.Path
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val topicPath = new Path(s"$dataDir/topic=$topic")
-    val fs = topicPath.getFileSystem(hconf)
+    val topicPath = hpath(s"$dataDir/topic=$topic")
+    val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0
     var replaced = 0
     // leaf dirs are topic=/token=/range=/version=
@@ -681,12 +696,11 @@ class TopicStore(
     * moved to the current generation. Returns deleted file count.
     */
   def sweepStaleGenerations(topic: String): Int = {
-    import org.apache.hadoop.fs.Path
     val cur = generation(topic).version
     // raw topic name: the layout is written by partitionBy, which does its
     // own escaping — same addressing as compact(), NOT the _meta scopeDir
-    val topicPath = new Path(s"$dataDir/topic=$topic")
-    val fs = topicPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val topicPath = hpath(s"$dataDir/topic=$topic")
+    val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0
     var deleted = 0
     fs.listStatus(topicPath).filter(_.isDirectory).foreach { tokenDir =>

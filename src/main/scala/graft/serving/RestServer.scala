@@ -66,8 +66,20 @@ class RestServer(
 
   val metrics = new EngineMetrics
 
-  private val coalescer = new ProduceCoalescer(
+  /** The single produce serialization point. PUBLIC so a co-hosted binary
+    * producer server shares it: `TopicStore.produce` is a read-modify-write
+    * of the per-topic watermark, so every produce channel of one store
+    * MUST funnel through one coalescer or concurrent flushes would assign
+    * duplicate offsets.
+    */
+  val coalescer = new ProduceCoalescer(
     store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics)
+
+  // settable after construction: the binary server usually binds after the
+  // REST server exists (it needs the shared coalescer above)
+  @volatile private var advertisedBinaryPort: Int = producerBinaryPort
+
+  def advertiseProducerBinaryPort(p: Int): Unit = advertisedBinaryPort = p
 
   // ------------------------------------------------------- consumer state
 
@@ -175,7 +187,7 @@ class RestServer(
         // single engine address: Spark schedules internally (C6 mapping)
         respond(ex, 200,
           s"""{"length":1,"names":["localhost"],"producerPort":$boundPort""" +
-            s""","producerBinaryPort":$producerBinaryPort,"consumerPort":$boundPort}""",
+            s""","producerBinaryPort":$advertisedBinaryPort,"consumerPort":$boundPort}""",
           Map("Content-Type" -> "application/json"))
       case ("POST", TopicPath(topic)) => handleProduce(ex, topic)
       case ("PUT" | "POST", "/v1/consumer/register") => handleRegister(ex)

@@ -8,7 +8,7 @@ import java.nio.file.Files
 
 import graft.Graft
 import graft.engine.TopicStore
-import graft.serving.{BinaryProducerServer, ProduceCoalescer, RestServer}
+import graft.serving.{BinaryProducerServer, RestServer}
 
 /** Boots the REST serving shim on an ephemeral port and drives the
   * reference's documented client flow against it over real HTTP:
@@ -25,12 +25,13 @@ object Serve {
     val port = args.headOption.map(_.toInt).getOrElse(0)
     // fixed-port mode pins the binary port next to the HTTP one, like the
     // reference's 9251/9252/9253 port block; the REST discovery payload
-    // advertises it (the reference's producerBinaryPort field)
-    val binServer = new BinaryProducerServer(
-      new ProduceCoalescer(store, coalesceMs = 20L).start(),
+    // advertises it (the reference's producerBinaryPort field). Both
+    // channels funnel through the REST server's coalescer — the one
+    // produce serialization point per store.
+    val server = new RestServer(store, port = port, coalesceMs = 20L).start()
+    val binServer = new BinaryProducerServer(server.coalescer,
       port = if (port == 0) 0 else port + 1).start()
-    val server = new RestServer(store, port = port, coalesceMs = 20L,
-      producerBinaryPort = binServer.boundPort).start()
+    server.advertiseProducerBinaryPort(binServer.boundPort)
     val base = s"http://localhost:${server.boundPort}"
     println(s"serving $base (binary producer on :${binServer.boundPort})")
     if (args.nonEmpty) { Thread.currentThread().join(); return }
