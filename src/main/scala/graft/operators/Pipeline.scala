@@ -136,7 +136,11 @@ object Pipeline {
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     lang.join(qual, "doc_id").join(reps, "doc_id")
       .filter(col("pred_lang") === "en" && col("score") >= 0.2)
-      .select(col("doc_id"), col("pred_lang"), round(col("score"), 6).as("score"))
+      // raw double, NOT rounded: both engines compute the identical IEEE
+      // expression (q23's oracle proves bit-equality), while round(x, 6)
+      // diverges on exact 6dp ties (Spark BigDecimal HALF_UP vs DuckDB
+      // multiply-round — e.g. 0.2103125 at sf0.1)
+      .select(col("doc_id"), col("pred_lang"), col("score"))
       .orderBy("doc_id")
   }
 
@@ -154,7 +158,7 @@ object Pipeline {
        |clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
        |lang AS (SELECT doc_id, pred_lang FROM (${DocOps.q22Sql})),
        |qual AS (SELECT doc_id, score FROM (${DocOps.q23Sql}))
-       |SELECT l.doc_id AS doc_id, pred_lang, round(score, 6) AS score
+       |SELECT l.doc_id AS doc_id, pred_lang, score
        |FROM lang l
        |JOIN qual q ON l.doc_id = q.doc_id
        |JOIN clusters c ON l.doc_id = c.doc_id
