@@ -2,13 +2,14 @@ package graft.engine
 
 
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.TokenRing
 import graft.functions.{murmur3_token, ring_partition}
+
 
 /** Parquet-backed topic log with the reference's externally observable
   * semantics (SURVEY.md §2.6):
@@ -54,6 +55,14 @@ class TopicStore(
   private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
     hpath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pathExists(p: String): Boolean = hfs(p).exists(hpath(p))
+
+  // partitionBy escapes special characters (space, '%', ':', …) in
+  // partition-value directory names; any code that addresses or parses a
+  // `topic=` dir by hand must round-trip through the same Hive encoding
+  private def escapeDir(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+  private def unescapeDir(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   // dataDir existence is sticky — once the first produce creates it, it
   // never disappears in normal operation. Cache the positive answer so
@@ -157,15 +166,6 @@ class TopicStore(
         element_at(typedlit(tokensOf(g)), (col("part") / rangesPerToken).cast("int") + 1))
       .withColumn("range", pmod(col("part"), lit(rangesPerToken)).cast("int"))
 
-    // new high watermarks derive from the BATCH (per-partition counts on
-    // top of the old bases: max(offset)+1 == base + count), not from a
-    // post-write listing of the topic dir — file listing is O(files in
-    // topic), which at 100 TB of small produce batches becomes the
-    // throughput ceiling. One map-side-combined aggregation over the
-    // batch, collected as partsOf(g) longs of metadata.
-    val counts = keyed.groupBy(col("part")).agg(count(lit(1)).as("n"))
-      .as[(Int, Long)].collect().toMap
-
     // contiguous offsets: base(part) + rank within this batch's partition.
     // The explicit repartition to partsOf(g) (one ring partition per task)
     // is the coalescer's per-range serialization point; Window's required
@@ -183,10 +183,45 @@ class TopicStore(
       .withColumn("version", lit(g.version))
       .select("key", "value", "timestamp", "part", "offset", "topic", "token", "range", "version")
 
-    withOffsets.write
+    // New high watermarks must derive from the rows the write itself wrote
+    // (max(offset)+1 == base + count per partition): a separate count job
+    // re-executes the input plan, and a nondeterministic input (sample(),
+    // uuid(), a racy source) can count rows that differ from the written
+    // rows — silently drifting the watermark and breaking offset
+    // contiguity. Deriving from a post-write topic-dir listing is out too:
+    // file listing is O(files in topic), the throughput ceiling at 100 TB
+    // of small produce batches.
+    //  - Normal rings: observe() metrics ON the write execution — one
+    //    declarative count(when) per ring partition, constant driver-side
+    //    metadata, no second job. (A single map-building udaf would cover
+    //    any ring size, but the metrics accumulator pays encoder
+    //    serialization per row for object buffers — measured ~3x produce
+    //    throughput loss.)
+    //  - Very large rings (where thousands of per-row metric predicates
+    //    would dominate): materialize the batch once, then count and write
+    //    from the same materialized blocks.
+    val numParts = partsOf(g)
+    def doWrite(df: DataFrame): Unit = df.write
       .mode(SaveMode.Append)
       .partitionBy("topic", "token", "range", "version")
       .parquet(dataDir)
+    val counts: Map[Int, Long] =
+      if (numParts <= 256) {
+        val obs = Observation()
+        val exprs = (0 until numParts).map(p => count(when(col("part") === p, 1)).as(s"p$p"))
+        doWrite(withOffsets.observe(obs, exprs.head, exprs.drop(1): _*))
+        val m = obs.get
+        (0 until numParts).iterator
+          .map(p => p -> m(s"p$p").asInstanceOf[Long]).filter(_._2 > 0L).toMap
+      } else {
+        withOffsets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val c = withOffsets.groupBy(col("part")).agg(count(lit(1)).as("n"))
+            .as[(Int, Long)].collect().toMap
+          doWrite(withOffsets)
+          c
+        } finally { withOffsets.unpersist(); () }
+      }
 
     val merged = bases ++ counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
     writeOffsets(producerMeta, producerScope(topic), merged)
@@ -269,8 +304,8 @@ class TopicStore(
     val tokens = tokensOf(g)
     val partFilter = assigned.map { p =>
       val from = committed.getOrElse(p, startingOffset(group, topic, p))
-      val upper = // guard Long overflow for the unbounded default
-        if (maxRecords == Long.MaxValue) lit(true)
+      val upper = // saturating bound: from + maxRecords may exceed Long range
+        if (maxRecords > Long.MaxValue - from) lit(true)
         else col("offset") < from + maxRecords
       col("part") === p && col("offset") >= from && upper
     }.reduce(_ || _)
@@ -308,7 +343,7 @@ class TopicStore(
     if (autoCommit) {
       val next = out.groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
         .as[(Int, Long)].collect().toMap
-      if (next.nonEmpty) commit(group, topic, next, origin = consumerId)
+      if (next.nonEmpty) commit(group, topic, next, origin = consumerId, version = g.version)
       ()
     }
     out
@@ -329,6 +364,13 @@ class TopicStore(
     * offset now), and committed offsets never move backwards. An empty
     * origin is the trusted admin path (no ownership check; monotonicity
     * still holds). Returns the accepted subset.
+    *
+    * A commit may carry the generation `version` its offsets were read
+    * under (polls and the REST deferred-commit staging do); the whole
+    * commit is rejected when that generation is no longer current —
+    * offsets staged against generation v are positions in v's numbering
+    * and would silently skip unread v+1 records if applied after a
+    * rescale. `version = -1` skips the check (admin path).
     */
   // serializes the commit read-modify-write: REST pool threads commit
   // concurrently, and an unsynchronized interleaving could publish a
@@ -339,7 +381,9 @@ class TopicStore(
       group: String,
       topic: String,
       next: Map[Int, Long],
-      origin: String = ""): Map[Int, Long] = commitLock.synchronized {
+      origin: String = "",
+      version: Int = -1): Map[Int, Long] = commitLock.synchronized {
+    if (version >= 0 && version != generation(topic).version) return Map.empty
     val cur = groupOffsets(group, topic)
     val accepted = next.filter { case (p, off) =>
       val reader = lastReaders.get((group, topic, p))
@@ -572,7 +616,10 @@ class TopicStore(
       .where(col("newest") < lit(cutoff))
       .select("f").as[String].collect()
     files.foreach { f =>
-      val fp = hpath(new java.net.URI(f).toString)
+      // input_file_name is a URL-encoded URI; Path(String) would keep the
+      // %-escapes literal and miss dirs whose names partitionBy escaped,
+      // so build the Path from the decoded URI
+      val fp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
       hfs(f).delete(fp, false)
       ()
     }
@@ -592,7 +639,7 @@ class TopicStore(
     */
   def compact(topic: String, smallFileBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.hadoop.fs.Path
-    val topicPath = hpath(s"$dataDir/topic=$topic")
+    val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0
     var replaced = 0
@@ -697,9 +744,10 @@ class TopicStore(
     */
   def sweepStaleGenerations(topic: String): Int = {
     val cur = generation(topic).version
-    // raw topic name: the layout is written by partitionBy, which does its
-    // own escaping — same addressing as compact(), NOT the _meta scopeDir
-    val topicPath = hpath(s"$dataDir/topic=$topic")
+    // partitionBy escapes special characters in partition-value dir names,
+    // so addressing a topic dir must escape the same way (NOT the _meta
+    // scopeDir encoding)
+    val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0
     var deleted = 0
@@ -740,7 +788,7 @@ class TopicStore(
             val name = dir.getPath.getName
             if (name.startsWith("topic=")) {
               val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
-              retentionSweep(name.stripPrefix("topic="), cutoff)
+              retentionSweep(unescapeDir(name.stripPrefix("topic=")), cutoff)
               ()
             }
           }

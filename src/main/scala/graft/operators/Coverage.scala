@@ -145,7 +145,9 @@ object Coverage {
         round(log(col("l_extendedprice")), 6).as("ln_price"),
         round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
         round(pow(col("l_discount"), 2), 6).as("disc_sq"),
-        signum(col("l_quantity") - 25.0).as("qty_sign"),
+        // cast: DuckDB's sign() yields a tinyint while Spark's signum yields a
+        // double — identical values hash differently unless both sides agree
+        signum(col("l_quantity") - 25.0).cast("long").as("qty_sign"),
         round(greatest(col("l_quantity"), col("l_discount") * 100), 6).as("gr"),
         pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -161,7 +163,7 @@ object Coverage {
       |  round(ln(l_extendedprice), 6) AS ln_price,
       |  round(sqrt(l_quantity), 6) AS sqrt_qty,
       |  round(pow(l_discount, 2), 6) AS disc_sq,
-      |  sign(l_quantity - 25.0) AS qty_sign,
+      |  CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign,
       |  round(greatest(l_quantity, l_discount * 100), 6) AS gr,
       |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin

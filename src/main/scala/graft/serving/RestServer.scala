@@ -85,8 +85,11 @@ class RestServer(
 
   private class Session(val consumerId: String, val group: String, val topics: Seq[String]) {
     @volatile var lastSeen: Long = System.currentTimeMillis()
-    // staged next-read positions from the LAST poll, commit deferred
-    val pendingCommit: mutable.Map[String, Map[Int, Long]] = mutable.Map.empty
+    // staged next-read positions from the LAST poll, commit deferred;
+    // stamped with the generation version the records were read under so
+    // a commit flushed after a rescale is rejected instead of silently
+    // skipping unread new-generation records
+    val pendingCommit: mutable.Map[String, (Int, Map[Int, Long])] = mutable.Map.empty
   }
 
   private val sessions = new java.util.concurrent.ConcurrentHashMap[String, Session]()
@@ -94,8 +97,8 @@ class RestServer(
   // commits carry the consumer as origin, so a reassigned partition's
   // stale deferred commit is rejected instead of rewinding the offset
   private def commitPending(s: Session): Unit = s.synchronized {
-    s.pendingCommit.foreach { case (topic, next) =>
-      if (next.nonEmpty) store.commit(s.group, topic, next, origin = s.consumerId)
+    s.pendingCommit.foreach { case (topic, (ver, next)) =>
+      if (next.nonEmpty) store.commit(s.group, topic, next, origin = s.consumerId, version = ver)
     }
     s.pendingCommit.clear()
   }
@@ -294,7 +297,15 @@ class RestServer(
           }
           val next = rows.groupBy(_.getAs[Int]("part")).view
             .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
-          s.pendingCommit(topic) = s.pendingCommit.getOrElse(topic, Map.empty) ++ next
+          // all rows of one poll share the current generation (poll filters
+          // on it); merge with the staged map only within the same
+          // generation — across one, the old stage is stale by definition
+          val ver = rows.head.getAs[Int]("version")
+          val staged = s.pendingCommit.get(topic) match {
+            case Some((v, m)) if v == ver => m ++ next
+            case _                        => next
+          }
+          s.pendingCommit(topic) = (ver, staged)
         }
       }
 

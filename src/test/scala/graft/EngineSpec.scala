@@ -504,6 +504,51 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("a commit stamped with a superseded generation is rejected") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
+    store.registry.register("g", "c1", Seq("t"), store.StartFrom.Earliest)
+    val v1 = store.generation("t").version
+    // c1 reads under generation v1, deferring its commit (REST staging shape)
+    val rows = store.poll("g", "t", "c1", autoCommit = false).collect()
+    assert(rows.nonEmpty)
+    val staged = rows.groupBy(_.getAs[Int]("part")).view
+      .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
+    store.rescale("t", 6)
+    // the flush arrives after the rescale: v1 positions are meaningless in
+    // v2's numbering — the whole commit must be rejected, not applied
+    val accepted = store.commit("g", "t", staged, origin = "c1", version = v1)
+    assert(accepted.isEmpty)
+    assert(store.groupOffsets("g", "t").values.forall(_ == 0L))
+    // an equally-stamped commit under the CURRENT generation still lands
+    val v2 = store.generation("t").version
+    val ok = store.commit("g", "t", Map(0 -> 1L), version = v2)
+    assert(ok == Map(0 -> 1L))
+  }
+
+  test("retention + compaction address topics with escaped characters") {
+    val store = freshStore()
+    val topic = "ops metrics:v1" // space + colon — partitionBy escapes both
+    (0 until 2).foreach { b =>
+      store.produceStrings(topic, (0 until 8).map(i => (s"k${i % 4}", s"m$b-$i", ts(i))))
+    }
+    def files(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store.dataDir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+    }
+    assert(files() > 0)
+    assert(store.compact(topic, smallFileBytes = 128L * 1024 * 1024) > 0)
+    // the scheduled sweeper parses the escaped dir name back to the topic;
+    // ts(0) is 2023 so everything is beyond retention
+    val sweeper = store.startRetentionSweeper(intervalMs = 150L, retentionMs = 1000L)
+    try {
+      var waited = 0
+      while (files() > 0 && waited < 20000) { Thread.sleep(250); waited += 250 }
+      assert(files() == 0, "sweeper never matched the escaped topic dir")
+    } finally sweeper.close()
+  }
+
   test("concurrent commits never lose updates or rewind") {
     val store = freshStore()
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
