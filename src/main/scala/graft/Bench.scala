@@ -14,8 +14,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session("graft-bench")
 
-    // dev aid: SPARK_GRAFT_ONLY=q47_ann_ivf,q50_dup_clusters benches a
-    // subset and skips the ingest benches; unset (driver runs) = full run
+    // dev aids: SPARK_GRAFT_ONLY=q47_ann_ivf,q50_dup_clusters benches a
+    // subset and skips the ingest benches; SPARK_GRAFT_ONLY=ingest runs
+    // ONLY the ingest benches; unset (driver runs) = full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -39,7 +40,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val (prodRate, pollRate, streamRate) =
-      if (only.isDefined) (0.0, 0.0, 0.0) else ingestBench(spark, sfDir)
+      if (only.forall(_.contains("ingest"))) ingestBench(spark, sfDir)
+      else (0.0, 0.0, 0.0)
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +

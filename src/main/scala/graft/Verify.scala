@@ -40,6 +40,25 @@ object Verify {
           murmur3_token(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("token"))
         .distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/lineitem_tokens")
+      // q21: per-doc simhash signature — the oracle re-derives banding,
+      // candidate join, hamming distance, and threshold from it
+      operators.DocOps.simhashSigs(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/doc_simhash")
+      // q29: per-vector LSH bucket — the oracle re-derives the
+      // bucket-equality search + exact cosine rerank
+      operators.EmbeddingOps.srpSigned(spark, sfDir).select(col("vec_id"), col("bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/srp_buckets")
+      // q47: per-vector IVF cell + probed flag — the oracle re-derives
+      // the probe filter + exact top-10 rerank
+      operators.EmbeddingOps.ivfAssigned(spark, sfDir)
+        .select(col("vec_id"), col("cell"), col("probed"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/ivf_cells")
+      // q43: the sketch estimates — the oracle computes the exact values
+      // itself and re-derives the accuracy flags. MUST be the same
+      // aggregation plan q43 runs (approx sketches are merge-order
+      // sensitive), hence the shared function.
+      operators.Advanced.sketchVals(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/sketch_vals")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

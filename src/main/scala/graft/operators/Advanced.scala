@@ -230,17 +230,61 @@ object Advanced {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q43
-  /** Approximate sketches: HLL distinct + t-digest-style percentile.
-    * Algorithm-specific results — no SQL oracle (rows-only check);
-    * accuracy is asserted against exact values in the unit spec.
+  /** Approximate sketches: HLL distinct + t-digest-style percentile,
+    * emitted NEXT TO the exact values and accuracy flags. The sketch
+    * estimates are algorithm-specific (no SQL engine reproduces them), so
+    * Verify dumps them as a fixture parquet; the DuckDB oracle computes
+    * the EXACT values itself and re-derives the accuracy flags — an
+    * independent engine asserting that the sketches landed within their
+    * error budgets (HLL rsd 0.02 checked at 5x slack; the 1000-bucket
+    * percentile sketch within one quantity unit of the true median).
     */
-  val q43: Q = (s, d) =>
+  /** The sketch aggregation, alone — shared verbatim by q43 and the Verify
+    * fixture dump. percentile_approx's result depends on partial-merge
+    * order, i.e. on the physical plan shape: folding it into one Aggregate
+    * with countDistinct (which plans an expand + two-phase distinct) gave
+    * the fixture a DIFFERENT estimate than the query at sf0.1. Keeping the
+    * sketch in its own aggregation makes both executions plan-identical.
+    */
+  private[graft] def sketchVals(s: SparkSession, d: String): DataFrame =
     Graft.table(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median"))
+
+  val q43: Q = (s, d) => {
+    val exact = Graft.table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median"))
+    exact.join(sketchVals(s, d), "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("approx_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.1).as("hll_ok"),
+        col("approx_median"),
+        (abs(col("approx_median") - col("exact_median")) <= 2.0).as("median_ok"))
       .orderBy("l_returnflag")
+  }
+
+  val q43Sql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag, approx_parts, approx_median
+      |  FROM read_parquet('/tmp/graft_fixtures/sketch_vals/*.parquet')),
+      |e AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |    quantile_cont(l_quantity, 0.5) AS exact_median
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT e.l_returnflag, e.exact_parts, f.approx_parts,
+      |  abs(f.approx_parts - e.exact_parts) <= e.exact_parts * 0.1 AS hll_ok,
+      |  f.approx_median,
+      |  abs(f.approx_median - e.exact_median) <= 2.0 AS median_ok
+      |FROM e JOIN f USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q44
   /** Deterministic stratified sample: ~10% of each return flag via a hash
@@ -281,7 +325,7 @@ object Advanced {
     ("q40_correlated_sub", q40, Some(q40Sql)),
     ("q41_array_funcs", q41, Some(q41Sql)),
     ("q42_percentiles", q42, Some(q42Sql)),
-    ("q43_approx_sketches", q43, None),
+    ("q43_approx_sketches", q43, Some(q43Sql)),
     ("q44_stratified_sample", q44, Some(q44Sql))
   )
 }

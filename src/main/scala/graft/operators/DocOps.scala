@@ -185,16 +185,27 @@ object DocOps {
   val q20: Q = (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------- q21
-  /** SimHash near-dup: hamming distance <= 3 pairs, candidates from
-    * 4×16-bit chunk equality (complete by pigeonhole). No oracle — 64-bit
-    * simhash isn't SQL-expressible; covered by spec + rows-only check.
+  /** Per-doc 64-bit SimHash signature (shared by q21 and the Verify fixture
+    * dump that powers its oracle).
     */
-  val q21: Q = (s, d) => {
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val sim = udaf(new SimHashAgg, Encoders.scalaLong)
-    val words = docs(s, d)
+    docs(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .withColumn("h", murmur3_token(col("word")))
-    val sigs = words.groupBy(col("doc_id")).agg(sim(col("h")).as("simhash"))
+      .groupBy(col("doc_id")).agg(sim(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup: hamming distance <= 3 pairs, candidates from
+    * 4×16-bit chunk equality (complete by pigeonhole). The 64-bit simhash
+    * itself isn't SQL-expressible (covered by SimHashSpec), so Verify dumps
+    * the per-doc signature as a fixture parquet and the DuckDB oracle
+    * independently re-derives everything downstream of it: chunk banding
+    * (shift + mask), the candidate self-join, the hamming distance
+    * (bit_count of xor), and the threshold.
+    */
+  val q21: Q = (s, d) => {
+    val sigs = simhashSigs(s, d)
 
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
@@ -211,6 +222,25 @@ object DocOps {
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Band keys via shift+mask are fill-agnostic: bits c*16..c*16+15 survive
+    * `& 65535` identically under arithmetic or logical shift, so DuckDB's
+    * `>>` matches Spark's `shiftrightunsigned`.
+    */
+  val q21Sql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, simhash
+      |  FROM read_parquet('/tmp/graft_fixtures/doc_simhash/*.parquet')),
+      |chunks AS (
+      |  SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS ck
+      |  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS c)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+      |  FROM chunks x JOIN chunks y
+      |    ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q22
   private val dicts: Seq[(String, Seq[String])] = Seq(
@@ -394,7 +424,7 @@ object DocOps {
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
     ("q20_dedup_minhash_lsh", q20, Some(jaccardPairsSql)),
-    ("q21_dedup_simhash", q21, None),
+    ("q21_dedup_simhash", q21, Some(q21Sql)),
     ("q22_lang_id", q22, Some(q22Sql)),
     ("q23_quality_score", q23, Some(q23Sql)),
     ("q24_token_stats", q24, Some(q24Sql)),

@@ -77,14 +77,20 @@ object EmbeddingOps {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q29
-  /** LSH-bucketed ANN: 12-bit hyperplane signatures; search only the query
-    * vector's bucket. Rows-only check (signature isn't SQL-expressible);
-    * recall vs q27 is asserted in the spec.
+  /** Corpus + 6-bit hyperplane-LSH bucket per vector (shared by q29 and
+    * the Verify fixture dump that powers its oracle).
+    */
+  private[graft] def srpSigned(s: SparkSession, d: String): DataFrame =
+    emb(s, d).withColumn("bucket", srp_signature(col("embedding"), 6, 42L))
+
+  /** LSH-bucketed ANN: hyperplane signatures; search only the query
+    * vector's bucket. The signature isn't SQL-expressible (covered by
+    * VectorMathSpec + the recall spec), so Verify dumps the per-vector
+    * bucket as a fixture parquet and the DuckDB oracle independently
+    * re-derives the bucket-equality search and the exact cosine rerank.
     */
   val q29: Q = (s, d) => {
-    val bits = 6
-    val seed = 42L
-    val signed = emb(s, d).withColumn("bucket", srp_signature(col("embedding"), bits, seed))
+    val signed = srpSigned(s, d)
     val qRow = signed.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q_vec"), col("bucket").as("q_bucket"))
     signed
@@ -95,6 +101,24 @@ object EmbeddingOps {
       .limit(5)
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
   }
+
+  val q29Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, bucket
+      |  FROM read_parquet('/tmp/graft_fixtures/srp_buckets/*.parquet')),
+      |q AS (
+      |  SELECT e.embedding AS qe, b.bucket AS qb
+      |  FROM embeddings e JOIN b USING (vec_id) WHERE e.vec_id = 0),
+      |s AS (
+      |  SELECT e.vec_id, b.bucket,
+      |    list_sum(list_transform(list_zip(e.embedding, (SELECT qe FROM q)),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    (SELECT sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM q) AS nb
+      |  FROM embeddings e JOIN b USING (vec_id)
+      |  WHERE e.vec_id <> 0 AND b.bucket = (SELECT qb FROM q))
+      |SELECT vec_id, bucket, round(dot / (na * nb), 6) AS sim
+      |FROM s ORDER BY dot / (na * nb) DESC, vec_id LIMIT 5""".stripMargin
 
   // ---------------------------------------------------------------- q47
   /** IVF-flat ANN: spherical k-means coarse quantizer, probe the `nprobe`
@@ -110,10 +134,17 @@ object EmbeddingOps {
     * column and a probe prunes partitions; here cells are a column and
     * the `isin` filter is the same semantics. Spherical (unit-normalized
     * means) because Euclidean Voronoi cells only match the cosine query
-    * metric on the unit sphere. Rows-only check; recall vs the q27 exact
-    * baseline is asserted in QueryPackSpec.
+    * metric on the unit sphere. The quantizer fit isn't SQL-expressible
+    * (recall vs the q27 exact baseline is asserted in QueryPackSpec), so
+    * Verify dumps each vector's (cell, probed) as a fixture parquet and
+    * the DuckDB oracle independently re-derives the probe filter and the
+    * exact cosine top-10 rerank.
     */
-  val q47: Q = (s, d) => {
+  /** Corpus with the fitted quantizer applied: every vector's cell id and
+    * whether that cell is probed for the fixed query (shared by q47 and
+    * the Verify fixture dump).
+    */
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val nprobe = 4
     val nlist = 8
     val e = emb(s, d)
@@ -147,18 +178,38 @@ object EmbeddingOps {
     }: _*)).getField("idx").as("cell")
 
     e.withColumn("cell", cellCol)
-      .filter(col("vec_id") =!= 0L && col("cell").isin(probed: _*))
+      .withColumn("probed", col("cell").isin(probed: _*))
+  }
+
+  val q47: Q = (s, d) =>
+    ivfAssigned(s, d)
+      .filter(col("vec_id") =!= 0L && col("probed"))
       .crossJoin(broadcast(queryVec(s, d)))
       .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
-  }
+
+  val q47Sql: String =
+    """WITH f AS (
+      |  SELECT vec_id, cell, probed
+      |  FROM read_parquet('/tmp/graft_fixtures/ivf_cells/*.parquet')),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT e.vec_id, f.cell,
+      |    list_sum(list_transform(list_zip(e.embedding, (SELECT qe FROM q)),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    (SELECT sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM q) AS nb
+      |  FROM embeddings e JOIN f USING (vec_id)
+      |  WHERE f.probed AND e.vec_id <> 0)
+      |SELECT vec_id, cell, round(dot / (na * nb), 6) AS sim
+      |FROM s ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10""".stripMargin
 
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
-    ("q29_ann_lsh", q29, None),
-    ("q47_ann_ivf", q47, None)
+    ("q29_ann_lsh", q29, Some(q29Sql)),
+    ("q47_ann_ivf", q47, Some(q47Sql))
   )
 }

@@ -73,6 +73,36 @@ class EngineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("1", 0L), ("2", 1L), ("3", 2L)))
   }
 
+  test("nondeterministic input plans keep watermarks consistent with written rows") {
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    import spark.implicits._
+    val base = (0 until 400)
+      .map(i => (s"k${i % 13}", s"v$i", ts(i)))
+      .toDF("key", "svalue", "timestamp")
+      .withColumn("value", encode(col("svalue"), "UTF-8"))
+      .select("key", "value", "timestamp")
+    // unseeded rand(): every execution of this plan selects a different
+    // subset — a count job separate from the write would drift the
+    // watermark off the written rows (the produce path must pin the batch)
+    val nondet = base.where(rand() < 0.5)
+    store.produce("nd", nondet)
+    store.produce("nd", nondet)
+
+    val written = spark.read.parquet(store.dataDir)
+      .where(col("topic") === "nd")
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1L).as("next"))
+      .as[(Int, Long, Long)].collect()
+    val high = store.producerOffsets("nd")
+    written.foreach { case (p, n, next) =>
+      assert(n == next, s"part $p: ${next - n} offset gaps/dups across batches")
+      assert(high.getOrElse(p, 0L) == next,
+        s"part $p watermark ${high.getOrElse(p, 0L)} != written next offset $next")
+    }
+    assert(high.filter(_._2 > 0).keySet == written.map(_._1).toSet)
+  }
+
   test("auto-commit advances; manual re-poll is at-least-once") {
     val store = freshStore()
     store.produceStrings("t", (0 until 10).map(i => ("k" + i % 2, s"m$i", ts(i))))

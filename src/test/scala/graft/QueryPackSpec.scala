@@ -40,15 +40,13 @@ class QueryPackSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q13_json_extract")(fresh, sf).count() > 0)
   }
 
-  test("oracleSql keys are a subset of queries keys") {
+  test("every query has an oracle") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
-    // non-SQL-expressible ops are the only ones without oracles (q17/q25/
-    // q44 get exact oracles via the murmur3 fixture parquet Verify dumps)
-    val noOracle = qs -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set(
-      "q21_dedup_simhash", "q29_ann_lsh",
-      "q43_approx_sketches", "q47_ann_ivf"))
+    // the hash/signature/sketch-dependent ops (q17/q21/q25/q29/q44/q47/
+    // q43) get theirs via the fixture parquets Verify dumps — the DuckDB
+    // SQL re-derives everything downstream of the dumped artifact
+    assert(qs -- SparkEntry.oracleSql.keySet == Set.empty)
   }
 
   test("minhash-LSH dedup equals exhaustive jaccard dedup") {
