@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: q49 is a stateless map (linear). q50 is min-label
   * propagation over the near-dup pair graph — per iteration one shuffle
   * on doc_id; near-dup components are copy-cliques with tiny diameter, so
-  * it converges in 2-3 rounds (at petabyte graph scale you'd switch to
-  * the large-star/small-star formulation, same join shape). q51 is three
-  * broadcast-size joins over per-doc scores.
+  * it converges in 2-3 rounds. For arbitrary-diameter graphs (long
+  * chains), `ConnectedComponents.components` implements the O(log n)-round
+  * large-star/small-star contraction — ScaleSpec proves both agree on this
+  * pair graph. q51 is three broadcast-size joins over per-doc scores.
   */
 object Pipeline {
   import Relational.Q

@@ -75,4 +75,57 @@ class ScaleSpec extends AnyFunSuite {
       .groupBy("l_returnflag").count().collect()
     assert(top.nonEmpty && top.forall(_.getAs[Long]("count") == 3L))
   }
+
+  /** Driver-side union-find ground truth for component checks. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("large-star/small-star components equal union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // topologies label propagation handles worst: long chains + sparse
+    // random edges + isolated nodes, across several densities
+    for (trial <- 0 until 5) {
+      val n = 60 + trial * 30
+      val chain = (0 until n - 1 by 3).map(i => (i.toLong, (i + 1).toLong))
+      val random = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = (chain ++ random).distinct
+      val got = operators.ConnectedComponents
+        .components(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      // every edge-incident node must carry its component's minimum
+      val incident = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(incident.forall(id => got.get(id).contains(want(id))),
+        s"trial $trial: mismatch on ${incident.find(id => !got.get(id).contains(want(id)))}")
+      assert(got.keySet == incident)
+    }
+  }
+
+  test("large-star/small-star equals q50's label propagation on the near-dup graph") {
+    import spark.implicits._
+    val pairs = operators.DocOps.q19(spark, sf).select("doc_a", "doc_b")
+    val cc = operators.ConnectedComponents
+      .components(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .as[(Long, Long)].collect().toMap
+    val q50 = operators.Pipeline.q50(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // q50 covers every doc (isolated docs are their own cluster); the CC
+    // result covers edge-incident docs — they must agree on those, and
+    // every doc absent from the edge set must be a singleton in q50
+    cc.foreach { case (id, comp) =>
+      assert(q50(id) == comp, s"doc $id: cc=$comp q50=${q50(id)}")
+    }
+    q50.filterNot { case (id, _) => cc.contains(id) }.foreach { case (id, comp) =>
+      assert(comp == id, s"isolated doc $id must be its own cluster")
+    }
+  }
 }
