@@ -215,8 +215,16 @@ class TopicStore(
     // metrics halve produce throughput — the metrics node splits the
     // write's codegen span; unconditional persist is worse still — the
     // columnar cache build costs more than the recompute it saves.)
-    val deterministic = withOffsets.queryExecution.analyzed.find(
-      p => p.expressions.exists(e => !e.deterministic)).isEmpty
+    val deterministic = withOffsets.queryExecution.analyzed.find { p =>
+      // nondeterminism hides in OPERATORS as well as expressions: Sample /
+      // Limit / Deduplicate pick a subset that depends on execution order
+      // (shuffle fetch order varies between jobs), with no nondeterministic
+      // expression in sight
+      import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, GlobalLimit, LocalLimit, Sample}
+      p.isInstanceOf[Sample] || p.isInstanceOf[GlobalLimit] ||
+        p.isInstanceOf[LocalLimit] || p.isInstanceOf[Deduplicate] ||
+        p.expressions.exists(e => !e.deterministic)
+    }.isEmpty
     val counts: Map[Int, Long] =
       if (deterministic) {
         val c = keyed.groupBy(col("part")).agg(count(lit(1)).as("n"))

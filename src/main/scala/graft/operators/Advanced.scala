@@ -237,7 +237,7 @@ object Advanced {
     * the EXACT values itself and re-derives the accuracy flags — an
     * independent engine asserting that the sketches landed within their
     * error budgets (HLL rsd 0.02 checked at 5x slack; the 1000-bucket
-    * percentile sketch within one quantity unit of the true median).
+    * percentile sketch within two quantity units of the true median).
     */
   /** The sketch aggregation, alone — shared verbatim by q43 and the Verify
     * fixture dump. percentile_approx's result depends on partial-merge

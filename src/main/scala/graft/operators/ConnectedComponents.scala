@@ -33,7 +33,7 @@ object ConnectedComponents {
     val m = sym.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("m"))
     sym.join(m, "u")
-      .where(col("v") > col("u") && col("v") =!= col("m"))
+      .where(col("v") > col("u")) // v > u >= m, so no self-loops possible
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()
   }
@@ -60,9 +60,18 @@ object ConnectedComponents {
     * smallest node id reachable. Nodes absent from `edges` are absent from
     * the result — callers union isolated vertices (see `Pipeline`).
     *
-    * Convergence check is a multiset signature (count + order-independent
-    * hash sum), not count alone: a round that rewires edges without
-    * changing their number must not read as converged.
+    * Convergence check is a set signature (count + order-independent hash
+    * xor), not count alone: a round that rewires edges without changing
+    * their number must not read as converged. Non-convergence within
+    * `maxRounds` THROWS — the output construction below is only valid at
+    * the star-forest fixpoint, and returning mid-contraction edges would
+    * silently split components. Rounds needed ≈ log(diameter); the
+    * default covers any realistic graph (ScaleSpec converges 180-node
+    * chains in < 10), raise it for adversarial topologies.
+    *
+    * Superseded rounds' checkpoint blocks are reclaimed by the
+    * ContextCleaner once the loop rebinds `e` and drops the only
+    * reference — at most the two live rounds are strongly held.
     */
   def components(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
@@ -79,10 +88,14 @@ object ConnectedComponents {
       signature = nextSig
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds; " +
+          "raise maxRounds (rounds needed grows with log of graph diameter)")
     // fixpoint is a star forest: every edge points (node -> component min);
     // roots appear only on the dst side, so union them in as self-rows
     e.select(col("src").as("id"), col("dst").as("component"))
-      .union(e.select(col("dst").as("id"), col("dst").as("component")).distinct())
+      .union(e.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
   }
 

@@ -85,9 +85,14 @@ class EngineSpec extends AnyFunSuite {
     // unseeded rand(): every execution of this plan selects a different
     // subset — a count job separate from the write would drift the
     // watermark off the written rows (the produce path must pin the batch)
+    // two operator-level nondeterminism shapes: an unseeded rand() filter
+    // (expression) and sample+limit (Sample/Limit nodes carry NO
+    // nondeterministic expression but select execution-order-dependent
+    // subsets) — both must pin the batch before counting
     val nondet = base.where(rand() < 0.5)
     store.produce("nd", nondet)
     store.produce("nd", nondet)
+    store.produce("nd", base.sample(0.6).limit(150))
 
     val written = spark.read.parquet(store.dataDir)
       .where(col("topic") === "nd")

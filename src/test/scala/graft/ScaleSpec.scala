@@ -94,8 +94,11 @@ class ScaleSpec extends AnyFunSuite {
     // random edges + isolated nodes, across several densities
     for (trial <- 0 until 5) {
       val n = 60 + trial * 30
-      val chain = (0 until n - 1 by 3).map(i => (i.toLong, (i + 1).toLong))
-      val random = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // a REAL chain over the first half (diameter ~n/2 — the worst case
+      // for label propagation, needing multiple contraction rounds here),
+      // sparse random edges over the whole range, isolated tail nodes
+      val chain = (0 until n / 2).map(i => (i.toLong, (i + 1).toLong))
+      val random = Seq.fill(n / 4)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val edges = (chain ++ random).distinct
       val got = operators.ConnectedComponents
