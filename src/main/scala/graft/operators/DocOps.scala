@@ -405,6 +405,102 @@ object DocOps {
       |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Benchmark decontamination: flag corpus docs sharing any 5-word gram
+    * with the benchmark/eval set (stand-in: doc_id % 10 == 0) — the
+    * overlap filter every training pipeline runs before releasing a
+    * corpus. 100 TB story: the benchmark gram set is eval-set-sized
+    * (tiny), so it BROADCASTS and the corpus side is one linear scan +
+    * partial-aggregated count — no corpus-side shuffle of text.
+    */
+  val q52: Q = (s, d) => {
+    val grams5 = docs(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= 5,
+          expr("transform(sequence(0, size(w) - 5), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .otherwise(array())).as("gram"))
+      .distinct()
+    val bench = grams5.filter(col("doc_id") % 10 === 0)
+      .select(col("gram")).distinct()
+    grams5.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val q52Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, UNNEST(list_transform(
+      |    list_zip(s, s[2:], s[3:], s[4:], s[5:]),
+      |    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' || x[5])) AS gram
+      |  FROM t),
+      |g2 AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+      |bench AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 10 = 0)
+      |SELECT doc_id, COUNT(*) AS n_shared
+      |FROM g2 JOIN bench USING (gram)
+      |WHERE doc_id % 10 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Repetition-based quality stats (the Gopher-style intra-doc filters):
+    * most-frequent-word fraction and duplicate-3-gram fraction, plus the
+    * pass flag a curation gate would apply. All ratios of exact integer
+    * counts, so the doubles are bit-identical to the oracle's. Linear:
+    * two per-doc aggregations, no cross-doc shuffle.
+    */
+  val q53: Q = (s, d) => {
+    val base = docs(s, d).select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val topw = base
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word"), sum(col("c")).as("n_words"))
+    val gstats = base
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise(array())).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_g"), countDistinct(col("g")).as("dist_g"))
+    topw.join(gstats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("top_word").cast("double") / col("n_words")).as("top_word_frac"),
+        coalesce((col("total_g") - col("dist_g")).cast("double") / col("total_g"), lit(0.0))
+          .as("dup_3gram_frac"))
+      .withColumn("pass_repetition",
+        col("top_word_frac") <= 0.2 && col("dup_3gram_frac") <= 0.2)
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      |wc AS (
+      |  SELECT doc_id, word, COUNT(*) AS c
+      |  FROM (SELECT doc_id, UNNEST(s) AS word FROM t)
+      |  GROUP BY doc_id, word),
+      |tw AS (SELECT doc_id, MAX(c) AS top_word, CAST(SUM(c) AS BIGINT) AS n_words
+      |       FROM wc GROUP BY doc_id),
+      |g AS (
+      |  SELECT doc_id, UNNEST(list_transform(list_zip(s, s[2:], s[3:]),
+      |    x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS gram
+      |  FROM t),
+      |g2 AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+      |gs AS (SELECT doc_id, COUNT(*) AS total_g, COUNT(DISTINCT gram) AS dist_g
+      |       FROM g2 GROUP BY doc_id)
+      |SELECT tw.doc_id, tw.n_words,
+      |  CAST(tw.top_word AS DOUBLE) / tw.n_words AS top_word_frac,
+      |  COALESCE(CAST(gs.total_g - gs.dist_g AS DOUBLE) / gs.total_g, 0.0) AS dup_3gram_frac,
+      |  (CAST(tw.top_word AS DOUBLE) / tw.n_words <= 0.2 AND
+      |   COALESCE(CAST(gs.total_g - gs.dist_g AS DOUBLE) / gs.total_g, 0.0) <= 0.2)
+      |    AS pass_repetition
+      |FROM tw LEFT JOIN gs USING (doc_id) ORDER BY tw.doc_id""".stripMargin
+
   /** Session-scoped DataFrame memo shared by the curation-pipeline
     * operators: entries for stopped sessions are evicted on every access,
     * so checkpoint blocks and session references do not outlive their
@@ -429,6 +525,8 @@ object DocOps {
     ("q23_quality_score", q23, Some(q23Sql)),
     ("q24_token_stats", q24, Some(q24Sql)),
     ("q25_fingerprint", q25, Some(q25Sql)),
-    ("q26_multimodal_stub", q26, Some(q26Sql))
+    ("q26_multimodal_stub", q26, Some(q26Sql)),
+    ("q52_decontaminate", q52, Some(q52Sql)),
+    ("q53_repetition", q53, Some(q53Sql))
   )
 }

@@ -25,9 +25,10 @@ class QueryPackSpec extends AnyFunSuite {
       name -> fn(spark, sf).count()
     }
     val mustBeNonEmpty = counts.filterNot { case (n, _) =>
-      // legitimately-possibly-empty at tiny SF: near-dup pair sets
+      // legitimately-possibly-empty at tiny SF: near-dup pair sets and
+      // benchmark-overlap hits
       n.contains("neardup") || n.contains("jaccard") || n.contains("minhash") ||
-        n.contains("simhash") || n.contains("anti")
+        n.contains("simhash") || n.contains("anti") || n.contains("decontam")
     }
     mustBeNonEmpty.foreach { case (n, c) => assert(c > 0, s"$n is empty") }
   }
