@@ -140,6 +140,15 @@ class TopicStore(
 
   // ------------------------------------------------------------- produce
 
+  // ONE produce at a time per store: produce is a read-modify-write of the
+  // per-topic watermark, and concurrent partitioned appends to the same
+  // dataDir can also collide in the Hadoop committer's shared _temporary
+  // staging. The REST/binary channels already serialize through one
+  // coalescer; this lock extends the guarantee to ANY composition
+  // (streaming ingest via foreachBatch concurrent with REST produce,
+  // direct API callers) instead of relying on caller discipline.
+  private val produceLock = new Object
+
   /** Append records (columns: key string, value binary, timestamp) to a
     * topic. One shuffle on the ring partition; offsets are contiguous per
     * partition continuing from the previous produce. Empty/null keys get
@@ -147,7 +156,7 @@ class TopicStore(
     * records — even spread, no order guarantee; we use a value hash, which
     * is deterministic and shuffle-free).
     */
-  def produce(topic: String, records: DataFrame): Long = {
+  def produce(topic: String, records: DataFrame): Long = produceLock.synchronized {
     val g = generation(topic)
     val bases: Map[Int, Long] = producerOffsets(topic)
 

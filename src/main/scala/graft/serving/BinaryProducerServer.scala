@@ -46,6 +46,15 @@ class BinaryProducerServer(
   private val running = new AtomicBoolean(true)
   private val conns = mutable.Set.empty[Socket]
 
+  // ack responses are written OFF the coalescer's flusher thread: the ack
+  // future completes on that single engine-wide thread, and a client that
+  // stops reading (full TCP send buffer) would otherwise block it — and
+  // with it every produce channel of the store. A cached pool grows one
+  // thread per concurrently-stalled connection and reaps idle ones.
+  private val ackWriters = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-binary-ack"); t.setDaemon(true); t
+  })
+
   private val acceptor = new Thread(() => {
     while (running.get()) {
       try {
@@ -68,6 +77,8 @@ class BinaryProducerServer(
     running.set(false)
     server.close()
     conns.synchronized { conns.foreach(s => try s.close() catch { case _: IOException => () }) }
+    ackWriters.shutdownNow()
+    ()
   }
 
   // ------------------------------------------------------- connection loop
@@ -143,7 +154,15 @@ class BinaryProducerServer(
       (0 until 8).foreach { _ => v = (v << 8) | (body(pos) & 0xffL); pos += 1 }
       v
     }
-    def bytes(n: Int): Array[Byte] = { val b = body.slice(pos, pos + n); pos += n; b }
+    // STRICT bounds: Array.slice silently clamps, which would turn an
+    // oversized length into a durably-produced TRUNCATED record, and a
+    // negative length into a zero-progress infinite parse loop
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > body.length)
+        throw new IndexOutOfBoundsException(
+          s"field length $n exceeds body (${body.length - pos} bytes left)")
+      val b = java.util.Arrays.copyOfRange(body, pos, pos + n); pos += n; b
+    }
     try {
       val tsMicros =
         if ((flags & FlagWithTimestamp) != 0) i64()
@@ -152,16 +171,19 @@ class BinaryProducerServer(
       val topic = new String(bytes(u8()), UTF_8)
       val msgs = mutable.ArrayBuffer.empty[Array[Byte]]
       while (pos < body.length) {
+        if (pos + 4 > body.length)
+          throw new IndexOutOfBoundsException("truncated record length prefix")
         val len = ((body(pos) & 0xff) << 24) | ((body(pos + 1) & 0xff) << 16) |
           ((body(pos + 2) & 0xff) << 8) | (body(pos + 3) & 0xff)
         pos += 4
         msgs += bytes(len)
       }
       val effectiveKey = if (key.isEmpty) null else key
-      coalescer.submit(topic, effectiveKey, tsMicros, msgs.toSeq).whenComplete { (_, err) =>
-        if (err == null) respond(streamId, OpProduceResponse, Array.emptyByteArray)
-        else respond(streamId, OpError, errorBody(0, String.valueOf(err.getMessage)))
-      }
+      coalescer.submit(topic, effectiveKey, tsMicros, msgs.toSeq)
+        .whenCompleteAsync((_, err) => {
+          if (err == null) respond(streamId, OpProduceResponse, Array.emptyByteArray)
+          else respond(streamId, OpError, errorBody(0, String.valueOf(err.getMessage)))
+        }, ackWriters)
       ()
     } catch {
       case e: IndexOutOfBoundsException =>

@@ -45,7 +45,17 @@ class ProduceCoalescer(
 
   def start(): ProduceCoalescer = { flusher.start(); this }
 
-  def stop(): Unit = { running.set(false); flusher.join(1000) }
+  def stop(): Unit = {
+    running.set(false)
+    flusher.join(1000)
+    // fail the acks of anything still queued — abandoning them would leave
+    // submitters blocked on futures nobody will ever complete
+    var p = queue.poll()
+    while (p != null) {
+      p.ack.completeExceptionally(new IllegalStateException("coalescer stopped"))
+      p = queue.poll()
+    }
+  }
 
   /** Enqueue one request (N records sharing key+timestamp); blocks when
     * the queue is full; the future completes after the durable write.
@@ -63,11 +73,21 @@ class ProduceCoalescer(
   private def flush(first: Pending): Unit = {
     val batch = mutable.ArrayBuffer(first)
     var bytes = first.lines.iterator.map(_.length.toLong).sum
-    var drained = false
-    while (!drained && bytes < maxGroupBytes) {
-      val nxt = queue.poll()
-      if (nxt == null) drained = true
-      else { batch += nxt; bytes += nxt.lines.iterator.map(_.length.toLong).sum }
+    // group everything arriving within ONE coalesceMs window of the first
+    // record (or until maxGroupBytes): each flush costs a full Spark
+    // produce job, so a real linger amortizes it across concurrent
+    // requesters; the hard deadline keeps first-record latency bounded at
+    // coalesceMs even under a steady trickle of arrivals
+    val deadline = System.nanoTime() + coalesceMs * 1000000L
+    var remainingNs = coalesceMs * 1000000L
+    while (remainingNs > 0 && bytes < maxGroupBytes) {
+      val nxt = queue.poll(remainingNs, TimeUnit.NANOSECONDS)
+      if (nxt == null) remainingNs = 0
+      else {
+        batch += nxt
+        bytes += nxt.lines.iterator.map(_.length.toLong).sum
+        remainingNs = deadline - System.nanoTime()
+      }
     }
     batch.groupBy(_.topic).foreach { case (topic, reqs) =>
       try {

@@ -66,11 +66,12 @@ class RestServer(
 
   val metrics = new EngineMetrics
 
-  /** The single produce serialization point. PUBLIC so a co-hosted binary
-    * producer server shares it: `TopicStore.produce` is a read-modify-write
-    * of the per-topic watermark, so every produce channel of one store
-    * MUST funnel through one coalescer or concurrent flushes would assign
-    * duplicate offsets.
+  /** The shared produce batcher. PUBLIC so a co-hosted binary producer
+    * server shares it: one coalescer means one Spark produce job per
+    * window across ALL channels instead of one per request. (Correctness
+    * no longer depends on this sharing — `TopicStore.produce` serializes
+    * internally — but unbatched concurrent producers would each pay a
+    * full job and queue on the store's lock.)
     */
   val coalescer = new ProduceCoalescer(
     store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics)
@@ -110,7 +111,13 @@ class RestServer(
     val now = System.currentTimeMillis()
     sessions.forEach { (id, s) =>
       if (now - s.lastSeen > readTimeoutMs) {
-        commitPending(s)
+        // DROP the staged positions, never flush them: the staged page was
+        // delivered but the consumer vanished without acknowledging it via
+        // a next poll/commit/goodbye. Eviction is the failure path of the
+        // at-least-once contract — committing here would mark the unacked
+        // page consumed and the group would silently skip it. The group
+        // re-reads from the last durable commit instead.
+        s.synchronized { s.pendingCommit.clear() }
         store.registry.goodbye(s.group, id)
         sessions.remove(id)
         metrics.activeConsumers.set(sessions.size.toLong)
@@ -206,6 +213,11 @@ class RestServer(
 
   private def handleProduce(ex: HttpExchange, topic: String): Unit = {
     val qs = params(ex)
+    // the binary poll response encodes the topic length as u8, so names
+    // beyond 255 UTF-8 bytes would corrupt every binary delivery of them
+    if (topic.getBytes(UTF_8).length > 255) {
+      respond(ex, 400, """{"error":"topic name exceeds 255 bytes"}"""); return
+    }
     val body = ex.getRequestBody.readAllBytes()
     if (body.isEmpty) { respond(ex, 400, """{"error":"empty body"}"""); return }
     if (body.length > maxMessageBytes) { // reference: 400 over MaxMessageSize
@@ -239,12 +251,20 @@ class RestServer(
       respond(ex, 400, """{"error":"consumerId required"}"""); return
     }
     val group = qs.get("group").flatMap(_.headOption).getOrElse("default")
-    val topics = qs.getOrElse("topic", Seq.empty)
+    val topics = qs.getOrElse("topic", Seq.empty).distinct
     if (topics.isEmpty) { respond(ex, 400, """{"error":"topic required"}"""); return }
+    if (topics.exists(_.getBytes(UTF_8).length > 255)) {
+      respond(ex, 400, """{"error":"topic name exceeds 255 bytes"}"""); return
+    }
     val policy = qs.get("onNewGroup").flatMap(_.headOption) match {
       case Some("startFromEarliest") => store.StartFrom.Earliest
       case _ => store.StartFrom.Latest
     }
+    // a re-register under a DIFFERENT group must leave the old group, or
+    // its round-robin assignment keeps routing partitions to this id
+    // forever and no surviving member ever serves them
+    Option(sessions.get(cid)).filter(_.group != group)
+      .foreach(old => store.registry.goodbye(old.group, cid))
     store.registry.register(group, cid, topics, policy)
     sessions.put(cid, new Session(cid, group, topics))
     metrics.activeConsumers.set(sessions.size.toLong)
@@ -298,14 +318,9 @@ class RestServer(
           val next = rows.groupBy(_.getAs[Int]("part")).view
             .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
           // all rows of one poll share the current generation (poll filters
-          // on it); merge with the staged map only within the same
-          // generation — across one, the old stage is stale by definition
-          val ver = rows.head.getAs[Int]("version")
-          val staged = s.pendingCommit.get(topic) match {
-            case Some((v, m)) if v == ver => m ++ next
-            case _                        => next
-          }
-          s.pendingCommit(topic) = (ver, staged)
+          // on it); commitPending above cleared any prior stage, so this is
+          // a plain put — never a cross-poll merge
+          s.pendingCommit(topic) = (rows.head.getAs[Int]("version"), next)
         }
       }
 
@@ -320,6 +335,13 @@ class RestServer(
         val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
         if (accept.contains("application/json")) {
           val body = items.iterator.map { i =>
+            // record bodies are embedded VERBATIM — the reference's JSON
+            // marshal is the same pass-through (`MarshalJson`,
+            // `consuming/models.go:136-199`): the producer API's contract
+            // is JSON bodies, and the consumer sees exactly what was
+            // produced. Non-JSON bytes (possible via the binary producer)
+            // yield a response only the producing client can parse — parity
+            // with the reference, not a serving-side escape bug.
             val values = i.records.iterator
               .map(r => new String(r._2, UTF_8)).mkString(",")
             s"""{"topic":${jstr(i.topic)},"token":"${i.token}"""" +

@@ -23,7 +23,11 @@ class StreamingTopic(store: TopicStore) {
   private val spark = store.spark
 
   /** Start ingesting a streaming DataFrame (key, value, timestamp) into a
-    * topic; one produce() per micro-batch.
+    * topic; one produce() per micro-batch. Safe to run concurrently with
+    * the REST/binary produce channels of the same store —
+    * `TopicStore.produce` serializes the watermark read-modify-write
+    * internally, so cross-channel batches interleave without offset
+    * collisions.
     */
   def ingest(topic: String, stream: DataFrame, checkpoint: String): StreamingQuery =
     stream.writeStream

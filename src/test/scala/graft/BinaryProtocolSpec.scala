@@ -99,6 +99,51 @@ class BinaryProtocolSpec extends AnyFunSuite {
     } finally { server.stop(); coalescer.stop() }
   }
 
+  test("malformed produce bodies answer error, never hang or truncate") {
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-bin3").toString)
+    val coalescer = new ProduceCoalescer(store, coalesceMs = 20L).start()
+    val server = new BinaryProducerServer(coalescer).start()
+    try {
+      val sock = new Socket("localhost", server.boundPort)
+      sock.setSoTimeout(10000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(frame(1, 1, 0, Array.emptyByteArray)); out.flush()
+      assert(readFrame(in)._2 == 2) // ready
+
+      // record length -4: a clamping parser would spin forever at pos
+      def withMsgLen(len: Int): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val d = new DataOutputStream(buf)
+        d.writeLong(1700000000000000L)
+        d.writeByte(1); d.write("k".getBytes(UTF_8))
+        d.writeByte(3); d.write("bad".getBytes(UTF_8))
+        d.writeInt(len); d.write("xy".getBytes(UTF_8))
+        buf.toByteArray
+      }
+      out.write(frame(30, 4, 1, withMsgLen(-4))); out.flush()
+      val (sid1, op1, b1) = readFrame(in)
+      assert((sid1, op1) == (30, 3) && new String(b1.drop(1), UTF_8).contains("malformed"))
+
+      // record length far beyond the body: must ERROR, not durably produce
+      // a silently truncated record
+      out.write(frame(31, 4, 1, withMsgLen(500))); out.flush()
+      val (sid2, op2, _) = readFrame(in)
+      assert((sid2, op2) == (31, 3))
+
+      // the connection survives malformed bodies: a good produce still works
+      out.write(frame(32, 4, 1, produceBody(1700000000000000L, "k", "ok", Seq("fine"))))
+      out.flush()
+      val (sid3, op3, _) = readFrame(in)
+      assert((sid3, op3) == (32, 5)) // produceResponse
+      sock.close()
+
+      store.registry.register("g", "c", Seq("bad"), store.StartFrom.Earliest)
+      assert(store.poll("g", "bad", "c").collect().isEmpty,
+        "malformed produce must not write records")
+    } finally { server.stop(); coalescer.stop() }
+  }
+
   test("first frame must be startup; anything else errors and closes") {
     val store = new TopicStore(spark, Files.createTempDirectory("graft-bin2").toString)
     val coalescer = new ProduceCoalescer(store, coalesceMs = 20L).start()

@@ -108,6 +108,41 @@ class EngineSpec extends AnyFunSuite {
     assert(high.filter(_._2 > 0).keySet == written.map(_._1).toSet)
   }
 
+  test("concurrent produce from multiple threads keeps offsets contiguous") {
+    import org.apache.spark.sql.functions._
+    val store = freshStore()
+    import spark.implicits._
+    // four threads racing produce() on the SAME topic — the store-level
+    // lock must serialize the watermark read-modify-write regardless of
+    // which channel (REST coalescer, streaming foreachBatch, direct API)
+    // the batches come from
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val batch = (0 until 25)
+          .map(i => (s"k${i % 5}", s"t$t-m$i", ts(t * 100 + i)))
+          .toDF("key", "svalue", "timestamp")
+          .withColumn("value", encode(col("svalue"), "UTF-8"))
+          .select("key", "value", "timestamp")
+        store.produce("conc", batch)
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+
+    val byPart = spark.read.parquet(store.dataDir)
+      .where(col("topic") === "conc")
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), (max(col("offset")) + 1L).as("next"),
+        countDistinct(col("offset")).as("uniq"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(byPart.map(_._2).sum == 100L)
+    byPart.foreach { case (p, n, next, uniq) =>
+      assert(n == uniq, s"part $p: duplicate offsets")
+      assert(n == next, s"part $p: offset gaps (count $n vs next $next)")
+    }
+  }
+
   test("auto-commit advances; manual re-poll is at-least-once") {
     val store = freshStore()
     store.produceStrings("t", (0 until 10).map(i => ("k" + i % 2, s"m$i", ts(i))))

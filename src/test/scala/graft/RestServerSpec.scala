@@ -308,4 +308,54 @@ class RestServerSpec extends AnyFunSuite {
       assert(send(base, "POST", "/v1/consumer/poll?consumerId=c5").statusCode() == 409)
     } finally server.stop()
   }
+
+  test("eviction drops the staged page: the group re-reads it, never skips it") {
+    val server = startServer(readTimeoutMs = 250L)
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(send(base, "POST",
+        s"/v1/topic/t6/messages?partitionKey=k&timestamp=1700000000000000",
+        """{"n":1}""").statusCode() == 200)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c6&group=g6&topic=t6&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      // first poll delivers the page and STAGES its end position
+      val first = send(base, "POST", "/v1/consumer/poll?consumerId=c6")
+      assert(first.statusCode() == 200 && first.body().contains("\"n\":1"))
+      // consumer dies mid-processing: idle past the timeout, then evicted.
+      // The staged position must be DROPPED (not flushed) — a re-registered
+      // consumer of the same group re-reads the unacknowledged page.
+      Thread.sleep(600L)
+      assert(send(base, "POST", "/v1/consumer/poll?consumerId=c6").statusCode() == 409)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c6b&group=g6&topic=t6").statusCode() == 200)
+      val again = send(base, "POST", "/v1/consumer/poll?consumerId=c6b")
+      assert(again.statusCode() == 200 && again.body().contains("\"n\":1"),
+        s"unacked page was skipped after eviction: ${again.statusCode()} ${again.body()}")
+    } finally server.stop()
+  }
+
+  test("re-register under a new group leaves the old group's assignment") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cm&group=gOld&topic=t7&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      // same consumer id moves to another group
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cm&group=gNew&topic=t7&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      // a surviving member of the OLD group must now own ALL partitions —
+      // if cm leaked in gOld's membership, half the partitions would stay
+      // assigned to it and never be served
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cs&group=gOld&topic=t7&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      val parts = server.store.registry.assignment("gOld", "cs", "t7")
+      val g = server.store.generation("t7")
+      assert(parts.size == g.clusterSize * server.store.rangesPerToken,
+        s"old group still routes partitions to the moved consumer: ${parts.size}")
+    } finally server.stop()
+  }
 }
