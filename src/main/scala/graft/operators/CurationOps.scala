@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer: PII redaction, sequence packing,
+  * corpus-level boilerplate span removal, and mixture resampling.
+  *
+  * Scale notes (the 100 TB story):
+  *  - q54 PII: stateless regex map — whole-stage codegen, zero shuffle.
+  *  - q55 packing: windows are per-shard, so parallelism scales with the
+  *    shard count, not 1 (a single global window would serialize the
+  *    corpus through one task).
+  *  - q56 boilerplate: one shuffle on the gram key (the unavoidable
+  *    corpus-frequency aggregation), then the verdict joins back on
+  *    doc_id; the frequent-gram set is output-side tiny.
+  *  - q57 mixture: per-language totals are a GROUP BY over ~100 rows of
+  *    output — broadcast back over the corpus for the keep-gate.
+  */
+object CurationOps {
+  import Relational.Q
+  import DocOps.docs
+
+  // ---------------------------------------------------------------- q54
+  /** PII detection + redaction counts. The corpus tables are synthetic
+    * word-salad with no real PII, so the payload appends deterministic
+    * row-derived PII tokens (email / IPv4 / phone) — both engines build
+    * the identical payload, then both run their own regex machinery, so
+    * the oracle checks real extraction/replacement parity, not fixtures.
+    * Regexes are RE2-and-Java-compatible (no backrefs or lookaround).
+    */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b555-\\d{4}\\b"
+
+  val q54: Q = (s, d) => {
+    val payload = concat_ws(
+      " ",
+      col("text"),
+      concat(lit("contact user"), (col("doc_id") % 97).cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com")),
+      concat(lit("from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), ((col("doc_id") * 13) % 256).cast("string")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("call 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"))))
+    docs(s, d)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("payload"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("payload"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("payload"), lit(phoneRe)).cast("long").as("n_phones"),
+        length(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("payload"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>"),
+            phoneRe, "<PHONE>")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    concat_ws(' ', text,
+       |      'contact user' || (doc_id % 97) || '@mail' || (doc_id % 7) || '.example.com',
+       |      'from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256),
+       |      CASE WHEN doc_id % 3 = 0
+       |           THEN 'call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') END
+       |    ) AS payload
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(payload, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(payload, '$ipRe')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(payload, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(length(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(payload, '$emailRe', '<EMAIL>', 'g'),
+       |        '$ipRe', '<IP>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** Sequence packing (concat-then-chunk): assign documents to fixed
+    * token-budget packs in doc order, the GPT-style pretraining layout. A
+    * doc is assigned to the pack where its first token lands (exclusive
+    * running sum / budget). Packing is per shard — at scale each shard
+    * packs independently in its own task; a global pack order would
+    * serialize 100 TB through one window partition.
+    */
+  private val PackBudget = 2048L
+  private val PackShards = 8L
+
+  val q55: Q = (s, d) => {
+    val toks = docs(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % PackShards).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("tokens")) / PackBudget))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("pack_tokens"))
+      .orderBy("shard", "pack_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, tokens,
+       |    SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT shard, CAST(floor((cum - tokens) / $PackBudget.0) AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Corpus-level boilerplate span removal (the line-dedup stage of
+    * CCNet/RefinedWeb, over 5-gram spans since the synthetic corpus has
+    * no line structure): a span appearing in >= 3 distinct documents is
+    * boilerplate; docs whose span mass is mostly boilerplate get dropped.
+    * One shuffle on the gram key (the corpus-frequency count), then an
+    * aggregation back to doc_id — text itself is never shuffled.
+    */
+  private val BoilerMinDocs = 3L
+
+  val q56: Q = (s, d) => {
+    // per-doc dedupe is array_distinct BEFORE the explode (map-side, no
+    // shuffle), and the corpus frequency is a count over a gram-partitioned
+    // window instead of an agg+self-join — two shuffles total (gram, then
+    // doc_id), where the naive distinct/groupBy/join shape pays three.
+    val grams = docs(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("w")) >= 5,
+          expr("transform(sequence(0, size(w) - 5), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .otherwise(array()))).as("gram"))
+    grams
+      .withColumn("docs_with", count(lit(1)).over(Window.partitionBy("gram")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("docs_with") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams")).as("boiler_frac"),
+        (col("n_boiler").cast("double") / col("n_grams") <= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, UNNEST(list_transform(
+       |    list_zip(s, s[2:], s[3:], s[4:], s[5:]),
+       |    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' || x[5])) AS gram
+       |  FROM t),
+       |g2 AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+       |f AS (SELECT gram, COUNT(*) AS docs_with FROM g2 GROUP BY gram)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN docs_with >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN docs_with >= $BoilerMinDocs THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_frac,
+       |  (CAST(SUM(CASE WHEN docs_with >= $BoilerMinDocs THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) <= 0.5) AS keep
+       |FROM g2 JOIN f USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Language-mixture resampling: given a per-language token budget,
+    * derive each language's keep-rate from its actual token mass
+    * (rate = min(1, budget / actual)), then apply a deterministic
+    * systematic gate (doc_id mod 1000 < rate * 1000). The rate table is
+    * aggregate-output-sized, so it broadcasts; the gate itself is a
+    * stateless map. Reproducible across cluster sizes — the gate depends
+    * only on doc_id, never on partitioning or row order.
+    */
+  private val LangTokenBudget = 20000L
+
+  val q57: Q = (s, d) => {
+    val toks = docs(s, d).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    val rates = toks.groupBy(col("lang"))
+      .agg(sum(col("tokens")).as("lang_tokens"))
+      .select(col("lang"), col("lang_tokens"),
+        least(lit(1.0), lit(LangTokenBudget).cast("double") / col("lang_tokens"))
+          .as("keep_rate"))
+    toks.join(broadcast(rates), "lang")
+      .filter((col("doc_id") % 1000).cast("double") < col("keep_rate") * 1000.0)
+      .groupBy(col("lang"))
+      .agg(
+        max(col("lang_tokens")).as("lang_tokens"),
+        max(col("keep_rate")).as("keep_rate"),
+        count(lit(1)).as("kept_docs"),
+        sum(col("tokens")).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val q57Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, CAST(SUM(tokens) AS BIGINT) AS lang_tokens,
+       |    least(1.0, $LangTokenBudget.0 / SUM(tokens)) AS keep_rate
+       |  FROM t GROUP BY lang)
+       |SELECT lang, MAX(lang_tokens) AS lang_tokens, MAX(keep_rate) AS keep_rate,
+       |  COUNT(*) AS kept_docs, CAST(SUM(tokens) AS BIGINT) AS kept_tokens
+       |FROM t JOIN r USING (lang)
+       |WHERE CAST(doc_id % 1000 AS DOUBLE) < keep_rate * 1000.0
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q54_pii_redact", q54, Some(q54Sql)),
+    ("q55_seq_pack", q55, Some(q55Sql)),
+    ("q56_boilerplate", q56, Some(q56Sql)),
+    ("q57_mix_sample", q57, Some(q57Sql))
+  )
+}

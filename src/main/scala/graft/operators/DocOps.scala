@@ -31,11 +31,10 @@ object DocOps {
     */
   private def shingles(dd: DataFrame): DataFrame =
     dd.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         when(size(col("w")) >= 3,
           expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .otherwise(array())).as("shingle"))
-      .distinct()
+          .otherwise(array()))).as("shingle"))
 
   /** DuckDB equivalent of `shingles` (list_zip against shifted slices). */
   private val shinglesSqlCte: String =
@@ -414,14 +413,16 @@ object DocOps {
     * partial-aggregated count — no corpus-side shuffle of text.
     */
   val q52: Q = (s, d) => {
+    // per-doc dedupe via array_distinct before the explode: map-side, no
+    // (doc_id, gram) shuffle — the only corpus-side shuffle left is the
+    // final per-doc count.
     val grams5 = docs(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         when(size(col("w")) >= 5,
           expr("transform(sequence(0, size(w) - 5), " +
             "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array())).as("gram"))
-      .distinct()
+          .otherwise(array()))).as("gram"))
     val bench = grams5.filter(col("doc_id") % 10 === 0)
       .select(col("gram")).distinct()
     grams5.filter(col("doc_id") % 10 =!= 0)

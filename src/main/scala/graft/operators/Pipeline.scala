@@ -166,9 +166,55 @@ object Pipeline {
        |WHERE pred_lang = 'en' AND score >= 0.2 AND c.cluster_id = c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Canonical-copy selection: within each near-dup cluster keep the
+    * highest-quality copy (tie-break: smallest doc_id) — the keep-policy
+    * real pipelines apply instead of keep-min-id, so near-identical crawl
+    * copies resolve to the cleanest one. One shuffle on cluster_id; the
+    * window partitions are cluster-sized (copy cliques), never skewed
+    * beyond the duplication factor.
+    */
+  val q58: Q = (s, d) => {
+    val scored = dupLabels(s, d)
+      .join(DocOps.q23(s, d).select(col("doc_id"), col("score")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("canon_doc"),
+        max(when(col("rk") === 1, col("score"))).as("canon_score"))
+      .orderBy("cluster_id")
+  }
+
+  val q58Sql: String =
+    s"""WITH RECURSIVE ${DocOps.jaccardPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs
+       |),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.doc_b, r.label FROM reach r JOIN edges e ON e.doc_a = r.doc_id
+       |),
+       |clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |qual AS (SELECT doc_id, score FROM (${DocOps.q23Sql})),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, q.score,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.score DESC, c.doc_id) AS rk
+       |  FROM clusters c JOIN qual q ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS canon_doc,
+       |  MAX(CASE WHEN rk = 1 THEN score END) AS canon_score
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
-    ("q51_corpus_filter", q51, Some(q51Sql))
+    ("q51_corpus_filter", q51, Some(q51Sql)),
+    ("q58_canonicalize", q58, Some(q58Sql))
   )
 }

@@ -111,6 +111,63 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("pii redact: every payload carries its constructed email and ip") {
+    val rows = operators.CurationOps.q54(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == 1L, s"doc $id emails")
+      assert(r.getAs[Long]("n_ips") == 1L, s"doc $id ips")
+      assert(r.getAs[Long]("n_phones") == (if (id % 3 == 0) 1L else 0L), s"doc $id phones")
+    }
+  }
+
+  test("seq pack: per-shard pack token sums cover the shard totals") {
+    val packs = operators.CurationOps.q55(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"), r.getAs[Long]("pack_tokens")))
+    assert(packs.nonEmpty)
+    val toks = Graft.table(spark, sf, "documents").selectExpr(
+      "doc_id % 8 as shard", "size(split(text, ' ')) as t").collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Int]("t").toLong)
+    val totals = toks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      assert(ps.map(_._3).sum == totals(shard), s"shard $shard token mass")
+      val ids = ps.map(_._2).sorted
+      assert(ids.head == 0L, s"shard $shard first pack")
+      assert(ids.distinct.length == ids.length, s"shard $shard duplicate packs")
+    }
+  }
+
+  test("boilerplate + mixture: fractions and rates stay in range") {
+    operators.CurationOps.q56(spark, sf).collect().foreach { r =>
+      val f = r.getAs[Double]("boiler_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Boolean]("keep") == (f <= 0.5))
+    }
+    operators.CurationOps.q57(spark, sf).collect().foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("lang_tokens"))
+    }
+  }
+
+  test("canonicalize: clusters partition the corpus and keep the best copy") {
+    val rows = operators.Pipeline.q58(spark, sf).collect()
+    val total = Graft.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    val scores = operators.DocOps.q23(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val labels = operators.Pipeline.q50(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val byCluster = labels.groupBy(_._2)
+    rows.foreach { r =>
+      val (c, canon) = (r.getAs[Long]("cluster_id"), r.getAs[Long]("canon_doc"))
+      val members = byCluster(c).map(_._1)
+      assert(members.contains(canon), s"canon $canon not in cluster $c")
+      assert(scores(canon) == members.map(scores).max, s"cluster $c kept a worse copy")
+    }
+  }
+
   test("multimodal stub: schema and value ranges") {
     val df = operators.DocOps.q26(spark, sf)
     assert(df.schema.fieldNames.toSeq == Seq("doc_id", "width", "height", "format"))
