@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ceiling only — the host has 128 GiB; 48g keeps the 2M-message ingest
   // bench (2 GB cached batch + execution memory) off the spill path
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The CI host's disk throttles to single-digit MB/s with ~1 s fsyncs
+  // under load, which turns KB-sized topic writes into 120 s+ stalls.
+  // Tests and benches put their SCRATCH data (topic stores, staged bench
+  // messages, checkpoints) on tmpfs so they measure the engine, not the
+  // broken device; testdata reads still come from the real disk. A real
+  // deployment writes to cluster/object storage and never sees this knob.
+  s"-Djava.io.tmpdir=${if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"}",
 )

@@ -56,8 +56,33 @@ object Bench {
     * durable zstd parquet. Rates are msgs/sec end-to-end including offset
     * assignment and commit bookkeeping.
     */
+  /** Scratch roots live under java.io.tmpdir (tmpfs on the throttled-disk
+    * CI host) and MUST be deleted — tmpfs contents outlive the process, so
+    * leaked multi-GB bench roots would eventually exhaust RAM-backed space.
+    * Stale roots from crashed runs are swept on entry.
+    */
+  private def deleteRec(dir: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val p = Path.of(dir)
+    if (Files.exists(p)) {
+      val all = Files.walk(p).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      all.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+  }
+
+  private def sweepStaleBenchRoots(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Path.of(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    try java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft-bench-"))
+      .foreach(p => deleteRec(p.toString))
+    catch { case _: Exception => () }
+  }
+
   private def ingestBench(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
+    sweepStaleBenchRoots()
     val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
     // 12-broker ring: 48 partitions ~ local[32] (the reference scales the
     // same way — "partitions = brokers x consumer_ranges")
@@ -72,15 +97,23 @@ object Bench {
         encode(rpad(col("props"), 1024, "x"), "UTF-8").as("value"),
         col("ts").as("timestamp"))
     // materialize before the timer: the reference benchmark pre-generates
-    // messages client-side, so the broker-comparable produce cost starts at
-    // "bytes in hand" — synthesis (~18 s for 2 GB of padded strings) must
-    // not be billed to the engine. Staged as uncompressed parquet: the
-    // timed read is the vectorized scan off the OS page cache, the engine
-    // analog of draining pre-built client buffers.
+    // messages client-side and holds them in client RAM, so the
+    // broker-comparable produce cost starts at "bytes in hand" —
+    // synthesis (~18 s for 2 GB of padded strings) must not be billed to
+    // the engine. Staged as (session-default zstd) parquet for the
+    // streaming source, and ALSO pinned in the executor block cache for
+    // the batch path: the host's disk is IOPS-throttled and drops page
+    // cache, so an uncompressed-parquet re-read measures the host disk,
+    // not the engine — the reference tool's in-RAM client buffers are the
+    // honest analog. The engine's own durable write (shuffle + zstd
+    // parquet + watermark commit) stays fully inside the timer.
     val stage = s"$root/_stage"
-    msgs.write.mode("overwrite")
-      .option("compression", "uncompressed").parquet(stage)
+    msgs.write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
+    // inputFiles must be read off the bare file relation: after persist()
+    // the cached InMemoryRelation replaces it and inputFiles returns empty
+    val stageFiles = staged.inputFiles.length
+    staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = staged.count().toDouble
 
     val t0 = System.nanoTime()
@@ -92,7 +125,10 @@ object Bench {
     val polled = store.poll("g", "bench", "c").count().toDouble
     val pollSec = (System.nanoTime() - t1) / 1e9
 
-    (n / produceSec, polled / pollSec, streamIngestBench(spark, staged, n))
+    val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
+    staged.unpersist()
+    deleteRec(root)
+    (n / produceSec, polled / pollSec, streamRate)
   }
 
   /** Structured Streaming ingest rate: the same staged messages consumed
@@ -104,14 +140,14 @@ object Bench {
     */
   private def streamIngestBench(
       spark: SparkSession,
-      staged: org.apache.spark.sql.DataFrame,
+      stagePath: String,
+      files: Int,
+      schema: org.apache.spark.sql.types.StructType,
       n: Double): Double = {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
     val store = new engine.TopicStore(spark, root, clusterSize = 12)
     val topic = new streaming.StreamingTopic(store)
-    val stagePath = staged.inputFiles.head.replaceAll("/[^/]+$", "")
-    val files = staged.inputFiles.length
-    val src = spark.readStream.schema(staged.schema)
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", math.max(1, files / 4))
       .parquet(stagePath)
     val t0 = System.nanoTime()
@@ -119,6 +155,7 @@ object Bench {
     q.processAllAvailable()
     q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
+    deleteRec(root)
     n / sec
   }
 }

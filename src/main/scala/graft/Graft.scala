@@ -20,6 +20,11 @@ object Graft {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // FAIR root scheduling: the serving path (produce/poll) runs its jobs
+    // in a dedicated pool (TopicStore.inServingPool) so a long analytics
+    // job can never starve a produce ack or a consumer poll — same
+    // isolation the reference gets from separate broker threads.
+    .config("spark.scheduler.mode", "FAIR")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader does not
     // natively map; read as raw nanos and convert (see eventsTable).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,6 +34,10 @@ object Graft {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = configure(
       SparkSession.builder().appName(appName).master(s"local[$cpus]")
+        // local-mode only: shuffle/spill scratch follows java.io.tmpdir
+        // (build.sbt points it at tmpfs when the host disk is throttled);
+        // cluster managers override local dirs per executor anyway
+        .config("spark.local.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.registerAll(spark)

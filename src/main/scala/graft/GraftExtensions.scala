@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue())))
     ext.injectTableFunction((
       FunctionIdentifier("ring_partitions"),
       new ExpressionInfo(RingPartitionsTable.getClass.getName, "ring_partitions"),

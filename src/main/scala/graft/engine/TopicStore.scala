@@ -149,6 +149,20 @@ class TopicStore(
   // direct API callers) instead of relying on caller discipline.
   private val produceLock = new Object
 
+  /** Run `body` with this thread's Spark jobs scheduled in the dedicated
+    * serving pool: under the session's FAIR root (Graft.configure), the
+    * serving path gets a fair share of executor cores against concurrently
+    * running analytics jobs instead of queueing behind them — FIFO
+    * starvation turned produce acks and polls into timeouts under load.
+    * The reference gets the same isolation from dedicated broker threads.
+    */
+  def inServingPool[T](body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", "graft-serving")
+    try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
   /** Append records (columns: key string, value binary, timestamp) to a
     * topic. One shuffle on the ring partition; offsets are contiguous per
     * partition continuing from the previous produce. Empty/null keys get
@@ -156,7 +170,7 @@ class TopicStore(
     * records — even spread, no order guarantee; we use a value hash, which
     * is deterministic and shuffle-free).
     */
-  def produce(topic: String, records: DataFrame): Long = produceLock.synchronized {
+  def produce(topic: String, records: DataFrame): Long = inServingPool { produceLock.synchronized {
     val g = generation(topic)
     val bases: Map[Int, Long] = producerOffsets(topic)
 
@@ -253,7 +267,7 @@ class TopicStore(
     val merged = bases ++ counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
     writeOffsets(producerMeta, producerScope(topic), merged)
     merged.values.sum
-  }
+  } }
 
   /** Convenience: string-valued records. */
   def produceStrings(topic: String, rows: Seq[(String, String, java.sql.Timestamp)]): Long = {

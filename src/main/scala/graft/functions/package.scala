@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, MinHashSig, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -18,6 +18,10 @@ package object functions {
   def srp_signature(v: Column, bits: Int, seed: Long): Column =
     GraftColumns.srpSignature(v, bits, seed)
 
+  /** MinHash signature of an ArrayType(LongType) element-hash column. */
+  def minhash_sig(hashes: Column, numPerms: Int, seed: Long): Column =
+    GraftColumns.minhashSig(hashes, numPerms, seed)
+
   /** Ring partition ordinal (broker*rangesPerToken + range) of a token. */
   def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
@@ -31,6 +35,10 @@ package object functions {
       "murmur3_token", exprs => Murmur3Token(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
     val tvf = spark.sessionState.tableFunctionRegistry
     tvf.createOrReplaceTempFunction(
       "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")

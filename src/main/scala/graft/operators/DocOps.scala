@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
-import graft.functions.murmur3_token
+import graft.functions.{minhash_sig, murmur3_token}
 
 /** Training-data pipeline operators over the `documents` table:
   * deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash),
@@ -26,15 +26,22 @@ object DocOps {
 
   private[operators] def docs(s: SparkSession, d: String) = Graft.table(s, d, "documents")
 
+  /** (doc_id, shset): the distinct 3-word shingle set as an array column.
+    * Row-local (no explode, no shuffle) — signatures compute directly off
+    * this shape.
+    */
+  private[operators] def shingleArrays(dd: DataFrame): DataFrame =
+    dd.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("w")) >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .otherwise(array())).as("shset"))
+
   /** (doc_id, shingle): distinct 3-word shingles per document. Array-local
     * transform — no shuffle until the consumer aggregates.
     */
   private def shingles(dd: DataFrame): DataFrame =
-    dd.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("w")) >= 3,
-          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .otherwise(array()))).as("shingle"))
+    shingleArrays(dd).select(col("doc_id"), explode(col("shset")).as("shingle"))
 
   /** DuckDB equivalent of `shingles` (list_zip against shifted slices). */
   private val shinglesSqlCte: String =
@@ -121,27 +128,43 @@ object DocOps {
     * (pairs are either >= 0.9 or <= 0.1) the verified output equals the
     * exhaustive q19 — which is exactly what the oracle asserts.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val numPerms = 64
-    val bands = 16
-    val rows = numPerms / bands
-    val mh = udaf(new MinHashAgg(numPerms, seed = 42L), Encoders.scalaLong)
+  // MinHash/LSH parameters shared by q20, the streaming near-dup gate, and
+  // the MinHashSigSpec parity proof.
+  private[graft] val NumPerms = 64
+  private[graft] val LshBands = 16
+  private[graft] val LshRows = NumPerms / LshBands
+  private[graft] val MinHashSeed = 42L
 
-    // the hashed shingle set feeds three consumers (signatures, sizes,
-    // exact verification) inside ONE plan — Spark reuses the distinct's
-    // exchange output (ReusedExchange) across them, so no explicit persist:
-    // a cache here would serialize the set into storage and block
-    // whole-stage codegen for zero avoided recompute
-    val sh = shingles(docs(s, d)).withColumn("h", murmur3_token(col("shingle")))
-    val sigs = sh.groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
+  /** (doc_id, n, sig): signature via the codegen'd `minhash_sig` expression
+    * over the row-local shingle array — ZERO shuffle and zero state (the
+    * `MinHashAgg` aggregator computes the identical signature from the
+    * exploded shape at the cost of one shuffle of partials; the expression
+    * is the production path, the aggregator the pre-exploded-input
+    * alternative).
+    */
+  private[operators] def docSignatures(dd: DataFrame): DataFrame =
+    shingleArrays(dd).select(
+      col("doc_id"), size(col("shset")).cast("long").as("n"),
+      minhash_sig(transform(col("shset"), x => murmur3_token(x)),
+        NumPerms, MinHashSeed).as("sig"))
 
-    val bandCols = (0 until bands).map { bIdx =>
+  /** The 16 LSH (band, bk) keys of a signature; bk folds the band index
+    * into the hash, so bk alone is join-sufficient.
+    */
+  private[operators] def bandKeys(sig: Column): Column =
+    array((0 until LshBands).map { bIdx =>
       struct(
         lit(bIdx).as("band"),
-        xxhash64(((0 until rows).map(i => element_at(col("sig"), bIdx * rows + i + 1)) :+ lit(bIdx)): _*).as("bk"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        xxhash64(((0 until LshRows).map(i => element_at(sig, bIdx * LshRows + i + 1)) :+ lit(bIdx)): _*).as("bk"))
+    }: _*)
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // signatures and sizes are shuffle-free projections; only banding,
+    // the candidate join, and verification shuffle — on candidate-sized
+    // data, never the corpus
+    val sigs = docSignatures(docs(s, d))
+    val banded = sigs.filter(col("n") > 0)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bk"))
 
     val cands = banded.as("x")
@@ -152,7 +175,8 @@ object DocOps {
       .distinct()
 
     // exact verification on candidates only
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sh = shingles(docs(s, d))
+    val sizes = sigs.select(col("doc_id"), col("n"))
     val inter = cands
       .join(sh.as("s1"), col("doc_a") === col("s1.doc_id"))
       .join(sh.as("s2"),
@@ -182,6 +206,56 @@ object DocOps {
       minhashPairs(s, d).localCheckpoint(true)) // eager: pipeline runs HERE
 
   val q20: Q = (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------- near-dup gate (streaming)
+  /** Static LSH index of an existing corpus, the "what we already have"
+    * side of dedup-on-ingest: band keys for candidate lookup plus shingle
+    * sets/sizes for exact verification. Build once per corpus snapshot;
+    * at 100 TB persist `bands` bucketed by `bk` and `shingles` bucketed by
+    * `corpus_doc` so gate joins co-locate without reshuffling the corpus
+    * per micro-batch.
+    */
+  case class NearDupIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame)
+
+  def buildNearDupIndex(corpus: DataFrame): NearDupIndex = {
+    val sigs = docSignatures(corpus)
+    val bands = sigs.filter(col("n") > 0)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("b.bk").as("bk"), col("doc_id").as("corpus_doc"))
+    NearDupIndex(
+      bands,
+      shingles(corpus).select(col("doc_id").as("corpus_doc"), col("shingle")),
+      sigs.select(col("doc_id").as("corpus_doc"), col("n").as("cn")))
+  }
+
+  /** Rows of `batch` (requires doc_id + text columns) that are NOT verified
+    * near-dups (Jaccard >= 0.6) of any document in the index. The batch
+    * side is stateless — signatures are a codegen'd expression, candidates
+    * come from the band-key equi-join, and exact verification touches only
+    * candidate pairs — so per-batch cost scales with batch size and hit
+    * rate, never with corpus size. Usable directly on a batch DataFrame or
+    * per micro-batch inside foreachBatch (StreamingTopic.gateIngest).
+    */
+  def nearDupGate(batch: DataFrame, index: NearDupIndex): DataFrame = {
+    val dd = batch.select(col("doc_id"), col("text"))
+    val sigs = docSignatures(dd)
+    val banded = sigs.filter(col("n") > 0)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.bk").as("bk"))
+    val cands = banded.join(index.bands, "bk")
+      .select(col("doc_id"), col("corpus_doc")).distinct()
+    val inter = cands
+      .join(shingles(dd), "doc_id")
+      .join(index.shingles, Seq("corpus_doc", "shingle"))
+      .groupBy(col("doc_id"), col("corpus_doc"))
+      .agg(count(lit(1)).as("i"))
+    val dups = inter
+      .join(sigs.select(col("doc_id"), col("n")), "doc_id")
+      .join(index.sizes, "corpus_doc")
+      .filter(col("i").cast("double") / (col("n") + col("cn") - col("i")) >= 0.6)
+      .select(col("doc_id")).distinct()
+    batch.join(dups, Seq("doc_id"), "left_anti")
+  }
 
   // ---------------------------------------------------------------- q21
   /** Per-doc 64-bit SimHash signature (shared by q21 and the Verify fixture

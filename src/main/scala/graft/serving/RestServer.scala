@@ -174,7 +174,9 @@ class RestServer(
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   http.createContext("/", (ex: HttpExchange) => {
-    try route(ex)
+    // every REST-triggered Spark job (poll collect, commit write) runs in
+    // the FAIR serving pool so analytics jobs can't starve it
+    try store.inServingPool { route(ex) }
     catch {
       case e: Throwable =>
         try respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""",

@@ -38,6 +38,33 @@ class StreamingTopic(store: TopicStore) {
       }
       .start()
 
+  /** Near-dup-gated streaming ingest — dedup-on-ingest for a training-data
+    * pipeline: every micro-batch of documents is checked against a static
+    * corpus LSH index (signatures via the codegen'd `minhash_sig`
+    * expression — stateless, no shuffle on the stream side; exact Jaccard
+    * verification on band-key candidates only), and only survivors
+    * produce() into the topic. foreachBatch is the documented Structured
+    * Streaming shape for stream-static dedup: it gives each micro-batch
+    * full batch join/agg semantics while the checkpoint keeps ingest
+    * exactly-once across restarts. The stream must carry (key, value,
+    * timestamp) for produce plus (doc_id, text) for the gate.
+    */
+  def gateIngest(
+      topic: String,
+      stream: DataFrame,
+      index: graft.operators.DocOps.NearDupIndex,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // localCheckpoint: produce() runs a count job + a write job over
+        // its input; without pinning, each would re-run the gate's joins
+        val kept = graft.operators.DocOps.nearDupGate(batch, index).localCheckpoint(true)
+        if (!kept.isEmpty) { store.produce(topic, kept); () }
+      }
+      .start()
+
   /** The topic as an unbounded stream of records (envelope schema). The
     * topic predicate lands on the partition column, so non-matching
     * directories are skipped at scan.

@@ -101,6 +101,35 @@ case class SrpSignature(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "srp_signature"
 }
 
+/** MinHash signature of a set of element hashes (ArrayType(LongType)) —
+  * `numPerms`-wide elementwise-min of per-permutation remixes, bit-identical
+  * to `operators.MinHashAgg` over the same element set (shared math in
+  * `graft.core.MinHash`). As an expression the signature is computed from
+  * the row's own shingle-hash array inside whole-stage codegen: zero
+  * shuffle and zero state, which makes it usable in a stateless streaming
+  * map — the aggregator path pays a shuffle of partial signatures.
+  */
+case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(numPerms >= 1 && numPerms <= 1024, "numPerms must be in [1, 1024]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.MinHash.signatureArrayData(input.asInstanceOf[ArrayData], numPerms, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.MinHash.signatureArrayData($c, $numPerms, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Ring placement of a murmur3 token: flat partition ordinal
   * `brokerIdx * rangesPerToken + rangeIdx` on a `clusterSize`-broker ring —
   * the reference's `GetPrimaryTokenIndex` (token.go:49-66) as a codegen'd
@@ -144,4 +173,7 @@ object GraftColumns {
 
   def srpSignature(v: Column, bits: Int, seed: Long): Column =
     column(SrpSignature(expression(v), bits, seed))
+
+  def minhashSig(hashes: Column, numPerms: Int, seed: Long): Column =
+    column(MinHashSig(expression(hashes), numPerms, seed))
 }

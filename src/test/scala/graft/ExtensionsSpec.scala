@@ -28,6 +28,15 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
+      // minhash_sig over a hash array matches the shared core math
+      val sig = spark.sql(
+        "SELECT minhash_sig(array(murmur3_token('a'), murmur3_token('b')), 8, 42) AS s")
+        .head().getSeq[Long](0)
+      val expected = core.MinHash.signature(
+        Array(core.Murmur3x64.hash("a".getBytes("UTF-8")),
+          core.Murmur3x64.hash("b".getBytes("UTF-8"))), 8, 42L).toSeq
+      assert(sig == expected)
+
       // table-valued function: the ring partition table on the SQL surface
       val ring = spark.sql(
         "SELECT part, token, range FROM ring_partitions(3, 4) ORDER BY part").collect()

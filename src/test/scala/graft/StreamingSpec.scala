@@ -195,4 +195,66 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Double)].head()
     assert(finalRow == ((3L, 6.0))) // state carried across micro-batches
   }
+
+  // ---- near-dup gate: dedup-on-ingest against a static corpus index ----
+
+  private val gateSf = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
+
+  /** Even doc_ids form the existing corpus; odd ones arrive as the stream.
+    * Expected drops: odd docs with a verified >= 0.6 Jaccard pair to an
+    * even doc (q19's exhaustive pair set is the ground truth — q20's
+    * oracle already proves LSH+verify equals it on this corpus).
+    */
+  private lazy val gateFixture = {
+    val docsDf = Graft.table(spark, gateSf, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docsDf.filter(col("doc_id") % 2 === 0)
+    val incoming = docsDf.filter(col("doc_id") % 2 =!= 0)
+    val pairs = operators.DocOps.q19(spark, gateSf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val dropExpected = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(x => x % 2 == 1 && (a + b - x) % 2 == 0)
+    }.toSet
+    (corpus, incoming, dropExpected)
+  }
+
+  test("near-dup gate drops exactly the stream docs with a corpus twin") {
+    val (corpus, incoming, dropExpected) = gateFixture
+    assert(dropExpected.nonEmpty, "fixture must contain cross-split near-dup pairs")
+    val index = operators.DocOps.buildNearDupIndex(corpus)
+    val kept = operators.DocOps.nearDupGate(incoming, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val streamed = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == streamed -- dropExpected)
+  }
+
+  test("gateIngest produces only gate survivors into the topic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (corpus, incoming, dropExpected) = gateFixture
+    val index = operators.DocOps.buildNearDupIndex(corpus)
+
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-gate").toString)
+    val streaming = new StreamingTopic(store)
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val input = mem.toDF().toDF("doc_id", "text", "key", "timestamp")
+      .withColumn("value", encode(col("text"), "UTF-8"))
+
+    val rows = incoming.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(0).toString, ts(0)))
+    val q = streaming.gateIngest("gated", input, index,
+      Files.createTempDirectory("graft-gate-ckpt").toString)
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    mem.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    store.registry.register("g", "c", Seq("gated"), store.StartFrom.Earliest)
+    val landed = store.poll("g", "gated", "c").collect()
+      .map(_.getAs[String]("key").toLong).toSet
+    val streamed = rows.map(_._1).toSet
+    assert(landed == streamed -- dropExpected)
+  }
 }
