@@ -100,20 +100,19 @@ object Bench {
     // messages client-side and holds them in client RAM, so the
     // broker-comparable produce cost starts at "bytes in hand" —
     // synthesis (~18 s for 2 GB of padded strings) must not be billed to
-    // the engine. Staged as (session-default zstd) parquet for the
-    // streaming source, and ALSO pinned in the executor block cache for
-    // the batch path: the host's disk is IOPS-throttled and drops page
-    // cache, so an uncompressed-parquet re-read measures the host disk,
-    // not the engine — the reference tool's in-RAM client buffers are the
-    // honest analog. The engine's own durable write (shuffle + zstd
+    // the engine. The stage lives under java.io.tmpdir (tmpfs on this
+    // host — the in-RAM analog of the reference tool's client buffers)
+    // and is REPARTITIONED to the core count before writing: events is a
+    // single file and crossJoin preserves its one partition, so an
+    // unrepartitioned stage would be a single parquet file whose ~2
+    // row-group splits cap the produce scan (and everything after it) at
+    // 2-way parallelism. The engine's own durable write (shuffle + zstd
     // parquet + watermark commit) stays fully inside the timer.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val stage = s"$root/_stage"
-    msgs.write.mode("overwrite").parquet(stage)
+    msgs.repartition(cpus).write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
-    // inputFiles must be read off the bare file relation: after persist()
-    // the cached InMemoryRelation replaces it and inputFiles returns empty
     val stageFiles = staged.inputFiles.length
-    staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val n = staged.count().toDouble
 
     val t0 = System.nanoTime()
@@ -126,7 +125,6 @@ object Bench {
     val pollSec = (System.nanoTime() - t1) / 1e9
 
     val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
-    staged.unpersist()
     deleteRec(root)
     (n / produceSec, polled / pollSec, streamRate)
   }

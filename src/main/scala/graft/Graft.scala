@@ -7,6 +7,35 @@ import org.apache.spark.sql.types.LongType
 /** Session factory + table helpers shared by Verify, Bench, tests. */
 object Graft {
 
+  /** FAIR pool definitions, materialized once per JVM. `graft-serving`
+    * gets a minShare (cores it may claim immediately, ahead of fair-share
+    * arithmetic) and a higher weight so produce acks / consumer polls
+    * schedule ahead of long analytics scans — the serving jobs are tiny,
+    * so the share they borrow is returned within a task round. Mirrors
+    * the reference's dedicated broker goroutines for the serving path.
+    */
+  private lazy val fairPoolsFile: String = {
+    val xml =
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="graft-serving">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>4</weight>
+        |    <minShare>8</minShare>
+        |  </pool>
+        |  <pool name="default">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin
+    val p = java.nio.file.Path.of(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-fair-pools.xml")
+    java.nio.file.Files.write(p, xml.getBytes("UTF-8"))
+    p.toString
+  }
+
   /** Configs applied to every graft session. Sized for the local[32]
     * harness but chosen to be correct on a real cluster too: AQE handles
     * runtime re-planning/skew, shuffle partitions match local cores (on a
@@ -25,6 +54,7 @@ object Graft {
     // job can never starve a produce ack or a consumer poll — same
     // isolation the reference gets from separate broker threads.
     .config("spark.scheduler.mode", "FAIR")
+    .config("spark.scheduler.allocation.file", fairPoolsFile)
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader does not
     // natively map; read as raw nanos and convert (see eventsTable).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

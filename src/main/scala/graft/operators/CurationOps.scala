@@ -223,10 +223,63 @@ object CurationOps {
        |WHERE CAST(doc_id % 1000 AS DOUBLE) < keep_rate * 1000.0
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Deterministic corpus shuffle + split/shard assignment — the step
+    * that turns a curated corpus into training shards: every doc gets a
+    * pseudorandom-but-reproducible mix key (md5 of seed:doc_id), the
+    * train/valid/test split comes from lexicographic ranges of that key
+    * (hex chars are uniform, so '< "1"' is a 1/16 slice), the shard from
+    * its first hex digit, and the within-shard position from the key
+    * order. Changing the seed re-permutes the corpus for the next epoch;
+    * nothing depends on partitioning, row order, or cluster size.
+    *
+    * 100 TB story: the key/split/shard columns are stateless maps; the
+    * only shuffle is the per-shard row_number window, whose parallelism
+    * equals the shard count (production runs use thousands of shards —
+    * 16 here only so the oracle output stays reviewable). No global
+    * window, no single-task ordering.
+    */
+  private val MixSeed = "graft-epoch-0"
+
+  val q60: Q = (s, d) => {
+    val keyed = docs(s, d).select(
+      col("doc_id"),
+      md5(concat(lit(MixSeed + ":"), col("doc_id").cast("string"))).as("mix_key"))
+    val shard = expr("instr('0123456789abcdef', substring(mix_key, 1, 1))")
+      .cast("int") - 1
+    keyed
+      .withColumn("split",
+        when(col("mix_key") < "1", "test")
+          .when(col("mix_key") < "2", "valid")
+          .otherwise("train"))
+      .withColumn("shard", shard)
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(shard).orderBy(col("mix_key")))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val q60Sql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    md5('$MixSeed:' || CAST(doc_id AS VARCHAR)) AS mix_key
+       |  FROM documents)
+       |SELECT doc_id, mix_key,
+       |  CASE WHEN mix_key < '1' THEN 'test'
+       |       WHEN mix_key < '2' THEN 'valid'
+       |       ELSE 'train' END AS split,
+       |  CAST(strpos('0123456789abcdef', substr(mix_key, 1, 1)) - 1 AS INT)
+       |    AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY strpos('0123456789abcdef', substr(mix_key, 1, 1))
+       |    ORDER BY mix_key) AS BIGINT) AS shard_pos
+       |FROM k ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q54_pii_redact", q54, Some(q54Sql)),
     ("q55_seq_pack", q55, Some(q55Sql)),
     ("q56_boilerplate", q56, Some(q56Sql)),
-    ("q57_mix_sample", q57, Some(q57Sql))
+    ("q57_mix_sample", q57, Some(q57Sql)),
+    ("q60_shard_shuffle", q60, Some(q60Sql))
   )
 }

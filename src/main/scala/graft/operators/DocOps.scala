@@ -576,6 +576,49 @@ object DocOps {
       |    AS pass_repetition
       |FROM tw LEFT JOIN gs USING (doc_id) ORDER BY tw.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Decontamination, Bloom-prefilter variant — the shape q52 takes when
+    * the benchmark suite outgrows the broadcast-hash-join threshold
+    * (hundreds of evals × all their grams): fit a Bloom filter over the
+    * benchmark grams (one pass over the tiny side), broadcast the ~MB
+    * filter to every task, and drop non-matching corpus grams MAP-SIDE
+    * before they reach the verify join. At a 1% fpp the corpus-side
+    * shuffle volume falls to (true overlap + 1%) of the gram stream —
+    * the join then runs at candidate scale, not corpus scale. The exact
+    * join on the surviving grams removes the false positives, so the
+    * result is identical to q52 (same oracle).
+    *
+    * The membership probe is a broadcast-closure UDF: Spark's native
+    * bloom machinery (BloomFilterAggregate/BloomFilterMightContain) is
+    * internal to runtime join filtering and not constructible from the
+    * public DataFrame API; the UDF runs AFTER the codegen'd gram
+    * pipeline on a string already in hand, so nothing vectorized is
+    * broken up.
+    */
+  val q59: Q = (s, d) => {
+    val grams5 = docs(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("w")) >= 5,
+          expr("transform(sequence(0, size(w) - 5), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .otherwise(array()))).as("gram"))
+    // benchmark side: eval-set-sized; localCheckpoint so the bloom fit,
+    // the count, and the verify join share one computation
+    val bench = grams5.filter(col("doc_id") % 10 === 0)
+      .select(col("gram")).distinct().localCheckpoint()
+    val bf = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+    grams5.filter(col("doc_id") % 10 =!= 0)
+      .filter(mightContain(col("gram")))
+      .join(bench, "gram") // exact verify: no broadcast hint — at real
+      // scale AQE picks shuffle join on the post-bloom candidate stream
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Session-scoped DataFrame memo shared by the curation-pipeline
     * operators: entries for stopped sessions are evicted on every access,
     * so checkpoint blocks and session references do not outlive their
@@ -602,6 +645,8 @@ object DocOps {
     ("q25_fingerprint", q25, Some(q25Sql)),
     ("q26_multimodal_stub", q26, Some(q26Sql)),
     ("q52_decontaminate", q52, Some(q52Sql)),
-    ("q53_repetition", q53, Some(q53Sql))
+    ("q53_repetition", q53, Some(q53Sql)),
+    // q59 is exact-verified: bloom only prefilters, output == q52
+    ("q59_decontam_bloom", q59, Some(q52Sql))
   )
 }
