@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectTableFunction((
       FunctionIdentifier("ring_partitions"),
       new ExpressionInfo(RingPartitionsTable.getClass.getName, "ring_partitions"),

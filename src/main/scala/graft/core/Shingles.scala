@@ -1,0 +1,53 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass distinct k-word shingle hashing: lowercase, split on single
+  * spaces (Spark `split(text, " ")` semantics), slide a k-word window,
+  * murmur3-x64 each shingle string, dedup by hash (first-occurrence
+  * order). Shared by the `shingle_hashes` expression and tests.
+  *
+  * This exists because composing the same thing from built-ins
+  * (`array_distinct(transform(sequence(...), ...))` + `explode`) leaves
+  * the whole chain interpreted (higher-order functions don't codegen) AND
+  * `InferFiltersFromGenerate` clones the full expression into a
+  * pushed-down filter, so it evaluates ~3x per row — measured 13-20x
+  * slower than this single evaluation at sf0.1.
+  */
+object Shingles {
+
+  /** Distinct murmur3 hashes of the k-word shingles of lower(text);
+    * empty array when the doc has fewer than k words.
+    */
+  def hashes(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(hashArray(text, k))
+
+  def hashArray(text: UTF8String, k: Int): Array[Long] = {
+    // UTF8String.toLowerCase is what Spark's lower() applies — identical
+    // case mapping, then plain String ops (the strings are row-sized)
+    val words = text.toLowerCase.toString.split(" ", -1)
+    if (words.length < k) return Array.empty[Long]
+    val n = words.length - k + 1
+    val seen = new java.util.HashSet[java.lang.Long](math.min(n * 2, 1 << 12))
+    val out = new Array[Long](n)
+    var m = 0
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val h = Murmur3x64.hash(sb.toString.getBytes(StandardCharsets.UTF_8))
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+}

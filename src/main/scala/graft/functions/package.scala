@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, MinHashSig, Murmur3Token, RingPartitionsTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -22,6 +22,10 @@ package object functions {
   def minhash_sig(hashes: Column, numPerms: Int, seed: Long): Column =
     GraftColumns.minhashSig(hashes, numPerms, seed)
 
+  /** Distinct murmur3 hashes of the k-word shingles of lower(text). */
+  def shingle_hashes(text: Column, k: Int): Column =
+    GraftColumns.shingleHashes(text, k)
+
   /** Ring partition ordinal (broker*rangesPerToken + range) of a token. */
   def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
@@ -39,6 +43,9 @@ package object functions {
       "minhash_sig", exprs => MinHashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    registry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     val tvf = spark.sessionState.tableFunctionRegistry
     tvf.createOrReplaceTempFunction(
       "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")

@@ -137,17 +137,14 @@ object CurationOps {
   private val BoilerMinDocs = 3L
 
   val q56: Q = (s, d) => {
-    // per-doc dedupe is array_distinct BEFORE the explode (map-side, no
-    // shuffle), and the corpus frequency is a count over a gram-partitioned
-    // window instead of an agg+self-join — two shuffles total (gram, then
+    // per-doc dedupe happens inside the codegen'd shingle_hashes pass
+    // (map-side, no shuffle; grams join/count on their 64-bit hash), and
+    // the corpus frequency is a count over a gram-partitioned window
+    // instead of an agg+self-join — two shuffles total (gram, then
     // doc_id), where the naive distinct/groupBy/join shape pays three.
     val grams = docs(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("w")) >= 5,
-          expr("transform(sequence(0, size(w) - 5), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array()))).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.shingle_hashes(col("text"), 5)).as("gram"))
     grams
       .withColumn("docs_with", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy(col("doc_id"))

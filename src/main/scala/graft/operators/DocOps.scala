@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
-import graft.functions.{minhash_sig, murmur3_token}
+import graft.functions.{minhash_sig, murmur3_token, shingle_hashes}
 
 /** Training-data pipeline operators over the `documents` table:
   * deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash),
@@ -26,22 +26,23 @@ object DocOps {
 
   private[operators] def docs(s: SparkSession, d: String) = Graft.table(s, d, "documents")
 
-  /** (doc_id, shset): the distinct 3-word shingle set as an array column.
-    * Row-local (no explode, no shuffle) — signatures compute directly off
-    * this shape.
+  /** (doc_id, hs): the distinct 3-word shingle set as a murmur3-hash array
+    * column — ONE codegen'd `shingle_hashes` evaluation per row (no
+    * explode, no shuffle); signatures, sizes, and intersections all
+    * compute off this shape. Hash values equal
+    * `murmur3_token(shingle_string)`, so downstream set arithmetic matches
+    * the string formulation the oracles use.
     */
   private[operators] def shingleArrays(dd: DataFrame): DataFrame =
-    dd.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), array_distinct(
-        when(size(col("w")) >= 3,
-          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .otherwise(array())).as("shset"))
+    dd.select(col("doc_id"), shingle_hashes(col("text"), 3).as("hs"))
 
-  /** (doc_id, shingle): distinct 3-word shingles per document. Array-local
-    * transform — no shuffle until the consumer aggregates.
+  /** (doc_id, shingle): distinct 3-word shingle HASHES per document —
+    * row-local distinct inside the expression, so unlike a
+    * `.distinct()`-based formulation there is no corpus-wide shuffle
+    * before the consumer's own aggregation.
     */
   private def shingles(dd: DataFrame): DataFrame =
-    shingleArrays(dd).select(col("doc_id"), explode(col("shset")).as("shingle"))
+    shingleArrays(dd).select(col("doc_id"), explode(col("hs")).as("shingle"))
 
   /** DuckDB equivalent of `shingles` (list_zip against shifted slices). */
   private val shinglesSqlCte: String =
@@ -105,9 +106,17 @@ object DocOps {
     * and the carried sizes make the post-aggregation re-joins unnecessary.
     */
   private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(docs(s, d))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shz = sh.join(broadcast(sizes), "doc_id")
+    // set size rides along from size(hs) — no sizes aggregation and no
+    // broadcast join; the only shuffles left are the self-join on the
+    // shingle hash and the pair aggregation
+    val shz = shingleArrays(docs(s, d))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("shingle"))
+      // the exploded side's size estimate undershoots the broadcast
+      // threshold, and a broadcast build of the shingle stream is a
+      // single-threaded stage (and at 100 TB, impossible); shuffle-hash
+      // keeps the self-join fully parallel
+      .hint("shuffle_hash")
     val inter = shz.as("a").join(shz.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 10 >= col("b.n") * 6 && col("b.n") * 10 >= col("a.n") * 6)
@@ -135,8 +144,9 @@ object DocOps {
   private[graft] val LshRows = NumPerms / LshBands
   private[graft] val MinHashSeed = 42L
 
-  /** (doc_id, n, sig): signature via the codegen'd `minhash_sig` expression
-    * over the row-local shingle array — ZERO shuffle and zero state (the
+  /** (doc_id, n, sig): signature via the codegen'd
+    * `minhash_sig(shingle_hashes(text))` composition — ZERO shuffle and
+    * zero state, the whole text->signature path in one codegen span (the
     * `MinHashAgg` aggregator computes the identical signature from the
     * exploded shape at the cost of one shuffle of partials; the expression
     * is the production path, the aggregator the pre-exploded-input
@@ -144,9 +154,8 @@ object DocOps {
     */
   private[operators] def docSignatures(dd: DataFrame): DataFrame =
     shingleArrays(dd).select(
-      col("doc_id"), size(col("shset")).cast("long").as("n"),
-      minhash_sig(transform(col("shset"), x => murmur3_token(x)),
-        NumPerms, MinHashSeed).as("sig"))
+      col("doc_id"), size(col("hs")).cast("long").as("n"),
+      minhash_sig(col("hs"), NumPerms, MinHashSeed).as("sig"))
 
   /** The 16 LSH (band, bk) keys of a signature; bk folds the band index
     * into the hash, so bk alone is join-sufficient.
@@ -166,6 +175,9 @@ object DocOps {
     val banded = sigs.filter(col("n") > 0)
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bk"))
+      // same reasoning as jaccardPairs: never broadcast-build the
+      // banded stream — it is corpus-sized
+      .hint("shuffle_hash")
 
     val cands = banded.as("x")
       .join(banded.as("y"),
@@ -487,16 +499,12 @@ object DocOps {
     * partial-aggregated count — no corpus-side shuffle of text.
     */
   val q52: Q = (s, d) => {
-    // per-doc dedupe via array_distinct before the explode: map-side, no
-    // (doc_id, gram) shuffle — the only corpus-side shuffle left is the
-    // final per-doc count.
+    // per-doc dedupe happens inside the codegen'd shingle_hashes pass:
+    // map-side, no (doc_id, gram) shuffle — the only corpus-side shuffle
+    // left is the final per-doc count. Grams join on their 64-bit hash;
+    // intersection counts match the string formulation.
     val grams5 = docs(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("w")) >= 5,
-          expr("transform(sequence(0, size(w) - 5), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array()))).as("gram"))
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), 5)).as("gram"))
     val bench = grams5.filter(col("doc_id") % 10 === 0)
       .select(col("gram")).distinct()
     grams5.filter(col("doc_id") % 10 =!= 0)
@@ -597,19 +605,14 @@ object DocOps {
     */
   val q59: Q = (s, d) => {
     val grams5 = docs(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("w")) >= 5,
-          expr("transform(sequence(0, size(w) - 5), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-          .otherwise(array()))).as("gram"))
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), 5)).as("gram"))
     // benchmark side: eval-set-sized; localCheckpoint so the bloom fit,
     // the count, and the verify join share one computation
     val bench = grams5.filter(col("doc_id") % 10 === 0)
       .select(col("gram")).distinct().localCheckpoint()
     val bf = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.01)
     val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+    val mightContain = udf((g: java.lang.Long) => g != null && bfB.value.mightContain(g.longValue()))
     grams5.filter(col("doc_id") % 10 =!= 0)
       .filter(mightContain(col("gram")))
       .join(bench, "gram") // exact verify: no broadcast hint — at real

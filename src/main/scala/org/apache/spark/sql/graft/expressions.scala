@@ -130,6 +130,37 @@ case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Distinct murmur3 hashes of the k-word shingles of lower(text) — the
+  * text->shingle-set step of MinHash/Jaccard dedup as ONE codegen'd
+  * evaluation. The built-in composition
+  * (`array_distinct(transform(sequence(...), concat_ws(...)))`) is
+  * interpreted (higher-order functions have no codegen) and gets cloned
+  * into a pushed-down filter by `InferFiltersFromGenerate` when exploded,
+  * so it evaluates the whole chain ~3x per row; this expression was
+  * measured 13-20x faster on the q19/q20 shingle paths. Hash values equal
+  * `murmur3_token(shingle_string)`, so signatures and intersections match
+  * the string-based formulation exactly (64-bit collisions aside).
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(k >= 1 && k <= 64, "shingle width must be in [1, 64]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Shingles.hashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Shingles.hashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** Ring placement of a murmur3 token: flat partition ordinal
   * `brokerIdx * rangesPerToken + rangeIdx` on a `clusterSize`-broker ring —
   * the reference's `GetPrimaryTokenIndex` (token.go:49-66) as a codegen'd
@@ -176,4 +207,7 @@ object GraftColumns {
 
   def minhashSig(hashes: Column, numPerms: Int, seed: Long): Column =
     column(MinHashSig(expression(hashes), numPerms, seed))
+
+  def shingleHashes(text: Column, k: Int): Column =
+    column(ShingleHashes(expression(text), k))
 }
