@@ -49,6 +49,12 @@ object Graft {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // level 1 (default 3): the produce path is compression-CPU-bound on a
+    // 2 GB batch; level 1 halves the encode cost for a few % of ratio —
+    // the same hot-ingest tradeoff the reference makes (zstd "fastest"
+    // class for chunks). Applies to store writes; testdata reads are
+    // unaffected.
+    .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
     // FAIR root scheduling: the serving path (produce/poll) runs its jobs
     // in a dedicated pool (TopicStore.inServingPool) so a long analytics
     // job can never starve a produce ack or a consumer poll — same

@@ -191,14 +191,17 @@ class TopicStore(
 
     // contiguous offsets: base(part) + rank within this batch's partition.
     // The explicit repartition to partsOf(g) (one ring partition per task)
-    // is the coalescer's per-range serialization point; Window's required
-    // ClusteredDistribution(part) is satisfied by it, so there is exactly
-    // ONE shuffle and no hash-collision skew from folding 48 ring
-    // partitions into 32 shuffle buckets.
-    val w = Window.partitionBy(col("part"))
+    // is the coalescer's per-range serialization point. The window
+    // partitions/orders on (token, range) — the same grouping as `part`
+    // (bijection) — so its SortExec leaves every task ordered by the
+    // dynamic-partition write's required (token, range) prefix and the
+    // writer's own sort is ELIDED: exactly ONE shuffle and ONE full-row
+    // sort per produce (the second writer-side sort of the full 1 KiB
+    // rows was ~1/3 of produce cost on a bandwidth-constrained host).
+    val w = Window.partitionBy(col("token"), col("range"))
       .orderBy(col("timestamp"), col("key"), col("__seq"), xxhash64(col("value")))
     val withOffsets = keyed
-      .repartition(partsOf(g), col("part"))
+      .repartition(partsOf(g), col("token"), col("range"))
       .withColumn("__rank", row_number().over(w).cast("long"))
       .withColumn("offset",
         coalesce(element_at(typedlit(bases), col("part")), lit(0L)) + col("__rank") - 1L)
