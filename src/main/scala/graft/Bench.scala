@@ -21,9 +21,26 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // warmup: one full run of the flagship aggregation, untimed
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // warmup: run EVERY query once at sf0.001 (seconds of work), untimed —
+    // compiles each plan's whole-stage codegen and JITs the join/window/
+    // explode paths so the timed sf run measures the plans, not the first
+    // query's classloading (q05/q06 were absorbing multi-second JIT cost
+    // with a single-query warmup). Falls back to the bench dir when the
+    // tiny scale is absent.
+    val warmDir = {
+      val w = "/root/testdata/sf0.001"
+      if (new java.io.File(w).isDirectory) w else sfDir
+    }
+    queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+    }
+    // touch the bench-scale tables once so the timed loop measures the
+    // engine, not the first query's cold page-cache read + footer parse
+    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try { spark.read.parquet(f.getPath).count(); () }
+        catch { case _: Throwable => () }
+      }
 
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
