@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
     ext.injectTableFunction((
       FunctionIdentifier("ring_partitions"),
       new ExpressionInfo(RingPartitionsTable.getClass.getName, "ring_partitions"),

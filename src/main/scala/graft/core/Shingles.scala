@@ -50,4 +50,32 @@ object Shingles {
     }
     if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
+
+  /** 64-bit SimHash of lower(text)'s word stream (every occurrence, not
+    * the distinct set): bit j of the result is the sign of the sum over
+    * words of (+1 if the word-hash's bit j is set else -1) — bit-identical
+    * to `operators.SimHashAgg` over `murmur3_token(word)` of the exploded
+    * split. One pass, no explode/shuffle.
+    */
+  def simhash(text: UTF8String): Long = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = Murmur3x64.hash(words(i).getBytes(StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -26,6 +26,9 @@ package object functions {
   def shingle_hashes(text: Column, k: Int): Column =
     GraftColumns.shingleHashes(text, k)
 
+  /** 64-bit SimHash of lower(text)'s word stream. */
+  def simhash_sig(text: Column): Column = GraftColumns.simhashSig(text)
+
   /** Ring partition ordinal (broker*rangesPerToken + range) of a token. */
   def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
@@ -46,6 +49,8 @@ package object functions {
     registry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
     val tvf = spark.sessionState.tableFunctionRegistry
     tvf.createOrReplaceTempFunction(
       "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")

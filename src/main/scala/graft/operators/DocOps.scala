@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
-import graft.functions.{minhash_sig, murmur3_token, shingle_hashes}
+import graft.functions.{minhash_sig, murmur3_token, shingle_hashes, simhash_sig}
 
 /** Training-data pipeline operators over the `documents` table:
   * deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash),
@@ -271,15 +271,13 @@ object DocOps {
 
   // ---------------------------------------------------------------- q21
   /** Per-doc 64-bit SimHash signature (shared by q21 and the Verify fixture
-    * dump that powers its oracle).
+    * dump that powers its oracle) — the codegen'd `simhash_sig` expression,
+    * one row-local pass instead of exploding + shuffling every word
+    * occurrence (SimHashAgg remains as the pre-exploded-input alternative;
+    * SimHashSigSpec proves the two paths bit-identical).
     */
-  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sim = udaf(new SimHashAgg, Encoders.scalaLong)
-    docs(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      .withColumn("h", murmur3_token(col("word")))
-      .groupBy(col("doc_id")).agg(sim(col("h")).as("simhash"))
-  }
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), simhash_sig(col("text")).as("simhash"))
 
   /** SimHash near-dup: hamming distance <= 3 pairs, candidates from
     * 4×16-bit chunk equality (complete by pigeonhole). The 64-bit simhash

@@ -161,6 +161,32 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** 64-bit SimHash of lower(text)'s word stream — the text->fingerprint
+  * step of SimHash near-dup as ONE codegen'd evaluation, bit-identical to
+  * `operators.SimHashAgg` over the exploded `murmur3_token(word)` stream
+  * (shared math in `graft.core.Shingles.simhash`). The aggregator path
+  * pays an explode + shuffle of every word occurrence; the expression is
+  * stateless and row-local, so it also serves streaming ingest gates.
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Shingles.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Shingles.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_sig"
+}
+
 /** Ring placement of a murmur3 token: flat partition ordinal
   * `brokerIdx * rangesPerToken + rangeIdx` on a `clusterSize`-broker ring —
   * the reference's `GetPrimaryTokenIndex` (token.go:49-66) as a codegen'd
@@ -210,4 +236,6 @@ object GraftColumns {
 
   def shingleHashes(text: Column, k: Int): Column =
     column(ShingleHashes(expression(text), k))
+
+  def simhashSig(text: Column): Column = column(SimHashSig(expression(text)))
 }
