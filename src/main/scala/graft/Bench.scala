@@ -100,6 +100,13 @@ object Bench {
   private def ingestBench(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     sweepStaleBenchRoots()
+    // drop the query phase's leftovers (q20/q50 memoized pair sets,
+    // localCheckpoint blocks, dead broadcasts): the ingest phase measures
+    // the engine against a fresh broker, not against another workload's
+    // pinned caches — measured 5x produce-rate skew from a full old gen
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
     val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
     // 12-broker ring: 48 partitions ~ local[32] (the reference scales the
     // same way — "partitions = brokers x consumer_ranges")

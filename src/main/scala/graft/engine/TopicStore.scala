@@ -850,17 +850,71 @@ class TopicStore(
   private val offsetCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
 
+  // The offsets tables are <= ring-size rows of driver metadata; running a
+  // Spark job to read/write them (the old toDF.write / spark.read path)
+  // put a whole job-scheduling round trip into EVERY produce ack and every
+  // streaming micro-batch — the serving path's fixed overhead. They are
+  // instead written with parquet-hadoop directly on the driver (same
+  // format, same layout: a directory with one visible part file, so stores
+  // written by either path stay mutually readable). The reference keeps
+  // this state driver-local too (SQLite, `internal/localdb/queries.go`).
+  private val offsetsSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message offsets { required int32 part; required int64 next; }")
+
   private def readOffsets(dir: String, scope: String): Map[Int, Long] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
     val p = s"$dir/${scopeDir(scope)}"
     offsetCache.computeIfAbsent(p, _ =>
       if (!pathExists(p)) Map.empty
-      else spark.read.parquet(p).as[(Int, Long)].collect().toMap)
+      else {
+        val fs = hfs(p)
+        val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        val m = Map.newBuilder[Int, Long]
+        files.foreach { f =>
+          val r = ParquetReader.builder(new GroupReadSupport(), f)
+            .withConf(spark.sparkContext.hadoopConfiguration).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              m += (g.getInteger("part", 0) -> g.getLong("next", 0))
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        m.result()
+      })
   }
 
   private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
     val p = s"$dir/${scopeDir(scope)}"
-    offsets.toSeq.toDF("part", "next").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(p)
+    val fs = hfs(p)
+    val dirPath = hpath(p)
+    fs.mkdirs(dirPath)
+    // dot-prefixed while being written (Spark and readOffsets both skip
+    // hidden files), then swap: delete old visible files, rename. A crash
+    // leaves old state, or an empty dir that producerOffsets' reconcile
+    // heals from the data files — the same windows the old Spark
+    // Overwrite had.
+    val fin = new Path(dirPath, s"part-00000-${java.util.UUID.randomUUID()}.parquet")
+    val tmp = new Path(dirPath, s".${fin.getName}.tmp")
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    val w = ExampleParquetWriter.builder(tmp).withConf(conf).withType(offsetsSchema).build()
+    val gf = new SimpleGroupFactory(offsetsSchema)
+    try offsets.toSeq.sortBy(_._1).foreach { case (part, next) =>
+      w.write(gf.newGroup().append("part", part).append("next", next))
+    } finally w.close()
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(".") && n != tmp.getName) { fs.delete(st.getPath, false); () }
+    }
+    fs.rename(tmp, fin)
     offsetCache.put(p, offsets)
     ()
   }

@@ -206,10 +206,55 @@ object EmbeddingOps {
       |SELECT vec_id, cell, round(dot / (na * nb), 6) AS sim
       |FROM s ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and comparing only WITHIN a cluster — the
+    * pairwise work drops from O(n²) to O(Σ cᵢ²). Reuses q47's spherical
+    * k-means coarse quantizer for the clustering; a vector is dropped when
+    * a lower-id cluster-mate sits at cosine >= the near-dup band (the
+    * paper keeps one representative per semantic duplicate group; lowest
+    * id is the deterministic choice). At 100 TB the cell id is a partition
+    * column, the self-join shuffles once on the cell key (never all-pairs)
+    * and cluster count scales with corpus size to bound cᵢ. The oracle
+    * re-derives the within-cell pair set + drop rule in DuckDB from the
+    * same `ivf_cells` fixture q47 dumps.
+    */
+  val q61: Q = (s, d) => {
+    val t = 0.4 // same near-dup band as the exact q28 baseline
+    val assigned = ivfAssigned(s, d).select(col("vec_id"), col("label"), col("cell"), col("embedding"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("e_a"), col("e_b")) >= t)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("cell"))
+  }
+
+  val q61Sql: String =
+    """WITH f AS (
+      |  SELECT vec_id, cell
+      |  FROM read_parquet('/tmp/graft_fixtures/ivf_cells/*.parquet')),
+      |c AS (
+      |  SELECT e.vec_id, e.label, f.cell, e.embedding
+      |  FROM embeddings e JOIN f USING (vec_id)),
+      |p AS (
+      |  SELECT b.vec_id AS idb
+      |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4),
+      |d AS (SELECT DISTINCT idb FROM p)
+      |SELECT c.vec_id, c.label, c.cell
+      |FROM c LEFT JOIN d ON c.vec_id = d.idb WHERE d.idb IS NULL""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
     ("q29_ann_lsh", q29, Some(q29Sql)),
-    ("q47_ann_ivf", q47, Some(q47Sql))
+    ("q47_ann_ivf", q47, Some(q47Sql)),
+    ("q61_semdedup", q61, Some(q61Sql))
   )
 }

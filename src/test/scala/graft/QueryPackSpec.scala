@@ -92,6 +92,25 @@ class QueryPackSpec extends AnyFunSuite {
     assert((exact intersect ivf).size >= 5, s"recall too low: exact=$exact ivf=$ivf")
   }
 
+  test("semdedup: kept set is maximal — no kept pair is near-dup in a cell") {
+    val kept = operators.EmbeddingOps.q61(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
+    val total = Graft.table(spark, sf, "embeddings").count()
+    assert(kept.length > 0 && kept.length <= total)
+    // every dropped vector must have a kept lower-id near-dup in its cell:
+    // q28 (exact all-pairs >= 0.4) restricted to same-cell pairs is the
+    // ground truth the within-cell drop rule must reproduce
+    val cells = kept.toMap
+    val nearDupPairs = operators.EmbeddingOps.q28(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val keptIds = kept.map(_._1).toSet
+    nearDupPairs.foreach { case (a, b) =>
+      if (keptIds(a) && keptIds(b))
+        assert(!cells.get(a).exists(ca => cells.get(b).contains(ca)),
+          s"kept pair ($a,$b) is near-dup within one cell")
+    }
+  }
+
   test("per-key order: offsets are contiguous from 0 per user") {
     val rows = operators.EventOps.q16(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
