@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gram_buckets"),
+      new ExpressionInfo(classOf[GramBuckets].getName, "gram_buckets"),
+      (exprs: Seq[Expression]) => GramBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectTableFunction((
       FunctionIdentifier("ring_partitions"),
       new ExpressionInfo(RingPartitionsTable.getClass.getName, "ring_partitions"),

@@ -65,6 +65,13 @@ object Verify {
         operators.EmbeddingOps.ivfAssigned(spark, sfDir)
           .select(col("vec_id"), col("cell"), col("probed"))
       }
+      // q62: per-doc-per-occurrence hashed bigram buckets — the oracle
+      // rebuilds the whole DSIR pipeline from them (bucket counts,
+      // smoothing, log-ratios, per-doc sums, top-k)
+      dump("dsir_grams") {
+        operators.DocOps.dsirGrams(spark, sfDir)
+          .select(col("doc_id"), col("bucket"))
+      }
       // q43: the sketch estimates — the oracle computes the exact values
       // itself and re-derives the accuracy flags. MUST be the same
       // aggregation plan q43 runs (approx sketches are merge-order

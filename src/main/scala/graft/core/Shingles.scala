@@ -51,6 +51,34 @@ object Shingles {
     if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** Hashed-n-gram feature buckets of lower(text) in occurrence order
+    * (duplicates KEPT — importance-weight features are counts, unlike the
+    * distinct-set shingles above): bucket(i) = murmur3(gram_i) mod B,
+    * non-negative. Empty array when the doc has fewer than k words.
+    */
+  def gramBuckets(text: UTF8String, k: Int, buckets: Int): ArrayData = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Int])
+    val n = words.length - k + 1
+    val out = new Array[Int](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val h = Murmur3x64.hash(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val m = (h % buckets).toInt
+      out(i) = if (m < 0) m + buckets else m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of lower(text)'s word stream (every occurrence, not
     * the distinct set): bit j of the result is the sign of the sum over
     * words of (+1 if the word-hash's bit j is set else -1) — bit-identical

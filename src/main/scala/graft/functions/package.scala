@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -29,6 +29,10 @@ package object functions {
   /** 64-bit SimHash of lower(text)'s word stream. */
   def simhash_sig(text: Column): Column = GraftColumns.simhashSig(text)
 
+  /** Hashed k-gram feature buckets (occurrence order, duplicates kept). */
+  def gram_buckets(text: Column, k: Int, buckets: Int): Column =
+    GraftColumns.gramBuckets(text, k, buckets)
+
   /** Ring partition ordinal (broker*rangesPerToken + range) of a token. */
   def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
@@ -51,6 +55,10 @@ package object functions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "gram_buckets", exprs => GramBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     val tvf = spark.sessionState.tableFunctionRegistry
     tvf.createOrReplaceTempFunction(
       "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")

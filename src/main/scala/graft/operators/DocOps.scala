@@ -635,6 +635,82 @@ object DocOps {
     }
   }
 
+  // ---------------------------------------------------------------- q62
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * select raw-pool documents whose hashed-bigram feature distribution
+    * looks like a target domain's. Features are per-OCCURRENCE bigram
+    * buckets (`gram_buckets`, codegen'd, duplicates kept — the paper's
+    * hashed n-gram counts); the target here is the `lang = 'en'` slice
+    * standing in for a curated domain. Bucket-count tables are two tiny
+    * aggregations (B = 1024 longs each) collected like q47's centroids —
+    * model metadata, not data; the per-doc log-weight
+    * Σ_grams (ln p_tgt(b) − ln p_src(b)) is then one row-local fold over
+    * a literal ratio array — no shuffle of text or features. At 100 TB
+    * the count aggregations are two map-side-combined passes and scoring
+    * stays embarrassingly parallel. Deterministic: top-k by weight, no
+    * sampling noise (the paper's Gumbel top-k adds seeded noise; the
+    * selection shape is identical).
+    */
+  private[graft] val dsirBucketCount = 1024
+
+  /** (doc_id, pos, bucket) per gram occurrence — shared by q62's count
+    * aggregations and the Verify fixture dump the DuckDB oracle rebuilds
+    * the whole pipeline from (counts, smoothing, ratios, per-doc sums).
+    */
+  private[graft] def dsirGrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        posexplode(graft.functions.gram_buckets(col("text"), 2, dsirBucketCount))
+          .as(Seq("pos", "bucket")))
+
+  val q62: Q = (s, d) => {
+    val b = dsirBucketCount
+    val dd = docs(s, d)
+    val grams = dsirGrams(s, d)
+    val srcCounts = grams.groupBy(col("bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tgtIds = dd.filter(col("lang") === "en").select(col("doc_id"))
+    val tgtCounts = grams.join(broadcast(tgtIds), Seq("doc_id"))
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val srcTotal = srcCounts.values.sum.toDouble
+    val tgtTotal = tgtCounts.values.sum.toDouble
+    // add-half smoothing on both multinomials, same as the oracle SQL
+    val ratios: Array[Double] = Array.tabulate(b) { i =>
+      math.log((tgtCounts.getOrElse(i, 0L) + 0.5) / (tgtTotal + 0.5 * b)) -
+        math.log((srcCounts.getOrElse(i, 0L) + 0.5) / (srcTotal + 0.5 * b))
+    }
+    dd.select(col("doc_id"), col("lang"),
+        aggregate(
+          transform(graft.functions.gram_buckets(col("text"), 2, b),
+            bk => element_at(typedlit(ratios), bk + 1)),
+          lit(0.0), (acc, x) => acc + x).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"), round(col("logw"), 6).as("logw"))
+  }
+
+  val q62Sql: String =
+    s"""WITH g AS (
+      |  SELECT doc_id, bucket
+      |  FROM read_parquet('/tmp/graft_fixtures/dsir_grams/*.parquet')),
+      |src AS (SELECT bucket, count(*) AS c FROM g GROUP BY 1),
+      |srct AS (SELECT sum(c)::DOUBLE AS t FROM src),
+      |tgt AS (
+      |  SELECT g.bucket, count(*) AS c
+      |  FROM g JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+      |tgtt AS (SELECT sum(c)::DOUBLE AS t FROM tgt),
+      |r AS (
+      |  SELECT s.bucket,
+      |    ln((coalesce(t.c, 0) + 0.5) / ((SELECT t FROM tgtt) + 0.5 * ${dsirBucketCount})) -
+      |    ln((s.c + 0.5) / ((SELECT t FROM srct) + 0.5 * ${dsirBucketCount})) AS lr
+      |  FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket),
+      |w AS (
+      |  SELECT g.doc_id, sum(r.lr) AS logw
+      |  FROM g JOIN r USING (bucket) GROUP BY 1)
+      |SELECT d.doc_id, d.lang, round(coalesce(w.logw, 0), 6) AS logw
+      |FROM documents d LEFT JOIN w USING (doc_id)
+      |ORDER BY coalesce(w.logw, 0) DESC, d.doc_id LIMIT 50""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
@@ -648,6 +724,7 @@ object DocOps {
     ("q52_decontaminate", q52, Some(q52Sql)),
     ("q53_repetition", q53, Some(q53Sql)),
     // q59 is exact-verified: bloom only prefilters, output == q52
-    ("q59_decontam_bloom", q59, Some(q52Sql))
+    ("q59_decontam_bloom", q59, Some(q52Sql)),
+    ("q62_importance_resample", q62, Some(q62Sql))
   )
 }

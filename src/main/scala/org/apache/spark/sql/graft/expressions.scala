@@ -161,6 +161,33 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Hashed-n-gram feature buckets of lower(text) in occurrence order —
+  * the text->feature step of DSIR-style importance resampling (hashed
+  * bigram counts) as ONE codegen'd evaluation. Unlike `shingle_hashes`
+  * this keeps duplicates: importance weights sum a log-ratio per gram
+  * OCCURRENCE. bucket = murmur3(gram) mod `buckets`, non-negative.
+  */
+case class GramBuckets(child: Expression, k: Int, buckets: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(k >= 1 && k <= 64, "gram width must be in [1, 64]")
+  require(buckets >= 2, "bucket count must be >= 2")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Shingles.gramBuckets(input.asInstanceOf[UTF8String], k, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Shingles.gramBuckets($c, $k, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "gram_buckets"
+}
+
 /** 64-bit SimHash of lower(text)'s word stream — the text->fingerprint
   * step of SimHash near-dup as ONE codegen'd evaluation, bit-identical to
   * `operators.SimHashAgg` over the exploded `murmur3_token(word)` stream
@@ -238,4 +265,7 @@ object GraftColumns {
     column(ShingleHashes(expression(text), k))
 
   def simhashSig(text: Column): Column = column(SimHashSig(expression(text)))
+
+  def gramBuckets(text: Column, k: Int, buckets: Int): Column =
+    column(GramBuckets(expression(text), k, buckets))
 }
