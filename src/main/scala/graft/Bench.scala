@@ -150,18 +150,27 @@ object Bench {
     store.registry.register("gw", "cw", Seq("bench_warm"), store.StartFrom.Earliest)
     store.poll("gw", "bench_warm", "cw").count()
 
-    val t0 = System.nanoTime()
-    store.produce("bench", staged)
-    val produceSec = (System.nanoTime() - t0) / 1e9
-
-    store.registry.register("g", "c", Seq("bench"), store.StartFrom.Earliest)
-    val t1 = System.nanoTime()
-    val polled = store.poll("g", "bench", "c").count().toDouble
-    val pollSec = (System.nanoTime() - t1) / 1e9
+    // median of 3 timed runs (fresh topic / fresh group each): this host's
+    // memory bandwidth swings ±2x between runs, and a single-shot rate is
+    // as likely to sample the trough as the crest — the median is the
+    // honest sustained figure (the reference tool likewise reports the
+    // steady rate over many batches, not one batch's)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val produceSecs = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      store.produce(s"bench$i", staged)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pollRates = (1 to 3).map { i =>
+      store.registry.register(s"g$i", "c", Seq(s"bench$i"), store.StartFrom.Earliest)
+      val t1 = System.nanoTime()
+      val polled = store.poll(s"g$i", s"bench$i", "c").count().toDouble
+      polled / ((System.nanoTime() - t1) / 1e9)
+    }
 
     val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
     deleteRec(root)
-    (n / produceSec, polled / pollSec, streamRate)
+    (n / median(produceSecs), median(pollRates), streamRate)
   }
 
   /** Structured Streaming ingest rate: the same staged messages consumed
@@ -183,12 +192,16 @@ object Bench {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", math.max(1, files / 4))
       .parquet(stagePath)
-    val t0 = System.nanoTime()
-    val q = topic.ingest("bench_stream", src, s"$root/_chk")
-    q.processAllAvailable()
-    q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
+    // median of 3 one-shot streams (fresh topic/checkpoint each) — same
+    // variance rationale as the batch runs
+    val rates = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      val q = topic.ingest(s"bench_stream$i", src, s"$root/_chk$i")
+      q.processAllAvailable()
+      q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
     deleteRec(root)
-    n / sec
+    rates.sorted.apply(1)
   }
 }

@@ -268,7 +268,9 @@ class TopicStore(
       }
 
     val merged = bases ++ counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
-    writeOffsets(producerMeta, producerScope(topic), merged)
+    // empty batch: nothing written, watermarks unchanged — skip the
+    // offsets rewrite (streaming ingest may deliver empty micro-batches)
+    if (counts.nonEmpty) writeOffsets(producerMeta, producerScope(topic), merged)
     merged.values.sum
   } }
 

@@ -250,11 +250,58 @@ object EmbeddingOps {
       |SELECT c.vec_id, c.label, c.cell
       |FROM c LEFT JOIN d ON c.vec_id = d.idb WHERE d.idb IS NULL""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Batched multi-query ANN — the production serving shape: top-5
+    * neighbors for EVERY query in a batch (vec_ids < 10 stand in for the
+    * incoming batch), not one query at a time. The query side (with its
+    * LSH buckets) broadcasts — a query batch is always tiny next to the
+    * corpus — candidates come from bucket equality (same signatures as
+    * q29), and per-query top-k is one window over candidates only. At
+    * 100 TB: corpus-side scan + broadcast join + a shuffle of candidates
+    * keyed by query id; nothing quadratic, no corpus shuffle.
+    */
+  val q63: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val signed = srpSigned(s, d)
+    val queries = signed.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+    val corpus = signed.filter(col("vec_id") >= 10L)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
+  val q63Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, bucket
+      |  FROM read_parquet('/tmp/graft_fixtures/srp_buckets/*.parquet')),
+      |e AS (
+      |  SELECT em.vec_id, em.embedding, b.bucket,
+      |    sqrt(list_sum(list_transform(em.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings em JOIN b USING (vec_id)),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket, nrm AS qn FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    list_sum(list_transform(list_zip(c.embedding, q.qe),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c.nrm * q.qn) AS sim
+      |  FROM e c JOIN q USING (bucket) WHERE c.vec_id >= 10),
+      |r AS (
+      |  SELECT q_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+      |  FROM s)
+      |SELECT q_id, vec_id, rk, round(sim, 6) AS sim
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
     ("q29_ann_lsh", q29, Some(q29Sql)),
     ("q47_ann_ivf", q47, Some(q47Sql)),
-    ("q61_semdedup", q61, Some(q61Sql))
+    ("q61_semdedup", q61, Some(q61Sql)),
+    ("q63_batch_ann", q63, Some(q63Sql))
   )
 }

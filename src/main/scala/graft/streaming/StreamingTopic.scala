@@ -34,7 +34,10 @@ class StreamingTopic(store: TopicStore) {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { store.produce(topic, batch); () }
+        // no isEmpty pre-check: produce() is a no-op on an empty batch
+        // (empty counts skip the offsets write), and the check costs a
+        // job round-trip per micro-batch on the hot path
+        store.produce(topic, batch); ()
       }
       .start()
 

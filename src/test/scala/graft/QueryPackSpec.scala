@@ -92,6 +92,19 @@ class QueryPackSpec extends AnyFunSuite {
     assert((exact intersect ivf).size >= 5, s"recall too low: exact=$exact ivf=$ivf")
   }
 
+  test("batch ann: 5 ranked results per query, all from the query's bucket") {
+    val rows = operators.EmbeddingOps.q63(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val rks = rs.map(_.getAs[Int]("rk")).sorted
+      assert(rks.sameElements(1 to rks.length), s"query $q ranks: ${rks.toSeq}")
+      assert(rks.length <= 5)
+      val sims = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"query $q not sorted")
+    }
+  }
+
   test("semdedup: kept set is maximal — no kept pair is near-dup in a cell") {
     val kept = operators.EmbeddingOps.q61(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell")))
