@@ -155,7 +155,6 @@ object Bench {
     // as likely to sample the trough as the crest — the median is the
     // honest sustained figure (the reference tool likewise reports the
     // steady rate over many batches, not one batch's)
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val produceSecs = (1 to 3).map { i =>
       val t0 = System.nanoTime()
       store.produce(s"bench$i", staged)
@@ -170,7 +169,7 @@ object Bench {
 
     val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
     deleteRec(root)
-    (n / median(produceSecs), median(pollRates), streamRate)
+    (n / medianOf(produceSecs), medianOf(pollRates), streamRate)
   }
 
   /** Structured Streaming ingest rate: the same staged messages consumed
@@ -202,6 +201,9 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
     deleteRec(root)
-    rates.sorted.apply(1)
+    medianOf(rates)
   }
+
+  /** Middle of an odd-sized sample; used by every ingest phase. */
+  private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 }

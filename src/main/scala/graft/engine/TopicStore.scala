@@ -251,18 +251,22 @@ class TopicStore(
         p.isInstanceOf[LocalLimit] || p.isInstanceOf[Deduplicate] ||
         p.expressions.exists(e => !e.deterministic)
     }.isEmpty
+    // count BEFORE write in both branches: an empty batch (streaming
+    // recovery replay, fully-filtered source) then skips the shuffle +
+    // dynamic-partition write job entirely — one cheap map-side-combined
+    // count job is the whole cost of an empty produce
     val counts: Map[Int, Long] =
       if (deterministic) {
         val c = keyed.groupBy(col("part")).agg(count(lit(1)).as("n"))
           .as[(Int, Long)].collect().toMap
-        doWrite(withOffsets)
+        if (c.nonEmpty) doWrite(withOffsets)
         c
       } else {
         withOffsets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val c = withOffsets.groupBy(col("part")).agg(count(lit(1)).as("n"))
             .as[(Int, Long)].collect().toMap
-          doWrite(withOffsets)
+          if (c.nonEmpty) doWrite(withOffsets)
           c
         } finally { withOffsets.unpersist(); () }
       }
@@ -912,11 +916,18 @@ class TopicStore(
     try offsets.toSeq.sortBy(_._1).foreach { case (part, next) =>
       w.write(gf.newGroup().append("part", part).append("next", next))
     } finally w.close()
+    // loud failure on either swap step: proceeding past a failed delete
+    // would leave two visible files (a reader would merge stale rows), and
+    // past a failed rename would leave NO visible file — a restart would
+    // read empty group offsets with no heal path. The old Spark write
+    // threw on failure too; silence here is data loss.
     fs.listStatus(dirPath).foreach { st =>
       val n = st.getPath.getName
-      if (!n.startsWith(".") && n != tmp.getName) { fs.delete(st.getPath, false); () }
+      if (!n.startsWith(".") && n != tmp.getName && !fs.delete(st.getPath, false))
+        throw new java.io.IOException(s"offsets swap: could not delete ${st.getPath}")
     }
-    fs.rename(tmp, fin)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"offsets swap: rename $tmp -> $fin failed")
     offsetCache.put(p, offsets)
     ()
   }

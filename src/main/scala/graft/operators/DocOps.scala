@@ -665,13 +665,19 @@ object DocOps {
   val q62: Q = (s, d) => {
     val b = dsirBucketCount
     val dd = docs(s, d)
-    val grams = dsirGrams(s, d)
-    val srcCounts = grams.groupBy(col("bucket")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ONE corpus pass yields both count tables: every gram counts toward
+    // the source (raw pool) total, and toward the target when its doc is
+    // in the broadcast target set — at 100 TB this is one
+    // map-side-combined aggregation, not two scans
     val tgtIds = dd.filter(col("lang") === "en").select(col("doc_id"))
-    val tgtCounts = grams.join(broadcast(tgtIds), Seq("doc_id"))
-      .groupBy(col("bucket")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .withColumn("is_tgt", lit(true))
+    val both = dsirGrams(s, d)
+      .join(broadcast(tgtIds), Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("src_n"), count(col("is_tgt")).as("tgt_n"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val srcCounts = both.map { case (k, (s1, _)) => k -> s1 }
+    val tgtCounts = both.collect { case (k, (_, t1)) if t1 > 0 => k -> t1 }
     val srcTotal = srcCounts.values.sum.toDouble
     val tgtTotal = tgtCounts.values.sum.toDouble
     // add-half smoothing on both multinomials, same as the oracle SQL

@@ -230,6 +230,7 @@ object EmbeddingOps {
       .select(col("id_b").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"), col("cell"))
+      .orderBy(col("vec_id")) // pack invariant: total order on every result
   }
 
   val q61Sql: String =
@@ -273,6 +274,7 @@ object EmbeddingOps {
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("vec_id"), col("rk"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rk")) // pack invariant: total order
   }
 
   val q63Sql: String =

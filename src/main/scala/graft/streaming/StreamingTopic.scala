@@ -34,9 +34,10 @@ class StreamingTopic(store: TopicStore) {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // no isEmpty pre-check: produce() is a no-op on an empty batch
-        // (empty counts skip the offsets write), and the check costs a
-        // job round-trip per micro-batch on the hot path
+        // no isEmpty pre-check: produce() counts before writing, so an
+        // empty batch costs one map-side count job and skips the shuffle,
+        // write, and offsets rewrite — while the pre-check cost a job
+        // round-trip on EVERY micro-batch of the hot path
         store.produce(topic, batch); ()
       }
       .start()

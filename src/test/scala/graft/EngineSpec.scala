@@ -656,6 +656,26 @@ class EngineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("late")) // committed offsets, not a policy restart
   }
 
+  test("offsets written by a Spark job (old layout) read back driver-side") {
+    // stores written before the driver-side parquet-hadoop metadata path
+    // used toDF.coalesce(1).write — the two layouts must stay mutually
+    // readable (same dir, one visible part file, (part int, next long))
+    val root = Files.createTempDirectory("graft-engine-compat").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", (0 until 6).map(i => (s"k$i", s"m$i", ts(i))))
+    import spark.implicits._
+    val expected = (0 until 6).map(i => i -> (i * 10L + 7L)).toMap
+    // overwrite the producer watermarks with a Spark-written table
+    val scope = s"$root/_meta/producer_offsets/t/v1"
+    expected.toSeq.toDF("part", "next").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(scope)
+    val store2 = new TopicStore(spark, root) // fresh cache, driver-side read
+    val got = store2.producerOffsets("t")
+    expected.foreach { case (p, n) =>
+      assert(got.get(p).exists(_ >= n), s"part $p: got ${got.get(p)}, want >= $n")
+    }
+  }
+
   test("sweepStaleGenerations reclaims superseded version dirs only") {
     val store = freshStore()
     store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
