@@ -166,11 +166,45 @@ object EventOps {
        |GROUP BY 1, 2, 3 ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q64
+  /** Log-compaction materialization: the LATEST record per key — the
+    * compacted-topic view every keyed log system serves next to its
+    * time-retention sweep (`TopicStore.retentionSweep` is the reference's
+    * time-based cleaner; keep-latest-per-key is the standard companion
+    * semantic). One shuffle on the key, one window, no second pass; at
+    * 100 TB this is the same per-key grouping the per-key-order guarantee
+    * already imposes, so a compacted read co-partitions with the log.
+    * Ties on the micro timestamp break by event_id (the same total order
+    * q15/q16 use, micros on both engines).
+    */
+  val q64: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Graft.events(s, d).withColumn("us", unix_micros(col("ts")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q64Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us, value AS last_value
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
     ("q15_sessionize", q15, Some(q15Sql)),
     ("q16_per_key_order", q16, Some(q16Sql)),
-    ("q17_token_routing", q17, Some(q17Sql))
+    ("q17_token_routing", q17, Some(q17Sql)),
+    ("q64_log_compaction", q64, Some(q64Sql))
   )
 }
