@@ -170,9 +170,17 @@ class TopicStore(
     * records — even spread, no order guarantee; we use a value hash, which
     * is deterministic and shuffle-free).
     */
-  def produce(topic: String, records: DataFrame): Long = inServingPool { produceLock.synchronized {
-    val g = generation(topic)
-    val bases: Map[Int, Long] = producerOffsets(topic)
+  def produce(topic: String, records: DataFrame): Long =
+    produceInto(topic, records, generation(topic))
+
+  /** Produce into an EXPLICIT generation — `produce` with the current one;
+    * `rescale` with the next one so the new generation's data is fully
+    * written BEFORE the generation pointer durably flips (a crash between
+    * the two leaves the old generation current and intact).
+    */
+  private def produceInto(topic: String, records: DataFrame, g: Generation): Long =
+    inServingPool { produceLock.synchronized {
+    val bases: Map[Int, Long] = producerOffsetsFor(topic, g)
 
     // optional __seq column: produce-order tiebreak within one request
     // (NDJSON line order, binary-producer stream order)
@@ -274,7 +282,7 @@ class TopicStore(
     val merged = bases ++ counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
     // empty batch: nothing written, watermarks unchanged — skip the
     // offsets rewrite (streaming ingest may deliver empty micro-batches)
-    if (counts.nonEmpty) writeOffsets(producerMeta, producerScope(topic), merged)
+    if (counts.nonEmpty) writeOffsets(producerMeta, producerScopeFor(topic, g), merged)
     merged.values.sum
   } }
 
@@ -310,7 +318,9 @@ class TopicStore(
     if (polled.isEmpty) return polled
     polled
       .withColumn("svalue", decode(col("value"), "UTF-8"))
-      .sort(col("part"), col("offset"))
+      // no pre-sort: the groupBy exchange would discard it anyway, and
+      // sort_array on the (offset, svalue) structs restores delivery
+      // order inside each group — one shuffle instead of two
       .groupBy(col("topic"), col("token"), col("range"), col("version"))
       .agg(
         min(col("offset")).as("__start"),
@@ -446,7 +456,10 @@ class TopicStore(
   }
 
   private def producerScope(topic: String): String =
-    s"$topic/v${generation(topic).version}"
+    producerScopeFor(topic, generation(topic))
+
+  private def producerScopeFor(topic: String, g: Generation): String =
+    s"$topic/v${g.version}"
 
   private def groupScope(group: String, topic: String): String =
     s"$group/$topic/v${generation(topic).version}"
@@ -462,8 +475,11 @@ class TopicStore(
     * row-group stats, so for a healthy store it reads footers only; it
     * runs once per store lifetime, not per produce.
     */
-  def producerOffsets(topic: String): Map[Int, Long] = {
-    val scope = producerScope(topic)
+  def producerOffsets(topic: String): Map[Int, Long] =
+    producerOffsetsFor(topic, generation(topic))
+
+  private def producerOffsetsFor(topic: String, g: Generation): Map[Int, Long] = {
+    val scope = producerScopeFor(topic, g)
     // double-checked under a lock: concurrent first accessors must WAIT
     // for the heal (or they would read a stale watermark and reissue the
     // orphaned offsets), and a thrown scan must NOT mark the scope done
@@ -471,7 +487,6 @@ class TopicStore(
       if (!reconciled.contains(scope)) {
         if (pathExists(dataDir)) {
           val persisted = readOffsets(producerMeta, scope)
-          val g = generation(topic)
           val pred = (0 until partsOf(g)).map { p =>
             col("part") === p && col("offset") >= persisted.getOrElse(p, 0L)
           }.reduce(_ || _)
@@ -645,7 +660,11 @@ class TopicStore(
       * `consumer_state.go:308-350` determinism.
       */
     def assignment(group: String, consumerId: String, topic: String): Seq[Int] = {
-      val ids = groups.getOrElse(group, Set.empty).toSeq.sorted
+      // synchronized like every other registry read: an unsynchronized
+      // read of `groups` has no happens-before edge with a concurrent
+      // register/goodbye, so two pollers could transiently compute
+      // overlapping round-robin ownership (duplicate delivery)
+      val ids = synchronized { groups.getOrElse(group, Set.empty) }.toSeq.sorted
       if (!ids.contains(consumerId)) return Seq.empty
       (0 until partsOf(generation(topic))).filter(p => ids(p % ids.size) == consumerId)
     }
@@ -711,10 +730,20 @@ class TopicStore(
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         val outs = fs.listStatus(tmp).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
+        // loud failure discipline (same as the writeOffsets swap): a
+        // silently-false rename would let the small-file delete below
+        // destroy the only remaining copy of those records, and a
+        // silently-false delete would double-deliver them. Renames go
+        // FIRST, so any failure aborts before an original is touched.
         outs.zipWithIndex.foreach { case (p, i) =>
-          fs.rename(p, new Path(dir.getPath, s"compacted-${System.nanoTime()}-$i.parquet"))
+          val target = new Path(dir.getPath, s"compacted-${System.nanoTime()}-$i.parquet")
+          if (!fs.rename(p, target))
+            throw new java.io.IOException(s"compact: rename $p -> $target failed")
         }
-        small.foreach(f => fs.delete(f.getPath, false))
+        small.foreach { f =>
+          if (!fs.delete(f.getPath, false))
+            throw new java.io.IOException(s"compact: could not delete ${f.getPath}")
+        }
         fs.delete(tmp, true)
         replaced += small.length
       }
@@ -751,8 +780,13 @@ class TopicStore(
       .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
       .select("key", "value", "timestamp", "__seq")
     val next = Generation(g.version + 1, newClusterSize)
+    // copy-then-flip: the new generation's data and watermarks are fully
+    // durable BEFORE the generation pointer moves. A crash mid-copy leaves
+    // the old generation current and every poll correct; the retry below
+    // first clears any partial v+1 leftovers so it cannot double-copy.
+    clearGenerationData(topic, next)
+    produceInto(topic, old, next) // stamps v+1; fresh watermark scope -> offsets from 0
     setGeneration(topic, next)
-    produce(topic, old) // stamps v+1; fresh watermark scope -> offsets from 0
     // offset continuity for drained groups (the reference's OffsetCompleted
     // projection, `offset_state.go` split/join): a group that had consumed
     // the WHOLE old generation starts at the new generation's watermarks —
@@ -762,6 +796,33 @@ class TopicStore(
     val newHigh = producerOffsets(topic)
     drained.foreach(group => commit(group, topic, newHigh))
     next
+  }
+
+  /** Remove any data, watermarks, and caches a CRASHED rescale left under
+    * a not-yet-current generation, so the retry starts from a clean v+1
+    * (without this, the retry's copy would append after the partial
+    * copy's watermarks and duplicate records).
+    */
+  private def clearGenerationData(topic: String, g: Generation): Unit = {
+    import org.apache.hadoop.fs.Path
+    val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
+    val fs = hfs(topicPath.toString)
+    if (fs.exists(topicPath)) {
+      fs.listStatus(topicPath).filter(_.isDirectory).foreach { tokenDir =>
+        fs.listStatus(tokenDir.getPath).filter(_.isDirectory).foreach { rangeDir =>
+          val verPath = new Path(rangeDir.getPath, s"version=${g.version}")
+          if (fs.exists(verPath) && !fs.delete(verPath, true))
+            throw new java.io.IOException(s"rescale: could not clear $verPath")
+        }
+      }
+    }
+    val scope = producerScopeFor(topic, g)
+    val metaPath = s"$producerMeta/${scopeDir(scope)}"
+    if (pathExists(metaPath) && !hfs(metaPath).delete(hpath(metaPath), true))
+      throw new java.io.IOException(s"rescale: could not clear $metaPath")
+    offsetCache.remove(metaPath)
+    reconciled.remove(scope)
+    ()
   }
 
   /** Groups whose committed offsets cover every produced record of the

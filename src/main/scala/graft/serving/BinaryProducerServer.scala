@@ -158,7 +158,11 @@ class BinaryProducerServer(
     // oversized length into a durably-produced TRUNCATED record, and a
     // negative length into a zero-progress infinite parse loop
     def bytes(n: Int): Array[Byte] = {
-      if (n < 0 || pos + n > body.length)
+      // overflow-safe form: `pos + n > body.length` wraps negative for n
+      // near Int.MaxValue and would pass the guard, then copyOfRange
+      // throws IllegalArgumentException (not IndexOutOfBounds) and the
+      // connection dies with no error frame
+      if (n < 0 || n > body.length - pos)
         throw new IndexOutOfBoundsException(
           s"field length $n exceeds body (${body.length - pos} bytes left)")
       val b = java.util.Arrays.copyOfRange(body, pos, pos + n); pos += n; b
@@ -169,6 +173,12 @@ class BinaryProducerServer(
         else System.currentTimeMillis() * 1000L
       val key = new String(bytes(u8()), UTF_8)
       val topic = new String(bytes(u8()), UTF_8)
+      // the REST route regex makes an empty topic unroutable; the binary
+      // frame must reject it too — partitionBy would write "" as the
+      // __HIVE_DEFAULT_PARTITION__ dir, which reads back as null and can
+      // never match a poll's topic predicate: an acked black hole
+      if (topic.isEmpty)
+        throw new IndexOutOfBoundsException("empty topic name")
       val msgs = mutable.ArrayBuffer.empty[Array[Byte]]
       while (pos < body.length) {
         if (pos + 4 > body.length)

@@ -66,7 +66,21 @@ class ProduceCoalescer(
       tsMicros: Long,
       lines: Seq[Array[Byte]]): CompletableFuture[java.lang.Boolean] = {
     val ack = new CompletableFuture[java.lang.Boolean]()
+    if (!running.get()) { // reject fast instead of a 120 s handler timeout
+      ack.completeExceptionally(new IllegalStateException("coalescer stopped"))
+      return ack
+    }
     queue.put(Pending(topic, key, tsMicros, lines, ack))
+    // close the submit/stop race: a put that slipped in AFTER stop()'s
+    // drain would otherwise hang its submitter on a future nobody
+    // completes — re-check and self-drain
+    if (!running.get()) {
+      var p = queue.poll()
+      while (p != null) {
+        p.ack.completeExceptionally(new IllegalStateException("coalescer stopped"))
+        p = queue.poll()
+      }
+    }
     ack
   }
 

@@ -220,7 +220,11 @@ class RestServer(
     if (topic.getBytes(UTF_8).length > 255) {
       respond(ex, 400, """{"error":"topic name exceeds 255 bytes"}"""); return
     }
-    val body = ex.getRequestBody.readAllBytes()
+    // bounded read: readAllBytes() would buffer an arbitrarily large body
+    // on the heap BEFORE the size check — 16 pool threads x a multi-GB
+    // body is a driver OOM. readNBytes caps the buffering at limit+1;
+    // one extra byte distinguishes exactly-at-limit from over it.
+    val body = ex.getRequestBody.readNBytes(maxMessageBytes + 1)
     if (body.isEmpty) { respond(ex, 400, """{"error":"empty body"}"""); return }
     if (body.length > maxMessageBytes) { // reference: 400 over MaxMessageSize
       respond(ex, 400,
@@ -304,8 +308,12 @@ class RestServer(
           maxRecords = maxPollRecords, maxBytes = maxPollBytes,
           autoCommit = false).collect()
         if (rows.nonEmpty) {
-          rows.groupBy(_.getAs[Int]("part")).toSeq.sortBy(_._1).foreach { case (_, rs) =>
-            val sorted = rs.sortBy(_.getAs[Long]("offset"))
+          // ONE grouping feeds both the response items and the staged
+          // next-offsets — two groupBys would be duplicate work and two
+          // code paths that must agree on the per-part max
+          val byPart = rows.groupBy(_.getAs[Int]("part")).view
+            .mapValues(_.sortBy(_.getAs[Long]("offset"))).toMap
+          byPart.toSeq.sortBy(_._1).foreach { case (_, sorted) =>
             val head = sorted.head
             items += PollItem(
               topic, head.getAs[Long]("token"), head.getAs[Int]("range"),
@@ -317,8 +325,8 @@ class RestServer(
                 (micros, r.getAs[Array[Byte]]("value"))
               })
           }
-          val next = rows.groupBy(_.getAs[Int]("part")).view
-            .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
+          val next = byPart.view
+            .mapValues(_.last.getAs[Long]("offset") + 1L).toMap
           // all rows of one poll share the current generation (poll filters
           // on it); commitPending above cleared any prior stage, so this is
           // a plain put — never a cross-poll merge

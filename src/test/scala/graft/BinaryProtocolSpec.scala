@@ -144,6 +144,49 @@ class BinaryProtocolSpec extends AnyFunSuite {
     } finally { server.stop(); coalescer.stop() }
   }
 
+  test("empty topic and overflow-length fields error; connection survives") {
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-bin4").toString)
+    val coalescer = new ProduceCoalescer(store, coalesceMs = 20L).start()
+    val server = new BinaryProducerServer(coalescer).start()
+    try {
+      val sock = new Socket("localhost", server.boundPort)
+      sock.setSoTimeout(10000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(frame(1, 1, 0, Array.emptyByteArray)); out.flush()
+      assert(readFrame(in)._2 == 2) // ready
+
+      // empty topic: partitionBy would write it as the default-partition
+      // dir, which reads back null and never matches a poll — must reject
+      out.write(frame(40, 4, 1, produceBody(1700000000000000L, "k", "", Seq("x"))))
+      out.flush()
+      val (sid1, op1, b1) = readFrame(in)
+      assert((sid1, op1) == (40, 3) && new String(b1.drop(1), UTF_8).contains("malformed"))
+
+      // field length near Int.MaxValue: `pos + n` wraps negative — a
+      // non-overflow-safe guard passes it through to copyOfRange, which
+      // throws the WRONG exception type and kills the connection
+      def withKeyLen(len: Int): Array[Byte] = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val d = new DataOutputStream(buf)
+        d.writeLong(1700000000000000L)
+        d.writeByte(1); d.write("k".getBytes(UTF_8))
+        d.writeByte(2); d.write("tt".getBytes(UTF_8))
+        d.writeInt(len); d.write("xy".getBytes(UTF_8))
+        buf.toByteArray
+      }
+      out.write(frame(41, 4, 1, withKeyLen(Int.MaxValue - 2))); out.flush()
+      val (sid2, op2, _) = readFrame(in)
+      assert((sid2, op2) == (41, 3))
+
+      // both errors answered in-band; the stream is still usable
+      out.write(frame(42, 4, 1, produceBody(1700000000000000L, "k", "ok4", Seq("fine"))))
+      out.flush()
+      assert(readFrame(in)._2 == 5)
+      sock.close()
+    } finally { server.stop(); coalescer.stop() }
+  }
+
   test("first frame must be startup; anything else errors and closes") {
     val store = new TopicStore(spark, Files.createTempDirectory("graft-bin2").toString)
     val coalescer = new ProduceCoalescer(store, coalesceMs = 20L).start()

@@ -353,6 +353,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rescale retry after a crashed copy leaves no duplicate records") {
+    // simulate a rescale that died mid-copy: v2 dirs exist with partial
+    // data, but the generation pointer still says v1. The retry must
+    // clear the partial v2 (data + watermark scope) before re-copying —
+    // otherwise it appends after the partial copy's watermarks and
+    // every partially-copied record is delivered twice.
+    val root = Files.createTempDirectory("graft-crash").toString
+    val store = new TopicStore(spark, root)
+    val keys = Seq("123", "567", "234")
+    val rows = (0 until 24).map(i => (keys(i % 3), s"m$i", ts(i)))
+    store.produceStrings("t", rows)
+
+    // fake the partial copy by cloning every version=1 dir to version=2
+    // (a superset of any real partial state: the worst case for a retry)
+    val topicDir = new java.io.File(s"$root/data/topic=t")
+    def cloneV1(dir: java.io.File): Unit = dir.listFiles().foreach { f =>
+      if (f.isDirectory && f.getName == "version=1") {
+        val dst = new java.io.File(f.getParentFile, "version=2")
+        dst.mkdirs()
+        f.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+          Files.copy(pf.toPath, new java.io.File(dst, pf.getName).toPath)
+        }
+      } else if (f.isDirectory) cloneV1(f)
+    }
+    cloneV1(topicDir)
+
+    val gen2 = store.rescale("t", 6)
+    assert(gen2.version == 2)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 24, s"expected 24 records, got ${polled.length}")
+    polled.groupBy(_.getAs[String]("key")).foreach { case (key, msgs) =>
+      val got = msgs.sortBy(_.getAs[Long]("offset"))
+        .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq
+      val want = (0 until 24).filter(i => keys(i % 3) == key).map(i => s"m$i")
+      assert(got == want, s"key $key order broken after crash-retry rescale")
+    }
+  }
+
   test("a Latest snapshot taken before a rescale never skips new-generation records") {
     val store = freshStore()
     store.produceStrings("t", (0 until 10).map(i => (s"k$i", s"old$i", ts(i))))

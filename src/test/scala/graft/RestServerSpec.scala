@@ -335,6 +335,19 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("submit to a stopped coalescer fails fast instead of hanging") {
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-coal").toString)
+    val c = new graft.serving.ProduceCoalescer(store, coalesceMs = 20L).start()
+    c.stop()
+    // without the running-gate re-check, this submit would enqueue after
+    // stop()'s drain and block its caller forever on an un-completed ack
+    val ack = c.submit("t", "k", 1700000000000000L, Seq("x".getBytes))
+    val ex = intercept[java.util.concurrent.ExecutionException] {
+      ack.get(5, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    assert(ex.getCause.isInstanceOf[IllegalStateException])
+  }
+
   test("re-register under a new group leaves the old group's assignment") {
     val server = startServer()
     val base = s"http://localhost:${server.boundPort}"
