@@ -84,6 +84,26 @@ class TopicStore(
   private val groupMeta = s"$root/_meta/group_offsets"
   private val genMeta = s"$root/_meta/generations"
   private val registryMeta = s"$root/_meta/groups"
+  private val streamMeta = s"$root/_meta/stream_batches"
+
+  /** Idempotent micro-batch produce for streaming ingest: each
+    * (streamId, topic) pair durably remembers the last completed batch id,
+    * so a foreachBatch replay after a crash (Structured Streaming's
+    * at-least-once redelivery) is SKIPPED instead of double-produced.
+    * The marker is written after the durable produce; a crash in the
+    * narrow window between the two replays exactly that one batch
+    * (at-least-once — the engine's delivery contract), every other crash
+    * point replays nothing. The ledger reuses the offsets-table swap, so
+    * a torn marker write is impossible.
+    */
+  def produceOnce(topic: String, records: DataFrame, streamId: String, batchId: Long): Long = {
+    val scope = s"${scopeDir(streamId)}/${scopeDir(topic)}"
+    val done = readOffsets(streamMeta, scope).getOrElse(0, Long.MinValue)
+    if (batchId <= done) return 0L
+    val n = produce(topic, records)
+    writeOffsets(streamMeta, scope, Map(0 -> batchId))
+    n
+  }
 
   // ---------------------------------------------------------- generations
 

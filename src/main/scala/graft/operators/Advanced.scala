@@ -45,17 +45,21 @@ object Advanced {
   /** Grouping sets (beyond rollup/cube): independent status and priority
     * margins in one pass.
     */
-  val q36: Q = (s, d) => {
-    Graft.table(s, d, "orders").createOrReplaceTempView("graft_orders_gs")
-    s.sql(
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |  coalesce(o_orderpriority, 'ALL') AS prio,
-        |  count(*) AS n,
-        |  cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS sum_price
-        |FROM graft_orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, prio""".stripMargin)
-  }
+  val q36: Q = (s, d) =>
+    // Dataset groupingSets (Spark 4): no temp view, so no session-global
+    // name for two concurrent callers with different data dirs to race on
+    Graft.table(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "prio")
 
   val q36Sql: String =
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -227,17 +227,25 @@ object DocOps {
     * `corpus_doc` so gate joins co-locate without reshuffling the corpus
     * per micro-batch.
     */
-  case class NearDupIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame)
+  case class NearDupIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame) {
+    /** Release the pinned index blocks (call when the gate stream stops). */
+    def unpersist(): Unit = { bands.unpersist(); shingles.unpersist(); sizes.unpersist(); () }
+  }
 
   def buildNearDupIndex(corpus: DataFrame): NearDupIndex = {
     val sigs = docSignatures(corpus)
     val bands = sigs.filter(col("n") > 0)
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("b"))
       .select(col("b.bk").as("bk"), col("doc_id").as("corpus_doc"))
+    // persist: "build once per corpus snapshot" must hold in the plans
+    // too — un-pinned, every gateIngest micro-batch would re-scan the
+    // corpus and recompute signatures/shingles through these lazy frames
+    // (per-batch cost scaling with corpus size, the exact thing
+    // nearDupGate promises not to do)
     NearDupIndex(
-      bands,
-      shingles(corpus).select(col("doc_id").as("corpus_doc"), col("shingle")),
-      sigs.select(col("doc_id").as("corpus_doc"), col("n").as("cn")))
+      bands.persist(),
+      shingles(corpus).select(col("doc_id").as("corpus_doc"), col("shingle")).persist(),
+      sigs.select(col("doc_id").as("corpus_doc"), col("n").as("cn")).persist())
   }
 
   /** Rows of `batch` (requires doc_id + text columns) that are NOT verified

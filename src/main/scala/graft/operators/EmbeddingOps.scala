@@ -144,7 +144,17 @@ object EmbeddingOps {
     * whether that cell is probed for the fixed query (shared by q47 and
     * the Verify fixture dump).
     */
-  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private val ivfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    // memoized like dupLabels/verifiedPairs: the fit is deterministic
+    // (seeded sample, fixed iterations) and q47, q61, and the Verify
+    // fixture dump would otherwise each repay the count + sample-collect
+    // + driver k-means
+    DocOps.Memo.get(ivfMemo, s, d)(computeIvfAssigned(s, d))
+
+  private def computeIvfAssigned(s: SparkSession, d: String): DataFrame = {
     val nprobe = 4
     val nlist = 8
     val e = emb(s, d)
@@ -171,7 +181,7 @@ object EmbeddingOps {
     // argmax over (sim, idx) structs: struct comparison is field-ordered,
     // so array_max yields the highest sim with the highest idx breaking
     // exact ties — deterministic, and every term is codegen'd
-    val cellCol = array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+    val cellCol = array_max(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(
         cosine_sim(col("embedding"), typedLit(c.map(_.toFloat))).as("sim"),
         lit(i).as("idx"))

@@ -64,6 +64,9 @@ object Multimodal {
     val spark = s
     import spark.implicits._
     payloads(s, d)
+      // same guard as the oracle's WHERE length(text) > 0: an empty
+      // payload would crash bytes(0)/bytes(len-1) below
+      .where(length(col("payload")) > 0)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

@@ -100,6 +100,22 @@ object Pipeline {
       prevSum = nextSum
       iter += 1
     }
+    if (!converged) {
+      // min-label propagation needs O(diameter) rounds; a near-dup chain
+      // deeper than the iteration cap must NOT silently return split
+      // clusters — fall back to the log-diameter large-star/small-star
+      // contraction, which converges where propagation cannot
+      val comp = ConnectedComponents.components(
+        edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val fixed = DocOps.docs(s, d).select(col("doc_id"))
+        .join(comp, col("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      edges.unpersist()
+      return fixed
+    }
     edges.unpersist()
     labels
   }

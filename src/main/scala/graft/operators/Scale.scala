@@ -29,6 +29,12 @@ object Scale {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full joins are WRONG under salting: an unmatched dim key was
+    // exploded `salts`x and every replica would surface as its own
+    // null-padded row — reject loudly instead of silently multiplying
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val saltedLarge = skewed.withColumn(
       "__salt",
       pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(salts)).cast("int"))

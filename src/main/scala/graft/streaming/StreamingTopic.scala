@@ -27,20 +27,33 @@ class StreamingTopic(store: TopicStore) {
     * the REST/binary produce channels of the same store —
     * `TopicStore.produce` serializes the watermark read-modify-write
     * internally, so cross-channel batches interleave without offset
-    * collisions.
+    * collisions. Micro-batch REPLAYS (foreachBatch is at-least-once after
+    * a crash) are deduplicated by `produceOnce`'s durable batch ledger
+    * keyed on the checkpoint identity — a restarted query skips batches
+    * it already produced instead of appending them twice.
     */
-  def ingest(topic: String, stream: DataFrame, checkpoint: String): StreamingQuery =
+  def ingest(topic: String, stream: DataFrame, checkpoint: String): StreamingQuery = {
+    val streamId = ledgerId(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // no isEmpty pre-check: produce() counts before writing, so an
         // empty batch costs one map-side count job and skips the shuffle,
         // write, and offsets rewrite — while the pre-check cost a job
         // round-trip on EVERY micro-batch of the hot path
-        store.produce(topic, batch); ()
+        store.produceOnce(topic, batch, streamId, batchId); ()
       }
       .start()
+  }
+
+  /** Batch-ledger identity for a stream: batch ids are scoped to a
+    * checkpoint, so the ledger key must be too (two streams into one
+    * topic from different checkpoints must not share a ledger). 64-bit
+    * content hash keeps the scope dir short and collision-safe.
+    */
+  private def ledgerId(checkpoint: String): String =
+    f"ingest-${graft.core.Murmur3x64.hashString(checkpoint)}%016x"
 
   /** Near-dup-gated streaming ingest — dedup-on-ingest for a training-data
     * pipeline: every micro-batch of documents is checked against a static
@@ -49,25 +62,31 @@ class StreamingTopic(store: TopicStore) {
     * verification on band-key candidates only), and only survivors
     * produce() into the topic. foreachBatch is the documented Structured
     * Streaming shape for stream-static dedup: it gives each micro-batch
-    * full batch join/agg semantics while the checkpoint keeps ingest
-    * exactly-once across restarts. The stream must carry (key, value,
-    * timestamp) for produce plus (doc_id, text) for the gate.
+    * full batch join/agg semantics, and `produceOnce`'s batch ledger
+    * skips crash replays (see `ingest`). The stream must carry (key,
+    * value, timestamp) for produce plus (doc_id, text) for the gate.
     */
   def gateIngest(
       topic: String,
       stream: DataFrame,
       index: graft.operators.DocOps.NearDupIndex,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val streamId = ledgerId(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // localCheckpoint: produce() runs a count job + a write job over
-        // its input; without pinning, each would re-run the gate's joins
-        val kept = graft.operators.DocOps.nearDupGate(batch, index).localCheckpoint(true)
-        if (!kept.isEmpty) { store.produce(topic, kept); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persist: produce() runs a count job + a write job over its
+        // input; without pinning, each would re-run the gate's joins.
+        // (persist, not localCheckpoint: unpersist() releases the blocks
+        // deterministically at batch end — checkpointed RDDs wait for a
+        // driver GC, accumulating executor storage on a hot stream)
+        val kept = graft.operators.DocOps.nearDupGate(batch, index).persist()
+        try { if (!kept.isEmpty) { store.produceOnce(topic, kept, streamId, batchId); () } }
+        finally { kept.unpersist(); () }
       }
       .start()
+  }
 
   /** The topic as an unbounded stream of records (envelope schema). The
     * topic predicate lands on the partition column, so non-matching
@@ -77,7 +96,7 @@ class StreamingTopic(store: TopicStore) {
     spark.readStream
       .schema(store.recordSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"${store.root}/data")
+      .parquet(store.dataDir)
       // pin the generation current at stream start: both predicates land
       // on partition columns, so stale generations are pruned at scan
       .where(col("topic") === topic &&
@@ -158,7 +177,9 @@ object StreamOps {
         (key: String, rows: Iterator[Evt], state: GroupState[SessionState]) => {
           var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           rows.foreach { e =>
-            s = SessionState(s.n + 1, s.sumValue + e.value, math.max(s.lastUs, e.ts.getTime))
+            // getTime is millis; the codebase-wide timestamp unit (and
+            // this field's name) is epoch MICROS
+            s = SessionState(s.n + 1, s.sumValue + e.value, math.max(s.lastUs, e.ts.getTime * 1000L))
           }
           state.update(s)
           Iterator.single(SessionUpdate(key, s.n, s.sumValue))

@@ -37,6 +37,15 @@ class ScaleSpec extends AnyFunSuite {
     val salted = Scale.saltedJoin(large, dim, "k", salts = 8)
       .select("k", "payload", "attr").collect().map(_.toSeq).toSet
     assert(salted == plain)
+
+    // right/full joins would surface each unmatched dim key once PER SALT
+    // — rejected loudly instead of silently multiplying
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(large, dim, "k", salts = 8, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(large, dim, "k", salts = 8, joinType = "right")
+    }
   }
 
   test("bucketed co-located join runs with zero shuffle exchanges") {

@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(aOffs.last - aOffs.head == aOffs.length - 1L)
   }
 
+  test("produceOnce skips a replayed micro-batch, even across store restarts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-once").toString
+    val store = new TopicStore(spark, root)
+    val batch = Seq(("a", "m0", ts(0)), ("b", "m1", ts(1)))
+      .toDF("key", "svalue", "timestamp")
+      .withColumn("value", encode(col("svalue"), "UTF-8"))
+      .select("key", "value", "timestamp")
+
+    // produce returns the topic's cumulative high-watermark sum; a
+    // skipped replay returns 0 without running any job
+    assert(store.produceOnce("t", batch, "stream-1", 0L) == 2L)
+    // foreachBatch redelivers batch 0 after a crash-restart: skipped
+    assert(store.produceOnce("t", batch, "stream-1", 0L) == 0L)
+    // the ledger is durable — a NEW store over the same root still skips
+    val store2 = new TopicStore(spark, root)
+    assert(store2.produceOnce("t", batch, "stream-1", 0L) == 0L)
+    // the next batch id goes through; an unrelated stream id is unaffected
+    assert(store2.produceOnce("t", batch, "stream-1", 1L) == 4L)
+    assert(store2.produceOnce("t", batch, "stream-2", 0L) == 6L)
+
+    store2.registry.register("g", "c", Seq("t"), store2.StartFrom.Earliest)
+    assert(store2.poll("g", "t", "c").count() == 6L)
+  }
+
   test("topic readStream delivers produced records") {
     import spark.implicits._
     val store = new TopicStore(spark, Files.createTempDirectory("graft-stream2").toString)
