@@ -55,6 +55,26 @@ object DocOps {
       |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id)""".stripMargin
 
+  /** CTE list ending in `jcross` — J >= 0.6 pairs under an arbitrary SQL
+    * pair predicate over aliases `a` (left) and `b` (right); q67's oracle
+    * restricts it to corpus-side × batch-side pairs.
+    */
+  private[operators] def jaccardCrossCtes(pairPred: String): String =
+    s"""$shinglesSqlCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND ($pairPred)
+       |  GROUP BY 1, 2
+       |),
+       |jcross AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+       |)""".stripMargin
+
   /** Exhaustive pairwise Jaccard >= 0.6 over 3-word shingles (shared by q19
     * output and q20's oracle; both must produce identical rows).
     */

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval / corpus-assembly operators a training-data pipeline runs on
+  * top of the dedup + quality stack: ranked term retrieval (BM25),
+  * per-source token budgeting, incremental cross-corpus dedup (the batch
+  * twin of the streaming near-dup gate), and tokenizer-prep vocabulary
+  * statistics.
+  *
+  * Scale notes (the 100 TB story):
+  *  - q65 BM25: corpus stats (N, avgdl) and the per-term df table are
+  *    model-metadata-sized (|query| rows); the only corpus-sized shuffle
+  *    is the (doc, term) tf aggregation, already filtered to query terms
+  *    map-side. Document length rides along with the explode, so no
+  *    doc-length join re-touches the corpus.
+  *  - q66 budgeting: windows are per-source, so parallelism scales with
+  *    the source count; a skewed giant source is still one partition —
+  *    the salting answer (Scale.saltedJoin) does not apply to running
+  *    sums, so the documented mitigation is sub-sharding sources upstream.
+  *  - q67 incremental dedup: candidates come from the banded LSH join
+  *    (batch side × corpus side on band key) — never batch × corpus.
+  *    Exact verification touches only candidate pairs. This is the shape
+  *    a daily-crawl pipeline runs: yesterday's corpus is the static side,
+  *    today's batch the probe side.
+  *  - q68 vocabulary: one map-side-combined count per token; the global
+  *    rank window runs over vocabulary-sized data (tokens, not
+  *    occurrences), which for any real tokenizer prep is << executor
+  *    memory.
+  */
+object RetrievalOps {
+  import Relational.Q
+  import DocOps.docs
+
+  // ---------------------------------------------------------------- q65
+  /** BM25 ranked retrieval (Robertson/Sparck Jones; the Okapi BM25+idf
+    * formulation Lucene uses): top-10 documents for a fixed conjunctive
+    * term query. k1 = 1.2, b = 0.75; idf = ln((N - df + 0.5)/(df + 0.5)
+    * + 1) (always positive, Lucene's variant).
+    *
+    * Exactness discipline (same as q62): every per-(doc, term) score is a
+    * deterministic expression over integers and two exact scalar doubles
+    * (avgdl is an exact int sum divided by an exact int count), the
+    * per-doc sum over <= 4 terms may associate differently between
+    * engines, so the output score is rounded to 6 dp while the ordering
+    * uses each engine's unrounded value with doc_id as tiebreak.
+    */
+  private val bmTerms = Seq("hash", "join", "filter", "scan")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+
+  val q65: Q = (s, d) => {
+    val dd = docs(s, d)
+    // corpus stats: two exact ints -> exact doubles (model metadata, the
+    // q62 centroid/ratio pattern — never a per-row recompute)
+    val Array(nDocs, dlSum) = dd
+      .select(count(lit(1)), sum(size(split(lower(col("text")), " ")).cast("long")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    val avgdl = dlSum / nDocs
+
+    val toks = dd.select(
+        col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("dl"),
+        explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t").isin(bmTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "t")
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("score",
+        col("idf") * (col("tf") * (bmK1 + 1.0)) /
+          (col("tf") + lit(bmK1) * (lit(1.0 - bmB) + lit(bmB) * col("dl") / avgdl)))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  val q65Sql: String = {
+    val in = bmTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) /
+       |      count(*) AS avgdl
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+       |    unnest(string_split(lower(text), ' ')) AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl
+       |  FROM tok WHERE t IN ($in) GROUP BY 1, 2),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |        (tf.tf * ${bmK1 + 1.0}) /
+       |        (tf.tf + $bmK1 * (1.0 - $bmB + $bmB * tf.dl / s.avgdl))) AS score
+       |  FROM tf JOIN df USING (t) CROSS JOIN stats s
+       |  GROUP BY 1)
+       |SELECT doc_id, round(score, 6) AS score
+       |FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q66
+  /** Per-source token budgeting: each source keeps its documents (best
+    * first: longest by n_chars, doc_id tiebreak) until the source's
+    * cumulative token count would exceed 30% of its total token mass —
+    * the per-domain quota gate crawl pipelines apply so no domain
+    * dominates the mixture. Integer arithmetic end-to-end.
+    */
+  val q66: Q = (s, d) => {
+    val dd = docs(s, d).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      size(split(lower(col("text")), " ")).cast("long").as("dl"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    // pure integer comparison (cum/total <= 30% as cum*10 <= total*3):
+    // no division, so no engine-specific int-vs-float division semantics
+    dd.withColumn("cum", sum(col("dl")).over(w))
+      .withColumn("tot", sum(col("dl")).over(Window.partitionBy(col("source"))))
+      .where(col("cum") * 10L <= col("tot") * 3L)
+      .select(col("doc_id"), col("source"), col("cum"))
+      .orderBy("source", "cum")
+  }
+
+  val q66Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, source,
+      |    sum(dl) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |                  ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(dl) OVER (PARTITION BY source) AS tot
+      |  FROM d)
+      |SELECT doc_id, source, cum FROM cum WHERE cum * 10 <= tot * 3
+      |ORDER BY source, cum""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Incremental cross-corpus dedup: the last 20% of doc ids play "today's
+    * crawl batch", the rest the standing corpus; a batch document is
+    * dropped when it is a verified near-dup (J >= 0.6) of ANY corpus
+    * document. Candidates via the shared MinHash banded-LSH machinery
+    * (q20's parameters, so the verified output provably equals the
+    * exhaustive oracle at this corpus' similarity gap), restricted to
+    * batch × corpus band collisions — batch-vs-batch pairs are NOT
+    * dropped here; dedup *within* the batch is q20/q58's job.
+    */
+  private def isBatch = (col("doc_id") % 10) >= 8
+
+  val q67: Q = (s, d) => {
+    val sigs = DocOps.docSignatures(docs(s, d)).filter(col("n") > 0)
+    val banded = sigs
+      .select(col("doc_id"), explode(DocOps.bandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bk"))
+    // corpus side is corpus-sized: shuffle-hash, never broadcast
+    val corpusB = banded.filter(!isBatch).hint("shuffle_hash")
+    val batchB = banded.filter(isBatch)
+    val cands = batchB.as("x").join(corpusB.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("batch_doc"), col("y.doc_id").as("corpus_doc"))
+      .distinct()
+
+    // exact verification on candidate pairs only
+    val sh = DocOps.shingleArrays(docs(s, d))
+      .select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val sizes = sigs.select(col("doc_id"), col("n"))
+    val verified = cands
+      .join(sh.as("s1"), col("batch_doc") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("corpus_doc") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("batch_doc"), col("corpus_doc")).agg(count(lit(1)).as("i"))
+      .join(sizes.as("sa"), col("batch_doc") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("corpus_doc") === col("sb.doc_id"))
+      .where(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")) >= 0.6)
+      .groupBy(col("batch_doc")).agg(min(col("corpus_doc")).as("dup_of"))
+
+    docs(s, d).where(isBatch).select(col("doc_id"))
+      .join(verified, col("doc_id") === col("batch_doc"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.as("dropped"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    s"""WITH ${DocOps.jaccardCrossCtes("a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8")}
+       |, dups AS (
+       |  SELECT doc_b AS batch_doc, min(doc_a) AS dup_of
+       |  FROM jcross GROUP BY 1)
+       |SELECT d.doc_id, dups.dup_of, dups.dup_of IS NOT NULL AS dropped
+       |FROM documents d LEFT JOIN dups ON d.doc_id = dups.batch_doc
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Vocabulary construction stats (tokenizer prep): every distinct token
+    * with its corpus frequency, frequency rank, and cumulative corpus
+    * coverage — the table a BPE/unigram trainer consumes to pick merges
+    * and a curation team reads to set UNK thresholds. Counts and running
+    * sums are exact integers; coverage is a single exact-int division.
+    */
+  val q68: Q = (s, d) => {
+    val counts = docs(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val total = Window.partitionBy()
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("coverage", col("cum").cast("double") / sum(col("n")).over(total))
+      .select(col("rank"), col("token"), col("n"), col("cum"), col("coverage"))
+      .orderBy("rank")
+  }
+
+  val q68Sql: String =
+    """WITH c AS (
+      |  SELECT t AS token, count(*) AS n FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY 1)
+      |SELECT
+      |  CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+      |  token, n,
+      |  sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+      |  CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / sum(n) OVER () AS coverage
+      |FROM c ORDER BY rank""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q65_bm25", q65, Some(q65Sql)),
+    ("q66_source_budget", q66, Some(q66Sql)),
+    ("q67_incremental_dedup", q67, Some(q67Sql)),
+    ("q68_vocabulary", q68, Some(q68Sql)))
+}
