@@ -160,6 +160,29 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose timestamp falls in
+    * [left.ts, left.ts + interval]. Both sides carry watermarks and the
+    * join condition bounds event time in both directions, so Spark can
+    * expire join state — without the time bound the state store would
+    * grow forever (the canonical stream-stream join trap). The column
+    * names must differ per side (`lts`/`rts`) because the joined schema
+    * flattens both inputs.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      interval: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark("lts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      l("key") === r("key") &&
+        r("rts") >= l("lts") &&
+        r("rts") <= l("lts") + expr(s"INTERVAL $interval"))
+      .select(l("key").as("key"), col("lts"), col("rts"))
+  }
+
   case class Evt(key: String, ts: java.sql.Timestamp, value: Double)
   case class SessionState(n: Long, sumValue: Double, lastUs: Long)
   case class SessionUpdate(key: String, n: Long, sumValue: Double)

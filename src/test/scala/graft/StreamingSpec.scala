@@ -204,6 +204,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("x", "y"))
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(String, Timestamp)]
+    val rm = MemoryStream[(String, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      lm.toDF().toDF("key", "lts"), rm.toDF().toDF("key", "rts"),
+      "10 seconds", "30 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    // a@0 pairs with a@5 (in [0, 10]) but not a@20; b@0 has no right side
+    lm.addData(("a", ts(0)), ("b", ts(0)))
+    rm.addData(("a", ts(5)), ("a", ts(20)))
+    q.processAllAvailable()
+    // advance both watermarks past the join window so state can emit/expire
+    lm.addData(("z", ts(100))); rm.addData(("z", ts(200)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT key, lts, rts FROM ij_out")
+      .as[(String, Timestamp, Timestamp)].collect().toSet
+    assert(got == Set(("a", ts(0), ts(5))))
+  }
+
   test("flatMapGroupsWithState keeps running per-key session state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
