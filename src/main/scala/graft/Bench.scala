@@ -133,7 +133,13 @@ object Bench {
     // 2-way parallelism. The engine's own durable write (shuffle + zstd
     // parquet + watermark commit) stays fully inside the timer.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val stage = s"$root/_stage"
+    // the stage lives in its OWN tmp root so the produce-phase store (3x
+    // 2 GB of topic parquet in RAM-backed tmpfs) can be freed BEFORE the
+    // stream phase: leaving it pinned measurably throttles the stream
+    // runs on this memory-bandwidth-constrained host (109k vs 246k
+    // msgs/s for the identical pipeline)
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft-bench-stage").toString
+    val stage = s"$stageRoot/_stage"
     msgs.repartition(cpus).write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
     val stageFiles = staged.inputFiles.length
@@ -167,8 +173,9 @@ object Bench {
       polled / ((System.nanoTime() - t1) / 1e9)
     }
 
-    val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
     deleteRec(root)
+    val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
+    deleteRec(stageRoot)
     (n / medianOf(produceSecs), medianOf(pollRates), streamRate)
   }
 
@@ -185,22 +192,34 @@ object Bench {
       files: Int,
       schema: org.apache.spark.sql.types.StructType,
       n: Double): Double = {
-    val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
-    val store = new engine.TopicStore(spark, root, clusterSize = 12)
-    val topic = new streaming.StreamingTopic(store)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", math.max(1, files / 4))
       .parquet(stagePath)
-    // median of 3 one-shot streams (fresh topic/checkpoint each) — same
-    // variance rationale as the batch runs
+    // median of 3 one-shot streams, each against a FRESH store root that
+    // is deleted before the next run — letting runs accumulate each
+    // other's 2 GB topics in RAM-backed tmpfs throttles runs 2-3 on this
+    // memory-bandwidth-constrained host (same rationale as freeing the
+    // produce-phase store before this phase)
+    System.gc()
     val rates = (1 to 3).map { i =>
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      val store = new engine.TopicStore(spark, root, clusterSize = 12)
+      val topic = new streaming.StreamingTopic(store)
       val t0 = System.nanoTime()
-      val q = topic.ingest(s"bench_stream$i", src, s"$root/_chk$i")
+      val q = topic.ingest("bench_stream", src, s"$root/_chk")
       q.processAllAvailable()
       q.stop()
-      n / ((System.nanoTime() - t0) / 1e9)
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      deleteRec(root)
+      // each run's micro-batch shuffles (~2 GB) sit in spark.local.dir
+      // (RAM-backed tmpfs here) until the ShuffleDependency is GC'd and
+      // the async ContextCleaner removes the files — without this nudge
+      // the runs degrade monotonically (measured 237k/147k/92k msgs/s)
+      System.gc()
+      Thread.sleep(2000)
+      System.err.println(f"[bench] stream run $i: ${rate}%.0f msgs/s")
+      rate
     }
-    deleteRec(root)
     medianOf(rates)
   }
 
