@@ -187,6 +187,55 @@ object StreamOps {
   case class SessionState(n: Long, sumValue: Double, lastUs: Long)
   case class SessionUpdate(key: String, n: Long, sumValue: Double)
 
+  /** Per-key offset tracking via Spark 4's transformWithState (the
+    * successor to flatMapGroupsWithState: typed ValueState on the RocksDB
+    * store, TTL-able, timer-capable). State is the per-key high watermark;
+    * each batch emits (key, highest offset seen, duplicates dropped so
+    * far) — the consumer-side twin of the engine's producer watermark,
+    * usable as an idempotence monitor on an at-least-once topic feed.
+    * Requires the RocksDB state store provider (the test sets
+    * `spark.sql.streaming.stateStore.providerClass`).
+    */
+  case class OffsetSeen(key: String, offset: Long)
+  case class OffsetWatermark(key: String, high: Long, dupes: Long)
+
+  class HighWatermarkProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, OffsetSeen, OffsetWatermark] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)](
+        "hw",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[OffsetSeen],
+        timers: TimerValues): Iterator[OffsetWatermark] = {
+      var (high, dupes) = if (state.exists()) state.get() else (Long.MinValue, 0L)
+      rows.foreach { r =>
+        if (r.offset <= high) dupes += 1 else high = r.offset
+      }
+      state.update((high, dupes))
+      Iterator.single(OffsetWatermark(key, high, dupes))
+    }
+  }
+
+  /** The per-key watermark stream (see `HighWatermarkProcessor`). */
+  def offsetWatermarks(seen: Dataset[OffsetSeen]): Dataset[OffsetWatermark] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    seen
+      .groupByKey(_.key)
+      .transformWithState(
+        new HighWatermarkProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Custom per-key streaming state via flatMapGroupsWithState: running
     * session accumulator emitting an update per batch (the §2.4 offset
     * state-machine's Spark-native analog for user state).

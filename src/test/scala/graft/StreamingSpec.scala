@@ -204,6 +204,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("x", "y"))
   }
 
+  test("transformWithState tracks per-key high watermark and duplicate count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.OffsetSeen]
+      val q = StreamOps.offsetWatermarks(mem.toDS())
+        .writeStream.format("memory").queryName("hw_out")
+        .outputMode("update").start()
+      mem.addData(
+        StreamOps.OffsetSeen("a", 0), StreamOps.OffsetSeen("a", 1),
+        StreamOps.OffsetSeen("b", 7))
+      q.processAllAvailable()
+      // batch 2 redelivers a@1 (at-least-once replay) and advances b
+      mem.addData(StreamOps.OffsetSeen("a", 1), StreamOps.OffsetSeen("b", 8))
+      q.processAllAvailable()
+      q.stop()
+      // update mode appends one row per (key, batch) to the memory sink in
+      // no guaranteed order; state is monotone, so the final state is the max
+      val last = spark.sql("SELECT key, max(high), max(dupes) FROM hw_out GROUP BY key")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(last("a") == ((1L, 1L)))
+      assert(last("b") == ((8L, 0L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
