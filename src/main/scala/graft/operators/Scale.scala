@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Graft
+
 /** Scale-out join utilities: the hand-rolled paths for the two shuffle
   * pathologies AQE cannot always fix — extreme single-key skew (salting)
   * and repeated co-located joins (bucketing, exercised in ScaleSpec).
@@ -56,4 +58,37 @@ object Scale {
     val w = Window.partitionBy(groupCols.map(col).toIndexedSeq: _*).orderBy(order)
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
   }
+
+  // ---------------------------------------------------------------- q69
+  /** Salted skew-join under the oracle gate: events joined to a per-user
+    * dim THROUGH `saltedJoin`, aggregated per tier — while the DuckDB
+    * oracle runs the plain unsalted join, so the gate proves salting is
+    * row-preserving, not just plausible. The decimal cast makes the
+    * revenue sum associative (exact decimal addition), so the result is
+    * hash-identical no matter how the salt spreads the rows.
+    */
+  import Relational.Q
+
+  val q69: Q = (s, d) => {
+    val ev = Graft.events(s, d).select(col("user_id"), col("value"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 5).cast("int"))
+    saltedJoin(ev, dim, "user_id", salts = 8)
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy("tier")
+  }
+
+  val q69Sql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id, CAST(user_id % 5 AS INT) AS tier FROM events)
+      |SELECT tier, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM events e JOIN dim USING (user_id)
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q69_salted_join", q69, Some(q69Sql)))
 }
