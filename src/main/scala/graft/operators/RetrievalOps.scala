@@ -233,9 +233,67 @@ object RetrievalOps {
       |    / sum(n) OVER () AS coverage
       |FROM c ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Tokenization to vocabulary ids — the bridge from q68's vocabulary to
+    * q55's sequence packing: every document becomes its ordered id
+    * sequence (frequency-rank ids, OOV = 0), emitted as a CSV string plus
+    * token/OOV counts. Ordered reassembly uses a per-doc position window
+    * (collect_list alone does not survive a shuffle with order intact).
+    * At 100 TB the vocab join broadcasts (a real tokenizer vocab is
+    * ~100 K rows) and everything else is one per-doc window — parallelism
+    * scales with documents. Integer-only output, hash-exact.
+    */
+  val q70: Q = (s, d) => {
+    val vocab = docs(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .select(col("token"),
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).as("id"))
+    val toks = docs(s, d).select(
+        col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0)).as("id"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    toks
+      .withColumn("ids", concat_ws(",", collect_list(col("id").cast("string")).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("ids")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  val q70Sql: String =
+    """WITH c AS (
+      |  SELECT t AS token, count(*) AS n FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY 1),
+      |vocab AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS id
+      |  FROM c),
+      |tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+      |    unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |ids AS (
+      |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+      |  FROM tok t LEFT JOIN vocab v USING (token) WHERE t.token <> '')
+      |SELECT doc_id,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q65_bm25", q65, Some(q65Sql)),
     ("q66_source_budget", q66, Some(q66Sql)),
     ("q67_incremental_dedup", q67, Some(q67Sql)),
-    ("q68_vocabulary", q68, Some(q68Sql)))
+    ("q68_vocabulary", q68, Some(q68Sql)),
+    ("q70_tokenize_ids", q70, Some(q70Sql)))
 }
