@@ -73,6 +73,11 @@ object Graft {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader does not
     // natively map; read as raw nanos and convert (see eventsTable).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // testdata timestamps are naive micros (isAdjustedToUTC=false); read
+    // them as instants (session tz is UTC) like DuckDB's oracle does,
+    // not as TIMESTAMP_NTZ — half the function library (unix_micros,
+    // window, watermarks) wants TIMESTAMP.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   def session(appName: String = "graft"): SparkSession = {
@@ -109,15 +114,19 @@ object Graft {
     * Keeps full ordering fidelity (ties broken by event_id downstream).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // harden against foreign sessions (driver-created) that lack the flag;
-    // it's a runtime-settable SQLConf
+    // harden against foreign sessions (driver-created) that lack the flags;
+    // both are runtime-settable SQLConfs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         // integral `div`, NOT `/`: double division loses precision at
         // 1.7e18 ns and shifts timestamps by up to a microsecond
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive micros → instant at UTC (session tz), same raw values
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
