@@ -65,6 +65,9 @@ object Verify {
         operators.EmbeddingOps.ivfAssigned(spark, sfDir)
           .select(col("vec_id"), col("cell"), col("probed"))
       }
+      // q74: the PQ codebooks — the oracle re-derives every vector's
+      // codes, the query LUT, the ADC sums and the probe filter from them
+      dump("pq_codebooks")(operators.EmbeddingOps.pqCodebookDf(spark, sfDir))
       // q62: per-doc-per-occurrence hashed bigram buckets — the oracle
       // rebuilds the whole DSIR pipeline from them (bucket counts,
       // smoothing, log-ratios, per-doc sums, top-k)

@@ -129,6 +129,61 @@ object VectorMath {
     cents
   }
 
+  /** Squared L2 distance of two float vectors, double accumulation in
+    * ascending element order (deterministic; matches a left-to-right
+    * `list_sum` fold in the DuckDB oracle over the same floats).
+    */
+  def l2SqArrayData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Plain (Euclidean) Lloyd k-means for the PQ sub-quantizer fit — the
+    * L2 twin of [[sphericalKMeans]]: same deterministic init (fmix64 order
+    * over the sample), lowest-index tie-break, empty clusters keep their
+    * center. Input is a model-fit-sized sample; driver math.
+    */
+  def kMeansL2(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    val dim = sample(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val order = sample.indices.sortBy(i => Murmur3x64.fmix64(i.toLong))
+    var cents = Array.tabulate(k)(i => sample(order(i * sample.length / k)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { x =>
+        var best = 0; var bestD = d2(x, cents(0)); var c = 1
+        while (c < k) {
+          val dc = d2(x, cents(c))
+          if (dc < bestD) { best = c; bestD = dc }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val n = counts(c).toDouble; sums(c).map(_ / n) }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Deterministic ~N(0,1) component via fmix64 bit-mixing of (seed,i,j):
     * take 2 uniform(0,1] doubles and Box-Muller-free sum-of-12 approximation
     * is avoided — instead use the irwin-hall-2 (triangular) shifted, which is

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -13,6 +13,9 @@ package object functions {
 
   /** Cosine similarity of two ArrayType(FloatType) columns. */
   def cosine_sim(a: Column, b: Column): Column = GraftColumns.cosineSim(a, b)
+
+  /** Squared L2 distance of two ArrayType(FloatType) columns. */
+  def l2_sq(a: Column, b: Column): Column = GraftColumns.l2Sq(a, b)
 
   /** Hyperplane-LSH signature (sign bits) of an ArrayType(FloatType) column. */
   def srp_signature(v: Column, bits: Int, seed: Long): Column =
@@ -46,6 +49,8 @@ package object functions {
       "murmur3_token", exprs => Murmur3Token(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "l2_sq", exprs => L2Sq(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -272,11 +272,61 @@ object CurationOps {
        |    ORDER BY mix_key) AS BIGINT) AS shard_pos
        |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Overlapping-window document chunking — the RAG/embedding-prep twin of
+    * q55's budgeted packing: every document becomes fixed-size token
+    * windows (40 tokens, stride 30, so consecutive chunks share 10) with
+    * the chunk text reassembled in order. One `sequence` + `explode` per
+    * document and a partition-local `slice` — no shuffle at all, no
+    * window function, parallelism scales with documents; the explode
+    * fan-out is bounded by n_tokens/stride per row. Chunk ids are dense
+    * from 0 per document; the trailing chunk may be short but never
+    * empty. String/integer output, hash-exact.
+    */
+  private val ChunkSize = 40
+  private val ChunkStride = 30
+
+  val q71: Q = (s, d) => {
+    val toks = docs(s, d).select(
+        col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    toks
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1), col("n"), lit(ChunkStride))).as("start"))
+      .withColumn("chunk", slice(col("toks"), col("start"), lit(ChunkSize)))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / ChunkStride).cast("int").as("chunk_id"),
+        size(col("chunk")).as("chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q71Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |    len(string_split(lower(text), ' ')) AS n
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, n, unnest(range(1, n + 1, $ChunkStride)) AS start
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST((start - 1) // $ChunkStride AS INT) AS chunk_id,
+       |    toks[start : least(start + ${ChunkSize - 1}, n)] AS chunk
+       |  FROM st)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(chunk) AS INT) AS chunk_tokens,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q54_pii_redact", q54, Some(q54Sql)),
     ("q55_seq_pack", q55, Some(q55Sql)),
     ("q56_boilerplate", q56, Some(q56Sql)),
     ("q57_mix_sample", q57, Some(q57Sql)),
-    ("q60_shard_shuffle", q60, Some(q60Sql))
+    ("q60_shard_shuffle", q60, Some(q60Sql)),
+    ("q71_chunk_overlap", q71, Some(q71Sql))
   )
 }

@@ -308,12 +308,194 @@ object EmbeddingOps {
       |SELECT q_id, vec_id, rk, round(sim, 6) AS sim
       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011) — the memory-bounded ANN shape 100 TB actually
+    * requires: q47's IVF coarse quantizer prunes the candidate set, and
+    * within the probed cells distance comes from PRODUCT-QUANTIZED codes
+    * (pqM sub-quantizers × pqK centroids; a vector is pqM small ints, here
+    * 8×4 bits = 4 B — 64× smaller than the raw float[64]) via asymmetric
+    * distance computation: the query builds one pqM×pqK lookup table of
+    * exact subvector-to-centroid distances (model metadata), and each
+    * candidate's approximate distance is pqM table lookups summed — no
+    * float vector is touched at scan time. ADC ranks a shortlist only;
+    * the top-k the user sees is an exact re-rank of that shortlist
+    * (FAISS's refine stage) — on near-uniform corpora (like this
+    * synthetic one, where pairwise distances concentrate tightly) raw
+    * ADC ordering is noise-dominated, and the refine stage is what makes
+    * the operator honest at any data distribution.
+    *
+    * Scale story: codes are computed once by a linear whole-stage-codegen
+    * map (the `l2_sq` expression against literal centroids) and would be
+    * materialized as a codes column next to the IVF cell partition key;
+    * a query then reads 4 B/vector instead of 256 B, broadcast-free
+    * (the LUT rides in the plan as a literal). Fit is q47's discipline: a
+    * seeded bounded sample to the driver, deterministic Lloyd iterations
+    * (`VectorMath.kMeansL2`), float-rounded centroids so plan literals,
+    * the dumped fixture, and the oracle all see identical numbers.
+    *
+    * The oracle is end-to-end: from the `pq_codebooks` fixture alone,
+    * DuckDB re-derives every vector's codes (argmin over centroid
+    * distances), the query's LUT, the ADC sums (fixed subspace fold
+    * order), the IVF probe filter, and the top-10 — so the gate checks
+    * encode + LUT + ADC + probe, not just the final ordering.
+    */
+  private val pqM = 8
+  private val pqK = 16
+  private val pqSubDim = 8
+  private val pqShortlist = 50
+
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Float]]]]()
+
+  /** Fitted codebooks: pqM × pqK × pqSubDim floats (deterministic). */
+  private[graft] def pqFit(s: SparkSession, d: String): Array[Array[Array[Float]]] = {
+    pqMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pqMemo.computeIfAbsent((s, d), _ => {
+      val e = emb(s, d)
+      val fitTarget = 100L * pqK
+      val total = e.count()
+      val sample = (if (total > fitTarget)
+          e.select(col("embedding")).sample(withReplacement = false, fitTarget.toDouble / total, 42L)
+        else e.select(col("embedding")))
+        .collect().map(_.getSeq[Float](0).toArray)
+      Array.tabulate(pqM) { j =>
+        val sub = sample.map(v => v.slice(j * pqSubDim, (j + 1) * pqSubDim).map(_.toDouble))
+        graft.core.VectorMath.kMeansL2(sub, pqK, iters = 8).map(_.map(_.toFloat))
+      }
+    })
+  }
+
+  /** Codebooks as (sub, cid, centroid) — the Verify fixture parquet. */
+  private[graft] def pqCodebookDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqFit(s, d).zipWithIndex.toSeq.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toDF("sub", "cid", "centroid")
+  }
+
+  /** ADC distances for every probed candidate: (vec_id, cell, adist). */
+  private[graft] def pqAdcAll(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.l2_sq
+    val cb = pqFit(s, d)
+    // query-side ADC lookup table: exact double distances, driver math
+    // over the same floats the plan and the oracle see
+    val qArr = emb(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val lut: Array[Array[Double]] = Array.tabulate(pqM) { j =>
+      Array.tabulate(pqK) { c =>
+        var sum = 0.0; var i = 0
+        while (i < pqSubDim) {
+          val df = qArr(j * pqSubDim + i).toDouble - cb(j)(c)(i).toDouble
+          sum += df * df; i += 1
+        }
+        sum
+      }
+    }
+    // per-subspace code: argmin over codegen'd l2_sq against literal
+    // centroids (lowest distance, lowest cid breaking exact ties)
+    def codeCol(j: Int) = {
+      val sub = slice(col("embedding"), j * pqSubDim + 1, pqSubDim)
+      array_min(array(cb(j).zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(l2_sq(sub, typedLit(c.toSeq)).as("d2"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+    }
+    // ADC: one LUT lookup per subspace, summed in fixed subspace order
+    val withCodes = (0 until pqM).foldLeft(
+      ivfAssigned(s, d).filter(col("vec_id") =!= 0L && col("probed"))) {
+      case (df, j) => df.withColumn(s"c$j", codeCol(j))
+    }
+    val adist = (0 until pqM).map { j =>
+      element_at(typedLit(lut(j).toSeq), col(s"c$j") + 1)
+    }.reduce(_ + _)
+    withCodes
+      .withColumn("adist", adist)
+      .select(col("vec_id"), col("cell"), col("adist"))
+  }
+
+  /** ADC shortlist (top-`pqShortlist` by approximate distance, a
+    * TakeOrderedAndProject — never a global sort) then exact re-rank of
+    * the shortlist against the original vectors — FAISS's IVFPQ+refine
+    * shape. The shortlist is k-sized, so the re-rank join broadcasts and
+    * touches `pqShortlist` float vectors total, regardless of corpus
+    * size. Output distances are exact (same fold as the `l2_sq` kernel),
+    * so they are hash-comparable unrounded.
+    */
+  val q74: Q = (s, d) => {
+    import graft.functions.l2_sq
+    val short = pqAdcAll(s, d)
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(pqShortlist)
+    short
+      .join(emb(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .withColumn("d2", l2_sq(col("embedding"), col("q_vec")))
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cell"), col("d2"))
+  }
+
+  val q74Sql: String = {
+    // fixed-order fold over the pqM subspaces: each term is a single-row
+    // sum, the chain associates left-to-right exactly like the plan's
+    // `reduce(_ + _)`
+    val adcSum = (0 until pqM)
+      .map(j => s"sum(CASE WHEN c.sub = $j THEN q.d2 END)")
+      .mkString("\n    + ")
+    s"""WITH cb AS (
+       |  SELECT sub, cid, centroid
+       |  FROM read_parquet('/tmp/graft_fixtures/pq_codebooks/*.parquet')),
+       |f AS (
+       |  SELECT vec_id, cell, probed
+       |  FROM read_parquet('/tmp/graft_fixtures/ivf_cells/*.parquet')),
+       |subs AS (SELECT unnest(range(0, $pqM)) AS sub),
+       |sv AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[s.sub*$pqSubDim+1 : s.sub*$pqSubDim+$pqSubDim] AS v
+       |  FROM embeddings e CROSS JOIN subs s),
+       |dist AS (
+       |  SELECT sv.vec_id, sv.sub, cb.cid,
+       |    list_sum(list_transform(list_zip(sv.v, cb.centroid),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+       |  FROM sv JOIN cb USING (sub)),
+       |codes AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1),
+       |qd AS (SELECT sub, cid, d2 FROM dist WHERE vec_id = 0),
+       |adist AS (
+       |  SELECT c.vec_id,
+       |    $adcSum AS adist
+       |  FROM codes c JOIN qd q ON c.sub = q.sub AND c.cid = q.cid
+       |  GROUP BY c.vec_id),
+       |short AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, f.cell,
+       |      row_number() OVER (ORDER BY a.adist, a.vec_id) AS rk
+       |    FROM adist a JOIN f USING (vec_id)
+       |    WHERE f.probed AND a.vec_id <> 0)
+       |  WHERE rk <= $pqShortlist),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rr AS (
+       |  SELECT s.vec_id, s.cell,
+       |    list_sum(list_transform(list_zip(e.embedding, (SELECT qe FROM q)),
+       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+       |  FROM short s JOIN embeddings e USING (vec_id))
+       |SELECT vec_id, cell, d2 FROM rr
+       |ORDER BY d2, vec_id LIMIT 10""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
     ("q29_ann_lsh", q29, Some(q29Sql)),
     ("q47_ann_ivf", q47, Some(q47Sql)),
     ("q61_semdedup", q61, Some(q61Sql)),
-    ("q63_batch_ann", q63, Some(q63Sql))
+    ("q63_batch_ann", q63, Some(q63Sql)),
+    ("q74_ann_ivfpq", q74, Some(q74Sql))
   )
 }

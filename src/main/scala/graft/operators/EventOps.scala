@@ -199,12 +199,86 @@ object EventOps {
       |  us AS last_us, value AS last_value
       |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Ordered event funnel: how many users progress view → click →
+    * purchase, each stage's event strictly AFTER the previous stage's
+    * first qualifying event — the product-analytics query every event
+    * warehouse serves. Three stage aggregations chained by per-user joins:
+    * each stage is one filter + min-aggregate + equi-join on user_id, so
+    * every step shuffles on the same key (co-partitioned under AQE) and
+    * nothing is ever quadratic; stage tables shrink monotonically.
+    * Integer-only output, hash-exact.
+    */
+  val q72: Q = (s, d) => {
+    val e = Graft.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("users")).select(lit(1).as("stage"), lit("view").as("event_type"), col("users"))
+      .unionAll(s2.agg(count(lit(1)).as("users")).select(lit(2).as("stage"), lit("click").as("event_type"), col("users")))
+      .unionAll(s3.agg(count(lit(1)).as("users")).select(lit(3).as("stage"), lit("purchase").as("event_type"), col("users")))
+      .orderBy("stage")
+  }
+
+  val q72Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM s1
+      |UNION ALL
+      |SELECT 2, 'click', count(*) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Time-decay engagement score: per user, events weighted by a dyadic
+    * half-life-per-day decay toward a fixed anchor date — the recency
+    * feature online systems keep next to raw counts. Weights are EXACT
+    * powers of two (2^-age_days, age clamped to 40), so every partial sum
+    * is a multiple of 2^-40 well inside double's 53-bit mantissa: the sum
+    * is exact regardless of aggregation order on both engines, and the
+    * output is hash-comparable with NO rounding. One hash aggregation,
+    * whole-stage codegen'd weights, linear at any scale.
+    */
+  val q73: Q = (s, d) =>
+    Graft.events(s, d)
+      .withColumn("age",
+        least(datediff(lit("2024-01-31").cast("date"), to_date(col("ts"))), lit(40)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(pow(lit(2.0), -col("age"))).as("decay_score"))
+      .orderBy("user_id")
+
+  val q73Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(pow(2.0, -least(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'), 40)))
+      |    AS decay_score
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
     ("q15_sessionize", q15, Some(q15Sql)),
     ("q16_per_key_order", q16, Some(q16Sql)),
     ("q17_token_routing", q17, Some(q17Sql)),
-    ("q64_log_compaction", q64, Some(q64Sql))
+    ("q64_log_compaction", q64, Some(q64Sql)),
+    ("q72_event_funnel", q72, Some(q72Sql)),
+    ("q73_decay_engagement", q73, Some(q73Sql))
   )
 }

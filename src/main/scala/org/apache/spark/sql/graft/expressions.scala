@@ -75,6 +75,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Squared L2 distance of two float vectors (ArrayType(FloatType)), double
+  * accumulation in ascending element order — the PQ encode/ADC kernel.
+  * Codegen'd like [[CosineSimilarity]]: no per-row array allocation.
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorMath.l2SqArrayData(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VectorMath.l2SqArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "l2_sq"
+}
+
 /** Signed-random-projection (hyperplane LSH) signature of a float vector:
   * `bits` sign bits of projections onto deterministic pseudo-random planes.
   * Planes derive from (seed, planeIdx, dim) via bit mixing so every executor
@@ -254,6 +279,9 @@ object GraftColumns {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  def l2Sq(a: Column, b: Column): Column =
+    column(L2Sq(expression(a), expression(b)))
 
   def srpSignature(v: Column, bits: Int, seed: Long): Column =
     column(SrpSignature(expression(v), bits, seed))

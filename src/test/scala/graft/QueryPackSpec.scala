@@ -209,4 +209,71 @@ class QueryPackSpec extends AnyFunSuite {
         !org.apache.spark.sql.functions.col("format").isin("jpeg", "png", "webp")).count()
     assert(bad == 0)
   }
+
+  test("chunking: dense ids, full coverage, overlap-consistent sizes") {
+    import org.apache.spark.sql.functions._
+    val chunks = operators.CurationOps.q71(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    chunks.foreach { case (doc, rows) =>
+      val ids = rows.map(_.getAs[Int]("chunk_id")).sorted
+      val n = nTokens(doc)
+      assert(ids.toSeq == (0 until ((n - 1) / 30 + 1)), s"doc $doc ids not dense")
+      rows.foreach { r =>
+        val (id, ct) = (r.getAs[Int]("chunk_id"), r.getAs[Int]("chunk_tokens"))
+        val expected = math.min(40, n - id * 30)
+        assert(ct == expected, s"doc $doc chunk $id size $ct != $expected")
+        assert(ct >= 1)
+      }
+    }
+  }
+
+  test("funnel: stage user counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("q72_event_funnel")(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("users")).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3))
+    assert(rows(1) > 0)
+  }
+
+  test("decay score: exact dyadic sums bounded by event count") {
+    val rows = SparkEntry.queries("q73_decay_engagement")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s0) = (r.getAs[Long]("n_events"), r.getAs[Double]("decay_score"))
+      assert(s0 > 0.0 && s0 <= n.toDouble)
+      // every weight is a multiple of 2^-40, so the sum must be too —
+      // this is what makes the oracle comparison exact without rounding
+      val scaled = s0 * math.pow(2.0, 40)
+      assert(scaled == math.rint(scaled), s"score $s0 not dyadic")
+    }
+  }
+
+  test("ivf-pq: codebook shape and ADC top-10 recall vs exact-in-probed") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.l2_sq
+    val cb = operators.EmbeddingOps.pqCodebookDf(spark, sf).collect()
+    assert(cb.length == 8 * 16)
+    assert(cb.forall(_.getAs[Seq[Float]]("centroid").length == 8))
+
+    val adc = SparkEntry.queries("q74_ann_ivfpq")(spark, sf).collect()
+    assert(adc.length == 10)
+    val dists = adc.map(_.getAs[Double]("d2"))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+
+    // exact L2 top-10 within the probed cells (what ADC approximates)
+    val assigned = operators.EmbeddingOps.ivfAssigned(spark, sf)
+    val q = assigned.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"))
+    val exact = assigned.filter(col("vec_id") =!= 0L && col("probed"))
+      .crossJoin(broadcast(q))
+      .withColumn("d2", l2_sq(col("embedding"), col("q_vec")))
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = adc.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & got).size >= 5, s"ADC recall too low: ${(exact & got).size}/10")
+  }
 }
