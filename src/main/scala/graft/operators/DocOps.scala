@@ -745,6 +745,76 @@ object DocOps {
       |FROM documents d LEFT JOIN w USING (doc_id)
       |ORDER BY coalesce(w.logw, 0) DESC, d.doc_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Bigram-LM quality scoring — the CCNet/Gopher-style perplexity
+    * filter: estimate an add-one-smoothed bigram model FROM the corpus,
+    * score every document by its mean per-bigram negative log-likelihood
+    * (low = fluent/common phrasing, high = noise — the ranking signal
+    * real pipelines threshold on). Self-supervised: no external model
+    * artifact, so the whole thing is three aggregations and two joins
+    * on token keys.
+    *
+    * Scale: the bigram/context count tables are vocabulary-sized (<<
+    * corpus); occurrences join them by key shuffle, documents score in
+    * one hash agg. Smoothing keeps every probability well-defined at any
+    * corpus slice. Exactness: counts and V are exact integers, each
+    * log-prob is ln of an exact-input division (1-ulp libm wiggle), and
+    * per-doc sums associate arbitrarily — both absorbed by round(…, 6)
+    * like q62's log-ratio weights.
+    */
+  val q75: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d).select(
+        col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val bi = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("w"), col("w2"))
+    val biCounts = bi.groupBy(col("w").as("c_w1"), col("w2").as("c_w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ctxCounts = bi.groupBy(col("w").as("u_w1")).agg(count(lit(1)).as("cu"))
+    val vocab = toks.select(col("w")).distinct().count().toDouble
+    bi
+      .join(biCounts, col("w") === col("c_w1") && col("w2") === col("c_w2"))
+      .join(ctxCounts, col("w") === col("u_w1"))
+      .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cu") + lit(vocab))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("sum_lp") / col("n_bigrams")), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+      |    unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, pos, w FROM tok WHERE w <> ''),
+      |bi AS (
+      |  SELECT doc_id, w, w2 FROM (
+      |    SELECT doc_id, w,
+      |      lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |    FROM t)
+      |  WHERE w2 IS NOT NULL),
+      |bc AS (SELECT w, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |uc AS (SELECT w, count(*) AS cu FROM bi GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM t),
+      |sc AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    sum(ln((bc.cb + 1.0) / (uc.cu + v.v))) AS sum_lp
+      |  FROM bi b
+      |  JOIN bc ON b.w = bc.w AND b.w2 = bc.w2
+      |  JOIN uc ON b.w = uc.w
+      |  CROSS JOIN v
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams, round(-(sum_lp / n_bigrams), 6) AS nll
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
@@ -759,6 +829,7 @@ object DocOps {
     ("q53_repetition", q53, Some(q53Sql)),
     // q59 is exact-verified: bloom only prefilters, output == q52
     ("q59_decontam_bloom", q59, Some(q52Sql)),
-    ("q62_importance_resample", q62, Some(q62Sql))
+    ("q62_importance_resample", q62, Some(q62Sql)),
+    ("q75_lm_perplexity", q75, Some(q75Sql))
   )
 }

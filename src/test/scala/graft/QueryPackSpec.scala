@@ -251,6 +251,29 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("lm perplexity: positive nll, bigram counts match token counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q75_lm_perplexity")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll")))
+      .toMap
+    assert(rows.nonEmpty)
+    // smoothing keeps every probability < 1, so every nll is positive
+    rows.values.foreach { case (n, nll) =>
+      assert(n >= 1)
+      assert(nll > 0.0, s"nll $nll not positive")
+    }
+    // a doc with k (non-empty) tokens contributes exactly k-1 bigrams
+    val toks = Graft.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), w => w =!= "")).as("k"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("k")).toMap
+    toks.foreach { case (doc, k) =>
+      if (k >= 2) assert(rows(doc)._1 == k - 1, s"doc $doc bigrams")
+      else assert(!rows.contains(doc))
+    }
+  }
+
   test("ivf-pq: codebook shape and ADC top-10 recall vs exact-in-probed") {
     import org.apache.spark.sql.functions._
     import graft.functions.l2_sq
