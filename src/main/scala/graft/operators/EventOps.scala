@@ -271,6 +271,36 @@ object EventOps {
       |    AS decay_score
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Weekly cohort retention: users grouped by first-activity week, then
+    * for each cohort the distinct users active k weeks later — the
+    * retention triangle every analytics warehouse serves. Week
+    * arithmetic stays on DATE (both engines truncate to Monday), and the
+    * week offset is an exact integer because both dates are
+    * week-truncated. Two shuffles on user_id (first-week agg + join
+    * back), one distinct-count — co-partitioned, linear, integer-exact.
+    */
+  val q76: Q = (s, d) => {
+    val e = Graft.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    e.join(first, "user_id")
+      .withColumn("week_k", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort", "week_k")
+  }
+
+  val q76Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+      |SELECT f.cohort, CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_k,
+      |  count(DISTINCT e.user_id) AS users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
@@ -279,6 +309,7 @@ object EventOps {
     ("q17_token_routing", q17, Some(q17Sql)),
     ("q64_log_compaction", q64, Some(q64Sql)),
     ("q72_event_funnel", q72, Some(q72Sql)),
-    ("q73_decay_engagement", q73, Some(q73Sql))
+    ("q73_decay_engagement", q73, Some(q73Sql)),
+    ("q76_cohort_retention", q76, Some(q76Sql))
   )
 }

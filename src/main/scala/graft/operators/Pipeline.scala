@@ -227,10 +227,87 @@ object Pipeline {
        |  MAX(CASE WHEN rk = 1 THEN score END) AS canon_score
        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** PageRank over the near-dup graph (fixed 8 iterations, damping 0.85)
+    * — the iterative-graph-analytics companion to q50's components: rank
+    * concentrates on documents with many near-duplicates, the signal
+    * dedup QA teams use to find template farms. Each iteration is ONE
+    * shuffle (contributions aggregated by destination) plus a broadcast-
+    * able left join back to the node set, with `localCheckpoint`
+    * truncating the lineage every round (q50's discipline) so the plan
+    * stays O(1) across iterations at any graph size. Edges come from the
+    * memoized LSH-verified pair set — the pipeline runs once across
+    * q20/q50/q51/q77.
+    *
+    * Exactness: the damping constants are the same double literals on
+    * both engines (0.15 is written as a literal, never derived as
+    * 1 - 0.85, which is a DIFFERENT double); per-node neighbor sums may
+    * associate differently and drift compounds over 8 rounds, all well
+    * under the round(…, 6) the output absorbs it with. The oracle
+    * unrolls the same 8 iterations as chained CTEs over the
+    * independently-derived exhaustive pair set.
+    */
+  private val PrIters = 8
+
+  val q77: Q = (s, d) => {
+    val pairs = DocOps.verifiedPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    val nodes = DocOps.docs(s, d).select(col("doc_id"))
+    val n = nodes.count().toDouble
+    val deg = edges.groupBy(col("doc_a").as("src")).agg(count(lit(1)).as("deg"))
+    val init = nodes.withColumn("pr", lit(1.0 / n))
+    val ranked = (1 to PrIters).foldLeft(init) { case (pr, _) =>
+      val inflow = edges
+        .join(pr, edges("doc_a") === pr("doc_id"))
+        .join(deg, edges("doc_a") === col("src"))
+        .select(col("doc_b"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("doc_b")).agg(sum(col("c")).as("inflow"))
+      nodes.join(inflow, nodes("doc_id") === col("doc_b"), "left")
+        .select(col("doc_id"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    val out = ranked
+      .select(col("doc_id"), round(col("pr"), 6).as("pr"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  val q77Sql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""inf$k AS (
+         |  SELECT e.doc_b AS doc_id, sum(p.pr / d.deg) AS inflow
+         |  FROM edges e
+         |  JOIN pr${k - 1} p ON p.doc_id = e.doc_a
+         |  JOIN deg d ON d.doc_id = e.doc_a
+         |  GROUP BY 1),
+         |pr$k AS (
+         |  SELECT n.doc_id,
+         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM cnt)
+         |      + CAST(0.85 AS DOUBLE) * coalesce(i.inflow, 0) AS pr
+         |  FROM documents n LEFT JOIN inf$k i USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DocOps.jaccardPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+       |cnt AS (SELECT count(*) AS n FROM documents),
+       |pr0 AS (
+       |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM cnt) AS pr
+       |  FROM documents),
+       |$iters
+       |SELECT doc_id, round(pr, 6) AS pr FROM pr$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
     ("q51_corpus_filter", q51, Some(q51Sql)),
-    ("q58_canonicalize", q58, Some(q58Sql))
+    ("q58_canonicalize", q58, Some(q58Sql)),
+    ("q77_pagerank", q77, Some(q77Sql))
   )
 }

@@ -28,6 +28,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().getDouble(0)
       assert(math.abs(c - 1.0) < 1e-12)
+      // l2_sq: (1,0) vs (0,2) -> 1 + 4, exact in double
+      val l2 = spark.sql(
+        "SELECT l2_sq(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head().getDouble(0)
+      assert(l2 == 5.0)
       // minhash_sig over a hash array matches the shared core math
       val sig = spark.sql(
         "SELECT minhash_sig(array(murmur3_token('a'), murmur3_token('b')), 8, 42) AS s")

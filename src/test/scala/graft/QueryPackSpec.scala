@@ -274,6 +274,45 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort retention: week-0 covers every cohort member, counts shrink-bounded") {
+    val rows = SparkEntry.queries("q76_cohort_retention")(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort"), r.getAs[Int]("week_k"),
+        r.getAs[Long]("users")))
+    assert(rows.nonEmpty)
+    val week0 = rows.collect { case (c, 0, u) => c -> u }.toMap
+    rows.foreach { case (c, k, u) =>
+      assert(k >= 0)
+      assert(week0.contains(c), s"cohort $c missing week 0")
+      assert(u <= week0(c), s"cohort $c week $k count $u exceeds cohort size")
+    }
+    // every user appears in exactly one cohort's week 0
+    val totalUsers = Graft.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(week0.values.sum == totalUsers)
+  }
+
+  test("pagerank: mass bounds, isolated nodes at base rank, hubs above") {
+    val pr = SparkEntry.queries("q77_pagerank")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pr")).toMap
+    val n = pr.size
+    val base = 0.15 / n
+    pr.values.foreach(v => assert(v >= base - 1e-9 && v < 1.0))
+    // total mass: 0.15 base + damped inflow, never above 1
+    val total = pr.values.sum
+    assert(total > 0.15 - 1e-6 && total <= 1.0 + 1e-6, s"mass $total")
+    // documents in verified near-dup pairs outrank isolated documents
+    val paired = SparkEntry.queries("q20_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    if (paired.nonEmpty) {
+      val isolatedPr = (pr.keySet -- paired).map(pr)
+      val pairedPr = paired.map(pr)
+      assert(pairedPr.min > isolatedPr.max,
+        "a near-dup node ranked below an isolated node")
+      isolatedPr.foreach(v => assert(math.abs(v - base) < 5e-7))
+    }
+  }
+
   test("ivf-pq: codebook shape and ADC top-10 recall vs exact-in-probed") {
     import org.apache.spark.sql.functions._
     import graft.functions.l2_sq
