@@ -320,6 +320,61 @@ object Advanced {
       |WHERE ((token % 10) + 10) % 10 = 0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Misra-Gries heavy hitters under the oracle gate — the hot-key
+    * detector that feeds q69's salting decision: k counters over a
+    * power-law key stream, any key with frequency > n/k GUARANTEED in
+    * the summary at O(k) space (`MisraGriesAgg`; map-side combined, the
+    * shuffle carries one k-entry map per partition — this is the shape
+    * that finds skew in a 100 TB key column without a full groupBy).
+    *
+    * The key stream is a deterministic power law both engines derive
+    * with the SAME CASE expression (key kj selects event_ids whose
+    * lowest set bit is bit j — mass halves per level, so decrements
+    * actually occur: 13 distinct keys vs 6 counters). The output is the
+    * guaranteed set (exact count · k > n) with its exact counts and the
+    * sketch-containment flag; the oracle recomputes the exact side and
+    * emits TRUE — if MG ever dropped a guaranteed key, the flag goes
+    * false and the hash comparison fails. Estimated counts stay
+    * internal: they are merge-order-dependent, only the ±n/k bound is
+    * contractual (AdvancedSpec asserts it).
+    */
+  private[graft] val hhCapacity = 6
+
+  private[graft] val hhKeyCase: String = {
+    val whens = (0 until 12)
+      .map(j => s"WHEN event_id % ${1L << (j + 1)} = ${1L << j} THEN 'k$j'")
+      .mkString(" ")
+    s"CASE $whens ELSE 'k12' END"
+  }
+
+  /** The MG summary alone (shared by q78 and AdvancedSpec). */
+  private[graft] def hhSummary(s: SparkSession, d: String): Map[String, Long] = {
+    import s.implicits._
+    Graft.events(s, d).selectExpr(s"$hhKeyCase AS hh_key")
+      .as[String]
+      .select(new MisraGriesAgg(hhCapacity).toColumn)
+      .head()
+  }
+
+  val q78: Q = (s, d) => {
+    val keys = Graft.events(s, d).selectExpr(s"$hhKeyCase AS hh_key")
+    val total = keys.count()
+    val summary = hhSummary(s, d)
+    keys.groupBy(col("hh_key")).agg(count(lit(1)).as("n"))
+      .where(col("n") * hhCapacity > total)
+      .withColumn("in_sketch", col("hh_key").isin(summary.keys.toSeq: _*))
+      .orderBy("hh_key")
+  }
+
+  val q78Sql: String =
+    s"""WITH k AS (SELECT $hhKeyCase AS hh_key FROM events),
+       |c AS (SELECT hh_key, count(*) AS n FROM k GROUP BY 1),
+       |t AS (SELECT count(*) AS total FROM events)
+       |SELECT hh_key, n, TRUE AS in_sketch
+       |FROM c CROSS JOIN t WHERE n * $hhCapacity > total
+       |ORDER BY hh_key""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q35_pivot", q35, Some(q35Sql)),
     ("q36_grouping_sets", q36, Some(q36Sql)),
@@ -330,6 +385,7 @@ object Advanced {
     ("q41_array_funcs", q41, Some(q41Sql)),
     ("q42_percentiles", q42, Some(q42Sql)),
     ("q43_approx_sketches", q43, Some(q43Sql)),
-    ("q44_stratified_sample", q44, Some(q44Sql))
+    ("q44_stratified_sample", q44, Some(q44Sql)),
+    ("q78_heavy_hitters", q78, Some(q78Sql))
   )
 }

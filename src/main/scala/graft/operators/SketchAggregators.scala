@@ -84,3 +84,45 @@ class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
   override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
   override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
 }
+
+/** Misra-Gries heavy-hitters summary (capacity k counters): any item with
+  * true frequency > n/k is GUARANTEED to appear in the summary, using
+  * O(k) space however large the stream. `merge` sums the two summaries
+  * and, when more than k items survive, subtracts the (k+1)-th largest
+  * count from all (the standard merged-MG step) — the combined error
+  * stays <= n/k under ANY merge tree, so partial aggregation (map-side
+  * combine) is sound: the shuffle carries one k-entry map per partition.
+  * Summary CONTENTS beyond the guarantee (which borderline items survive,
+  * the residual counts) are merge-order-dependent; consumers must rely
+  * only on the containment guarantee and the +/- n/k count bound, which
+  * is exactly what q78's oracle gate and spec check.
+  */
+class MisraGriesAgg(capacity: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+    buf.get(item) match {
+      case Some(c) => buf.updated(item, c + 1)
+      case None if buf.size < capacity => buf.updated(item, 1L)
+      case None =>
+        // decrement all; drop zeros (the classic MG step)
+        buf.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    if (sum.size <= capacity) sum
+    else {
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+    }
+  }
+
+  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+}

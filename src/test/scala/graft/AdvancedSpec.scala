@@ -71,4 +71,24 @@ class AdvancedSpec extends AnyFunSuite {
     assert(n1 == n2) // deterministic
     assert(math.abs(n1 / total - 0.1) < 0.03, s"rate=${n1 / total}")
   }
+
+  test("misra-gries: capacity bound, count bounds, guaranteed containment") {
+    val summary = operators.Advanced.hhSummary(spark, sf)
+    assert(summary.size <= operators.Advanced.hhCapacity)
+    val exact = Graft.events(spark, sf)
+      .selectExpr(s"${operators.Advanced.hhKeyCase} AS hh_key")
+      .groupBy("hh_key").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val eps = total / operators.Advanced.hhCapacity
+    // MG estimate is an undercount by at most n/k
+    summary.foreach { case (k, est) =>
+      val ex = exact.getOrElse(k, 0L)
+      assert(est <= ex, s"$k overestimated: $est > $ex")
+      assert(ex - est <= eps, s"$k undercounted beyond n/k: $est vs $ex")
+    }
+    // every key above the n/k threshold is present
+    exact.filter(_._2 > eps).keys
+      .foreach(k => assert(summary.contains(k), s"guaranteed key $k missing"))
+  }
 }
