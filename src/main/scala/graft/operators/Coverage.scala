@@ -168,12 +168,89 @@ object Coverage {
       |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Unpivot (melt): lineitem's four measure columns into (measure,
+    * value) rows — the wide-to-long reshape feature stores feed on.
+    * `Dataset.unpivot` plans a single Expand (one pass, no shuffle
+    * before the final sort); values pass through bit-exact. The oracle
+    * spells the same reshape as a UNION ALL, fixing column order and
+    * measure names on both sides.
+    */
+  val q79: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val q79Sql: String = {
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(m => s"""SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS value
+                   |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$arms
+       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q80
+  /** The window-function suite in one oracle-gated query: lag/lead,
+    * rank/dense_rank over a total order, ntile, percent_rank/cume_dist
+    * (exact rationals — single divisions of exact integers), and a
+    * RANGE event-time frame (count + long-sum over the trailing 5
+    * minutes — integer-exact, so no float-association risk inside
+    * engine-specific frame evaluation). One shuffle on user_id; every
+    * window shares the same partition key, so all frames evaluate in a
+    * single sort pass per partition.
+    */
+  val q80: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val range5m = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-300000000L, 0L)
+    Graft.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(
+        col("user_id"), col("event_id"), col("us"), col("value"),
+        lag(col("value"), 1).over(byUser).as("prev_value"),
+        lead(col("value"), 1).over(byUser).as("next_value"),
+        row_number().over(byUser).as("rn"),
+        ntile(4).over(byUser).as("quartile"),
+        percent_rank().over(byUser).as("pct_rank"),
+        cume_dist().over(byUser).as("cume"),
+        count(lit(1)).over(range5m).as("cnt_5m"),
+        sum(col("event_id")).over(range5m).as("idsum_5m"))
+      .orderBy("user_id", "rn")
+  }
+
+  val q80Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+      |SELECT user_id, event_id, us, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  CAST(row_number() OVER w AS INT) AS rn,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  count(*) OVER r AS cnt_5m,
+      |  sum(event_id) OVER r AS idsum_5m
+      |FROM e
+      |WINDOW
+      |  w AS (PARTITION BY user_id ORDER BY us, event_id),
+      |  r AS (PARTITION BY user_id ORDER BY us
+      |        RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, rn""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q30_cube", q30, Some(q30Sql)),
     ("q31_having_join", q31, Some(q31Sql)),
     ("q32_string_funcs", q32, Some(q32Sql)),
     ("q33_date_arith", q33, Some(q33Sql)),
     ("q34_null_semantics", q34, Some(q34Sql)),
-    ("q48_map_math_funcs", q48, Some(q48Sql))
+    ("q48_map_math_funcs", q48, Some(q48Sql)),
+    ("q79_unpivot", q79, Some(q79Sql)),
+    ("q80_window_suite", q80, Some(q80Sql))
   )
 }

@@ -333,4 +333,30 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = rows.map(_._1).toSet
     assert(landed == streamed -- dropExpected)
   }
+
+  test("misra-gries heavy hitters aggregate incrementally over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same k-counter summary q78 runs in batch, as a streaming
+    // aggregation: state is ONE k-entry map however long the stream runs,
+    // and the containment guarantee must hold over the union of all
+    // micro-batches (merge-tree independence of MG merge)
+    val mem = MemoryStream[String]
+    val agg = new operators.MisraGriesAgg(3).toColumn.name("summary")
+    val q = mem.toDS().select(agg)
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode("complete").start()
+    // heavy key "hot" (12 of 20 > 20/3), spread across micro-batches
+    mem.addData(Seq.fill(5)("hot") ++ Seq("a", "b", "c"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(7)("hot") ++ Seq("d", "e", "b", "a", "f"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val summary = spark.sql("SELECT summary FROM mg_out")
+      .as[Map[String, Long]].head()
+    assert(summary.size <= 3)
+    assert(summary.contains("hot"), s"guaranteed key missing from $summary")
+    // estimate bounded: undercount by at most n/k = 20/3
+    assert(summary("hot") <= 12 && 12 - summary("hot") <= 20 / 3)
+  }
 }
