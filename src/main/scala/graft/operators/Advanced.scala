@@ -375,6 +375,55 @@ object Advanced {
        |FROM c CROSS JOIN t WHERE n * $hhCapacity > total
        |ORDER BY hh_key""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Robust outlier detection per group — median/MAD, the data-QA gate
+    * feature pipelines run before training (robust to the outliers it
+    * hunts, unlike z-scores): a value is an outlier when its absolute
+    * deviation from the group median exceeds 3 × the median absolute
+    * deviation. Exact percentiles only (the q42 precedent: Spark
+    * `percentile` ≡ DuckDB `quantile_cont` interpolation), deviations
+    * and comparisons are deterministic double arithmetic — so counts,
+    * median and MAD are all hash-exact with NO rounding. Two grouped
+    * exact-percentile passes + one broadcast-size join back; at 100 TB
+    * exact percentile is the only sort-heavy step, and it shuffles once
+    * per group key (the approx path is q43's sketch).
+    */
+  val q81: Q = (s, d) => {
+    val e = Graft.events(s, d).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val q81Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS adev
+      |  FROM events e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, any_value(med) AS med,
+      |    quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  any_value(m.med) AS med, any_value(m.mad) AS mad
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q35_pivot", q35, Some(q35Sql)),
     ("q36_grouping_sets", q36, Some(q36Sql)),
@@ -386,6 +435,7 @@ object Advanced {
     ("q42_percentiles", q42, Some(q42Sql)),
     ("q43_approx_sketches", q43, Some(q43Sql)),
     ("q44_stratified_sample", q44, Some(q44Sql)),
-    ("q78_heavy_hitters", q78, Some(q78Sql))
+    ("q78_heavy_hitters", q78, Some(q78Sql)),
+    ("q81_outlier_mad", q81, Some(q81Sql))
   )
 }
