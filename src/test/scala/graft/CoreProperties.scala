@@ -105,4 +105,34 @@ object CoreProperties extends Properties("graft.core") {
         parts.size == 12
       }
     }
+
+  // Misra-Gries: for ANY stream and ANY partitioning into batches (any
+  // merge tree Spark's partial aggregation might pick), every item with
+  // frequency > n/k appears in the merged summary, and estimates never
+  // exceed true counts nor undercount by more than n/k.
+  private val mgStreams =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h", "hot"))
+  private val mgCaps = Gen.oneOf(2, 3, 4, 6)
+
+  property("misra-gries guarantee holds under arbitrary batch splits") =
+    forAll(mgStreams, mgCaps, Gen.chooseNum(1, 7)) { (stream, cap, pieces) =>
+      val agg = new operators.MisraGriesAgg(cap)
+      // split the stream into `pieces` batches, reduce each, merge left-fold
+      val batches = stream.grouped(math.max(1, (stream.size + pieces - 1) / pieces))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val summary = batches match {
+        case Nil => agg.zero
+        case h :: t => t.foldLeft(h)(agg.merge)
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      val contained = exact.forall { case (k, c) =>
+        c * cap <= n || summary.contains(k)
+      }
+      val bounded = summary.forall { case (k, est) =>
+        val ex = exact.getOrElse(k, 0L)
+        est <= ex && (ex - est) * cap <= n + cap // <= n/k, integer-safe slack
+      }
+      summary.size <= cap && contained && bounded
+    }
 }
