@@ -31,8 +31,22 @@ object Bench {
       val w = "/root/testdata/sf0.001"
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+    // warmup runs CONCURRENTLY: each query's cost here is plan analysis +
+    // codegen JIT, not data (sf0.001), and plans compile independently —
+    // 8 threads cut the 80-query warmup from ~8 min to ~1 min of wall
+    // clock, keeping the whole bench inside any sane driver timeout.
+    // Spark job submission is thread-safe; failures are ignored exactly
+    // as in the old sequential loop.
+    {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      queries.foreach { case (_, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(15, java.util.concurrent.TimeUnit.MINUTES)
     }
     // touch the bench-scale tables once so the timed loop measures the
     // engine, not the first query's cold page-cache read + footer parse
@@ -56,8 +70,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // a crashed ingest phase must not take the query numbers with it:
+    // the one JSON line below is the round's entire bench signal
     val (prodRate, pollRate, streamRate) =
-      if (only.forall(_.contains("ingest"))) ingestBench(spark, sfDir)
+      if (only.forall(_.contains("ingest")))
+        try ingestBench(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ingest phase failed: ${e.getMessage}")
+          (0.0, 0.0, 0.0)
+        }
       else (0.0, 0.0, 0.0)
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
