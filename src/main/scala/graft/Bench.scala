@@ -42,11 +42,24 @@ object Bench {
       queries.foreach { case (_, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
-            try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+            try {
+              // group-tagged so a timeout can cancel stragglers — leaked
+              // warmup jobs would otherwise run concurrently with the
+              // timed loop and inflate every per-query number
+              spark.sparkContext.setJobGroup("bench-warmup", "bench warmup", true)
+              fn(spark, warmDir).count()
+              ()
+            } catch { case _: Throwable => () }
         })
       }
       pool.shutdown()
-      pool.awaitTermination(15, java.util.concurrent.TimeUnit.MINUTES)
+      val done = pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        System.err.println("[bench] warmup timed out; cancelling stragglers")
+        spark.sparkContext.cancelJobGroup("bench-warmup")
+        pool.shutdownNow()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
+      }
     }
     // touch the bench-scale tables once so the timed loop measures the
     // engine, not the first query's cold page-cache read + footer parse

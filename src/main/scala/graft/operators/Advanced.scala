@@ -359,9 +359,12 @@ object Advanced {
 
   val q78: Q = (s, d) => {
     val keys = Graft.events(s, d).selectExpr(s"$hhKeyCase AS hh_key")
-    val total = keys.count()
+    // total derives from the (13-row) aggregated counts — no third pass
+    // over the event table (summary + counts = the only corpus scans)
+    val counts = keys.groupBy(col("hh_key")).agg(count(lit(1)).as("n")).cache()
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
     val summary = hhSummary(s, d)
-    keys.groupBy(col("hh_key")).agg(count(lit(1)).as("n"))
+    counts
       .where(col("n") * hhCapacity > total)
       .withColumn("in_sketch", col("hh_key").isin(summary.keys.toSeq: _*))
       .orderBy("hh_key")

@@ -654,10 +654,10 @@ object DocOps {
     * SparkContext.
     */
   private[operators] object Memo {
-    def get(
-        memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+    def get[V <: AnyRef](
+        memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
         s: SparkSession,
-        d: String)(f: => DataFrame): DataFrame = {
+        d: String)(f: => V): V = {
       memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
       memo.computeIfAbsent((s, d), _ => f)
     }
@@ -768,14 +768,20 @@ object DocOps {
         col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
       .where(col("w") =!= "")
+    // cache: bi feeds the count-table aggregation AND the scoring join —
+    // uncached, Spark would re-tokenize + re-window the corpus per
+    // consumer (at real scale this would be a localCheckpoint)
     val bi = toks
       .withColumn("w2",
         lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .where(col("w2").isNotNull)
       .select(col("doc_id"), col("w"), col("w2"))
+      .cache()
     val biCounts = bi.groupBy(col("w").as("c_w1"), col("w2").as("c_w2"))
       .agg(count(lit(1)).as("cb"))
-    val ctxCounts = bi.groupBy(col("w").as("u_w1")).agg(count(lit(1)).as("cu"))
+    // context counts = bigram counts re-aggregated by first word — a
+    // vocabulary-sized input, so this is NOT another corpus pass
+    val ctxCounts = biCounts.groupBy(col("c_w1").as("u_w1")).agg(sum(col("cb")).as("cu"))
     val vocab = toks.select(col("w")).distinct().count().toDouble
     bi
       .join(biCounts, col("w") === col("c_w1") && col("w2") === col("c_w2"))

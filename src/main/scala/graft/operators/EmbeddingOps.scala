@@ -349,9 +349,8 @@ object EmbeddingOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Float]]]]()
 
   /** Fitted codebooks: pqM × pqK × pqSubDim floats (deterministic). */
-  private[graft] def pqFit(s: SparkSession, d: String): Array[Array[Array[Float]]] = {
-    pqMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    pqMemo.computeIfAbsent((s, d), _ => {
+  private[graft] def pqFit(s: SparkSession, d: String): Array[Array[Array[Float]]] =
+    DocOps.Memo.get(pqMemo, s, d) {
       val e = emb(s, d)
       val fitTarget = 100L * pqK
       val total = e.count()
@@ -363,8 +362,7 @@ object EmbeddingOps {
         val sub = sample.map(v => v.slice(j * pqSubDim, (j + 1) * pqSubDim).map(_.toDouble))
         graft.core.VectorMath.kMeansL2(sub, pqK, iters = 8).map(_.map(_.toFloat))
       }
-    })
-  }
+    }
 
   /** Codebooks as (sub, cid, centroid) — the Verify fixture parquet. */
   private[graft] def pqCodebookDf(s: SparkSession, d: String): DataFrame = {

@@ -257,8 +257,10 @@ object EventOps {
     */
   val q73: Q = (s, d) =>
     Graft.events(s, d)
+      // clamp BOTH ends: past the anchor would otherwise go negative and
+      // pow(2, -age) would grow, not decay
       .withColumn("age",
-        least(datediff(lit("2024-01-31").cast("date"), to_date(col("ts"))), lit(40)))
+        greatest(least(datediff(lit("2024-01-31").cast("date"), to_date(col("ts"))), lit(40)), lit(0)))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -267,7 +269,7 @@ object EventOps {
 
   val q73Sql: String =
     """SELECT user_id, count(*) AS n_events,
-      |  sum(pow(2.0, -least(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'), 40)))
+      |  sum(pow(2.0, -greatest(least(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'), 40), 0)))
       |    AS decay_score
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 

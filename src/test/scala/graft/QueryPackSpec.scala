@@ -304,8 +304,8 @@ class QueryPackSpec extends AnyFunSuite {
     val paired = SparkEntry.queries("q20_dedup_minhash_lsh")(spark, sf)
       .select("doc_a", "doc_b").collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-    if (paired.nonEmpty) {
-      val isolatedPr = (pr.keySet -- paired).map(pr)
+    val isolatedPr = (pr.keySet -- paired).map(pr)
+    if (paired.nonEmpty && isolatedPr.nonEmpty) {
       val pairedPr = paired.map(pr)
       assert(pairedPr.min > isolatedPr.max,
         "a near-dup node ranked below an isolated node")
