@@ -821,6 +821,48 @@ object DocOps {
       |SELECT doc_id, n_bigrams, round(-(sum_lp / n_bigrams), 6) AS nll
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Typed Dataset pipeline — the `Dataset[T]`-with-case-class-Encoders
+    * surface: row-level logic (filter + token counting) runs as typed
+    * lambdas over `Doc`, compiler-checked against the schema, then hands
+    * off to RELATIONAL aggregation for the group step — the idiomatic
+    * split (typed where type safety helps; never `mapGroups` for
+    * corpus-scale groups, which would materialize a language's whole
+    * document set in one task). Output is counts and exact-integer
+    * divisions — hash-exact, no rounding.
+    */
+  private[graft] case class Doc(
+      doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  private[graft] case class DocTokens(
+      doc_id: Long, lang: String, n_chars: Long, n_tokens: Long)
+
+  val q82: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = docs(s, d).as[Doc]
+      .filter((dc: Doc) => dc.n_chars > 0)
+      .map((dc: Doc) => DocTokens(
+        dc.doc_id, dc.lang, dc.n_chars,
+        dc.text.toLowerCase.split(" ").count(_.nonEmpty).toLong))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  val q82Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |  sum(n_tokens) AS total_tokens,
+      |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
@@ -836,6 +878,7 @@ object DocOps {
     // q59 is exact-verified: bloom only prefilters, output == q52
     ("q59_decontam_bloom", q59, Some(q52Sql)),
     ("q62_importance_resample", q62, Some(q62Sql)),
-    ("q75_lm_perplexity", q75, Some(q75Sql))
+    ("q75_lm_perplexity", q75, Some(q75Sql)),
+    ("q82_typed_pipeline", q82, Some(q82Sql))
   )
 }
