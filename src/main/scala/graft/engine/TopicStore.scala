@@ -906,6 +906,28 @@ class TopicStore(
     * the sweeper. Maintenance path: must not run concurrently with a
     * rescale of the same topic.
     */
+  /** Every topic in the store with its current generation — the data-side
+    * discovery listing next to `/v1/brokers`' cluster listing: (topic,
+    * generation version, ring size). Metadata-sized (one row per topic);
+    * topics come from the data layout's `topic=` dirs (partitionBy
+    * escaping round-trips the exact name; the generations meta dir is a
+    * lossy sanitized key, so it is NOT a name source). Topics are
+    * implicit/auto-created in the reference (`topics.go:30-36` — `Exists`
+    * is always true), so this lists what HAS data, not what is allowed.
+    */
+  def listTopics(): Seq[(String, Int, Int)] = {
+    if (!pathExists(dataDir)) return Seq.empty
+    hfs(dataDir).listStatus(hpath(dataDir)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+      .filter(_.startsWith("topic="))
+      .map(n => unescapeDir(n.stripPrefix("topic=")))
+      .sorted
+      .map { t =>
+        val g = generation(t)
+        (t, g.version, g.clusterSize)
+      }
+  }
+
   def startRetentionSweeper(
       intervalMs: Long = 5 * 60 * 1000L,
       retentionMs: Long = 168L * 3600 * 1000L): AutoCloseable = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -69,5 +69,7 @@ package object functions {
       "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")
     tvf.createOrReplaceTempFunction(
       "topic_records", exprs => TopicRecordsTable.plan(exprs), "built-in")
+    tvf.createOrReplaceTempFunction(
+      "topic_list", exprs => TopicListTable.plan(exprs), "built-in")
   }
 }

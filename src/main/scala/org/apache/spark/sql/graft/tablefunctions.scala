@@ -53,6 +53,34 @@ object RingPartitionsTable {
   * read. The Spark face of the reference's "a topic IS a table" data
   * model — no registration or DDL, mirroring topics.go auto-creation.
   */
+/** `SELECT * FROM topic_list('<store root>')` — every topic in a store
+  * with its current generation: (topic, version, cluster_size). The
+  * data-side discovery listing next to `/v1/brokers`' cluster listing;
+  * metadata-sized (one row per topic), evaluated plan-time like
+  * `ring_partitions`.
+  */
+object TopicListTable {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "topic_list(root) takes one string literal")
+    val root = exprs.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"topic_list argument must be a string literal, got $other")
+    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("topic_list requires an active SparkSession"))
+    val rows = new graft.engine.TopicStore(spark, root).listTopics().map {
+      case (t, v, c) => InternalRow(UTF8String.fromString(t), v, c)
+    }
+    LocalRelation(
+      Seq(
+        AttributeReference("topic", StringType, nullable = false)(),
+        AttributeReference("version", IntegerType, nullable = false)(),
+        AttributeReference("cluster_size", IntegerType, nullable = false)()),
+      rows)
+  }
+}
+
 object TopicRecordsTable {
   def plan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 2,

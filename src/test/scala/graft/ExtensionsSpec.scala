@@ -67,6 +67,16 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT count(*) FROM topic_records('$root', 't') WHERE key = 'k0'")
         .head().getLong(0)
       assert(one == 3L)
+
+      // topic_list TVF: discovery listing with the current generation
+      val listed = spark.sql(
+        s"SELECT topic, version, cluster_size FROM topic_list('$root')").collect()
+      assert(listed.map(_.getString(0)).toSeq == Seq("t"))
+      assert(listed.head.getInt(1) == 1)
+      store.rescale("t", 6)
+      val after = spark.sql(
+        s"SELECT version, cluster_size FROM topic_list('$root')").head()
+      assert(after.getInt(0) == 2 && after.getInt(1) == 6)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
