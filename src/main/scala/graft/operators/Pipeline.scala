@@ -303,11 +303,47 @@ object Pipeline {
        |SELECT doc_id, round(pr, 6) AS pr FROM pr$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Cross-source near-dup contamination matrix — the dedup-QA report
+    * that tells a curation team WHICH sources duplicate which (mirror
+    * detection, scraper overlap, licensing leakage): verified near-dup
+    * pairs labeled with both documents' sources, counted per ordered
+    * source pair. Reuses the memoized LSH-verified pair set (computed
+    * once across q20/q50/q51/q77/q83); the two label joins broadcast the
+    * pair set, and the matrix is source²-sized. Integer counts,
+    * hash-exact.
+    */
+  val q83: Q = (s, d) => {
+    val pairs = DocOps.verifiedPairs(s, d).select("doc_a", "doc_b")
+    val src = DocOps.docs(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_x"),
+        greatest(col("sa.source"), col("sb.source")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  val q83Sql: String =
+    s"""WITH ${DocOps.jaccardPairsCtes},
+       |lab AS (
+       |  SELECT least(sa.source, sb.source) AS source_x,
+       |    greatest(sa.source, sb.source) AS source_y
+       |  FROM jpairs
+       |  JOIN documents sa ON jpairs.doc_a = sa.doc_id
+       |  JOIN documents sb ON jpairs.doc_b = sb.doc_id)
+       |SELECT source_x, source_y, count(*) AS n_pairs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
     ("q51_corpus_filter", q51, Some(q51Sql)),
     ("q58_canonicalize", q58, Some(q58Sql)),
-    ("q77_pagerank", q77, Some(q77Sql))
+    ("q77_pagerank", q77, Some(q77Sql)),
+    ("q83_source_contamination", q83, Some(q83Sql))
   )
 }
