@@ -75,6 +75,15 @@ object Verify {
         operators.DocOps.dsirGrams(spark, sfDir)
           .select(col("doc_id"), col("bucket"))
       }
+      // q86: positional 8-token window hashes — the oracle re-derives the
+      // df gate, the gram-equality join, and the run-length pass
+      dump("substr_grams")(operators.StatsOps.posGrams(spark, sfDir))
+      // q88: per-doc murmur3 token — the oracle re-derives the uniform
+      // draw, the priorities, the top-k cut, and the tau estimator
+      dump("doc_tokens")(operators.StatsOps.docTokens(spark, sfDir))
+      // q89: per-user CMS (row, bucket) cells — the oracle rebuilds the
+      // sketch counters from events and re-probes min-over-rows
+      dump("cms_buckets")(operators.StatsOps.cmsBuckets(spark, sfDir))
       // q43: the sketch estimates — the oracle computes the exact values
       // itself and re-derives the accuracy flags. MUST be the same
       // aggregation plan q43 runs (approx sketches are merge-order

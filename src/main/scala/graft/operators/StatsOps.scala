@@ -1,0 +1,420 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.murmur3_token
+
+/** Statistical / data-management operator pack: exact second-moment
+  * statistics (corr/regression/stddev) with built-in-aggregate accuracy
+  * flags, SCD-2 dimension construction, exact-substring contamination
+  * detection (the distributed shape of suffix-array dedup, Lee et al.
+  * 2021 "Deduplicating Training Data Makes Language Models Better"),
+  * single-pass column profiling, priority sampling (Duffield, Lund,
+  * Thorup, JACM 2007), and a Count-Min sketch built as a bounded
+  * group-by (Cormode & Muthukrishnan 2005).
+  *
+  * Determinism contract (same as Relational): every aggregated double
+  * passes through an exact DECIMAL sum; all downstream double arithmetic
+  * is the identical IEEE expression tree in both engines (+,-,*,/,sqrt
+  * are correctly rounded, so identical inputs give identical bits).
+  */
+object StatsOps {
+  import Relational.Q
+
+  private def dec30(c: Column): Column = c.cast("decimal(30,6)")
+
+  // ---------------------------------------------------------------- q84
+  /** Exact correlation / linear regression / stddev per group from one
+    * pass of decimal power sums — the numerically-reproducible way to
+    * compute second moments at 100 TB (partial sums merge exactly in any
+    * order; no Welford drift across partitions). The engine's built-in
+    * single-pass aggregates (`corr`, `regr_slope`, `stddev_samp`) are
+    * emitted as accuracy flags against the exact values: each engine
+    * asserts ITS OWN builtin lands within 1e-8 of the shared exact
+    * formula, so the gate also cross-checks both builtins' numerics.
+    */
+  val q84: Q = (s, d) => {
+    val li = Graft.table(s, d, "lineitem")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    // square in the DECIMAL domain: y*y ~ 1e10 needs >16 significant
+    // decimal digits at 6 dp — beyond double precision, so a double
+    // product cast to decimal rounds differently per engine. decimal
+    // multiply of the (exactly agreed) 4-dp casts is exact in both.
+    val xd = x.cast("decimal(19,4)")
+    val yd = y.cast("decimal(19,4)")
+    val a = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("cnt"),
+      sum(dec30(x)).cast("double").as("sx"),
+      sum(dec30(y)).cast("double").as("sy"),
+      sum(xd * xd).cast("double").as("sxx"),
+      sum(yd * yd).cast("double").as("syy"),
+      sum(xd * yd).cast("double").as("sxy"),
+      corr(y, x).as("corr_b"),
+      regr_slope(y, x).as("slope_b"),
+      stddev_samp(x).as("sd_b"))
+    val n = col("cnt").cast("double")
+    val covn = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    val corrE = covn / sqrt(vx * vy)
+    val slopeE = covn / vx
+    def near(b: Column, e: Column): Column = abs(b - e) <= lit(1e-8) * (abs(e) + lit(1.0))
+    a.select(
+      col("l_returnflag"),
+      col("cnt").as("n"),
+      corrE.as("corr_qty_price"),
+      slopeE.as("slope"),
+      ((col("sy") - slopeE * col("sx")) / n).as("intercept"),
+      (corrE * corrE).as("r2"),
+      sqrt(vx / (n * (n - lit(1.0)))).as("stddev_qty"),
+      near(col("corr_b"), corrE).as("corr_builtin_ok"),
+      near(col("slope_b"), slopeE).as("slope_builtin_ok"),
+      near(col("sd_b"), sqrt(vx / (n * (n - lit(1.0))))).as("stddev_builtin_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle note: DuckDB's DECIMAL->DOUBLE cast computes a scaled double
+    * division and can land 1 ulp off correct rounding at 12+ significant
+    * digits; routing through VARCHAR (fast_float strtod, correctly
+    * rounded) matches Spark's BigDecimal.doubleValue exactly.
+    */
+  val q84Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS cnt,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    corr(l_extendedprice, l_quantity) AS corr_b,
+      |    regr_slope(l_extendedprice, l_quantity) AS slope_b,
+      |    stddev_samp(l_quantity) AS sd_b
+      |  FROM lineitem GROUP BY l_returnflag),
+      |e AS (
+      |  SELECT l_returnflag, cnt, corr_b, slope_b, sd_b,
+      |    CAST(cnt AS DOUBLE) AS n, sx, sy,
+      |    (CAST(cnt AS DOUBLE) * sxy - sx * sy) AS covn,
+      |    (CAST(cnt AS DOUBLE) * sxx - sx * sx) AS vx,
+      |    (CAST(cnt AS DOUBLE) * syy - sy * sy) AS vy
+      |  FROM a)
+      |SELECT l_returnflag, cnt AS n,
+      |  covn / sqrt(vx * vy) AS corr_qty_price,
+      |  covn / vx AS slope,
+      |  (sy - (covn / vx) * sx) / n AS intercept,
+      |  (covn / sqrt(vx * vy)) * (covn / sqrt(vx * vy)) AS r2,
+      |  sqrt(vx / (n * (n - 1.0))) AS stddev_qty,
+      |  abs(corr_b - covn / sqrt(vx * vy)) <= 1e-8 * (abs(covn / sqrt(vx * vy)) + 1.0) AS corr_builtin_ok,
+      |  abs(slope_b - covn / vx) <= 1e-8 * (abs(covn / vx) + 1.0) AS slope_builtin_ok,
+      |  abs(sd_b - sqrt(vx / (n * (n - 1.0)))) <= 1e-8 * (abs(sqrt(vx / (n * (n - 1.0)))) + 1.0) AS stddev_builtin_ok
+      |FROM e ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** SCD Type-2 dimension build: each customer's order history becomes a
+    * versioned dimension with [valid_from, valid_to) intervals and an
+    * is_current flag — the standard warehouse shape for tracking change
+    * over time. One shuffle on the dimension key; the lead() window is
+    * partition-local, so the plan is a single key-partitioned sort at
+    * any scale.
+    */
+  val q85: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Graft.table(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("version"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val q85Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(LEAD(o_orderdate, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current,
+      |  o_totalprice
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Exact-substring contamination: find document pairs sharing a run of
+    * >= 3 consecutive identical 8-token windows (i.e. an identical
+    * substring of >= 10 tokens) — the distributed formulation of
+    * suffix-array substring dedup (Lee et al. 2021): positional k-gram
+    * fingerprints, an equality join on the gram hash, and a run-length
+    * pass over matched positions (consecutive positions at a constant
+    * offset delta form one shared span).
+    *
+    * Scale shape: the join is bucketed by gram hash (one shuffle); grams
+    * with document frequency outside [2, 32] are dropped first — df=1
+    * grams cannot produce a pair, and ultra-hot grams are boilerplate
+    * that q56's span removal handles upstream (the cap is the documented
+    * guard against a degenerate self-join, mirrored by the oracle).
+    */
+  private val SubK = 8 // tokens per window
+  private val SubMinRun = 3 // >= 3 consecutive windows = >= SubK+2 tokens
+
+  /** (doc_id, pos, gh): positional SubK-token window hashes of the
+    * normalized text — shared by q86 and the Verify fixture dump so the
+    * DuckDB oracle re-derives the join + run-length from the same grams.
+    */
+  private[graft] def posGrams(s: SparkSession, d: String): DataFrame =
+    Graft.table(s, d, "documents")
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
+      .withColumn("grams",
+        when(size(col("toks")) >= SubK,
+          expr(s"transform(sequence(0, size(toks)-$SubK), i -> concat_ws(' ', slice(toks, i+1, $SubK)))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), murmur3_token(col("gram")).as("gh"))
+
+  val q86: Q = (s, d) => {
+    val g = posGrams(s, d)
+    val keep = g.groupBy(col("gh")).agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df").between(2, 32)).select(col("gh"))
+    // materialize the df-gated postings once: both join sides and the
+    // run-length pass reuse it, and the gate has already shrunk it to the
+    // shared-gram survivors (at 100 TB this is the persisted candidate
+    // postings table, tiny next to the corpus)
+    val gf = g.join(keep, "gh").localCheckpoint()
+    val m = gf.select(col("gh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(gf.select(col("gh"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("gh"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("delta", col("pa") - col("pb"))
+    val runs = m
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), col("delta")).orderBy(col("pa"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_a"), col("doc_b")).agg(max(col("run_len")).as("max_run"))
+      .where(col("max_run") >= SubMinRun)
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + lit((SubK - 1).toLong)).as("span_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q86Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, pos, gh
+       |  FROM read_parquet('/tmp/graft_fixtures/substr_grams/*.parquet')),
+       |keep AS (
+       |  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+       |  WHERE df BETWEEN 2 AND 32),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS delta
+       |  FROM g a JOIN keep USING (gh) JOIN g b USING (gh)
+       |  WHERE a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT doc_a, doc_b, delta, pa,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS run_len
+       |  FROM r GROUP BY doc_a, doc_b, delta, grp)
+       |SELECT doc_a, doc_b, MAX(run_len) AS max_run,
+       |  MAX(run_len) + ${SubK - 1} AS span_tokens
+       |FROM runs GROUP BY doc_a, doc_b HAVING MAX(run_len) >= $SubMinRun
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** Single-pass column profiler — the data-quality audit every pipeline
+    * runs before training: per-column null count, exact distinct count,
+    * numeric min/max, and lexical min/max, emitted long-form. One
+    * aggregate job over the table (multi-distinct resolves to one
+    * Expand), then a row-local inline() to long form — profiling 100 TB
+    * costs one scan.
+    */
+  val q87: Q = (s, d) => {
+    val o = Graft.table(s, d, "orders")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderkey")).as("nn_key"), countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("double").as("min_key"), max(col("o_orderkey")).cast("double").as("max_key"),
+      count(col("o_custkey")).as("nn_cust"), countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).cast("double").as("min_cust"), max(col("o_custkey")).cast("double").as("max_cust"),
+      count(col("o_totalprice")).as("nn_price"), countDistinct(col("o_totalprice")).as("nd_price"),
+      min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"),
+      count(col("o_orderstatus")).as("nn_status"), countDistinct(col("o_orderstatus")).as("nd_status"),
+      min(col("o_orderstatus")).as("min_status"), max(col("o_orderstatus")).as("max_status"),
+      count(col("o_orderpriority")).as("nn_prio"), countDistinct(col("o_orderpriority")).as("nd_prio"),
+      min(col("o_orderpriority")).as("min_prio"), max(col("o_orderpriority")).as("max_prio"),
+      count(col("o_orderdate")).as("nn_date"), countDistinct(col("o_orderdate")).as("nd_date"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date"))
+    def rowOf(name: String, nn: String, nd: String,
+        minN: Column, maxN: Column, minS: Column, maxS: Column): Column =
+      struct(
+        lit(name).as("col_name"),
+        (col("n_rows") - col(nn)).as("n_null"),
+        col(nd).as("n_distinct"),
+        minN.as("min_num"), maxN.as("max_num"),
+        minS.as("min_str"), maxS.as("max_str"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    agg.select(inline(array(
+      rowOf("o_orderkey", "nn_key", "nd_key", col("min_key"), col("max_key"), nullS, nullS),
+      rowOf("o_custkey", "nn_cust", "nd_cust", col("min_cust"), col("max_cust"), nullS, nullS),
+      rowOf("o_totalprice", "nn_price", "nd_price", col("min_price"), col("max_price"), nullS, nullS),
+      rowOf("o_orderstatus", "nn_status", "nd_status", nullD, nullD, col("min_status"), col("max_status")),
+      rowOf("o_orderpriority", "nn_prio", "nd_prio", nullD, nullD, col("min_prio"), col("max_prio")),
+      rowOf("o_orderdate", "nn_date", "nd_date", nullD, nullD, col("min_date"), col("max_date")))))
+      .orderBy("col_name")
+  }
+
+  val q87Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(o_orderkey) AS nn_key, COUNT(DISTINCT o_orderkey) AS nd_key,
+      |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_key, CAST(MAX(o_orderkey) AS DOUBLE) AS max_key,
+      |    COUNT(o_custkey) AS nn_cust, COUNT(DISTINCT o_custkey) AS nd_cust,
+      |    CAST(MIN(o_custkey) AS DOUBLE) AS min_cust, CAST(MAX(o_custkey) AS DOUBLE) AS max_cust,
+      |    COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
+      |    MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |    COUNT(o_orderstatus) AS nn_status, COUNT(DISTINCT o_orderstatus) AS nd_status,
+      |    MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+      |    COUNT(o_orderpriority) AS nn_prio, COUNT(DISTINCT o_orderpriority) AS nd_prio,
+      |    MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+      |    COUNT(o_orderdate) AS nn_date, COUNT(DISTINCT o_orderdate) AS nd_date,
+      |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+      |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+      |  FROM orders)
+      |SELECT col_name, n_null, n_distinct, min_num, max_num, min_str, max_str FROM (
+      |  SELECT 'o_orderkey' AS col_name, n_rows - nn_key AS n_null, nd_key AS n_distinct, min_key AS min_num, max_key AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+      |  UNION ALL SELECT 'o_custkey', n_rows - nn_cust, nd_cust, min_cust, max_cust, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_totalprice', n_rows - nn_price, nd_price, min_price, max_price, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n_rows - nn_status, nd_status, NULL, NULL, min_status, max_status FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n_rows - nn_prio, nd_prio, NULL, NULL, min_prio, max_prio FROM a
+      |  UNION ALL SELECT 'o_orderdate', n_rows - nn_date, nd_date, NULL, NULL, min_date, max_date FROM a)
+      |ORDER BY col_name""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Priority sampling (Duffield, Lund, Thorup JACM 2007): a weighted
+    * sample of k=20 documents by n_chars with the unbiased subset-sum
+    * estimator w_est = max(w, tau), tau = the (k+1)-th priority. The
+    * priority q = w / u uses a uniform u derived from the engine's own
+    * murmur3 token (52 mantissa bits), so every arithmetic step is an
+    * exactly-rounded IEEE op both engines compute identically — the
+    * sample AND the estimator are bit-reproducible across engines and
+    * cluster sizes.
+    *
+    * Scale shape: top-(k+1) by priority compiles to
+    * TakeOrderedAndProject (per-partition heap + driver merge of k+1
+    * rows), NOT a global sort — the 100 TB plan is a linear scan.
+    */
+  private val PrioK = 20
+
+  /** (doc_id, tok): the doc_id hash fixture shared with the oracle. */
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
+    Graft.table(s, d, "documents")
+      .select(col("doc_id"), murmur3_token(col("doc_id").cast("string")).as("tok"))
+
+  val q88: Q = (s, d) => {
+    val m52 = 4503599627370495L // 2^52 - 1
+    val u = (col("tok").bitwiseAND(lit(m52)).cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val prio = Graft.table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .join(docTokens(s, d), "doc_id")
+      .withColumn("w", col("n_chars").cast("double"))
+      .withColumn("q", col("w") / u)
+      .select(col("doc_id"), col("w"), col("q"))
+    val top = prio.orderBy(desc("q"), asc("doc_id")).limit(PrioK + 1)
+    val rk = top.withColumn("rk",
+      row_number().over(Window.orderBy(desc("q"), asc("doc_id"))))
+    val tau = rk.where(col("rk") === PrioK + 1).select(col("q").as("tau"))
+    rk.where(col("rk") <= PrioK)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"),
+        when(col("w") > col("tau"), col("w")).otherwise(col("tau")).as("w_est"))
+      .orderBy("doc_id")
+  }
+
+  val q88Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, tok FROM read_parquet('/tmp/graft_fixtures/doc_tokens/*.parquet')),
+       |p AS (
+       |  SELECT d.doc_id, CAST(n_chars AS DOUBLE) AS w,
+       |    CAST(n_chars AS DOUBLE) /
+       |      ((CAST((tok & 4503599627370495) AS DOUBLE) + 1.0) / 4503599627370496.0) AS q
+       |  FROM documents d JOIN h USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, w, q, ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rk FROM p)
+       |SELECT doc_id, w, CASE WHEN w > tau THEN w ELSE tau END AS w_est
+       |FROM r CROSS JOIN (SELECT q AS tau FROM r WHERE rk = ${PrioK + 1}) t
+       |WHERE rk <= $PrioK ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a bounded
+    * group-by: depth 4 x width 2048 counters over the event user stream —
+    * the fixed-size frequency summary whose build is a map-side-combined
+    * aggregation with OUTPUT cardinality 8192 regardless of key count.
+    * Probing min-over-rows gives est >= exact always (counts only ever
+    * collide upward); the top-10 estimated users are emitted with their
+    * exact counts and overcount, all integers, so the gate is exact. The
+    * probe joins a broadcast of the 8k-row sketch.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+
+  private def cmsBucket(row: Column, user: Column): Column =
+    pmod(murmur3_token(concat_ws(":", row, user)), lit(CmsWidth))
+
+  /** (user_id, row, bucket) for every distinct user — the oracle's way
+    * back from user to sketch cell.
+    */
+  private[graft] def cmsBuckets(s: SparkSession, d: String): DataFrame =
+    Graft.events(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("row"))
+      .withColumn("bucket", cmsBucket(col("row"), col("user_id")))
+
+  val q89: Q = (s, d) => {
+    val ev = Graft.events(s, d).select(col("user_id"))
+    val sketch = ev
+      .select(col("user_id"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("row"))
+      .withColumn("bucket", cmsBucket(col("row"), col("user_id")))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("c"))
+    val est = cmsBuckets(s, d)
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("est"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    est.join(exact, "user_id")
+      .orderBy(desc("est"), asc("user_id")).limit(10)
+      .select(col("user_id"), col("est"), col("exact_n"),
+        (col("est") - col("exact_n")).as("overcount"))
+      .orderBy(desc("est"), asc("user_id"))
+  }
+
+  val q89Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, row, bucket
+      |  FROM read_parquet('/tmp/graft_fixtures/cms_buckets/*.parquet')),
+      |sk AS (
+      |  SELECT f.row, f.bucket, COUNT(*) AS c
+      |  FROM events e JOIN f ON e.user_id = f.user_id GROUP BY f.row, f.bucket),
+      |est AS (
+      |  SELECT f.user_id, MIN(sk.c) AS est
+      |  FROM (SELECT DISTINCT user_id, row, bucket FROM f) f
+      |  JOIN sk USING (row, bucket) GROUP BY f.user_id),
+      |ex AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id)
+      |SELECT user_id, est, exact_n, est - exact_n AS overcount
+      |FROM est JOIN ex USING (user_id)
+      |ORDER BY est DESC, user_id LIMIT 10""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q84_stats_moments", q84, Some(q84Sql)),
+    ("q85_scd2_dim", q85, Some(q85Sql)),
+    ("q86_substr_contamination", q86, Some(q86Sql)),
+    ("q87_column_profile", q87, Some(q87Sql)),
+    ("q88_priority_sample", q88, Some(q88Sql)),
+    ("q89_count_min", q89, Some(q89Sql)))
+}
