@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("pos_gram_hashes"),
+      new ExpressionInfo(classOf[PosGramHashes].getName, "pos_gram_hashes"),
+      (exprs: Seq[Expression]) => PosGramHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),

@@ -51,6 +51,35 @@ object Shingles {
     if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** POSITIONAL k-word window hashes of lower(text): element i is the
+    * murmur3 of words [i, i+k) joined by single spaces — order kept,
+    * duplicates kept, so index == window position (the input to
+    * exact-substring run-length detection). Tokenization is
+    * whitespace-run splitting, equivalent to
+    * `split(regexp_replace(lower(text), "\\s+", " "), " ")`.
+    * Empty array when the doc has fewer than k words.
+    */
+  def posGramHashes(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toLowerCase.toString.split("\\s+", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Long])
+    val n = words.length - k + 1
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = Murmur3x64.hash(sb.toString.getBytes(StandardCharsets.UTF_8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hashed-n-gram feature buckets of lower(text) in occurrence order
     * (duplicates KEPT — importance-weight features are counts, unlike the
     * distinct-set shingles above): bucket(i) = murmur3(gram_i) mod B,

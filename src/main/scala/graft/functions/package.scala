@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -28,6 +28,10 @@ package object functions {
   /** Distinct murmur3 hashes of the k-word shingles of lower(text). */
   def shingle_hashes(text: Column, k: Int): Column =
     GraftColumns.shingleHashes(text, k)
+
+  /** Positional k-word window hashes (order kept, index = position). */
+  def pos_gram_hashes(text: Column, k: Int): Column =
+    GraftColumns.posGramHashes(text, k)
 
   /** 64-bit SimHash of lower(text)'s word stream. */
   def simhash_sig(text: Column): Column = GraftColumns.simhashSig(text)
@@ -57,6 +61,9 @@ package object functions {
         exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
     registry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    registry.createOrReplaceTempFunction(
+      "pos_gram_hashes", exprs => PosGramHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     registry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")

@@ -168,17 +168,15 @@ object StatsOps {
   /** (doc_id, pos, gh): positional SubK-token window hashes of the
     * normalized text — shared by q86 and the Verify fixture dump so the
     * DuckDB oracle re-derives the join + run-length from the same grams.
+    * One codegen'd `pos_gram_hashes` evaluation per row (hash values
+    * equal murmur3_token of the space-joined window string); the
+    * built-in transform/slice/concat_ws composition is interpreted and
+    * was the whole query's bottleneck at sf0.1.
     */
   private[graft] def posGrams(s: SparkSession, d: String): DataFrame =
     Graft.table(s, d, "documents")
       .select(col("doc_id"),
-        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
-      .withColumn("grams",
-        when(size(col("toks")) >= SubK,
-          expr(s"transform(sequence(0, size(toks)-$SubK), i -> concat_ws(' ', slice(toks, i+1, $SubK)))"))
-          .otherwise(expr("CAST(array() AS array<string>)")))
-      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), murmur3_token(col("gram")).as("gh"))
+        posexplode(graft.functions.pos_gram_hashes(col("text"), SubK)).as(Seq("pos", "gh")))
 
   val q86: Q = (s, d) => {
     val g = posGrams(s, d)
@@ -410,11 +408,128 @@ object StatsOps {
       |FROM est JOIN ex USING (user_id)
       |ORDER BY est DESC, user_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Incremental aggregate maintenance: the base partition's
+    * PRE-AGGREGATED state merged with a fresh delta's pre-aggregate —
+    * count/sum/min/max compose associatively, so maintaining a 100 TB
+    * rollup costs one pass over the DELTA plus a merge of two
+    * aggregate-sized tables, never a rescan of the base. The oracle
+    * aggregates the whole table directly, so the gate proves
+    * merge(pre(base), pre(delta)) == full recompute, exactly (decimal
+    * sums are order-independent).
+    */
+  val q90: Q = (s, d) => {
+    val ord = Graft.table(s, d, "orders")
+    def pre(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("sp"),
+        min(col("o_orderdate")).as("mn"),
+        max(col("o_orderdate")).as("mx"))
+    val base = pre(ord.where(col("o_orderdate") < lit("1997-01-01")))
+    val delta = pre(ord.where(col("o_orderdate") >= lit("1997-01-01")))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("cnt")).as("n_orders"),
+        sum(col("sp")).cast("double").as("total_price"),
+        date_format(min(col("mn")), "yyyy-MM-dd HH:mm:ss").as("first_order"),
+        date_format(max(col("mx")), "yyyy-MM-dd HH:mm:ss").as("last_order"))
+      .orderBy("o_custkey")
+  }
+
+  val q90Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+      |  strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Z-order (Morton curve) layout audit: interleave 16 bits of the two
+    * filter dimensions (customer, integer price) into one clustering key
+    * and report each of the 64 top-level z-ranges' row count and
+    * per-dimension min/max envelope. Sorting a 100 TB table by zval
+    * makes file-level min/max stats tight in BOTH dimensions at once —
+    * this query is the audit a layout job runs to confirm each file's
+    * envelope covers a small rectangle, i.e. 2-D predicate pushdown
+    * will prune. Bit arithmetic only, so the gate is integer-exact.
+    */
+  val q91: Q = (s, d) => {
+    val ord = Graft.table(s, d, "orders")
+      .withColumn("xb", col("o_custkey").bitwiseAND(lit(65535L)))
+      .withColumn("yb", floor(col("o_totalprice")).cast("long").bitwiseAND(lit(65535L)))
+      .withColumn("zval", expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + (((xb >> i) & 1) << (2*i)) + (((yb >> i) & 1) << (2*i + 1)))"))
+    ord.withColumn("z_bucket", shiftright(col("zval"), 26))
+      .groupBy(col("z_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("xb")).as("min_cust"), max(col("xb")).as("max_cust"),
+        min(col("yb")).as("min_price"), max(col("yb")).as("max_price"))
+      .orderBy("z_bucket")
+  }
+
+  val q91Sql: String =
+    """WITH z AS (
+      |  SELECT o_custkey & 65535 AS xb,
+      |    CAST(floor(o_totalprice) AS BIGINT) & 65535 AS yb,
+      |    list_sum(list_transform(range(0, 16),
+      |      i -> (((o_custkey & 65535) >> i) & 1) * power(2, 2*i)::BIGINT
+      |         + (((CAST(floor(o_totalprice) AS BIGINT) & 65535) >> i) & 1) * power(2, 2*i + 1)::BIGINT)) AS zval
+      |  FROM orders)
+      |SELECT zval // 67108864 AS z_bucket, COUNT(*) AS n,
+      |  MIN(xb) AS min_cust, MAX(xb) AS max_cust,
+      |  MIN(yb) AS min_price, MAX(yb) AS max_price
+      |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Per-stratum priority sampling: q88's scheme applied independently
+    * inside each document source — the "N docs per domain" budgeted
+    * sample real curation mixes use (cap any one source's contribution
+    * while staying weight-proportional within it). The per-source top-k
+    * is a window over the stratum key: one shuffle on source, k rows per
+    * stratum survive — no global sort at any scale.
+    */
+  private val StratumK = 5
+
+  val q92: Q = (s, d) => {
+    val m52 = 4503599627370495L
+    val u = (col("tok").bitwiseAND(lit(m52)).cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val prio = Graft.table(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      .join(docTokens(s, d), "doc_id")
+      .withColumn("w", col("n_chars").cast("double"))
+      .withColumn("q", col("w") / u)
+    prio.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(desc("q"), asc("doc_id"))))
+      .where(col("rk") <= StratumK)
+      .select(col("source"), col("rk"), col("doc_id"), col("w"))
+      .orderBy("source", "rk")
+  }
+
+  val q92Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, tok FROM read_parquet('/tmp/graft_fixtures/doc_tokens/*.parquet')),
+       |p AS (
+       |  SELECT d.source, d.doc_id, CAST(n_chars AS DOUBLE) AS w,
+       |    CAST(n_chars AS DOUBLE) /
+       |      ((CAST((tok & 4503599627370495) AS DOUBLE) + 1.0) / 4503599627370496.0) AS q
+       |  FROM documents d JOIN h USING (doc_id)),
+       |r AS (
+       |  SELECT source, doc_id, w, q,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS INT) AS rk
+       |  FROM p)
+       |SELECT source, rk, doc_id, w FROM r WHERE rk <= $StratumK
+       |ORDER BY source, rk""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q84_stats_moments", q84, Some(q84Sql)),
     ("q85_scd2_dim", q85, Some(q85Sql)),
     ("q86_substr_contamination", q86, Some(q86Sql)),
     ("q87_column_profile", q87, Some(q87Sql)),
     ("q88_priority_sample", q88, Some(q88Sql)),
-    ("q89_count_min", q89, Some(q89Sql)))
+    ("q89_count_min", q89, Some(q89Sql)),
+    ("q90_incremental_agg", q90, Some(q90Sql)),
+    ("q91_zorder_layout", q91, Some(q91Sql)),
+    ("q92_stratified_priority", q92, Some(q92Sql)))
 }

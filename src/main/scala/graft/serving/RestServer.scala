@@ -191,7 +191,15 @@ class RestServer(
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     (method, path) match {
-      case ("GET", "/status") => respond(ex, 200, "OK")
+      case ("GET", "/status") =>
+        // R11 fidelity: the reference's consumer /status marks the tracked
+        // consumer as read (SetAsRead, consuming/server.go:149-151), so a
+        // status probe keeps a consumer alive; the stateless-HTTP analog
+        // takes the id as a param
+        params(ex).get("consumerId").flatMap(_.headOption)
+          .flatMap(cid => Option(sessions.get(cid)))
+          .foreach(_.lastSeen = System.currentTimeMillis())
+        respond(ex, 200, "OK")
       case ("GET", "/metrics") => // C10: Prometheus exposition endpoint
         respond(ex, 200, metrics.render,
           Map("Content-Type" -> "text/plain; version=0.0.4"))

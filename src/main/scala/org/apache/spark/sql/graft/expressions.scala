@@ -186,6 +186,34 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** POSITIONAL k-word window hashes of lower(text): element i is the
+  * murmur3 of the window starting at word i — order kept, duplicates
+  * kept, so the array index IS the window position. The input to
+  * exact-substring run-length detection (q86), as ONE codegen'd
+  * evaluation; the built-in `transform(sequence(...),
+  * concat_ws(slice(...)))` composition is interpreted and was measured
+  * ~10x slower at sf0.1.
+  */
+case class PosGramHashes(child: Expression, k: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(k >= 1 && k <= 64, "gram width must be in [1, 64]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Shingles.posGramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Shingles.posGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): PosGramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "pos_gram_hashes"
+}
+
 /** Hashed-n-gram feature buckets of lower(text) in occurrence order —
   * the text->feature step of DSIR-style importance resampling (hashed
   * bigram counts) as ONE codegen'd evaluation. Unlike `shingle_hashes`
@@ -291,6 +319,9 @@ object GraftColumns {
 
   def shingleHashes(text: Column, k: Int): Column =
     column(ShingleHashes(expression(text), k))
+
+  def posGramHashes(text: Column, k: Int): Column =
+    column(PosGramHashes(expression(text), k))
 
   def simhashSig(text: Column): Column = column(SimHashSig(expression(text)))
 

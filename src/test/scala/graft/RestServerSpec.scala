@@ -309,6 +309,23 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("R11: /status probes count as activity and stave off eviction") {
+    // reference: consumer /status calls SetAsRead (consuming/server.go:149)
+    val server = startServer(readTimeoutMs = 400L)
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=c5s&group=g5s&topic=t").statusCode() == 200)
+      // keep probing status under the timeout for > timeout total
+      (1 to 4).foreach { _ =>
+        Thread.sleep(150L)
+        assert(get(base, "/status?consumerId=c5s").statusCode() == 200)
+      }
+      val code = send(base, "POST", "/v1/consumer/poll?consumerId=c5s").statusCode()
+      assert(code == 200 || code == 204, s"status-refreshed consumer was evicted: $code")
+    } finally server.stop()
+  }
+
   test("eviction drops the staged page: the group re-reads it, never skips it") {
     val server = startServer(readTimeoutMs = 250L)
     val base = s"http://localhost:${server.boundPort}"

@@ -97,6 +97,60 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pos_gram_hashes equals the transform/slice/concat_ws composition") {
+    import org.apache.spark.sql.functions._
+    val docs = Graft.table(spark, sf, "documents")
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.pos_gram_hashes(col("text"), 8).as("hs"))
+    val viaBuiltins = docs
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 8,
+          expr("transform(sequence(0, size(toks)-8), i -> murmur3_token(concat_ws(' ', slice(toks, i+1, 8))))"))
+          .otherwise(expr("CAST(array() AS array<long>)")).as("hs"))
+    graft.functions.registerAll(spark)
+    val a = viaExpr.collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val b = viaBuiltins.collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(a == b, "codegen'd positional grams must be bit-identical to the composition")
+  }
+
+  test("q90: merged incremental pre-aggregates equal the direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val merged = q("q90_incremental_agg").collect().map(_.toSeq)
+    val direct = Graft.table(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("first_order"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("last_order"))
+      .orderBy("o_custkey").collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("q91: z-order buckets bound both dimensions' envelopes") {
+    val rows = q("q91_zorder_layout").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Graft.table(spark, sf, "orders").count())
+    rows.foreach { r =>
+      // top 6 z bits pin the top 3 bits of EACH 16-bit dimension, so a
+      // bucket's envelope spans < 2^13 in both x and y — the 2-D locality
+      // that makes min/max file stats prune under either predicate
+      assert(r.getAs[Long]("max_cust") - r.getAs[Long]("min_cust") <= 8191L)
+      assert(r.getAs[Long]("max_price") - r.getAs[Long]("min_price") <= 8191L)
+    }
+  }
+
+  test("q92: per-stratum sample keeps k per source, deterministically") {
+    val r1 = q("q92_stratified_priority").collect()
+    val r2 = q("q92_stratified_priority").collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    r1.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("q89: count-min estimates never undercount") {
     val rows = q("q89_count_min").collect()
     assert(rows.length == 10)
