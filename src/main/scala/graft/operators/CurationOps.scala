@@ -321,12 +321,71 @@ object CurationOps {
        |  array_to_string(chunk, ' ') AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Sequence-length bucketing — the batching-efficiency report behind
+    * dynamic batching / bucketed samplers: docs grouped into power-of-2
+    * token-length buckets per source, with the padded-token cost of
+    * batching each bucket to its ceiling vs the corpus-max baseline.
+    * The bucket rule is an integer CASE chain (no log2 — engines don't
+    * guarantee identical floating log bits at power boundaries), the
+    * waste ratio is integer basis points, and the whole query is one
+    * map-side-combined group-by: linear, shuffle-light, exact at any
+    * scale.
+    */
+  val q95: Q = (s, d) => {
+    val lens = docs(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tokens"))
+    val cap = when(col("tokens") <= 16, 16L)
+      .when(col("tokens") <= 32, 32L)
+      .when(col("tokens") <= 64, 64L)
+      .when(col("tokens") <= 128, 128L)
+      .when(col("tokens") <= 256, 256L)
+      .when(col("tokens") <= 512, 512L)
+      .when(col("tokens") <= 1024, 1024L)
+      .when(col("tokens") <= 2048, 2048L)
+      .otherwise(4096L)
+    lens.withColumn("bucket_cap", cap)
+      .groupBy(col("source"), col("bucket_cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        max(col("tokens")).as("max_tokens"))
+      .withColumn("padded_tokens", col("bucket_cap") * col("n_docs"))
+      .withColumn("waste_bp",
+        expr("((padded_tokens - sum_tokens) * 10000) div padded_tokens"))
+      .orderBy("source", "bucket_cap")
+  }
+
+  val q95Sql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT source,
+      |    CASE WHEN tokens <= 16 THEN 16 WHEN tokens <= 32 THEN 32
+      |         WHEN tokens <= 64 THEN 64 WHEN tokens <= 128 THEN 128
+      |         WHEN tokens <= 256 THEN 256 WHEN tokens <= 512 THEN 512
+      |         WHEN tokens <= 1024 THEN 1024 WHEN tokens <= 2048 THEN 2048
+      |         ELSE 4096 END AS bucket_cap,
+      |    tokens
+      |  FROM t),
+      |g AS (
+      |  SELECT source, CAST(bucket_cap AS BIGINT) AS bucket_cap,
+      |    COUNT(*) AS n_docs, SUM(tokens) AS sum_tokens, MAX(tokens) AS max_tokens
+      |  FROM b GROUP BY 1, 2)
+      |SELECT source, bucket_cap, n_docs, CAST(sum_tokens AS BIGINT) AS sum_tokens,
+      |  max_tokens, bucket_cap * n_docs AS padded_tokens,
+      |  CAST(((bucket_cap * n_docs - CAST(sum_tokens AS BIGINT)) * 10000)
+      |    // (bucket_cap * n_docs) AS BIGINT) AS waste_bp
+      |FROM g ORDER BY source, bucket_cap""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q54_pii_redact", q54, Some(q54Sql)),
     ("q55_seq_pack", q55, Some(q55Sql)),
     ("q56_boilerplate", q56, Some(q56Sql)),
     ("q57_mix_sample", q57, Some(q57Sql)),
     ("q60_shard_shuffle", q60, Some(q60Sql)),
-    ("q71_chunk_overlap", q71, Some(q71Sql))
+    ("q71_chunk_overlap", q71, Some(q71Sql)),
+    ("q95_length_buckets", q95, Some(q95Sql))
   )
 }

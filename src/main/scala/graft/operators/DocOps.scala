@@ -863,6 +863,65 @@ object DocOps {
       |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Corpus diversity report — distinct-1 / distinct-2 (the n-gram
+    * diversity metrics from the text-generation literature) per source:
+    * total tokens, distinct unigrams/bigrams, and type-token ratios.
+    * Two map-side-combined aggregations over exploded grams (distinct
+    * counting shuffles gram-keyed partials, never rows); bigrams are
+    * derived array-side with zip_with — no window, no per-doc shuffle.
+    * Ratios are integer basis points, so the gate is exact; both
+    * engines' zip of a list with its own tail pads the last pair with
+    * NULL and a NULL-propagating concat drops it from the distinct
+    * count identically.
+    */
+  val q97: Q = (s, d) => {
+    val base = docs(s, d)
+      .select(col("source"), split(lower(col("text")), " ").as("s"))
+      .withColumn("bigrams",
+        zip_with(col("s"), slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))
+    val uni = base.select(col("source"), explode(col("s")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("distinct_unigrams"))
+    val bi = base.select(col("source"), explode(col("bigrams")).as("bg"))
+      .where(col("bg").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_bigrams"),
+        countDistinct(col("bg")).as("distinct_bigrams"))
+    uni.join(bi, "source")
+      .select(col("source"), col("total_tokens"), col("distinct_unigrams"),
+        col("total_bigrams"), col("distinct_bigrams"),
+        expr("(distinct_unigrams * 10000) div total_tokens").as("ttr1_bp"),
+        when(col("total_bigrams") > 0,
+          expr("(distinct_bigrams * 10000) div total_bigrams")).otherwise(lit(0L))
+          .as("ttr2_bp"))
+      .orderBy("source")
+  }
+
+  val q97Sql: String =
+    """WITH t AS (
+      |  SELECT source, string_split(lower(text), ' ') AS s FROM documents),
+      |u AS (SELECT source, unnest(s) AS tok FROM t),
+      |uni AS (
+      |  SELECT source, COUNT(*) AS total_tokens,
+      |    COUNT(DISTINCT tok) AS distinct_unigrams
+      |  FROM u GROUP BY 1),
+      |bt AS (
+      |  SELECT source,
+      |    unnest(list_transform(list_zip(s, s[2:]), x -> x[1] || ' ' || x[2])) AS bg
+      |  FROM t),
+      |bi AS (
+      |  SELECT source, COUNT(*) AS total_bigrams,
+      |    COUNT(DISTINCT bg) AS distinct_bigrams
+      |  FROM bt WHERE bg IS NOT NULL GROUP BY 1)
+      |SELECT source, total_tokens, distinct_unigrams, total_bigrams, distinct_bigrams,
+      |  (distinct_unigrams * 10000) // total_tokens AS ttr1_bp,
+      |  CAST(CASE WHEN total_bigrams > 0
+      |    THEN (distinct_bigrams * 10000) // total_bigrams ELSE 0 END AS BIGINT) AS ttr2_bp
+      |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
@@ -879,6 +938,7 @@ object DocOps {
     ("q59_decontam_bloom", q59, Some(q52Sql)),
     ("q62_importance_resample", q62, Some(q62Sql)),
     ("q75_lm_perplexity", q75, Some(q75Sql)),
-    ("q82_typed_pipeline", q82, Some(q82Sql))
+    ("q82_typed_pipeline", q82, Some(q82Sql)),
+    ("q97_corpus_diversity", q97, Some(q97Sql))
   )
 }

@@ -308,6 +308,52 @@ object EmbeddingOps {
       |SELECT q_id, vec_id, rk, round(sim, 6) AS sim
       |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Hard-negative mining for contrastive training — for each anchor in
+    * a query batch, the top-5 most-similar vectors whose LABEL DIFFERS
+    * (the near-miss negatives that make embedding models learn; random
+    * negatives are too easy). Exact shape: the anchor batch broadcasts
+    * against one corpus scan — linear and embarrassingly parallel, the
+    * right plan for a training-batch-sized anchor set at any corpus
+    * size; when the anchor set itself is corpus-scale, the q63
+    * bucket-equality candidates feed this same different-label gate.
+    */
+  val q98: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = emb(s, d).filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("label").as("a_label"))
+    emb(s, d).filter(col("vec_id") >= 10L)
+      .crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("a_label"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("a_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("a_id"), col("rk"), col("vec_id"), col("label"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("a_id", "rk")
+  }
+
+  val q98Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id AS a_id, embedding AS ae, label AS a_label,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS an
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT a.a_id, c.vec_id, c.label,
+      |    list_sum(list_transform(list_zip(c.embedding, a.ae),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * a.an) AS sim
+      |  FROM embeddings c, a
+      |  WHERE c.vec_id >= 10 AND c.label <> a.a_label),
+      |r AS (
+      |  SELECT a_id, vec_id, label, sim,
+      |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS INT) AS rk
+      |  FROM s)
+      |SELECT a_id, rk, vec_id, label, round(sim, 6) AS sim
+      |FROM r WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- q74
   /** IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011) — the memory-bounded ANN shape 100 TB actually
@@ -494,6 +540,7 @@ object EmbeddingOps {
     ("q47_ann_ivf", q47, Some(q47Sql)),
     ("q61_semdedup", q61, Some(q61Sql)),
     ("q63_batch_ann", q63, Some(q63Sql)),
-    ("q74_ann_ivfpq", q74, Some(q74Sql))
+    ("q74_ann_ivfpq", q74, Some(q74Sql)),
+    ("q98_hard_negatives", q98, Some(q98Sql))
   )
 }

@@ -338,12 +338,71 @@ object Pipeline {
        |SELECT source_x, source_y, count(*) AS n_pairs
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Near-dup graph shape report: triangle count, open triads, and the
+    * global clustering coefficient — the one-row QA readout that tells a
+    * dedup team whether its pair set is transitive clusters (template
+    * farms → coefficient near 1) or chains of borderline matches
+    * (threshold too loose → near 0). Triangles are the standard
+    * edge-edge join closed by a semi join against the (a<b)-canonical
+    * pair set: two shuffles over an edge set that is near-dup-pairs
+    * sized, never corpus-sized; triads are a per-vertex degree
+    * aggregate. All integers; the coefficient is emitted in basis points
+    * via integer division so the gate stays exact.
+    */
+  val q96: Q = (s, d) => {
+    // verifiedPairs is memoized + checkpointed (shared with q20/q50/q51/
+    // q77/q83), so the three uses below re-read a materialized edge set
+    val pairs = DocOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // wedge a<b<c (one per candidate triangle, since pairs are
+    // (a<b)-canonical), closed iff (a,c) is itself a pair
+    val triangles = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e2.doc_b").as("c"))
+      .join(pairs, col("a") === col("doc_a") && col("c") === col("doc_b"), "left_semi")
+      .count()
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    deg
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("(deg * (deg - 1)) div 2")).as("triads"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      .withColumn("triangles", lit(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("triads"), col("triangles"),
+        when(col("triads") > 0,
+          expr("(triangles * 3 * 10000) div triads")).otherwise(lit(0L))
+          .as("clustering_bp"))
+  }
+
+  val q96Sql: String =
+    s"""WITH ${DocOps.jaccardPairsCtes},
+       |p AS (SELECT doc_a, doc_b FROM jpairs),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |deg AS (SELECT doc_a, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |tri AS (
+       |  SELECT COUNT(*) AS triangles
+       |  FROM p e1 JOIN p e2 ON e1.doc_b = e2.doc_a
+       |  WHERE EXISTS (SELECT 1 FROM p WHERE p.doc_a = e1.doc_a AND p.doc_b = e2.doc_b)),
+       |st AS (
+       |  SELECT COUNT(*) AS n_nodes, SUM(deg * (deg - 1) // 2) AS triads FROM deg)
+       |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  (SELECT COUNT(*) FROM p) AS n_edges,
+       |  CAST(triads AS BIGINT) AS triads,
+       |  CAST(triangles AS BIGINT) AS triangles,
+       |  CAST(CASE WHEN triads > 0 THEN triangles * 3 * 10000 // triads ELSE 0 END AS BIGINT) AS clustering_bp
+       |FROM st, tri""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
     ("q51_corpus_filter", q51, Some(q51Sql)),
     ("q58_canonicalize", q58, Some(q58Sql)),
     ("q77_pagerank", q77, Some(q77Sql)),
-    ("q83_source_contamination", q83, Some(q83Sql))
+    ("q83_source_contamination", q83, Some(q83Sql)),
+    ("q96_dup_graph_shape", q96, Some(q96Sql))
   )
 }

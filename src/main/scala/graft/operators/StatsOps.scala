@@ -522,6 +522,113 @@ object StatsOps {
        |SELECT source, rk, doc_id, w FROM r WHERE rk <= $StratumK
        |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Point-in-time (temporal) join — the feature-store correctness
+    * primitive: each lineitem shipment is enriched with the customer's
+    * SCD-2 order-history version (q85's dimension) that was valid AT
+    * SHIP TIME, never a later one (no training-label leakage). The join
+    * is an equality join on the dimension key with the interval
+    * predicate `valid_from <= ts < valid_to` evaluated inside it — at
+    * 100 TB this shuffles both sides once on custkey and the per-key
+    * interval list is versions-per-customer-sized, so the probe stays
+    * local and bounded. The report groups by whether the valid version
+    * IS the shipment's own order (a customer who re-ordered before the
+    * shipment left has a newer version by then) — integer counts +
+    * decimal revenue, hash-exact.
+    */
+  val q93: Q = (s, d) => {
+    val w = Window.partitionBy(col("d_custkey"))
+      .orderBy(col("valid_from"), col("d_orderkey"))
+    val dim = Graft.table(s, d, "orders")
+      .select(col("o_custkey").as("d_custkey"), col("o_orderkey").as("d_orderkey"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val fact = Graft.table(s, d, "lineitem")
+      .join(Graft.table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_custkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_returnflag"))
+    fact
+      .join(dim,
+        col("o_custkey") === col("d_custkey") &&
+          col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(
+        (col("d_orderkey") === col("l_orderkey")).as("own_version"),
+        col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec30(col("l_extendedprice"))).cast("double").as("revenue"),
+        avg(col("version").cast("double")).as("avg_version"))
+      .orderBy("own_version", "l_returnflag")
+  }
+
+  val q93Sql: String =
+    """WITH dim AS (
+      |  SELECT o_custkey AS d_custkey, o_orderkey AS d_orderkey,
+      |    o_orderdate AS valid_from,
+      |    CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |    LEAD(o_orderdate, 1) OVER w AS valid_to
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |fact AS (
+      |  SELECT l.l_orderkey, o.o_custkey, l.l_shipdate, l.l_extendedprice, l.l_returnflag
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |pit AS (
+      |  SELECT f.*, d.d_orderkey, d.version
+      |  FROM fact f JOIN dim d
+      |    ON f.o_custkey = d.d_custkey
+      |   AND d.valid_from <= f.l_shipdate
+      |   AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to))
+      |SELECT d_orderkey = l_orderkey AS own_version, l_returnflag,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  AVG(CAST(version AS DOUBLE)) AS avg_version
+      |FROM pit GROUP BY 1, 2 ORDER BY own_version, l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** Equi-width histogram with per-bucket stats — the distribution
+    * profile a curation dashboard draws per numeric column. Two linear
+    * passes: a min/max aggregate (metadata-sized, broadcast back) and
+    * one map-side-combined group-by on the bucket ordinal — no sort, no
+    * window, survives any scale. The bucket ordinal is the same double
+    * expression tree on both engines ((v-mn)*B/(mx-mn), correctly
+    * rounded op-for-op), so assignment is bit-identical; sums pass
+    * through exact decimals. Equi-DEPTH boundaries at 100 TB come from
+    * q42's percentiles feeding this same assignment — the width variant
+    * is the one with a closed-form, engine-exact bucket rule.
+    */
+  private val HistB = 32
+
+  val q94: Q = (s, d) => {
+    val li = Graft.table(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+    val bounds = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(HistB - 1),
+          floor((col("v") - col("mn")) * lit(HistB.toDouble) / (col("mx") - col("mn")))))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec30(col("v"))).cast("double").as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("bucket")
+  }
+
+  val q94Sql: String =
+    s"""WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem),
+       |a AS (
+       |  SELECT least($HistB - 1,
+       |    CAST(floor((l_extendedprice - mn) * $HistB.0 / (mx - mn)) AS BIGINT)) AS bucket,
+       |    l_extendedprice AS v
+       |  FROM lineitem, b)
+       |SELECT bucket, COUNT(*) AS n,
+       |  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+       |  MIN(v) AS min_v, MAX(v) AS max_v
+       |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q84_stats_moments", q84, Some(q84Sql)),
     ("q85_scd2_dim", q85, Some(q85Sql)),
@@ -531,5 +638,7 @@ object StatsOps {
     ("q89_count_min", q89, Some(q89Sql)),
     ("q90_incremental_agg", q90, Some(q90Sql)),
     ("q91_zorder_layout", q91, Some(q91Sql)),
-    ("q92_stratified_priority", q92, Some(q92Sql)))
+    ("q92_stratified_priority", q92, Some(q92Sql)),
+    ("q93_pit_join", q93, Some(q93Sql)),
+    ("q94_histogram", q94, Some(q94Sql)))
 }
