@@ -51,20 +51,28 @@ object RetrievalOps {
   private val bmK1 = 1.2
   private val bmB = 0.75
 
+  /** Array-side term filter: keeps only query terms before the explode. */
+  private def queryTermsOnly(s: org.apache.spark.sql.Column) =
+    filter(s, t => t.isInCollection(bmTerms))
+
   val q65: Q = (s, d) => {
     val dd = docs(s, d)
+    val base = dd.select(col("doc_id"), split(lower(col("text")), " ").as("s"))
     // corpus stats: two exact ints -> exact doubles (model metadata, the
     // q62 centroid/ratio pattern — never a per-row recompute)
-    val Array(nDocs, dlSum) = dd
-      .select(count(lit(1)), sum(size(split(lower(col("text")), " ")).cast("long")))
+    val Array(nDocs, dlSum) = base
+      .select(count(lit(1)), sum(size(col("s")).cast("long")))
       .collect().head.toSeq.map(_.asInstanceOf[Long].toDouble).toArray
     val avgdl = dlSum / nDocs
 
-    val toks = dd.select(
+    // filter to query terms ARRAY-SIDE (codegen lambda), then explode
+    // only the survivors: exploding the full token stream first
+    // materializes corpus-tokens rows to discard ~all of them — measured
+    // 4x on this query at sf0.1
+    val toks = base.select(
         col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("dl"),
-        explode(split(lower(col("text")), " ")).as("t"))
-      .where(col("t").isin(bmTerms: _*))
+        size(col("s")).cast("long").as("dl"),
+        explode(queryTermsOnly(col("s"))).as("t"))
     val tf = toks.groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
