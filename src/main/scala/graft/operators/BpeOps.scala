@@ -1,0 +1,131 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the merge-rule
+  * learning loop every modern tokenizer is built from, re-expressed
+  * Spark-first and put under the exact DuckDB oracle gate.
+  *
+  * Shape (the 100 TB story): real BPE never iterates over the corpus — it
+  * iterates over the WORD-FREQUENCY table, which is vocabulary-sized
+  * (metadata next to a 100 TB corpus). So the only corpus-scale work is
+  * ONE token-count aggregation (map-side combined); each of the K merge
+  * iterations is then a pair-count aggregation + argmax + symbol rewrite
+  * over ~|vocab| rows, with the winning pair collected driver-side as
+  * model metadata exactly like q47's k-means centroids. K jobs of
+  * vocabulary-sized work — seconds at any corpus size.
+  *
+  * Exactness: pair counts are integer sums of integer word frequencies;
+  * the argmax tiebreak is (count DESC, left ASC, right ASC); the merge
+  * rewrite is a literal (non-regex) replace-all over a wrapped symbol
+  * encoding `(sym)(sym)...` in which adjacent matches share no characters,
+  * so both engines' left-to-right non-overlapping replace produce the
+  * identical greedy-leftmost BPE application (the classic ` a b ` spaced
+  * form is WRONG under replace-all: adjacent pairs share the boundary
+  * space and the second occurrence is silently skipped).
+  */
+object BpeOps {
+  import Relational.Q
+
+  private[graft] val BpeIters = 8
+
+  /** Lowercase alphabetic word-frequency table (the BPE training input;
+    * non-alphabetic tokens carry punctuation/digits real BPE setups
+    * byte-fallback around). Vocabulary-sized.
+    */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    DocOps.docs(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** `(c)(h)(a)(r)` wrapped-symbol encoding of a word. */
+  private def wrapped(w: Column): Column =
+    concat(lit("("),
+      concat_ws(")(", filter(split(w, ""), c => c =!= lit(""))),
+      lit(")"))
+
+  /** Symbols of a wrapped string, as an array. */
+  private def symsOf(spaced: Column): Column =
+    split(regexp_replace(spaced, "^\\(|\\)$", ""), "\\)\\(")
+
+  val q99: Q = (s, d) => {
+    val v0 = vocab(s, d)
+      .select(wrapped(col("w")).as("spaced"), col("cnt"))
+      .cache()
+    val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var cur = v0
+    var dry = false
+    for (i <- 1 to BpeIters if !dry) {
+      val syms = symsOf(col("spaced"))
+      val pairs = cur
+        .select(col("cnt"),
+          explode(zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .where(col("p.r").isNotNull)
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, l + r, c))
+        cur = cur.withColumn("spaced",
+          replace(col("spaced"), lit(s"($l)($r)"), lit(s"($l$r)")))
+      }
+    }
+    v0.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("iter")
+  }
+
+  /** The oracle unrolls the same K iterations as chained CTEs over the
+    * identically-derived word-frequency table: pair counting via an index
+    * explode (`syms[i], syms[i+1]`), the same (count, left, right) argmax,
+    * and the same wrapped-encoding literal replace. Every chain CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default and s_k references
+    * s_{k-1} twice, so the inlined expression tree (and its parquet
+    * opens) would grow 2^K-fold.
+    */
+  val q99Sql: String = {
+    val iters = (1 to BpeIters).map { k =>
+      s"""t$k AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
+         |  FROM (
+         |    SELECT string_split(spaced[2:len(spaced) - 1], ')(') AS syms, cnt,
+         |      unnest(range(1, len(string_split(spaced[2:len(spaced) - 1], ')(')))) AS i
+         |    FROM s${k - 1})
+         |  GROUP BY 1, 2
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT replace(spaced,
+         |    '(' || (SELECT l FROM t$k) || ')(' || (SELECT r FROM t$k) || ')',
+         |    '(' || (SELECT l FROM t$k) || (SELECT r FROM t$k) || ')') AS spaced, cnt
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeIters)
+      .map(k => s"SELECT $k AS iter, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT '(' || array_to_string(
+       |      list_transform(range(1, len(w) + 1), i -> w[i:i]), ')(') || ')' AS spaced,
+       |    cnt
+       |  FROM v),
+       |$iters
+       |SELECT CAST(iter AS INT) AS iter, lhs, rhs, merged, pair_count FROM (
+       |$out)
+       |ORDER BY iter""".stripMargin
+  }
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q99_bpe_merges", q99, Some(q99Sql)))
+}
