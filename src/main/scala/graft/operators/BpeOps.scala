@@ -53,34 +53,48 @@ object BpeOps {
   private def symsOf(spaced: Column): Column =
     split(regexp_replace(spaced, "^\\(|\\)$", ""), "\\)\\(")
 
-  val q99: Q = (s, d) => {
-    val v0 = vocab(s, d)
-      .select(wrapped(col("w")).as("spaced"), col("cnt"))
-      .cache()
-    val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var cur = v0
-    var dry = false
-    for (i <- 1 to BpeIters if !dry) {
-      val syms = symsOf(col("spaced"))
-      val pairs = cur
-        .select(col("cnt"),
-          explode(zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .where(col("p.r").isNotNull)
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-      val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) dry = true
-      else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((i, l, r, l + r, c))
-        cur = cur.withColumn("spaced",
-          replace(col("spaced"), lit(s"($l)($r)"), lit(s"($l$r)")))
+  private val mergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Seq[(Int, String, String, String, Long)]]
+
+  /** Run the K-iteration merge-learning loop (memoized per (session,
+    * scale): q99 emits the rules, q100 applies them — the pipeline runs
+    * once, like the shared near-dup pair set).
+    */
+  private[graft] def learnMerges(
+      s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] =
+    DocOps.Memo.get(mergesMemo, s, d) {
+      val v0 = vocab(s, d)
+        .select(wrapped(col("w")).as("spaced"), col("cnt"))
+        .cache()
+      val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var cur = v0
+      var dry = false
+      for (i <- 1 to BpeIters if !dry) {
+        val syms = symsOf(col("spaced"))
+        val pairs = cur
+          .select(col("cnt"),
+            explode(zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .where(col("p.r").isNotNull)
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+        val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((i, l, r, l + r, c))
+          cur = cur.withColumn("spaced",
+            replace(col("spaced"), lit(s"($l)($r)"), lit(s"($l$r)")))
+        }
       }
+      v0.unpersist()
+      merges.toSeq
     }
-    v0.unpersist()
+
+  val q99: Q = (s, d) => {
     import s.implicits._
-    merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "pair_count")
+    learnMerges(s, d).toDF("iter", "lhs", "rhs", "merged", "pair_count")
       .orderBy("iter")
   }
 
@@ -126,6 +140,68 @@ object BpeOps {
        |ORDER BY iter""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q100
+  /** BPE encode + compression report — apply the learned merge rules to
+    * the whole corpus and report, per source, how much shorter the symbol
+    * sequences got (the metric a tokenizer team watches when sizing a
+    * merge budget). The apply path is the 100 TB-relevant half of BPE:
+    * the rules are driver-held model metadata (like q47's centroids) and
+    * the application is K literal replaces inside one codegen'd
+    * projection — linear, shuffle only for the final per-source sums.
+    * Symbol counts are integers ((len - len(without '(')) counts wrapped
+    * symbols), so the gate is exact.
+    */
+  val q100: Q = (s, d) => {
+    val merges = learnMerges(s, d)
+    val toks = DocOps.docs(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .withColumn("spaced", wrapped(col("w")))
+    val applied = merges.foldLeft(col("spaced")) { case (c, (_, l, r, _, _)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    toks
+      .withColumn("ap", applied)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("symbols_before"),
+        sum((length(col("ap")) - length(replace(col("ap"), lit("("), lit(""))))
+          .cast("long")).as("symbols_after"))
+      .withColumn("compression_bp",
+        expr("((symbols_before - symbols_after) * 10000) div symbols_before"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the q99 chain re-derives the merge rules, then one applied
+    * stage folds the same K replaces over the corpus tokens.
+    */
+  val q100Sql: String = {
+    val applied = (1 to BpeIters).foldLeft("spaced") { (acc, k) =>
+      s"""replace($acc,
+         |      '(' || (SELECT l FROM t$k) || ')(' || (SELECT r FROM t$k) || ')',
+         |      '(' || (SELECT l FROM t$k) || (SELECT r FROM t$k) || ')')""".stripMargin
+    }
+    val chain = q99Sql.substring(q99Sql.indexOf("WITH ") + 5, q99Sql.lastIndexOf("SELECT CAST(iter"))
+      .trim.stripSuffix(",")
+    s"""WITH $chain,
+       |ct AS (
+       |  SELECT source, w,
+       |    '(' || array_to_string(
+       |      list_transform(range(1, len(w) + 1), i -> w[i:i]), ')(') || ')' AS spaced
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')),
+       |ap AS (
+       |  SELECT source, w, $applied AS ap FROM ct)
+       |SELECT source, COUNT(*) AS n_words,
+       |  CAST(SUM(len(w)) AS BIGINT) AS symbols_before,
+       |  CAST(SUM(len(ap) - len(replace(ap, '(', ''))) AS BIGINT) AS symbols_after,
+       |  CAST(((CAST(SUM(len(w)) AS BIGINT) - CAST(SUM(len(ap) - len(replace(ap, '(', ''))) AS BIGINT)) * 10000)
+       |    // CAST(SUM(len(w)) AS BIGINT) AS BIGINT) AS compression_bp
+       |FROM ap GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
-    ("q99_bpe_merges", q99, Some(q99Sql)))
+    ("q99_bpe_merges", q99, Some(q99Sql)),
+    ("q100_bpe_encode", q100, Some(q100Sql)))
 }
