@@ -876,21 +876,31 @@ object DocOps {
     * count identically.
     */
   val q97: Q = (s, d) => {
+    // ONE scan + ONE explode of k-tagged grams, then a two-level
+    // aggregation: gram-keyed counts (map-side combined) feed a
+    // source-sized rollup where "distinct" is just a row count per tag.
+    // Two conditional countDistincts in one wide agg would re-trigger the
+    // q87 Expand trap; two separate scans double the split/explode cost.
     val base = docs(s, d)
       .select(col("source"), split(lower(col("text")), " ").as("s"))
       .withColumn("bigrams",
         zip_with(col("s"), slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b)))
-    val uni = base.select(col("source"), explode(col("s")).as("tok"))
+    val tagged = base
+      .select(col("source"), explode(concat(
+        transform(col("s"), t => struct(lit(0).as("k"), t.as("g"))),
+        transform(col("bigrams"), b => struct(lit(1).as("k"), b.as("g"))))).as("x"))
+      .select(col("source"), col("x.k").as("k"), col("x.g").as("g"))
+      .where(col("g").isNotNull) // zip_with pads the last bigram with null
+    tagged
+      .groupBy(col("source"), col("k"), col("g"))
+      .agg(count(lit(1)).as("n"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("total_tokens"),
-        countDistinct(col("tok")).as("distinct_unigrams"))
-    val bi = base.select(col("source"), explode(col("bigrams")).as("bg"))
-      .where(col("bg").isNotNull)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("total_bigrams"),
-        countDistinct(col("bg")).as("distinct_bigrams"))
-    uni.join(bi, "source")
+      .agg(
+        sum(when(col("k") === 0, col("n"))).as("total_tokens"),
+        sum(when(col("k") === 0, 1L)).as("distinct_unigrams"),
+        sum(when(col("k") === 1, col("n"))).as("total_bigrams"),
+        sum(when(col("k") === 1, 1L)).as("distinct_bigrams"))
       .select(col("source"), col("total_tokens"), col("distinct_unigrams"),
         col("total_bigrams"), col("distinct_bigrams"),
         expr("(distinct_unigrams * 10000) div total_tokens").as("ttr1_bp"),
