@@ -25,7 +25,8 @@ object Bench {
     // measured against a fresh broker JVM — after the 90-query analytics
     // phase the heap carries pinned memo checkpoints, shuffle files and
     // fragmentation that throttle the bandwidth-bound write path
-    // (measured 104k msgs/s after the query loop vs 194k clean)
+    // (measured 104k msgs/s after the query loop vs 194-402k clean —
+    // the same figures README's reproducibility notes cite)
     val (prodRate, pollRate, streamRate) =
       if (only.forall(_.contains("ingest")))
         try ingestBench(spark, sfDir)
@@ -148,13 +149,10 @@ object Bench {
   private def ingestBench(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     sweepStaleBenchRoots()
-    // drop the query phase's leftovers (q20/q50 memoized pair sets,
-    // localCheckpoint blocks, dead broadcasts): the ingest phase measures
-    // the engine against a fresh broker, not against another workload's
-    // pinned caches — measured 5x produce-rate skew from a full old gen
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    System.gc()
+    // the ingest phase runs FIRST in a full bench (fresh broker JVM):
+    // running it after the analytics loop measured half the clean rate
+    // (pinned memo checkpoints + heap fragmentation on a
+    // bandwidth-constrained host)
     val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
     // 12-broker ring: 48 partitions ~ local[32] (the reference scales the
     // same way — "partitions = brokers x consumer_ranges")
@@ -197,8 +195,7 @@ object Bench {
     // write path's JIT/codegen (murmur+ring routing, window offsets,
     // dynamic-partition parquet writer, commit bookkeeping) compiles
     // before the timer — the reference benchmark tool warms up the same
-    // way, and the 60 analytics queries that precede this in a full run
-    // never touch the write path.
+    // way, and this phase runs on a fresh JVM with nothing pre-compiled.
     val warm = staged.limit(50000)
     store.produce("bench_warm", warm)
     store.registry.register("gw", "cw", Seq("bench_warm"), store.StartFrom.Earliest)

@@ -84,10 +84,20 @@ object BpeOps {
         else {
           val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((i, l, r, l + r, c))
+          // re-cache each round (q50/q77's lineage discipline): without it
+          // round k's pair job re-evaluates all k-1 prior replaces from
+          // v0 — O(K^2) projection work if K is ever raised. Materialize
+          // the new cache BEFORE dropping the previous one, or the next
+          // job recomputes through the dropped layer and the chain
+          // collapses back to v0.
+          val prev = cur
           cur = cur.withColumn("spaced",
-            replace(col("spaced"), lit(s"($l)($r)"), lit(s"($l$r)")))
+            replace(col("spaced"), lit(s"($l)($r)"), lit(s"($l$r)"))).cache()
+          cur.count()
+          if (prev ne v0) prev.unpersist()
         }
       }
+      if (cur ne v0) cur.unpersist()
       v0.unpersist()
       merges.toSeq
     }
@@ -106,7 +116,14 @@ object BpeOps {
     * s_{k-1} twice, so the inlined expression tree (and its parquet
     * opens) would grow 2^K-fold.
     */
-  val q99Sql: String = {
+  /** Wrapped-encoding seed expression shared by the chain (vocab) and the
+    * corpus-apply stage.
+    */
+  private val wrapSql =
+    "'(' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), ')(') || ')'"
+
+  /** The shared CTE chain (v, s0, t1..tK, s1..sK) both oracles build on. */
+  private val chainSql: String = {
     val iters = (1 to BpeIters).map { k =>
       s"""t$k AS MATERIALIZED (
          |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
@@ -122,19 +139,21 @@ object BpeOps {
          |    '(' || (SELECT l FROM t$k) || (SELECT r FROM t$k) || ')') AS spaced, cnt
          |  FROM s${k - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeIters)
-      .map(k => s"SELECT $k AS iter, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM t$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
        |s0 AS MATERIALIZED (
-       |  SELECT '(' || array_to_string(
-       |      list_transform(range(1, len(w) + 1), i -> w[i:i]), ')(') || ')' AS spaced,
-       |    cnt
+       |  SELECT $wrapSql AS spaced, cnt
        |  FROM v),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val q99Sql: String = {
+    val out = (1 to BpeIters)
+      .map(k => s"SELECT $k AS iter, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $chainSql
        |SELECT CAST(iter AS INT) AS iter, lhs, rhs, merged, pair_count FROM (
        |$out)
        |ORDER BY iter""".stripMargin
@@ -177,22 +196,26 @@ object BpeOps {
     * stage folds the same K replaces over the corpus tokens.
     */
   val q100Sql: String = {
-    val applied = (1 to BpeIters).foldLeft("spaced") { (acc, k) =>
-      s"""replace($acc,
+    // one MATERIALIZED CTE per merge stage (a single nested expression of
+    // 8 guarded replaces exceeded DuckDB's logical-planner tree depth),
+    // each guarded against a dry iteration (t_k empty before K merges
+    // exist): an unguarded replace(ap, NULL, NULL) would NULL every row,
+    // while the Spark side applies only the learned prefix of merges
+    val stages = (1 to BpeIters).map { k =>
+      s"""ap$k AS MATERIALIZED (
+         |  SELECT source, w,
+         |    CASE WHEN (SELECT COUNT(*) FROM t$k) = 0 THEN ap ELSE replace(ap,
          |      '(' || (SELECT l FROM t$k) || ')(' || (SELECT r FROM t$k) || ')',
-         |      '(' || (SELECT l FROM t$k) || (SELECT r FROM t$k) || ')')""".stripMargin
-    }
-    val chain = q99Sql.substring(q99Sql.indexOf("WITH ") + 5, q99Sql.lastIndexOf("SELECT CAST(iter"))
-      .trim.stripSuffix(",")
-    s"""WITH $chain,
-       |ct AS (
-       |  SELECT source, w,
-       |    '(' || array_to_string(
-       |      list_transform(range(1, len(w) + 1), i -> w[i:i]), ')(') || ')' AS spaced
+         |      '(' || (SELECT l FROM t$k) || (SELECT r FROM t$k) || ')') END AS ap
+         |  FROM ap${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $chainSql,
+       |ap0 AS MATERIALIZED (
+       |  SELECT source, w, $wrapSql AS ap
        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$')),
-       |ap AS (
-       |  SELECT source, w, $applied AS ap FROM ct)
+       |$stages,
+       |ap AS (SELECT source, w, ap FROM ap$BpeIters)
        |SELECT source, COUNT(*) AS n_words,
        |  CAST(SUM(len(w)) AS BIGINT) AS symbols_before,
        |  CAST(SUM(len(ap) - len(replace(ap, '(', ''))) AS BIGINT) AS symbols_after,

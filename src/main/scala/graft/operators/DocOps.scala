@@ -901,6 +901,9 @@ object DocOps {
         sum(when(col("k") === 0, 1L)).as("distinct_unigrams"),
         sum(when(col("k") === 1, col("n"))).as("total_bigrams"),
         sum(when(col("k") === 1, 1L)).as("distinct_bigrams"))
+      // a source whose every doc is single-token has no bigram rows: the
+      // oracle's inner join drops it, so the aggregate path must too
+      .where(col("total_bigrams").isNotNull)
       .select(col("source"), col("total_tokens"), col("distinct_unigrams"),
         col("total_bigrams"), col("distinct_bigrams"),
         expr("(distinct_unigrams * 10000) div total_tokens").as("ttr1_bp"),
