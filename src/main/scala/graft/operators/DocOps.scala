@@ -763,19 +763,24 @@ object DocOps {
     * like q62's log-ratio weights.
     */
   val q75: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs(s, d).select(
-        col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
-      .where(col("w") =!= "")
+    // bigrams derived ARRAY-SIDE (zip_with of the filtered token array
+    // with its own tail, q97's trick): the lead()-window formulation
+    // shuffled and sorted the whole exploded corpus on doc_id just to
+    // pair adjacent tokens — same (w, w2) multiset, zero shuffle
+    val base = docs(s, d).select(
+      col("doc_id"),
+      filter(split(lower(col("text")), " "), x => x =!= lit("")).as("s"))
+    val toks = base.select(col("doc_id"), explode(col("s")).as("w"))
     // cache: bi feeds the count-table aggregation AND the scoring join —
-    // uncached, Spark would re-tokenize + re-window the corpus per
-    // consumer (at real scale this would be a localCheckpoint)
-    val bi = toks
-      .withColumn("w2",
-        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .where(col("w2").isNotNull)
-      .select(col("doc_id"), col("w"), col("w2"))
+    // uncached, Spark would re-tokenize the corpus per consumer (at real
+    // scale this would be a localCheckpoint)
+    val bi = base
+      .select(col("doc_id"),
+        explode(zip_with(col("s"),
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          (a, b) => struct(a.as("w"), b.as("w2")))).as("p"))
+      .where(col("p.w2").isNotNull)
+      .select(col("doc_id"), col("p.w").as("w"), col("p.w2").as("w2"))
       .cache()
     val biCounts = bi.groupBy(col("w").as("c_w1"), col("w2").as("c_w2"))
       .agg(count(lit(1)).as("cb"))
