@@ -100,8 +100,60 @@ object Multimodal {
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Batched resize: strided downsampling of each payload to a <= 64-byte
+    * "thumbnail" — the resize kernel of an image-preprocessing stage, with
+    * the same batch-iterator shape as q46 (swap the strided byte pick for
+    * a real bilinear resampler over decoded pixels and nothing else
+    * changes). Emits the resampled length and an integer checksum of the
+    * sampled bytes so the oracle gate verifies the exact kernel
+    * arithmetic, not just row counts. Embarrassingly parallel, no
+    * shuffle until the final order.
+    */
+  val q101: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    payloads(s, d)
+      .where(length(col("payload")) > 0)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val len = bytes.length
+          val stride = (len + 63) / 64
+          var i = 0
+          var sum = 0L
+          var n = 0L
+          while (i < len) {
+            sum += (bytes(i) & 0xff).toLong
+            n += 1
+            i += stride
+          }
+          (id, len.toLong, stride, n, sum)
+        }
+      }
+      .toDF("doc_id", "orig_len", "stride", "out_len", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |s AS (
+      |  SELECT doc_id, text, len, ((len + 63) // 64) AS stride FROM d),
+      |p AS (
+      |  SELECT doc_id, text, len, stride,
+      |    unnest(range(0, ((len - 1) // stride) + 1)) AS i
+      |  FROM s)
+      |SELECT doc_id, CAST(len AS BIGINT) AS orig_len, CAST(stride AS INT) AS stride,
+      |  COUNT(*) AS out_len,
+      |  CAST(SUM(unicode(substr(text, i * stride + 1, 1))) AS BIGINT) AS checksum
+      |FROM p GROUP BY doc_id, len, stride
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q45_frame_sample", q45, Some(q45Sql)),
-    ("q46_mm_features", q46, Some(q46Sql))
+    ("q46_mm_features", q46, Some(q46Sql)),
+    ("q101_resize_stub", q101, Some(q101Sql))
   )
 }
