@@ -64,6 +64,10 @@ object Graft {
     // class for chunks). Applies to store writes; testdata reads are
     // unaffected.
     .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
+    // INT64 micros instead of INT96 for written timestamps: the standard
+    // modern encoding (INT96 is deprecated), and what the graft DSv2
+    // source's record reader expects when consuming topic files
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // FAIR root scheduling: the serving path (produce/poll) runs its jobs
     // in a dedicated pool (TopicStore.inServingPool) so a long analytics
     // job can never starve a produce ack or a consumer poll — same

@@ -959,6 +959,18 @@ class TopicStore(
   private val offsetCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
 
+  /** Drop this instance's cached watermark + generation state for a
+    * topic, so the next read observes offsets advanced by ANOTHER store
+    * instance over the same root. The single-writer assumption behind the
+    * write-through cache does not hold for read-side observers — the
+    * DSv2 streaming source calls this before each `latestOffset()` poll.
+    */
+  def refreshOffsets(topic: String): Unit = {
+    offsetCache.keySet.removeIf(_.startsWith(s"$producerMeta/"))
+    genCache.remove(scopeDir(topic))
+    ()
+  }
+
   // The offsets tables are <= ring-size rows of driver metadata; running a
   // Spark job to read/write them (the old toDF.write / spark.read path)
   // put a whole job-scheduling round trip into EVERY produce ack and every

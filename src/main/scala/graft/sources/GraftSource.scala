@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graft.GraftConfHolder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.TopicStore
+
+/** DataSource V2 connector: a graft topic as a first-class Spark table.
+  *
+  * ```
+  * spark.read.format("graft").option("root", r).option("topic", t).load()
+  * spark.readStream.format("graft").option("root", r).option("topic", t).load()
+  * ```
+  *
+  * The batch read scans the topic's current generation. The STREAMING
+  * read is the broker-consume semantics done Spark-first: each
+  * micro-batch's endpoint is the producer high-watermark table (`_meta/
+  * producer_offsets`) — per-partition offset maps, NOT file arrival — so
+  * a batch is an exact, replayable offset range `[from, until)` per ring
+  * partition and the checkpoint's offset log gives end-to-end
+  * exactly-once to an idempotent sink. Readers push an offset-range
+  * predicate into the parquet scan (row-group statistics skip), and the
+  * record-exact bound is enforced per row against the per-partition
+  * maps.
+  *
+  * Scale notes: batch planning is one metadata read (the offsets table)
+  * plus a directory listing pruned to `topic=`/`version=`; each file is
+  * one input partition, so read parallelism is file-granular. After a
+  * rescale (generation bump) offsets restart per partition — restart the
+  * stream, exactly like reference consumers re-register on a generation
+  * change (SURVEY §2.4 R6).
+  */
+class GraftSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTable(properties.get("root"), properties.get("topic"))
+}
+
+object GraftSource {
+  /** The record envelope (mirrors TopicStore.recordSchema). */
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", BinaryType),
+    StructField("timestamp", TimestampType),
+    StructField("part", IntegerType),
+    StructField("offset", LongType),
+    StructField("topic", StringType),
+    StructField("token", LongType),
+    StructField("range", IntegerType),
+    StructField("version", IntegerType)))
+
+  /** Driver-side file snapshot of a topic's generation: (path, token,
+    * range, version) parsed from the partition directories.
+    */
+  private[sources] def listFiles(
+      spark: SparkSession, root: String, topic: String, version: Int): Seq[GraftFile] = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(topic)
+    val topicDir = new Path(s"$root/data/topic=$esc")
+    val fs = topicDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(topicDir)) return Seq.empty
+    val it = fs.listFiles(topicDir, true)
+    val out = Seq.newBuilder[GraftFile]
+    while (it.hasNext) {
+      val st: FileStatus = it.next()
+      val p = st.getPath.toString
+      if (st.isFile && p.endsWith(".parquet")) {
+        def seg(name: String): Option[String] =
+          s"/$name=([^/]+)/".r.findFirstMatchIn(p + "/").map(_.group(1))
+        (seg("token"), seg("range"), seg("version")) match {
+          case (Some(t), Some(r), Some(v)) if v.toInt == version =>
+            out += GraftFile(p, t.toLong, r.toInt, v.toInt)
+          case _ => ()
+        }
+      }
+    }
+    out.result()
+  }
+}
+
+private[sources] case class GraftFile(path: String, token: Long, range: Int, version: Int)
+
+class GraftTable(root: String, topic: String) extends Table with SupportsRead {
+  require(root != null && topic != null,
+    """format("graft") needs .option("root", <store root>) and .option("topic", <name>)""")
+  override def name(): String = s"graft:$topic@$root"
+  override def schema(): StructType = GraftSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new GraftScan(root, topic) }
+}
+
+class GraftScan(root: String, topic: String) extends Scan {
+  override def readSchema(): StructType = GraftSource.schema
+  override def description(): String = s"GraftScan(topic=$topic)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val spark = SparkSession.active
+      val store = new TopicStore(spark, root)
+      val gen = store.generation(topic).version
+      val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
+      GraftSource.listFiles(spark, root, topic, gen).map { f =>
+        GraftInputPartition(f, topic, Map.empty, Map.empty, conf): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(root, topic)
+}
+
+/** Streaming offset: the per-ring-partition high-watermark map. */
+case class GraftOffset(parts: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    parts.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+
+object GraftOffset {
+  private val entry = """"(\d+)":(-?\d+)""".r
+  def fromJson(s: String): GraftOffset =
+    GraftOffset(entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+class GraftMicroBatchStream(root: String, topic: String) extends MicroBatchStream {
+  private val spark = SparkSession.active
+  private val store = new TopicStore(spark, root)
+  private val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset = GraftOffset(Map.empty)
+
+  override def latestOffset(): Offset = {
+    // another store instance owns the writes: drop the read-side caches
+    // so the poll observes its advanced watermarks
+    store.refreshOffsets(topic)
+    GraftOffset(store.producerOffsets(topic))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].parts
+    val until = end.asInstanceOf[GraftOffset].parts
+    if (until.forall { case (p, hi) => from.getOrElse(p, 0L) >= hi }) return Array.empty
+    val gen = store.generation(topic).version
+    GraftSource.listFiles(spark, root, topic, gen).map { f =>
+      GraftInputPartition(f, topic, from, until, conf): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+
+  override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One topic parquet file plus the batch's per-partition offset bounds
+  * (empty maps = unbounded batch read).
+  */
+case class GraftInputPartition(
+    file: GraftFile,
+    topic: String,
+    from: Map[Int, Long],
+    until: Map[Int, Long],
+    conf: GraftConfHolder) extends InputPartition
+
+class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+}
+
+/** Reads one topic file with an offset-range parquet predicate (row-group
+  * statistics skip) and enforces the exact per-partition bounds per row.
+  * Uses the parquet example Group API — the file carries only the data
+  * columns (key, value, timestamp, part, offset); token/range/version
+  * come from the partition directory the file lives in.
+  */
+class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[InternalRow] {
+  private val reader = {
+    val builder = ParquetReader
+      .builder(new GroupReadSupport(), new Path(p.file.path))
+      .withConf(p.conf.value)
+    // coarse pushdown: the union of all partitions' bounds — row groups
+    // wholly outside [min-from, max-until) never decompress
+    val lo = if (p.from.isEmpty) 0L else p.from.values.min
+    val hiOpt = if (p.until.isEmpty) None else Some(p.until.values.max)
+    val offCol = FilterApi.longColumn("offset")
+    val pred = hiOpt match {
+      case Some(hi) =>
+        FilterApi.and(FilterApi.gtEq(offCol, java.lang.Long.valueOf(lo)),
+          FilterApi.lt(offCol, java.lang.Long.valueOf(hi)))
+      case None => FilterApi.gtEq(offCol, java.lang.Long.valueOf(lo))
+    }
+    builder.withFilter(FilterCompat.get(pred)).build()
+  }
+
+  private val topicUtf = UTF8String.fromString(p.topic)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val part = g.getInteger("part", 0)
+      val off = g.getLong("offset", 0)
+      val lo = p.from.getOrElse(part, 0L)
+      val hi = if (p.until.isEmpty) Long.MaxValue else p.until.getOrElse(part, 0L)
+      if (off >= lo && off < hi) {
+        def field(name: String): Boolean = g.getFieldRepetitionCount(name) > 0
+        row = new GenericInternalRow(Array[Any](
+          if (field("key")) UTF8String.fromString(g.getString("key", 0)) else null,
+          if (field("value")) g.getBinary("value", 0).getBytes else null,
+          if (field("timestamp")) g.getLong("timestamp", 0) else null,
+          part, off, topicUtf, p.file.token, p.file.range, p.file.version))
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
