@@ -38,6 +38,14 @@ object Verify {
         Graft.events(spark, sfDir).select(col("user_id")).distinct()
           .withColumn("token", murmur3_token(col("user_id").cast("string")))
       }
+      // q102: ring placement of each produced key (key = event_id string;
+      // default 3-broker x 4-range scratch ring) — the oracle re-derives
+      // every offset relationally from it
+      dump("event_parts") {
+        Graft.events(spark, sfDir).select(col("event_id")).distinct()
+          .withColumn("part", graft.functions.ring_partition(
+            murmur3_token(col("event_id").cast("string")), 3, 4))
+      }
       dump("doc_fingerprints") {
         Graft.table(spark, sfDir, "documents")
           .select(regexp_replace(lower(col("text")), "\\s+", " ").as("norm")).distinct()

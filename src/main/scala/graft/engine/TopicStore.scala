@@ -988,7 +988,7 @@ class TopicStore(
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
     val p = s"$dir/${scopeDir(scope)}"
-    offsetCache.computeIfAbsent(p, _ =>
+    def readOnce(): Map[Int, Long] =
       if (!pathExists(p)) Map.empty
       else {
         val fs = hfs(p)
@@ -1007,7 +1007,23 @@ class TopicStore(
           } finally r.close()
         }
         m.result()
-      })
+      }
+    offsetCache.computeIfAbsent(p, _ => {
+      // a concurrent writer's swap (delete old visible file, rename tmp
+      // in) can yank a just-listed file from under a READ-SIDE observer
+      // (the DSv2 source polling another instance's store): retry the
+      // list+read — the swap window is milliseconds and the table is
+      // ring-size rows
+      var res: Either[Throwable, Map[Int, Long]] =
+        try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
+      var i = 0
+      while (res.isLeft && i < 5) {
+        Thread.sleep(50)
+        res = try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
+        i += 1
+      }
+      res.fold(throw _, identity)
+    })
   }
 
   private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {

@@ -303,6 +303,59 @@ object EventOps {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Engine differential test under the oracle gate: events produced
+    * through the REAL write path (murmur3 ring routing, one shuffle,
+    * contiguous offset assignment, partitioned zstd parquet) and read
+    * back through the DSv2 `format("graft")` connector — while the
+    * DuckDB oracle re-derives every offset RELATIONALLY from the
+    * `event_parts` fixture (ring placement of each key, q17's pattern)
+    * and a per-partition (timestamp, key) window. A routing, offset
+    * assignment, write, or connector bug anywhere in the path
+    * hash-fails the gate. Keys are unique (event_id), so the produce
+    * order tiebreak never reaches the non-SQL-expressible value hash.
+    * The scratch store is memoized per (session, scale) and rebuilt
+    * fresh per JVM under java.io.tmpdir.
+    */
+  private val rtMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def roundtripRoot(s: SparkSession, d: String): String =
+    DocOps.Memo.get(rtMemo, s, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-rt-$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val store = new graft.engine.TopicStore(s, root)
+      store.produce("events", Graft.events(s, d).select(
+        col("event_id").cast("string").as("key"),
+        encode(col("event_id").cast("string"), "UTF-8").as("value"),
+        col("ts").as("timestamp")))
+      root
+    }
+
+  val q102: Q = (s, d) => {
+    val root = roundtripRoot(s, d)
+    s.read.format("graft")
+      .option("root", root).option("topic", "events").load()
+      .select(col("key").cast("long").as("event_id"), col("part"), col("offset"))
+      .orderBy("part", "offset")
+  }
+
+  val q102Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, part
+      |  FROM read_parquet('/tmp/graft_fixtures/event_parts/*.parquet')),
+      |j AS (
+      |  SELECT e.event_id, CAST(p.part AS INT) AS part, e.ts
+      |  FROM events e JOIN p USING (event_id))
+      |SELECT event_id, part,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY part
+      |    ORDER BY epoch_us(ts), CAST(event_id AS VARCHAR)) AS BIGINT) - 1 AS "offset"
+      |FROM j ORDER BY part, "offset"""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
@@ -312,6 +365,7 @@ object EventOps {
     ("q64_log_compaction", q64, Some(q64Sql)),
     ("q72_event_funnel", q72, Some(q72Sql)),
     ("q73_decay_engagement", q73, Some(q73Sql)),
-    ("q76_cohort_retention", q76, Some(q76Sql))
+    ("q76_cohort_retention", q76, Some(q76Sql)),
+    ("q102_engine_roundtrip", q102, Some(q102Sql))
   )
 }

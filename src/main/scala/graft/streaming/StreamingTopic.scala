@@ -88,19 +88,17 @@ class StreamingTopic(store: TopicStore) {
       .start()
   }
 
-  /** The topic as an unbounded stream of records (envelope schema). The
-    * topic predicate lands on the partition column, so non-matching
-    * directories are skipped at scan.
+  /** The topic as an unbounded stream of records (envelope schema),
+    * through the DSv2 `format("graft")` source: micro-batches are exact
+    * per-partition offset ranges from the producer watermark (never file
+    * arrival), so in-flight produces are invisible until their watermark
+    * commits and the checkpoint offset log replays exactly.
     */
-  def stream(topic: String, maxFilesPerTrigger: Int = 32): DataFrame =
-    spark.readStream
-      .schema(store.recordSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(store.dataDir)
-      // pin the generation current at stream start: both predicates land
-      // on partition columns, so stale generations are pruned at scan
-      .where(col("topic") === topic &&
-        col("version") === store.generation(topic).version)
+  def stream(topic: String): DataFrame =
+    spark.readStream.format("graft")
+      .option("root", store.root)
+      .option("topic", topic)
+      .load()
 }
 
 /** Streaming operators beyond the reference's surface (SURVEY §2.7 —
