@@ -56,8 +56,12 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftTable(properties.get("root"), properties.get("topic"))
+      properties: util.Map[String, String]): Table = {
+    def opt(k: String): Option[String] =
+      Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
+    new GraftTable(properties.get("root"), properties.get("topic"),
+      opt("maxRecordsPerTrigger").map(_.toLong))
+  }
 }
 
 object GraftSource {
@@ -103,7 +107,8 @@ object GraftSource {
 
 private[sources] case class GraftFile(path: String, token: Long, range: Int, version: Int)
 
-class GraftTable(root: String, topic: String) extends Table with SupportsRead {
+class GraftTable(root: String, topic: String, maxRecordsPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead {
   require(root != null && topic != null,
     """format("graft") needs .option("root", <store root>) and .option("topic", <name>)""")
   override def name(): String = s"graft:$topic@$root"
@@ -111,10 +116,13 @@ class GraftTable(root: String, topic: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new GraftScan(root, topic) }
+    new ScanBuilder {
+      override def build(): Scan = new GraftScan(root, topic, maxRecordsPerTrigger)
+    }
 }
 
-class GraftScan(root: String, topic: String) extends Scan {
+class GraftScan(root: String, topic: String, maxRecordsPerTrigger: Option[Long] = None)
+    extends Scan {
   override def readSchema(): StructType = GraftSource.schema
   override def description(): String = s"GraftScan(topic=$topic)"
 
@@ -132,7 +140,7 @@ class GraftScan(root: String, topic: String) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(root, topic)
+    new GraftMicroBatchStream(root, topic, maxRecordsPerTrigger)
 }
 
 /** Streaming offset: the per-ring-partition high-watermark map. */
@@ -148,19 +156,57 @@ object GraftOffset {
     GraftOffset(entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
 }
 
-class GraftMicroBatchStream(root: String, topic: String) extends MicroBatchStream {
+class GraftMicroBatchStream(
+    root: String,
+    topic: String,
+    maxRecordsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
   private val spark = SparkSession.active
   private val store = new TopicStore(spark, root)
   private val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
 
   override def initialOffset(): Offset = GraftOffset(Map.empty)
 
-  override def latestOffset(): Offset = {
+  private def highWatermark(): Map[Int, Long] = {
     // another store instance owns the writes: drop the read-side caches
     // so the poll observes its advanced watermarks
     store.refreshOffsets(topic)
-    GraftOffset(store.producerOffsets(topic))
+    store.producerOffsets(topic)
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used — SupportsAdmissionControl")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Rate-limited endpoint (maxRecordsPerTrigger): advance partitions in
+    * ascending order, each taking what remains of the record budget —
+    * deterministic, so a replayed batch plans the identical range.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val high = highWatermark()
+    val from = start.asInstanceOf[GraftOffset].parts
+    limit match {
+      case r: ReadMaxRows =>
+        var budget = r.maxRows()
+        val capped = high.toSeq.sortBy(_._1).map { case (p, hi) =>
+          val lo = from.getOrElse(p, 0L)
+          val take = math.min(math.max(hi - lo, 0L), budget)
+          budget -= take
+          p -> (lo + take)
+        }.toMap
+        GraftOffset(capped)
+      case _ => GraftOffset(high)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(highWatermark())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].parts

@@ -89,6 +89,32 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("maxRecordsPerTrigger bounds every micro-batch (admission control)") {
+    val root = Files.createTempDirectory("graft-src").toString
+    val chk = Files.createTempDirectory("graft-src-chk").toString
+    val store = new TopicStore(spark, root)
+    produceN(store, "r", 500, 13, "rate")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("topic", "r")
+      .option("maxRecordsPerTrigger", "120")
+      .load()
+      .writeStream.format("memory").queryName("graft_src_rate")
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_rate").count() == 500)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 5, "500 rows at <=120/batch needs >= 5 batches")
+      batches.foreach(p => assert(p.numInputRows <= 120,
+        s"batch exceeded the record budget: ${p.numInputRows}"))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_src_rate")
+      ()
+    }
+  }
+
   test("stream started mid-topic still begins at offset zero (earliest)") {
     val root = Files.createTempDirectory("graft-src").toString
     val chk = Files.createTempDirectory("graft-src-chk").toString
