@@ -966,10 +966,22 @@ class TopicStore(
     * DSv2 streaming source calls this before each `latestOffset()` poll.
     */
   def refreshOffsets(topic: String): Unit = {
-    offsetCache.keySet.removeIf(_.startsWith(s"$producerMeta/"))
+    offsetCache.keySet.removeIf(_.startsWith(s"$producerMeta/${scopeDir(topic)}/"))
     genCache.remove(scopeDir(topic))
     ()
   }
+
+  /** Persisted high watermark WITHOUT the crash-heal reconcile — the
+    * read-side view for observers (the DSv2 source): an observer must
+    * never WRITE to `_meta` (the heal's writeOffsets would race the
+    * owning producer's swap with no cross-instance lock) and must not
+    * surface in-flight or orphaned records ahead of their watermark
+    * commit. Orphans from a produce crash become visible when the next
+    * produce on the owning store heals them — the at-least-once window
+    * the engine already documents.
+    */
+  def persistedProducerOffsets(topic: String): Map[Int, Long] =
+    readOffsets(producerMeta, producerScope(topic))
 
   // The offsets tables are <= ring-size rows of driver metadata; running a
   // Spark job to read/write them (the old toDF.write / spark.read path)

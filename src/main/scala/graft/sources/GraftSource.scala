@@ -44,10 +44,16 @@ import graft.engine.TopicStore
   *
   * Scale notes: batch planning is one metadata read (the offsets table)
   * plus a directory listing pruned to `topic=`/`version=`; each file is
-  * one input partition, so read parallelism is file-granular. After a
-  * rescale (generation bump) offsets restart per partition — restart the
-  * stream, exactly like reference consumers re-register on a generation
-  * change (SURVEY §2.4 R6).
+  * one input partition, so read parallelism is file-granular. The
+  * listing runs per trigger (like any file-based source) and every
+  * current-generation file gets a task whose row groups the offset
+  * predicate then skips — for long-lived topics, `compact` keeps the
+  * file count (and so per-trigger planning cost) bounded. Offsets are
+  * generation-stamped: after a rescale they restart per partition, and
+  * the source fails LOUDLY on a generation mismatch instead of
+  * reinterpreting old watermarks — restart the stream with a fresh
+  * checkpoint, exactly like reference consumers re-register on a
+  * generation change (SURVEY §2.4 R6).
   */
 class GraftSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -143,17 +149,23 @@ class GraftScan(root: String, topic: String, maxRecordsPerTrigger: Option[Long] 
     new GraftMicroBatchStream(root, topic, maxRecordsPerTrigger)
 }
 
-/** Streaming offset: the per-ring-partition high-watermark map. */
-case class GraftOffset(parts: Map[Int, Long]) extends Offset {
+/** Streaming offset: the per-ring-partition high-watermark map, stamped
+  * with the generation it was read under — offsets restart per
+  * generation (rescale), so a watermark is only meaningful within one.
+  */
+case class GraftOffset(gen: Int, parts: Map[Int, Long]) extends Offset {
   override def json(): String =
     parts.toSeq.sortBy(_._1)
-      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+      .map { case (p, o) => s""""$p":$o""" }
+      .mkString(s"""{"gen":$gen,"parts":{""", ",", "}}")
 }
 
 object GraftOffset {
+  private val genRe = """"gen":(\d+)""".r
   private val entry = """"(\d+)":(-?\d+)""".r
-  def fromJson(s: String): GraftOffset =
-    GraftOffset(entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+  def fromJson(s: String): GraftOffset = GraftOffset(
+    genRe.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(1),
+    entry.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
 }
 
 class GraftMicroBatchStream(
@@ -169,14 +181,45 @@ class GraftMicroBatchStream(
   private val store = new TopicStore(spark, root)
   private val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
 
-  override def initialOffset(): Offset = GraftOffset(Map.empty)
+  override def initialOffset(): Offset =
+    GraftOffset(store.generation(topic).version, Map.empty)
 
-  private def highWatermark(): Map[Int, Long] = {
+  /** One watermark + generation poll per trigger (latestOffset caches,
+    * reportLatestOffset reuses): the PERSISTED watermark, never the
+    * healing read — a read-side observer must not write `_meta` or
+    * surface records ahead of their watermark commit.
+    */
+  @volatile private var lastPoll: (Int, Map[Int, Long]) = _
+
+  private def poll(): (Int, Map[Int, Long]) = {
     // another store instance owns the writes: drop the read-side caches
-    // so the poll observes its advanced watermarks
-    store.refreshOffsets(topic)
-    store.producerOffsets(topic)
+    // so the poll observes its advanced watermarks (and generation).
+    // A rescale's generation-pointer overwrite has a transient
+    // no-visible-file window — retry through it so the stream surfaces
+    // the MEANINGFUL generation-mismatch error, not the race's artifact.
+    var attempt = 0
+    while (true) {
+      try {
+        store.refreshOffsets(topic)
+        val got = (store.generation(topic).version, store.persistedProducerOffsets(topic))
+        lastPoll = got
+        return got
+      } catch {
+        case e: Exception if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(100)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  private def requireGen(o: GraftOffset, current: Int): Unit =
+    if (o.parts.nonEmpty && o.gen != current)
+      throw new IllegalStateException(
+        s"topic '$topic' rescaled: checkpointed offsets are for generation " +
+          s"${o.gen} but the store is at generation $current, and offsets " +
+          "restart per generation — restart the stream with a fresh " +
+          "checkpoint (reference consumers re-register on a generation change)")
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -190,8 +233,10 @@ class GraftMicroBatchStream(
     * deterministic, so a replayed batch plans the identical range.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val high = highWatermark()
-    val from = start.asInstanceOf[GraftOffset].parts
+    val (gen, high) = poll()
+    val so = start.asInstanceOf[GraftOffset]
+    requireGen(so, gen)
+    val from = so.parts
     limit match {
       case r: ReadMaxRows =>
         var budget = r.maxRows()
@@ -201,18 +246,25 @@ class GraftMicroBatchStream(
           budget -= take
           p -> (lo + take)
         }.toMap
-        GraftOffset(capped)
-      case _ => GraftOffset(high)
+        GraftOffset(gen, capped)
+      case _ => GraftOffset(gen, high)
     }
   }
 
-  override def reportLatestOffset(): Offset = GraftOffset(highWatermark())
+  override def reportLatestOffset(): Offset = {
+    val (gen, high) = if (lastPoll != null) lastPoll else poll()
+    GraftOffset(gen, high)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GraftOffset].parts
-    val until = end.asInstanceOf[GraftOffset].parts
+    val so = start.asInstanceOf[GraftOffset]
+    val eo = end.asInstanceOf[GraftOffset]
+    val from = so.parts
+    val until = eo.parts
     if (until.forall { case (p, hi) => from.getOrElse(p, 0L) >= hi }) return Array.empty
     val gen = store.generation(topic).version
+    requireGen(so, gen)
+    requireGen(eo, gen)
     GraftSource.listFiles(spark, root, topic, gen).map { f =>
       GraftInputPartition(f, topic, from, until, conf): InputPartition
     }.toArray
@@ -252,8 +304,16 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
       .builder(new GroupReadSupport(), new Path(p.file.path))
       .withConf(p.conf.value)
     // coarse pushdown: the union of all partitions' bounds — row groups
-    // wholly outside [min-from, max-until) never decompress
-    val lo = if (p.from.isEmpty) 0L else p.from.values.min
+    // wholly outside [min-from, max-until) never decompress. The lower
+    // bound must be valid for EVERY partition that may appear in this
+    // file, INCLUDING partitions absent from `from` (their scan starts
+    // at 0): parquet-mr applies the predicate per RECORD, so a
+    // min-over-from-values bound would permanently drop a new
+    // partition's first records. The exact per-partition bound is the
+    // reader's per-row check below.
+    val lo =
+      if (p.until.isEmpty) 0L
+      else p.until.keys.map(part => p.from.getOrElse(part, 0L)).min
     val hiOpt = if (p.until.isEmpty) None else Some(p.until.values.max)
     val offCol = FilterApi.longColumn("offset")
     val pred = hiOpt match {
@@ -277,10 +337,19 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
       val hi = if (p.until.isEmpty) Long.MaxValue else p.until.getOrElse(part, 0L)
       if (off >= lo && off < hi) {
         def field(name: String): Boolean = g.getFieldRepetitionCount(name) > 0
+        val ts: Any =
+          if (!field("timestamp")) null
+          else try g.getLong("timestamp", 0)
+          catch { case _: ClassCastException | _: UnsupportedOperationException =>
+            throw new IllegalStateException(
+              s"${p.file.path}: timestamp is not INT64 micros — the file " +
+                "predates the TIMESTAMP_MICROS store format (INT96); " +
+                "rewrite the topic (compact) with a current session")
+          }
         row = new GenericInternalRow(Array[Any](
           if (field("key")) UTF8String.fromString(g.getString("key", 0)) else null,
           if (field("value")) g.getBinary("value", 0).getBytes else null,
-          if (field("timestamp")) g.getLong("timestamp", 0) else null,
+          ts,
           part, off, topicUtf, p.file.token, p.file.range, p.file.version))
         return true
       }

@@ -14,9 +14,10 @@ import graft.engine.TopicStore
   * (`internal/producing/coalescer.go:81-172`); the checkpoint is the
   * durability ledger the reference builds from replica acks + SQLite.
   *
-  * Consume (S5/R3): a file stream over the topic's partition directories;
-  * `maxFilesPerTrigger` is the poll-threshold rate control
-  * (`ConsumerReadThreshold`, `internal/conf/config.go:278-280`).
+  * Consume (S5/R3): the DSv2 `format("graft")` source — micro-batches
+  * are exact per-partition offset ranges from the producer watermark;
+  * `maxRecordsPerTrigger` on the source is the poll-threshold rate
+  * control (`ConsumerReadThreshold`, `internal/conf/config.go:278-280`).
   */
 class StreamingTopic(store: TopicStore) {
 

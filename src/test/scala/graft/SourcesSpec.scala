@@ -115,6 +115,62 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitions first touched AFTER the stream started deliver from offset zero") {
+    // regression: with from = {p1: n} and a later produce landing in
+    // OTHER partitions at offsets 0..k, a min-over-from pushdown bound
+    // would drop those first records at parquet record level
+    val root = Files.createTempDirectory("graft-src").toString
+    val chk = Files.createTempDirectory("graft-src-chk").toString
+    val store = new TopicStore(spark, root)
+    // one single key -> every record lands in ONE ring partition
+    store.produceStrings("n", (0 until 40).map(i => ("onlykey", s"a-$i", ts(i))))
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("topic", "n").load()
+      .writeStream.format("memory").queryName("graft_src_newpart")
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_newpart").count() == 40)
+      // diverse keys -> new partitions whose offsets start at 0
+      produceN(store, "n", 200, 97, "b")
+      q.processAllAvailable()
+      val n = spark.table("graft_src_newpart").count()
+      assert(n == 240, s"expected all 240 records, got $n — first records of " +
+        "newly-touched partitions were dropped")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_src_newpart")
+      ()
+    }
+  }
+
+  test("a rescale mid-stream fails loudly instead of reinterpreting offsets") {
+    val root = Files.createTempDirectory("graft-src").toString
+    val chk = Files.createTempDirectory("graft-src-chk").toString
+    val store = new TopicStore(spark, root)
+    produceN(store, "g", 100, 11, "pre")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("topic", "g").load()
+      .writeStream.format("memory").queryName("graft_src_gen")
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_gen").count() == 100)
+      store.rescale("g", 6) // generation v2: offsets restart per partition
+      produceN(store, "g", 50, 11, "post")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage.contains("rescaled") ||
+        Option(q.exception.orNull).exists(_.getMessage.contains("rescaled")),
+        s"expected the generation-mismatch error, got: ${ex.getMessage}")
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      spark.sql("DROP VIEW IF EXISTS graft_src_gen")
+      ()
+    }
+  }
+
   test("stream started mid-topic still begins at offset zero (earliest)") {
     val root = Files.createTempDirectory("graft-src").toString
     val chk = Files.createTempDirectory("graft-src-chk").toString
