@@ -48,6 +48,17 @@ object Smoke {
     println(s"entry rows: $n")
     assert(n > 0)
 
+    // 6. DSv2 connector roundtrip: produce through the engine, read back
+    // via format("graft")
+    val root = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val store = new graft.engine.TopicStore(spark, root)
+    store.produceStrings("smoke",
+      (0 until 100).map(i => (s"k${i % 7}", s"v$i", new java.sql.Timestamp(1700000000000L + i))))
+    val back = spark.read.format("graft")
+      .option("root", root).option("topic", "smoke").load().count()
+    println(s"graft source rows: $back")
+    assert(back == 100)
+
     println("SMOKE OK")
     spark.stop()
   }

@@ -135,4 +135,14 @@ object CoreProperties extends Properties("graft.core") {
       }
       summary.size <= cap && contained && bounded
     }
+
+  // ---- DSv2 source offset serde: the checkpoint round-trips exactly ----
+  private val offsetMaps: Gen[Map[Int, Long]] =
+    Gen.mapOf(Gen.zip(Gen.choose(0, 12287), Gen.choose(0L, Long.MaxValue / 2)))
+
+  property("GraftOffset json round-trips (gen + per-partition watermarks)") =
+    forAll(Gen.choose(1, 1000), offsetMaps) { (gen, parts) =>
+      val o = graft.sources.GraftOffset(gen, parts)
+      graft.sources.GraftOffset.fromJson(o.json()) == o
+    }
 }
