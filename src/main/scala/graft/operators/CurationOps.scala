@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,7 +236,29 @@ object CurationOps {
     * 16 here only so the oracle output stays reviewable). No global
     * window, no single-task ordering.
     */
-  private val MixSeed = "graft-epoch-0"
+  private[operators] val MixSeed = "graft-epoch-0"
+
+  /** (doc_id, split) under q60's seeded md5 rule — shared with the
+    * cross-split leakage report (q103).
+    */
+  private[operators] def splitOf(s: SparkSession, d: String): DataFrame = {
+    val keyed = docs(s, d).select(
+      col("doc_id"),
+      md5(concat(lit(MixSeed + ":"), col("doc_id").cast("string"))).as("mix_key"))
+    keyed.select(col("doc_id"),
+      when(col("mix_key") < "1", "test")
+        .when(col("mix_key") < "2", "valid")
+        .otherwise("train").as("split"))
+  }
+
+  /** The same split rule in DuckDB SQL (a CTE named `sp`). */
+  private[operators] val splitSqlCte: String =
+    s"""sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN md5('$MixSeed:' || CAST(doc_id AS VARCHAR)) < '1' THEN 'test'
+       |         WHEN md5('$MixSeed:' || CAST(doc_id AS VARCHAR)) < '2' THEN 'valid'
+       |         ELSE 'train' END AS split
+       |  FROM documents)""".stripMargin
 
   val q60: Q = (s, d) => {
     val keyed = docs(s, d).select(

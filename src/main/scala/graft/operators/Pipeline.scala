@@ -396,6 +396,45 @@ object Pipeline {
        |  CAST(CASE WHEN triads > 0 THEN triangles * 3 * 10000 // triads ELSE 0 END AS BIGINT) AS clustering_bp
        |FROM st, tri""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Cross-split near-dup leakage — the eval-integrity report: verified
+    * near-dup pairs labeled with each document's train/valid/test split
+    * (q60's seeded rule), counted per unordered split pair with an
+    * explicit leak flag. Any off-diagonal cell is evaluation
+    * contamination: a test document with a train-side near-duplicate
+    * inflates benchmark scores exactly like q52's benchmark overlap, but
+    * INSIDE the corpus' own held-out split. Reuses the memoized pair set
+    * (q20/q50/q51/q77/q83/q96); the split join broadcasts. Integer
+    * counts, hash-exact.
+    */
+  val q103: Q = (s, d) => {
+    val pairs = DocOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val sp = CurationOps.splitOf(s, d)
+    pairs
+      .join(sp.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sp.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.split"), col("sb.split")).as("split_x"),
+        greatest(col("sa.split"), col("sb.split")).as("split_y"))
+      .groupBy(col("split_x"), col("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("eval_leak", col("split_x") =!= col("split_y"))
+      .orderBy("split_x", "split_y")
+  }
+
+  val q103Sql: String =
+    s"""WITH ${DocOps.jaccardPairsCtes},
+       |${CurationOps.splitSqlCte},
+       |lab AS (
+       |  SELECT least(sa.split, sb.split) AS split_x,
+       |    greatest(sa.split, sb.split) AS split_y
+       |  FROM jpairs
+       |  JOIN sp sa ON jpairs.doc_a = sa.doc_id
+       |  JOIN sp sb ON jpairs.doc_b = sb.doc_id)
+       |SELECT split_x, split_y, count(*) AS n_pairs,
+       |  split_x <> split_y AS eval_leak
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
@@ -403,6 +442,7 @@ object Pipeline {
     ("q58_canonicalize", q58, Some(q58Sql)),
     ("q77_pagerank", q77, Some(q77Sql)),
     ("q83_source_contamination", q83, Some(q83Sql)),
-    ("q96_dup_graph_shape", q96, Some(q96Sql))
+    ("q96_dup_graph_shape", q96, Some(q96Sql)),
+    ("q103_split_leakage", q103, Some(q103Sql))
   )
 }
