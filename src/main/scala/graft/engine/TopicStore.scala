@@ -116,23 +116,55 @@ class TopicStore(
     * own ring size, so rescale is an in-place version bump, not a new
     * store. Durable in `_meta/generations`, cached write-through.
     */
+  private val generationSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message generation { required int32 version; required int32 cluster_size; }")
+
   def generation(topic: String): Generation = {
     val key = scopeDir(topic)
     genCache.computeIfAbsent(key, _ => {
       val p = s"$genMeta/$key"
-      if (!pathExists(p)) Generation(1, clusterSize)
-      else {
-        val r = spark.read.parquet(p).select("version", "cluster_size")
-          .as[(Int, Int)].head()
-        Generation(r._1, r._2)
+      // driver-side group read (no Spark job on the serving path) with
+      // the same transient-swap retry as readOffsets: setGeneration's
+      // swap can yank a just-listed file from under a cross-instance
+      // reader. Files written by the old Spark path (optional fields)
+      // read identically.
+      def readOnce(): Generation =
+        if (!pathExists(p)) Generation(1, clusterSize)
+        else {
+          import org.apache.parquet.hadoop.ParquetReader
+          import org.apache.parquet.hadoop.example.GroupReadSupport
+          val fs = hfs(p)
+          val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          files.headOption.map { f =>
+            val r = ParquetReader.builder(new GroupReadSupport(), f)
+              .withConf(spark.sparkContext.hadoopConfiguration).build()
+            try {
+              val g = r.read()
+              if (g == null) Generation(1, clusterSize)
+              else Generation(g.getInteger("version", 0), g.getInteger("cluster_size", 0))
+            } finally r.close()
+          }.getOrElse(Generation(1, clusterSize))
+        }
+      var res: Either[Throwable, Generation] =
+        try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
+      var i = 0
+      while (res.isLeft && i < 5) {
+        Thread.sleep(50)
+        res = try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
+        i += 1
       }
+      res.fold(throw _, identity)
     })
   }
 
   private def setGeneration(topic: String, g: Generation): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
     val key = scopeDir(topic)
-    Seq((g.version, g.clusterSize)).toDF("version", "cluster_size").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$genMeta/$key")
+    val gf = new SimpleGroupFactory(generationSchema)
+    swapWriteGroups(s"$genMeta/$key", generationSchema,
+      Seq(gf.newGroup().append("version", g.version).append("cluster_size", g.clusterSize)))
     genCache.put(key, g)
     ()
   }
@@ -1038,39 +1070,45 @@ class TopicStore(
     })
   }
 
-  private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
+  /** Swap-write a tiny driver-side parquet table: dot-prefixed while
+    * being written (Spark and the group readers both skip hidden files),
+    * then swap — delete old visible files, rename. A crash leaves old
+    * state, or an empty dir the caller's recovery handles. Loud failure
+    * on either swap step: proceeding past a failed delete would leave
+    * two visible files (a reader would merge stale rows), past a failed
+    * rename NO visible file.
+    */
+  private def swapWriteGroups(
+      p: String,
+      schema: org.apache.parquet.schema.MessageType,
+      rows: Seq[org.apache.parquet.example.data.Group]): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
-    import org.apache.parquet.example.data.simple.SimpleGroupFactory
-    val p = s"$dir/${scopeDir(scope)}"
     val fs = hfs(p)
     val dirPath = hpath(p)
     fs.mkdirs(dirPath)
-    // dot-prefixed while being written (Spark and readOffsets both skip
-    // hidden files), then swap: delete old visible files, rename. A crash
-    // leaves old state, or an empty dir that producerOffsets' reconcile
-    // heals from the data files — the same windows the old Spark
-    // Overwrite had.
     val fin = new Path(dirPath, s"part-00000-${java.util.UUID.randomUUID()}.parquet")
     val tmp = new Path(dirPath, s".${fin.getName}.tmp")
     val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
-    val w = ExampleParquetWriter.builder(tmp).withConf(conf).withType(offsetsSchema).build()
-    val gf = new SimpleGroupFactory(offsetsSchema)
-    try offsets.toSeq.sortBy(_._1).foreach { case (part, next) =>
-      w.write(gf.newGroup().append("part", part).append("next", next))
-    } finally w.close()
-    // loud failure on either swap step: proceeding past a failed delete
-    // would leave two visible files (a reader would merge stale rows), and
-    // past a failed rename would leave NO visible file — a restart would
-    // read empty group offsets with no heal path. The old Spark write
-    // threw on failure too; silence here is data loss.
+    val w = ExampleParquetWriter.builder(tmp).withConf(conf).withType(schema).build()
+    try rows.foreach(w.write) finally w.close()
     fs.listStatus(dirPath).foreach { st =>
       val n = st.getPath.getName
       if (!n.startsWith(".") && n != tmp.getName && !fs.delete(st.getPath, false))
-        throw new java.io.IOException(s"offsets swap: could not delete ${st.getPath}")
+        throw new java.io.IOException(s"meta swap: could not delete ${st.getPath}")
     }
     if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"offsets swap: rename $tmp -> $fin failed")
+      throw new java.io.IOException(s"meta swap: rename $tmp -> $fin failed")
+  }
+
+  private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val p = s"$dir/${scopeDir(scope)}"
+    val gf = new SimpleGroupFactory(offsetsSchema)
+    swapWriteGroups(p, offsetsSchema,
+      offsets.toSeq.sortBy(_._1).map { case (part, next) =>
+        gf.newGroup().append("part", part).append("next", next)
+      })
     offsetCache.put(p, offsets)
     ()
   }
