@@ -53,7 +53,10 @@ import graft.engine.TopicStore
   * the source fails LOUDLY on a generation mismatch instead of
   * reinterpreting old watermarks — restart the stream with a fresh
   * checkpoint, exactly like reference consumers re-register on a
-  * generation change (SURVEY §2.4 R6).
+  * generation change (SURVEY §2.4 R6). One source instance follows ONE
+  * topic (each topic has independent offsets); a reference-style
+  * multi-topic subscription is the union of per-topic streams —
+  * `stream("a").union(stream("b"))` — each with its own offset log.
   */
 class GraftSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
