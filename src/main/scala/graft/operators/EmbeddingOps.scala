@@ -354,6 +354,63 @@ object EmbeddingOps {
       |SELECT a_id, rk, vec_id, label, round(sim, 6) AS sim
       |FROM r WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Triplet mining for metric learning — for each anchor: the nearest
+    * SAME-label vector (hardest positive... of the easy kind), the
+    * nearest DIFFERENT-label vector (hardest negative, q98's gate), and
+    * the margin between them — the (anchor, positive, negative) rows a
+    * triplet-loss trainer consumes, with the margin column telling the
+    * curriculum which triplets are still informative (margin near zero =
+    * hard triplet). One corpus scan against the broadcast anchor batch;
+    * the two top-1 windows run over anchor-keyed candidates only.
+    */
+  val q104: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = emb(s, d).filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("label").as("a_label"))
+    val sims = emb(s, d).filter(col("vec_id") >= 10L)
+      .crossJoin(broadcast(anchors))
+      .withColumn("sim", cosine_sim(col("embedding"), col("a_vec")))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("vec_id"))
+    def top1(df: org.apache.spark.sql.DataFrame, idName: String, simName: String) =
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("a_id"), col("vec_id").as(idName), col("sim").as(simName))
+    val pos = top1(sims.filter(col("label") === col("a_label")), "pos_id", "pos_sim")
+    val neg = top1(sims.filter(col("label") =!= col("a_label")), "neg_id", "neg_sim")
+    pos.join(neg, "a_id")
+      .select(col("a_id"), col("pos_id"), round(col("pos_sim"), 6).as("pos_sim"),
+        col("neg_id"), round(col("neg_sim"), 6).as("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+      .orderBy("a_id")
+  }
+
+  val q104Sql: String =
+    """WITH a AS (
+      |  SELECT vec_id AS a_id, embedding AS ae, label AS a_label,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS an
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT a.a_id, a.a_label, c.vec_id, c.label,
+      |    list_sum(list_transform(list_zip(c.embedding, a.ae),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * a.an) AS sim
+      |  FROM embeddings c, a WHERE c.vec_id >= 10),
+      |pos AS (
+      |  SELECT a_id, vec_id AS pos_id, sim AS pos_sim
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rk
+      |        FROM s WHERE label = a_label)
+      |  WHERE rk = 1),
+      |neg AS (
+      |  SELECT a_id, vec_id AS neg_id, sim AS neg_sim
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, vec_id) AS rk
+      |        FROM s WHERE label <> a_label)
+      |  WHERE rk = 1)
+      |SELECT a_id, pos_id, round(pos_sim, 6) AS pos_sim,
+      |  neg_id, round(neg_sim, 6) AS neg_sim,
+      |  round(pos_sim - neg_sim, 6) AS margin
+      |FROM pos JOIN neg USING (a_id) ORDER BY a_id""".stripMargin
+
   // ---------------------------------------------------------------- q74
   /** IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
     * Search", TPAMI 2011) — the memory-bounded ANN shape 100 TB actually
@@ -541,6 +598,7 @@ object EmbeddingOps {
     ("q61_semdedup", q61, Some(q61Sql)),
     ("q63_batch_ann", q63, Some(q63Sql)),
     ("q74_ann_ivfpq", q74, Some(q74Sql)),
-    ("q98_hard_negatives", q98, Some(q98Sql))
+    ("q98_hard_negatives", q98, Some(q98Sql)),
+    ("q104_triplet_mining", q104, Some(q104Sql))
   )
 }
