@@ -97,6 +97,13 @@ object Verify {
       // aggregation plan q43 runs (approx sketches are merge-order
       // sensitive), hence the shared function.
       dump("sketch_vals")(operators.Advanced.sketchVals(spark, sfDir))
+      // q105: per-doc distinct hashed-unigram feature buckets — the
+      // oracle replays the full logistic-regression training loop
+      // (centering, balanced errors, momentum) from them as unrolled CTEs
+      dump("clf_grams")(operators.ClassifierOps.clfGrams(spark, sfDir))
+      // q106: the deterministic Rademacher projection matrix — the oracle
+      // re-projects every sampled vector from it
+      dump("jl_signs")(operators.EmbeddingOps.jlSignsDf(spark, sfDir))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -590,6 +590,108 @@ object EmbeddingOps {
        |ORDER BY d2, vec_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------------- q106
+  /** Johnson-Lindenstrauss random-projection compression (q106) — the
+    * embedding-compression step of large retrieval/dedup pipelines:
+    * project 64-dim float embeddings to 16 dims with a deterministic
+    * Rademacher (±1) matrix (signs from murmur3, so executors derive the
+    * model from literals — nothing is exchanged), then audit distortion
+    * on a deterministic systematic sample of pairs: squared L2 before vs
+    * after, per-pair ratio (JL: concentrated around k/d·scaling = 1 with
+    * the 1/√k normalization).
+    *
+    * 100 TB story: the projection is a stateless row-local map with the
+    * matrix inlined in the plan — the same shape at any scale, and the
+    * natural prelude to q29/q47 indexing on cheaper vectors. The audit
+    * here strata-samples by id for oracle visibility; a production audit
+    * fixes the sample COUNT (modulus ∝ n) so pair work is constant.
+    *
+    * Exactness: float elements are cast to double BEFORE arithmetic on
+    * both engines (the l2_sq discipline); 1/√16 is the exact double 0.25
+    * (written as /4.0); per-dimension sums may associate differently —
+    * round(…, 6) absorbs it.
+    */
+  private[graft] val JlOutDims = 16
+  private val JlInDims = 64
+
+  private[graft] lazy val jlSigns: Array[Array[Double]] =
+    Array.tabulate(JlOutDims, JlInDims) { (o, i) =>
+      if (graft.core.Murmur3x64.hash(
+        s"jl-$o-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= 0L) 1.0
+      else -1.0
+    }
+
+  /** (o, i, sign) rows — the Verify fixture the oracle re-projects from. */
+  private[graft] def jlSignsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jlSigns.zipWithIndex.flatMap { case (row, o) =>
+      row.zipWithIndex.map { case (sg, i) => (o, i, sg) }
+    }.toSeq.toDF("o", "i", "sign")
+  }
+
+  /** 16-dim projection of a float-array column: y_o = Σ_i x_i·s_oi / 4.0,
+    * row-local (the sign matrix is a plan literal).
+    */
+  private def jlProject(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val signsLit = typedlit(jlSigns.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(JlOutDims - 1)), o =>
+      aggregate(
+        zip_with(e, element_at(signsLit, o + 1), (x, sg) => x.cast("double") * sg),
+        lit(0.0), (acc, v) => acc + v) / lit(4.0))
+  }
+
+  val q106: Q = (s, d) => {
+    val a = emb(s, d).filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+        jlProject(col("embedding")).as("p_a"))
+    val b = emb(s, d).filter(col("vec_id") % 19 === 0)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+        jlProject(col("embedding")).as("p_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("d2_orig", graft.functions.l2_sq(col("e_a"), col("e_b")))
+      .filter(col("d2_orig") > 0.0)
+      .withColumn("d2_proj",
+        aggregate(zip_with(col("p_a"), col("p_b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .select(col("vec_a"), col("vec_b"),
+        round(col("d2_orig"), 6).as("d2_orig"),
+        round(col("d2_proj"), 6).as("d2_proj"),
+        round(col("d2_proj") / col("d2_orig"), 6).as("ratio"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q106Sql: String =
+    """WITH sgn AS MATERIALIZED (
+      |  SELECT o, i, sign FROM read_parquet('/tmp/graft_fixtures/jl_signs/*.parquet')),
+      |sel AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 17 = 0 OR vec_id % 19 = 0),
+      |proj AS MATERIALIZED (
+      |  SELECT e.vec_id, s.o,
+      |    sum(CAST(e.embedding[s.i + 1] AS DOUBLE) * s.sign) / 4.0 AS y
+      |  FROM sel e CROSS JOIN sgn s
+      |  GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+      |           (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2_orig
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id % 17 = 0 AND b.vec_id % 19 = 0 AND a.vec_id < b.vec_id),
+      |d2p AS MATERIALIZED (
+      |  SELECT p.vec_a, p.vec_b, sum((pa.y - pb.y) * (pa.y - pb.y)) AS d2_proj
+      |  FROM pairs p
+      |  JOIN proj pa ON pa.vec_id = p.vec_a
+      |  JOIN proj pb ON pb.vec_id = p.vec_b AND pb.o = pa.o
+      |  GROUP BY 1, 2)
+      |SELECT p.vec_a, p.vec_b, round(p.d2_orig, 6) AS d2_orig,
+      |  round(d.d2_proj, 6) AS d2_proj,
+      |  round(d.d2_proj / p.d2_orig, 6) AS ratio
+      |FROM pairs p JOIN d2p d USING (vec_a, vec_b)
+      |WHERE p.d2_orig > 0.0
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
@@ -599,6 +701,7 @@ object EmbeddingOps {
     ("q63_batch_ann", q63, Some(q63Sql)),
     ("q74_ann_ivfpq", q74, Some(q74Sql)),
     ("q98_hard_negatives", q98, Some(q98Sql)),
-    ("q104_triplet_mining", q104, Some(q104Sql))
+    ("q104_triplet_mining", q104, Some(q104Sql)),
+    ("q106_jl_projection", q106, Some(q106Sql))
   )
 }

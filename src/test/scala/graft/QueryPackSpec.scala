@@ -338,4 +338,39 @@ class QueryPackSpec extends AnyFunSuite {
     val got = adc.map(_.getAs[Long]("vec_id")).toSet
     assert((exact & got).size >= 5, s"ADC recall too low: ${(exact & got).size}/10")
   }
+
+  test("quality classifier: distills the keyword rule, separates the classes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = SparkEntry.queries("q105_quality_classifier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (pos, neg) = rows.partition(_.getAs[Double]("label") == 1.0)
+    assert(pos.nonEmpty && neg.nonEmpty, "degenerate label split at sf0.001")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    val posMean = pos.map(_.getAs[Double]("p")).sum / pos.length
+    val negMean = neg.map(_.getAs[Double]("p")).sum / neg.length
+    assert(posMean > negMean + 0.2,
+      s"classifier failed to separate: p|pos=$posMean p|neg=$negMean")
+
+    // the model must have learned the rule's signs: positive weight on
+    // the "spark" bucket, negative on the "slow" bucket
+    val model = operators.ClassifierOps.trainModel(spark, sf)
+    def bucketOf(wd: String): Int =
+      core.Shingles.gramBuckets(UTF8String.fromString(wd), 1, 512).getInt(0)
+    assert(model.w(bucketOf("spark")) > 0.0, "no positive weight on 'spark'")
+    assert(model.w(bucketOf("slow")) < 0.0, "no negative weight on 'slow'")
+  }
+
+  test("jl projection: distortion ratios concentrate near 1") {
+    val rows = SparkEntry.queries("q106_jl_projection")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getAs[Double]("ratio"))
+    assert(ratios.forall(_ > 0.0))
+    val mean = ratios.sum / ratios.length
+    // JL with k=16, d=64: E[ratio] = 1, sd ~ sqrt(2/k) ~ 0.35; the MEAN
+    // over the pair sample concentrates much tighter
+    assert(mean > 0.7 && mean < 1.3, s"distortion mean off: $mean")
+  }
 }
