@@ -356,6 +356,46 @@ object EventOps {
       |    ORDER BY epoch_us(ts), CAST(event_id AS VARCHAR)) AS BIGINT) - 1 AS "offset"
       |FROM j ORDER BY part, "offset"""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** The DSv2 WRITE path under the same relational spec as q102: the
+    * identical event batch goes in through `df.write.format("graft")`
+    * (V1Write fallback → the engine produce plan — see
+    * `sources/GraftSource.scala`) instead of a direct `store.produce`
+    * call, and comes back through the connector read. The oracle is
+    * q102's: re-derive every (part, offset) relationally from the
+    * `event_parts` ring-placement fixture. A schema-adaption, routing,
+    * or offset bug anywhere in the writer surface hash-fails the gate;
+    * agreement with q102 is a differential check that both produce
+    * surfaces compile to the same plan.
+    */
+  private val cwMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def connectorWriteRoot(s: SparkSession, d: String): String =
+    DocOps.Memo.get(cwMemo, s, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cw-$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      Graft.events(s, d).select(
+        col("event_id").cast("string").as("key"),
+        encode(col("event_id").cast("string"), "UTF-8").as("value"),
+        col("ts").as("timestamp"))
+        .write.format("graft")
+        .option("root", root).option("topic", "events")
+        .mode("append").save()
+      root
+    }
+
+  val q107: Q = (s, d) => {
+    val root = connectorWriteRoot(s, d)
+    s.read.format("graft")
+      .option("root", root).option("topic", "events").load()
+      .select(col("key").cast("long").as("event_id"), col("part"), col("offset"))
+      .orderBy("part", "offset")
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
@@ -366,6 +406,7 @@ object EventOps {
     ("q72_event_funnel", q72, Some(q72Sql)),
     ("q73_decay_engagement", q73, Some(q73Sql)),
     ("q76_cohort_retention", q76, Some(q76Sql)),
-    ("q102_engine_roundtrip", q102, Some(q102Sql))
+    ("q102_engine_roundtrip", q102, Some(q102Sql)),
+    ("q107_connector_write", q107, Some(q102Sql))
   )
 }

@@ -9,15 +9,16 @@ import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graft.GraftConfHolder
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -117,17 +118,93 @@ object GraftSource {
 private[sources] case class GraftFile(path: String, token: Long, range: Int, version: Int)
 
 class GraftTable(root: String, topic: String, maxRecordsPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(root != null && topic != null,
     """format("graft") needs .option("root", <store root>) and .option("topic", <name>)""")
   override def name(): String = s"graft:$topic@$root"
   override def schema(): StructType = GraftSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      // BATCH_WRITE routes DataFrameWriter onto the DSv2 write plan;
+      // V1_BATCH_WRITE tells that plan to execute this table's Write as
+      // the V1 InsertableRelation fallback (AppendDataExecV1)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftScan(root, topic, maxRecordsPerTrigger)
     }
+
+  /** Batch write = `TopicStore.produce` behind the DSv2 surface:
+    *
+    * ```
+    * df.write.format("graft").option("root", r).option("topic", t)
+    *   .mode("append").save()
+    * ```
+    *
+    * Contiguous per-ring-partition offsets are a CROSS-task property (a
+    * window over the whole batch keyed by (token, range)), which the
+    * per-partition DataWriter API cannot express — independent writers
+    * cannot agree on offset ranks without a coordination channel the API
+    * doesn't have. So the write goes through Spark's V1 fallback
+    * (`V1Write` → `InsertableRelation`) straight into the engine's
+    * produce plan: one shuffle to the ring partitioning, one offset
+    * window, one partitioned zstd parquet append, watermark commit —
+    * the exact plan every other produce surface uses.
+    *
+    * `ACCEPT_ANY_SCHEMA`: producers write the *producer* shape
+    * (`key`, `value`, optional `timestamp`), not the full 9-column record
+    * envelope the table reads back — the adapter below normalizes types
+    * (string values are UTF-8 encoded, a missing timestamp gets the
+    * server-assigned ingest time, §2.6.5) and rejects anything else.
+    * Streaming writes stay on `StreamingTopic.ingest` (foreachBatch +
+    * the produceOnce replay ledger) — a DSv2 `StreamingWrite` has the
+    * same per-writer independence, plus exactly-once bookkeeping the
+    * ledger already provides.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          if (overwrite) throw new UnsupportedOperationException(
+            "graft topics are append-only logs: use mode(\"append\") " +
+              "(retention/compaction reclaim space, not overwrite)")
+          val store = new TopicStore(data.sparkSession, root)
+          store.produce(topic, GraftTable.adaptProducerBatch(data))
+          ()
+        }
+      }
+    }
+  }
+}
+
+object GraftTable {
+  import org.apache.spark.sql.functions.{col, current_timestamp, encode}
+
+  /** Normalize a producer-shaped DataFrame to produce()'s contract:
+    * `key` string, `value` binary (strings UTF-8 encoded), `timestamp`
+    * defaulting to the server ingest time when absent (§2.6.5).
+    */
+  private[sources] def adaptProducerBatch(data: DataFrame): DataFrame = {
+    val cols = data.columns.toSet
+    require(cols.contains("key") && cols.contains("value"),
+      s"graft write needs columns (key, value[, timestamp]); got ${data.columns.mkString(", ")}")
+    val extras = cols -- Set("key", "value", "timestamp")
+    require(extras.isEmpty,
+      s"graft write accepts only (key, value[, timestamp]); unexpected: ${extras.mkString(", ")} " +
+        "— the engine assigns part/offset/token/range/version itself")
+    val valueCol = data.schema("value").dataType match {
+      case BinaryType => col("value")
+      case StringType => encode(col("value"), "UTF-8")
+      case other => throw new IllegalArgumentException(
+        s"graft write: value must be BINARY or STRING, got $other")
+    }
+    val tsCol =
+      if (cols.contains("timestamp")) col("timestamp").cast(TimestampType)
+      else current_timestamp()
+    data.select(col("key").cast(StringType).as("key"),
+      valueCol.as("value"), tsCol.as("timestamp"))
+  }
 }
 
 class GraftScan(root: String, topic: String, maxRecordsPerTrigger: Option[Long] = None)

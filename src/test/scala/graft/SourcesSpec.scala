@@ -191,4 +191,65 @@ class SourcesSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("DSv2 write path: df.write.format(\"graft\") routes through produce") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-src").toString
+    // string values + explicit timestamps through the writer surface
+    (0 until 300).map(i => (s"k${i % 11}", s"w-$i", ts(i)))
+      .toDF("key", "value", "timestamp")
+      .write.format("graft")
+      .option("root", root).option("topic", "w")
+      .mode("append").save()
+    // second append continues offsets (watermark survives across writes)
+    (300 until 400).map(i => (s"k${i % 11}", s"w-$i", ts(i)))
+      .toDF("key", "value", "timestamp")
+      .write.format("graft")
+      .option("root", root).option("topic", "w")
+      .mode("append").save()
+
+    val back = spark.read.format("graft")
+      .option("root", root).option("topic", "w").load()
+    assert(back.count() == 400)
+    // offsets are contiguous from 0 per ring partition (§2.6.3)
+    val perPart = back.groupBy(col("part"))
+      .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    perPart.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
+    }
+    // routing matches the engine's own produce for the same keys
+    val store = new TopicStore(spark, root)
+    store.produceStrings("w2", Seq(("k3", "x", ts(1))))
+    val viaWriter = back.filter(col("key") === "k3").select("part").head().getInt(0)
+    val viaEngine = Graft.topic(spark, root, "w2").select("part").head().getInt(0)
+    assert(viaWriter == viaEngine, "writer surface must use the same ring routing")
+  }
+
+  test("DSv2 write path rejects overwrite and malformed producer schemas") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-src").toString
+    val df = Seq(("k", "v")).toDF("key", "value")
+    // Spark itself rejects overwrite at plan time: the table declares no
+    // TRUNCATE/OVERWRITE_BY_FILTER capability (topics are append-only logs)
+    val e1 = intercept[Exception] {
+      df.write.format("graft").option("root", root).option("topic", "x")
+        .mode("overwrite").save()
+    }
+    assert(e1.getMessage.toLowerCase.contains("truncate"))
+    val e2 = intercept[Exception] {
+      Seq(("k", "v", 1)).toDF("key", "value", "part")
+        .write.format("graft").option("root", root).option("topic", "x")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("part"))
+    // missing timestamp is fine: server ingest time (§2.6.5)
+    df.write.format("graft").option("root", root).option("topic", "x")
+      .mode("append").save()
+    val back = spark.read.format("graft")
+      .option("root", root).option("topic", "x").load()
+    assert(back.count() == 1 && !back.head().isNullAt(2))
+  }
 }
