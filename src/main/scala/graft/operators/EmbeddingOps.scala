@@ -692,6 +692,126 @@ object EmbeddingOps {
       |WHERE p.d2_orig > 0.0
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * topic-clustering stage of corpus curation (cluster-then-balance, as
+    * in SemDedup's pre-step or DataComp's clustering filters; q47/q61's
+    * quantizer trains driver-side on a SAMPLE, this is the full-corpus
+    * counterpart for when the clustering itself is the product).
+    *
+    * Shape (the 100 TB story): centroids are K×64 doubles of driver
+    * metadata. Each iteration is ONE corpus pass — assignment is a
+    * row-local argmin over broadcast literal centroids (no join, no
+    * shuffle of vectors), and the update is one map-side-combined
+    * aggregation to K×64 (cell, dim) keys. K iterations = K linear
+    * scans; the final labeling is a stateless map. Nothing driver-side
+    * ever holds more than the model — the classic scalable k-means loop
+    * (MLlib's KMeans does the same passes; this one is pure DataFrame
+    * ops so the whole pipeline stays in one engine).
+    *
+    * Exactness vs the oracle: DuckDB replays the identical iterations as
+    * unrolled CTEs from the raw embeddings — same init (first K vectors
+    * by vec_id), same in-order per-dim distance fold (list_sum ≙ the
+    * aggregate() fold), same first-min-index tie-break, same sum/count
+    * mean, same empty-cell carry-forward. Per-(cell,dim) member sums may
+    * associate differently between engines — ulp-level drift the
+    * round(dist, 6) output absorbs (an argmin flip would need two cells
+    * within ~1e-12, which the synthetic corpus never produces).
+    */
+  private val KmK = 8
+  private val KmIters = 4
+
+  /** Row-local squared-L2 distances to each broadcast centroid, in-order
+    * per-dim fold (matches the oracle's list_sum association).
+    */
+  private def kmDists(cents: Array[Array[Double]]): org.apache.spark.sql.Column =
+    transform(
+      typedlit(cents.map(_.toSeq).toSeq),
+      c => aggregate(
+        zip_with(col("embedding"), c,
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x))
+
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    // deterministic init: the first K vectors by vec_id (k-means++ at
+    // scale would be a few more passes; init choice is not what this
+    // operator demonstrates and determinism is what the oracle needs)
+    var cents: Array[Array[Double]] = emb(s, d)
+      .filter(col("vec_id") < KmK).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to KmIters) {
+      val dists = kmDists(cents)
+      val cell = (array_position(dists, array_min(dists)) - 1L).cast("int")
+      // one pass: K×64 (cell, dim) running sums, map-side combined
+      val sums = emb(s, d)
+        .withColumn("cell", cell)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        val c = r.getInt(0); val dim = r.getInt(1)
+        next(c)(dim) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  val q108: Q = (s, d) => {
+    val cents = kmeansCentroids(s, d)
+    val dists = kmDists(cents)
+    emb(s, d)
+      .withColumn("cell", (array_position(dists, array_min(dists)) - 1L).cast("int"))
+      .withColumn("dist", round(array_min(dists), 6))
+      .select(col("vec_id"), col("cell"), col("dist"))
+      .orderBy("vec_id")
+  }
+
+  val q108Sql: String = {
+    // unrolled Lloyd's iterations: cl<k> = centroid lists, a<k> = argmin
+    // assignment (dist, cell) order = first-min-index, cent<k+1> =
+    // sum/count means with empty-cell carry-forward
+    def centLists(k: Int) =
+      s"cl$k AS MATERIALIZED (SELECT cell, list(val ORDER BY dim) AS cvec FROM cent$k GROUP BY cell)"
+    def assign(k: Int) =
+      s"""d$k AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cell,
+         |    list_sum(list_transform(list_zip(e.embedding, c.cvec),
+         |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist
+         |  FROM embeddings e CROSS JOIN cl$k c),
+         |a$k AS MATERIALIZED (
+         |  SELECT vec_id, cell, dist FROM (
+         |    SELECT vec_id, cell, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM d$k) WHERE rn = 1)""".stripMargin
+    def update(k: Int) =
+      s"""cent${k + 1} AS MATERIALIZED (
+         |  SELECT c.cell, c.dim,
+         |    CASE WHEN m.s IS NULL THEN c.val ELSE m.s / m.n END AS val
+         |  FROM cent$k c LEFT JOIN (
+         |    SELECT a.cell, t.i AS dim,
+         |      sum(CAST(e.embedding[t.i] AS DOUBLE)) AS s, count(*) AS n
+         |    FROM a$k a JOIN embeddings e USING (vec_id),
+         |      generate_series(1, 64) t(i)
+         |    GROUP BY 1, 2) m ON m.cell = c.cell AND m.dim = c.dim)""".stripMargin
+    val iters = (0 until KmIters).map { k =>
+      s"${centLists(k)},\n${assign(k)},\n${update(k)}"
+    }.mkString(",\n")
+    s"""WITH cent0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INT) AS cell, t.i AS dim,
+       |    CAST(embedding[t.i] AS DOUBLE) AS val
+       |  FROM embeddings, generate_series(1, 64) t(i)
+       |  WHERE vec_id < $KmK),
+       |$iters,
+       |${centLists(KmIters)},
+       |${assign(KmIters)}
+       |SELECT vec_id, CAST(cell AS INT) AS cell, round(dist, 6) AS dist
+       |FROM a$KmIters ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
@@ -702,6 +822,7 @@ object EmbeddingOps {
     ("q74_ann_ivfpq", q74, Some(q74Sql)),
     ("q98_hard_negatives", q98, Some(q98Sql)),
     ("q104_triplet_mining", q104, Some(q104Sql)),
-    ("q106_jl_projection", q106, Some(q106Sql))
+    ("q106_jl_projection", q106, Some(q106Sql)),
+    ("q108_kmeans_topics", q108, Some(q108Sql))
   )
 }

@@ -373,4 +373,33 @@ class QueryPackSpec extends AnyFunSuite {
     // over the pair sample concentrates much tighter
     assert(mean > 0.7 && mean < 1.3, s"distortion mean off: $mean")
   }
+
+  test("k-means: assignments are consistent, nearest-centroid, and WSS-improving") {
+    val rows = SparkEntry.queries("q108_kmeans_topics")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(_.getAs[Int]("cell")).toSet
+    assert(cells.subsetOf((0 until 8).toSet))
+    assert(cells.size > 1, "degenerate clustering: all vectors in one cell")
+    rows.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
+    // Lloyd's guarantee: total within-cluster sum of squares under the
+    // trained centroids never exceeds WSS under the init centroids
+    // (assign-to-nearest + mean-update both monotonically improve)
+    import org.apache.spark.sql.functions._
+    val e = Graft.table(spark, sf, "embeddings")
+    def wss(cents: Array[Array[Double]]): Double = {
+      val dists = transform(
+        typedlit(cents.map(_.toSeq).toSeq),
+        c => aggregate(
+          zip_with(col("embedding"), c,
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x))
+      e.select(sum(array_min(dists))).head().getDouble(0)
+    }
+    val init = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val trained = operators.EmbeddingOps.kmeansCentroids(spark, sf)
+    assert(wss(trained) <= wss(init) + 1e-9,
+      "training made the clustering worse than the init")
+  }
 }
