@@ -940,6 +940,59 @@ object DocOps {
       |    THEN (distinct_bigrams * 10000) // total_bigrams ELSE 0 END AS BIGINT) AS ttr2_bp
       |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Directed n-gram containment — the asymmetric cousin of q19's
+    * Jaccard: C(src→host) = |S(src) ∩ S(host)| / |S(src)| over distinct
+    * 3-word shingles. Near-1 containment with a size gap is the
+    * quote/template/subset-duplication signal symmetric resemblance
+    * misses (a paragraph quoted inside a much larger page has tiny
+    * Jaccard but containment ≈ 1) — the standard complement to
+    * resemblance since Broder'97 separated the two measures.
+    *
+    * Plan shape: q19's exhaustive discipline — one shuffle-hash
+    * self-join on the shingle hash, one pair aggregation with sizes
+    * riding along, then BOTH directions emitted from the single
+    * undirected pair set (containment gives no symmetric in-join size
+    * gate the way Jaccard's i ≤ min bound does: the larger side always
+    * survives the direction test trivially). At 100 TB the candidate set
+    * comes from LSH over the SMALLER side's shingles (q20's banding,
+    * which preserves containment candidates when the quote is a large
+    * fraction of the small doc) — this operator is the exact
+    * verification both paths share.
+    */
+  val q109: Q = (s, d) => {
+    val shz = shingleArrays(docs(s, d))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("shingle"))
+      .hint("shuffle_hash")
+    val pairs = shz.as("a").join(shz.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    // both directions from the one undirected pair set
+    val directed = pairs.select(
+      explode(array(
+        struct(col("doc_a").as("src_id"), col("doc_b").as("host_id"),
+          (col("i").cast("double") / col("na")).as("containment")),
+        struct(col("doc_b").as("src_id"), col("doc_a").as("host_id"),
+          (col("i").cast("double") / col("nb")).as("containment")))).as("p"))
+      .select(col("p.src_id"), col("p.host_id"), round(col("p.containment"), 6).as("containment"))
+    directed.filter(col("containment") >= 0.8).orderBy("src_id", "host_id")
+  }
+
+  val q109Sql: String =
+    s"""WITH $shinglesSqlCte,
+       |inter AS (
+       |  SELECT a.doc_id AS src_id, b.doc_id AS host_id, COUNT(*) AS i
+       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT src_id, host_id,
+       |  round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+       |FROM inter
+       |JOIN sizes sa ON src_id = sa.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / sa.n, 6) >= 0.8
+       |ORDER BY src_id, host_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
@@ -957,6 +1010,7 @@ object DocOps {
     ("q62_importance_resample", q62, Some(q62Sql)),
     ("q75_lm_perplexity", q75, Some(q75Sql)),
     ("q82_typed_pipeline", q82, Some(q82Sql)),
-    ("q97_corpus_diversity", q97, Some(q97Sql))
+    ("q97_corpus_diversity", q97, Some(q97Sql)),
+    ("q109_containment", q109, Some(q109Sql))
   )
 }

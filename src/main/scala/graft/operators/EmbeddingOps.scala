@@ -812,6 +812,75 @@ object EmbeddingOps {
        |FROM a$KmIters ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q110
+  /** Int8 scalar quantization of the embedding corpus with a per-vector
+    * reconstruction audit — the storage-compression step between raw
+    * floats (4 B/dim) and q74's product quantization (0.5 bit/dim):
+    * per-dimension affine codes `round((x-min)/(max-min)*255)` give 4×
+    * compression with near-lossless distances (FAISS's SQ8; the common
+    * default for billion-vector serving tiers).
+    *
+    * Shape (the 100 TB story): the quantizer is 64 (min, max) pairs of
+    * driver metadata from ONE map-side-combined aggregation (min/max are
+    * order-independent — exact regardless of partitioning); encode +
+    * audit is then a single stateless row-local pass over broadcast
+    * literal stats. Nothing shuffles the vectors.
+    *
+    * Exactness vs the oracle: codes match bit-exactly (same double
+    * expression tree, floor is exact); the per-vector error fold is
+    * in-order on both sides, and round(…, 9) absorbs the ulp-level
+    * association drift of DuckDB's group-sum order.
+    */
+  private val SqDims = 64
+
+  val q110: Q = (s, d) => {
+    val stats = emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lo = (0 until SqDims).map(stats(_)._1)
+    val sp = (0 until SqDims).map(i => stats(i)._2 - stats(i)._1)
+    val loL = typedlit(lo); val spL = typedlit(sp)
+    // per-dim squared reconstruction error, row-local over literal stats
+    val errs = transform(sequence(lit(0), lit(SqDims - 1)), i => {
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      val l = element_at(loL, i + 1)
+      val w = element_at(spL, i + 1)
+      val code = when(w === 0.0, lit(0.0))
+        .otherwise(least(greatest(floor((x - l) / w * 255.0 + 0.5).cast("double"), lit(0.0)), lit(255.0)))
+      val xe = l + code / 255.0 * w
+      (x - xe) * (x - xe)
+    })
+    emb(s, d)
+      .select(col("vec_id"),
+        round(aggregate(errs, lit(0.0), (acc, x) => acc + x) / SqDims, 9).as("mse"),
+        round(sqrt(array_max(errs)), 9).as("linf"))
+      .orderBy("vec_id")
+  }
+
+  val q110Sql: String =
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT t.i AS dim,
+       |    min(CAST(embedding[t.i] AS DOUBLE)) AS lo,
+       |    max(CAST(embedding[t.i] AS DOUBLE)) AS hi
+       |  FROM embeddings, generate_series(1, $SqDims) t(i)
+       |  GROUP BY 1),
+       |e AS (
+       |  SELECT vec_id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM embeddings, generate_series(1, $SqDims) t(i)),
+       |q AS (
+       |  SELECT e.vec_id, e.dim, e.x, s.lo, s.hi - s.lo AS sp,
+       |    CASE WHEN s.hi - s.lo = 0 THEN 0.0
+       |         ELSE least(greatest(floor((e.x - s.lo) / (s.hi - s.lo) * 255.0 + 0.5), 0.0), 255.0)
+       |    END AS code
+       |  FROM e JOIN st s ON s.dim = e.dim),
+       |r AS (
+       |  SELECT vec_id, x - (lo + code / 255.0 * sp) AS err FROM q)
+       |SELECT vec_id, round(sum(err * err) / $SqDims, 9) AS mse,
+       |  round(sqrt(max(err * err)), 9) AS linf
+       |FROM r GROUP BY 1 ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
@@ -823,6 +892,7 @@ object EmbeddingOps {
     ("q98_hard_negatives", q98, Some(q98Sql)),
     ("q104_triplet_mining", q104, Some(q104Sql)),
     ("q106_jl_projection", q106, Some(q106Sql)),
-    ("q108_kmeans_topics", q108, Some(q108Sql))
+    ("q108_kmeans_topics", q108, Some(q108Sql)),
+    ("q110_int8_quant", q110, Some(q110Sql))
   )
 }
