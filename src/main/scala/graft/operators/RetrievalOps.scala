@@ -55,7 +55,10 @@ object RetrievalOps {
   private def queryTermsOnly(s: org.apache.spark.sql.Column) =
     filter(s, t => t.isInCollection(bmTerms))
 
-  val q65: Q = (s, d) => {
+  /** Full (doc_id, score) BM25 table for the fixed query — q65 takes its
+    * top-10, q111 fuses its top-100 with the dense ranking.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val base = dd.select(col("doc_id"), split(lower(col("text")), " ").as("s"))
     // corpus stats: two exact ints -> exact doubles (model metadata, the
@@ -84,14 +87,18 @@ object RetrievalOps {
           (col("tf") + lit(bmK1) * (lit(1.0 - bmB) + lit(bmB) * col("dl") / avgdl)))
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
     scored
+  }
+
+  val q65: Q = (s, d) =>
+    bm25Scored(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
-  }
 
-  val q65Sql: String = {
+  /** CTE list ending in `scored` (doc_id, score) — shared by q65/q111. */
+  private val bm25SqlCtes: String = {
     val in = bmTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH stats AS (
+    s"""stats AS (
        |  SELECT count(*) AS n,
        |    CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) /
        |      count(*) AS avgdl
@@ -110,10 +117,89 @@ object RetrievalOps {
        |        (tf.tf * ${bmK1 + 1.0}) /
        |        (tf.tf + $bmK1 * (1.0 - $bmB + $bmB * tf.dl / s.avgdl))) AS score
        |  FROM tf JOIN df USING (t) CROSS JOIN stats s
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  val q65Sql: String =
+    s"""WITH $bm25SqlCtes
        |SELECT doc_id, round(score, 6) AS score
        |FROM scored ORDER BY scored.score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009 —
+    * the fusion every lexical+dense production retriever defaults to):
+    * BM25 top-100 for the fixed term query fused with dense-cosine
+    * top-100 for the fixed query vector (vec_id 0, q27's), RRF score
+    * Σ 1/(60 + rank) over the lists a document appears in, top-10 out.
+    *
+    * Shape (the 100 TB story): each side is an exact top-K
+    * (TakeOrderedAndProject — per-partition heaps, no global sort of the
+    * corpus); ranking then runs over the K retrieved rows (driver-scale),
+    * and the fusion is a K-row full outer join. The corpus is touched
+    * exactly twice — once per ranker — and nothing corpus-sized ever
+    * shuffles. doc_id ≙ vec_id is the fixture pairing (one embedding per
+    * document).
+    *
+    * Exactness: ranks are integers off each engine's unrounded ordering
+    * (total order via doc_id tiebreak; q65/q27 already prove the two
+    * score formulations agree), and the RRF sum is the same two-term
+    * double expression on both sides, rounded at 6.
+    */
+  private val RrfK = 60
+  private val FuseTopK = 100
+
+  val q111: Q = (s, d) => {
+    import graft.functions.cosine_sim
+    val sparse = bm25Scored(s, d)
+      .filter(col("doc_id") =!= 0L)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(FuseTopK)
+      .withColumn("rs", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rs"))
+    val e = graft.Graft.table(s, d, "embeddings")
+    val qv = e.filter(col("vec_id") === 0L).select(col("embedding").as("q_vec"))
+    val dense = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(FuseTopK)
+      .withColumn("rd", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rd"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("rs") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rd") + RrfK), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("rs"), col("rd"))
   }
+
+  val q111Sql: String =
+    s"""WITH $bm25SqlCtes,
+       |sp AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rs
+       |  FROM (SELECT * FROM scored WHERE doc_id <> 0
+       |        ORDER BY score DESC, doc_id LIMIT $FuseTopK)),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |ds AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_sum(list_transform(list_zip(embedding, (SELECT q FROM qv)),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * (SELECT sqrt(list_sum(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM qv)) AS sim
+       |  FROM embeddings WHERE vec_id <> 0),
+       |dn AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS rd
+       |  FROM (SELECT * FROM ds ORDER BY sim DESC, doc_id LIMIT $FuseTopK)),
+       |f AS (
+       |  SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id, sp.rs, dn.rd,
+       |    coalesce(1.0 / (sp.rs + $RrfK), 0.0) + coalesce(1.0 / (dn.rd + $RrfK), 0.0) AS rrf
+       |  FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
+       |SELECT doc_id, round(rrf, 6) AS rrf, rs, rd
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q66
   /** Per-source token budgeting: each source keeps its documents (best
@@ -303,5 +389,6 @@ object RetrievalOps {
     ("q66_source_budget", q66, Some(q66Sql)),
     ("q67_incremental_dedup", q67, Some(q67Sql)),
     ("q68_vocabulary", q68, Some(q68Sql)),
-    ("q70_tokenize_ids", q70, Some(q70Sql)))
+    ("q70_tokenize_ids", q70, Some(q70Sql)),
+    ("q111_hybrid_rrf", q111, Some(q111Sql)))
 }
