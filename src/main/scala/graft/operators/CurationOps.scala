@@ -401,6 +401,96 @@ object CurationOps {
       |    // (bucket_cap * n_docs) AS BIGINT) AS waste_bp
       |FROM g ORDER BY source, bucket_cap""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Crawl snapshot diff — the recrawl bookkeeping step: given two
+    * corpus snapshots, classify every doc_id as added / removed /
+    * modified / unchanged. Snapshots are deterministic derivations of
+    * the fixture corpus (old = doc_id % 7 != 0; new = doc_id % 5 != 0
+    * with every 11th doc's text revised), so both engines build the
+    * identical inputs.
+    *
+    * Shape (the 100 TB story): each side reduces to (doc_id, md5) BEFORE
+    * the join — the diff shuffles 16-byte fingerprints, never document
+    * bodies, and the full-outer join on doc_id is the only shuffle. At
+    * recrawl scale the fingerprint side of the OLD snapshot is exactly
+    * the incremental-dedup index q67 maintains.
+    */
+  val q112: Q = (s, d) => {
+    def snap(df: DataFrame) = df.select(col("doc_id"), md5(col("text")).as("h"))
+    val old = snap(docs(s, d).filter(col("doc_id") % 7 =!= 0))
+    val neu = snap(docs(s, d).filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))))
+    old.as("o").join(neu.as("n"),
+        col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(
+        coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+        when(col("o.doc_id").isNull, lit("added"))
+          .when(col("n.doc_id").isNull, lit("removed"))
+          .when(col("o.h") =!= col("n.h"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.h <> n.h THEN 'modified'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** Temperature-based mixture allocation (the multilingual/multi-source
+    * α-sampling of mBERT/XLM-R and data-mixture papers): per-source
+    * sampling probability p_i = m_i^α / Σ m_j^α over token masses with
+    * α = 0.3 — upweights small sources relative to proportional
+    * sampling — and the expected document allocation of a 100k-doc
+    * training budget. q57 caps each group at an absolute budget; this is
+    * the relative-share counterpart a mixture designer actually tunes.
+    *
+    * Shape: one map-side-combined GROUP BY to source-count rows, then an
+    * unpartitioned window over those few rows (source count ≪ executor
+    * memory at any scale — it is the mixture table itself).
+    */
+  private val MixAlpha = 0.3
+  private val MixDocBudget = 100000L
+
+  val q113: Q = (s, d) => {
+    val mass = docs(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tokens"))
+      .groupBy(col("source")).agg(sum(col("tokens")).as("m"))
+    val w = Window.partitionBy()
+    mass
+      .withColumn("pw", pow(col("m").cast("double"), MixAlpha))
+      .withColumn("p", col("pw") / sum(col("pw")).over(w))
+      .select(col("source"), col("m"),
+        round(col("p"), 6).as("p"),
+        floor(col("p") * MixDocBudget + 0.5).cast("long").as("alloc_docs"))
+      .orderBy("source")
+  }
+
+  val q113Sql: String =
+    s"""WITH mass AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m
+       |  FROM documents GROUP BY source),
+       |p AS (
+       |  SELECT source, m,
+       |    pow(CAST(m AS DOUBLE), $MixAlpha) /
+       |      sum(pow(CAST(m AS DOUBLE), $MixAlpha)) OVER () AS p
+       |  FROM mass)
+       |SELECT source, m, round(p, 6) AS p,
+       |  CAST(floor(p * $MixDocBudget + 0.5) AS BIGINT) AS alloc_docs
+       |FROM p ORDER BY source""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q54_pii_redact", q54, Some(q54Sql)),
     ("q55_seq_pack", q55, Some(q55Sql)),
@@ -408,6 +498,8 @@ object CurationOps {
     ("q57_mix_sample", q57, Some(q57Sql)),
     ("q60_shard_shuffle", q60, Some(q60Sql)),
     ("q71_chunk_overlap", q71, Some(q71Sql)),
-    ("q95_length_buckets", q95, Some(q95Sql))
+    ("q95_length_buckets", q95, Some(q95Sql)),
+    ("q112_snapshot_diff", q112, Some(q112Sql)),
+    ("q113_mix_temperature", q113, Some(q113Sql))
   )
 }
