@@ -400,6 +400,42 @@ object DocOps {
   /** Quality scoring: word/char stats and a deterministic composite score
     * (no transcendental functions, so doubles match the oracle exactly).
     */
+  /** (doc_id, score): q23's composite quality score alone — reused by
+    * q114's cluster-balanced selection. The score is a fixed three-term
+    * weighted sum evaluated in one expression tree, so both engines
+    * compute bit-identical doubles (same association, no corpus-order
+    * dependence).
+    */
+  private[operators] def qualityScores(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("avg_wlen",
+        length(regexp_replace(col("t"), " ", "")).cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        size(filter(col("w"), t => array_contains(lit(dicts.toMap.apply("en").toArray), t)))
+          .cast("double") / col("n_words"))
+      .withColumn("long_ratio",
+        size(filter(col("w"), t => length(t) > 6)).cast("double") / col("n_words"))
+      .select(col("doc_id"),
+        (lit(0.4) * col("stop_ratio") + lit(0.3) * col("long_ratio")
+          + lit(0.3) * (least(col("avg_wlen"), lit(8.0)) / lit(8.0))).as("score"))
+
+  /** CTE `qscore` (doc_id, score) — the DuckDB twin of `qualityScores`. */
+  private[operators] val qualityScoreSqlCte: String = {
+    val en = dicts.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qscore AS (
+       |  SELECT doc_id,
+       |    0.4 * (CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words)
+       |      + 0.3 * (CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words)
+       |      + 0.3 * (least(CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words, 8.0) / 8.0) AS score
+       |  FROM (
+       |    SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w,
+       |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+       |    FROM documents))""".stripMargin
+  }
+
   val q23: Q = (s, d) =>
     docs(s, d)
       .select(col("doc_id"), lower(col("text")).as("t"))
