@@ -435,6 +435,85 @@ object Pipeline {
        |  split_x <> split_y AS eval_leak
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Eval-split decontamination repair — q103 reports the leaks, this
+    * removes them: every doc on a CROSS-split verified near-dup pair
+    * that is not already in train moves to train (the standard repair —
+    * eval sets must not share near-duplicates with training data, and
+    * moving the eval endpoint keeps the data instead of discarding it;
+    * after the move every formerly-cross-split pair is train↔train).
+    * Output is the per-split migration summary: docs before, moved out,
+    * moved in, docs after — the numbers a dataset release note reports.
+    *
+    * Shape: reuses the memoized verified pair set (the q50/q51/q96/q103
+    * discipline — LSH runs once per session/scale); the repair itself
+    * joins (doc_id, split) pairs and aggregates to split-count rows.
+    * Nothing corpus-sized shuffles beyond the split join.
+    */
+  val q115: Q = (s, d) => {
+    val sp = CurationOps.splitOf(s, d)
+    val pairs = DocOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .join(sp.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sp.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+    // every non-train endpoint of a cross-split pair
+    val moved = pairs.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("sa.split").as("split")),
+        struct(col("doc_b").as("doc_id"), col("sb.split").as("split")))).as("m"))
+      .select(col("m.doc_id"), col("m.split"))
+      .filter(col("split") =!= "train")
+      .select(col("doc_id")).distinct()
+    val after = sp.join(moved.withColumn("mv", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("split"),
+        when(col("mv"), lit("train")).otherwise(col("split")).as("split_after"))
+    after.groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("split_after") =!= col("split"), 1L).otherwise(0L)).as("moved_out"))
+      .join(
+        after.groupBy(col("split_after").as("split"))
+          .agg(count(lit(1)).as("n_after")),
+        Seq("split"), "full_outer")
+      .select(col("split"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+        (coalesce(col("n_after"), lit(0L)) - (coalesce(col("n_before"), lit(0L)) - coalesce(col("moved_out"), lit(0L)))).as("moved_in"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("split")
+  }
+
+  val q115Sql: String =
+    s"""WITH ${DocOps.jaccardPairsCtes},
+       |${CurationOps.splitSqlCte},
+       |cross_pairs AS (
+       |  SELECT jpairs.doc_a, sa.split AS split_a, jpairs.doc_b, sb.split AS split_b
+       |  FROM jpairs
+       |  JOIN sp sa ON jpairs.doc_a = sa.doc_id
+       |  JOIN sp sb ON jpairs.doc_b = sb.doc_id
+       |  WHERE sa.split <> sb.split),
+       |moved AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id, split_a AS split FROM cross_pairs
+       |    UNION ALL
+       |    SELECT doc_b AS doc_id, split_b AS split FROM cross_pairs)
+       |  WHERE split <> 'train'),
+       |after AS (
+       |  SELECT sp.doc_id, sp.split,
+       |    CASE WHEN m.doc_id IS NOT NULL THEN 'train' ELSE sp.split END AS split_after
+       |  FROM sp LEFT JOIN moved m ON sp.doc_id = m.doc_id),
+       |b AS (
+       |  SELECT split, count(*) AS n_before,
+       |    sum(CASE WHEN split_after <> split THEN 1 ELSE 0 END) AS moved_out
+       |  FROM after GROUP BY 1),
+       |a AS (SELECT split_after AS split, count(*) AS n_after FROM after GROUP BY 1)
+       |SELECT coalesce(b.split, a.split) AS split,
+       |  CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+       |  CAST(coalesce(b.moved_out, 0) AS BIGINT) AS moved_out,
+       |  CAST(coalesce(a.n_after, 0) - (coalesce(b.n_before, 0) - coalesce(b.moved_out, 0)) AS BIGINT) AS moved_in,
+       |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+       |FROM b FULL JOIN a ON b.split = a.split
+       |ORDER BY split""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
@@ -443,6 +522,7 @@ object Pipeline {
     ("q77_pagerank", q77, Some(q77Sql)),
     ("q83_source_contamination", q83, Some(q83Sql)),
     ("q96_dup_graph_shape", q96, Some(q96Sql)),
-    ("q103_split_leakage", q103, Some(q103Sql))
+    ("q103_split_leakage", q103, Some(q103Sql)),
+    ("q115_split_repair", q115, Some(q115Sql))
   )
 }
