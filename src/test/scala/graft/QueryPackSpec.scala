@@ -28,7 +28,8 @@ class QueryPackSpec extends AnyFunSuite {
       // legitimately-possibly-empty at tiny SF: near-dup pair sets and
       // benchmark-overlap hits
       n.contains("neardup") || n.contains("jaccard") || n.contains("minhash") ||
-        n.contains("simhash") || n.contains("anti") || n.contains("decontam")
+        n.contains("simhash") || n.contains("anti") || n.contains("decontam") ||
+        n.contains("containment")
     }
     mustBeNonEmpty.foreach { case (n, c) => assert(c > 0, s"$n is empty") }
   }
@@ -401,5 +402,81 @@ class QueryPackSpec extends AnyFunSuite {
     val trained = operators.EmbeddingOps.kmeansCentroids(spark, sf)
     assert(wss(trained) <= wss(init) + 1e-9,
       "training made the clustering worse than the init")
+  }
+
+  test("containment: bounds, direction pairs, and near-dup consistency") {
+    val rows = SparkEntry.queries("q109_containment")(spark, sf).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0, s"containment out of band: $c")
+      assert(r.getAs[Long]("src_id") != r.getAs[Long]("host_id"))
+    }
+    // a symmetric near-identical pair must surface in both directions
+    val dirs = rows.map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("host_id"))).toSet
+    val both = dirs.count { case (a, b) => dirs.contains((b, a)) }
+    assert(rows.isEmpty || both > 0, "no symmetric containment pair at this SF")
+  }
+
+  test("hybrid rrf: scores bounded by the two-list maximum, ranks positive") {
+    val rows = SparkEntry.queries("q111_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9, s"rrf out of band: $rrf")
+      val rs = Option(r.getAs[Integer]("rs")).map(_.toInt)
+      val rd = Option(r.getAs[Integer]("rd")).map(_.toInt)
+      assert(rs.forall(_ >= 1) && rd.forall(_ >= 1))
+      assert(rs.nonEmpty || rd.nonEmpty, "a fused doc must appear in some list")
+    }
+  }
+
+  test("snapshot diff: statuses partition the union of both snapshots") {
+    val rows = SparkEntry.queries("q112_snapshot_diff")(spark, sf).collect()
+    val n = Graft.table(spark, sf, "documents").count()
+    val inOld = (0L until n).count(i => i % 7 != 0)
+    val inNew = (0L until n).count(i => i % 5 != 0)
+    val union = (0L until n).count(i => i % 7 != 0 || i % 5 != 0)
+    assert(rows.length == union)
+    val byStatus = rows.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("added", 0) == union - inOld)
+    assert(byStatus.getOrElse("removed", 0) == union - inNew)
+    // every 11th doc present in both snapshots is modified
+    val expMod = (0L until n).count(i => i % 7 != 0 && i % 5 != 0 && i % 11 == 0)
+    assert(byStatus.getOrElse("modified", 0) == expMod)
+  }
+
+  test("temperature mixture: probabilities sum to 1, allocation near budget") {
+    val rows = SparkEntry.queries("q113_mix_temperature")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pSum = rows.map(_.getAs[Double]("p")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p must sum to 1, got $pSum")
+    val alloc = rows.map(_.getAs[Long]("alloc_docs")).sum
+    assert(math.abs(alloc - 100000L) <= rows.length,
+      s"allocation drifted from the budget: $alloc")
+  }
+
+  test("cluster balance: per-cell cap respected, ranks dense from 1") {
+    val rows = SparkEntry.queries("q114_cluster_balance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toList
+      assert(ranks.length <= 25)
+      assert(ranks == (1 to ranks.length).toList, "ranks must be dense from 1")
+    }
+  }
+
+  test("split repair: totals conserved, only train gains, no eval growth") {
+    val rows = SparkEntry.queries("q115_split_repair")(spark, sf).collect()
+    val before = rows.map(_.getAs[Long]("n_before")).sum
+    val after = rows.map(_.getAs[Long]("n_after")).sum
+    assert(before == after, "repair must not create or drop documents")
+    rows.foreach { r =>
+      val split = r.getAs[String]("split")
+      if (split == "train") assert(r.getAs[Long]("moved_out") == 0L)
+      else {
+        assert(r.getAs[Long]("moved_in") == 0L)
+        assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      }
+    }
   }
 }
