@@ -452,16 +452,24 @@ object CurationOps {
   /** Temperature-based mixture allocation (the multilingual/multi-source
     * α-sampling of mBERT/XLM-R and data-mixture papers): per-source
     * sampling probability p_i = m_i^α / Σ m_j^α over token masses with
-    * α = 0.3 — upweights small sources relative to proportional
-    * sampling — and the expected document allocation of a 100k-doc
-    * training budget. q57 caps each group at an absolute budget; this is
-    * the relative-share counterpart a mixture designer actually tunes.
+    * α = 0.5 (temperature T = 2) — upweights small sources relative to
+    * proportional sampling — and the expected document allocation of a
+    * 100k-doc training budget. q57 caps each group at an absolute
+    * budget; this is the relative-share counterpart a mixture designer
+    * actually tunes.
+    *
+    * α = 0.5 deliberately: m^0.5 is sqrt, which IEEE 754 requires to be
+    * correctly rounded, so every p-term is bit-identical between
+    * engines; a transcendental pow(m, α) is only ~1-ulp accurate per
+    * libm and a ulp-different p could flip the floor/round boundaries
+    * below between engines (the no-transcendentals exactness
+    * discipline; ln is tolerated in q65/q75 only because their outputs
+    * round before any discrete decision).
     *
     * Shape: one map-side-combined GROUP BY to source-count rows, then an
     * unpartitioned window over those few rows (source count ≪ executor
     * memory at any scale — it is the mixture table itself).
     */
-  private val MixAlpha = 0.3
   private val MixDocBudget = 100000L
 
   val q113: Q = (s, d) => {
@@ -470,7 +478,7 @@ object CurationOps {
       .groupBy(col("source")).agg(sum(col("tokens")).as("m"))
     val w = Window.partitionBy()
     mass
-      .withColumn("pw", pow(col("m").cast("double"), MixAlpha))
+      .withColumn("pw", sqrt(col("m").cast("double")))
       .withColumn("p", col("pw") / sum(col("pw")).over(w))
       .select(col("source"), col("m"),
         round(col("p"), 6).as("p"),
@@ -484,8 +492,8 @@ object CurationOps {
        |  FROM documents GROUP BY source),
        |p AS (
        |  SELECT source, m,
-       |    pow(CAST(m AS DOUBLE), $MixAlpha) /
-       |      sum(pow(CAST(m AS DOUBLE), $MixAlpha)) OVER () AS p
+       |    sqrt(CAST(m AS DOUBLE)) /
+       |      sum(sqrt(CAST(m AS DOUBLE))) OVER () AS p
        |  FROM mass)
        |SELECT source, m, round(p, 6) AS p,
        |  CAST(floor(p * $MixDocBudget + 0.5) AS BIGINT) AS alloc_docs

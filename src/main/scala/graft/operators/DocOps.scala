@@ -400,6 +400,16 @@ object DocOps {
   /** Quality scoring: word/char stats and a deterministic composite score
     * (no transcendental functions, so doubles match the oracle exactly).
     */
+  /** THE composite-score formula — q23, q114's helper, and both SQL
+    * twins all route through these two builders, so the "bit-identical
+    * doubles" exactness claim has a single definition to hold against.
+    */
+  private def compositeScore(stop: Column, long: Column, awl: Column): Column =
+    lit(0.4) * stop + lit(0.3) * long + lit(0.3) * (least(awl, lit(8.0)) / lit(8.0))
+
+  private def compositeScoreSql(stop: String, long: String, awl: String): String =
+    s"0.4 * ($stop) + 0.3 * ($long) + 0.3 * (least($awl, 8.0) / 8.0)"
+
   /** (doc_id, score): q23's composite quality score alone — reused by
     * q114's cluster-balanced selection. The score is a fixed three-term
     * weighted sum evaluated in one expression tree, so both engines
@@ -419,17 +429,17 @@ object DocOps {
       .withColumn("long_ratio",
         size(filter(col("w"), t => length(t) > 6)).cast("double") / col("n_words"))
       .select(col("doc_id"),
-        (lit(0.4) * col("stop_ratio") + lit(0.3) * col("long_ratio")
-          + lit(0.3) * (least(col("avg_wlen"), lit(8.0)) / lit(8.0))).as("score"))
+        compositeScore(col("stop_ratio"), col("long_ratio"), col("avg_wlen")).as("score"))
 
   /** CTE `qscore` (doc_id, score) — the DuckDB twin of `qualityScores`. */
   private[operators] val qualityScoreSqlCte: String = {
     val en = dicts.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    val score = compositeScoreSql(
+      s"CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words",
+      "CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words",
+      "CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words")
     s"""qscore AS (
-       |  SELECT doc_id,
-       |    0.4 * (CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words)
-       |      + 0.3 * (CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words)
-       |      + 0.3 * (least(CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words, 8.0) / 8.0) AS score
+       |  SELECT doc_id, $score AS score
        |  FROM (
        |    SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w,
        |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
@@ -449,14 +459,17 @@ object DocOps {
       .withColumn("long_ratio",
         size(filter(col("w"), t => length(t) > 6)).cast("double") / col("n_words"))
       .withColumn("score",
-        lit(0.4) * col("stop_ratio") + lit(0.3) * col("long_ratio")
-          + lit(0.3) * (least(col("avg_wlen"), lit(8.0)) / lit(8.0)))
+        compositeScore(col("stop_ratio"), col("long_ratio"), col("avg_wlen")))
       .select(col("doc_id"), col("n_words"), col("avg_wlen"),
         col("stop_ratio"), col("long_ratio"), col("score"))
       .orderBy("doc_id")
 
   val q23Sql: String = {
     val en = dicts.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    val score = compositeScoreSql(
+      s"CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words",
+      "CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words",
+      "CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words")
     s"""WITH t AS (
        |  SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w,
        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
@@ -465,9 +478,7 @@ object DocOps {
        |  CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words AS avg_wlen,
        |  CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words AS stop_ratio,
        |  CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words AS long_ratio,
-       |  0.4 * (CAST(len(list_filter(w, x -> list_contains($en, x))) AS DOUBLE) / n_words)
-       |    + 0.3 * (CAST(len(list_filter(w, x -> length(x) > 6)) AS DOUBLE) / n_words)
-       |    + 0.3 * (least(CAST(length(replace(t, ' ', '')) AS DOUBLE) / n_words, 8.0) / 8.0) AS score
+       |  $score AS score
        |FROM t ORDER BY doc_id""".stripMargin
   }
 

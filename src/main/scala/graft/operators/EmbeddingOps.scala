@@ -724,7 +724,7 @@ object EmbeddingOps {
   /** Row-local squared-L2 distances to each broadcast centroid, in-order
     * per-dim fold (matches the oracle's list_sum association).
     */
-  private def kmDists(cents: Array[Array[Double]]): org.apache.spark.sql.Column =
+  private[graft] def kmDists(cents: Array[Array[Double]]): org.apache.spark.sql.Column =
     transform(
       typedlit(cents.map(_.toSeq).toSeq),
       c => aggregate(

@@ -320,10 +320,22 @@ object EventOps {
   private val rtMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
+  /** Scratch root unique per (session, scale): the memo is per-session,
+    * so the PATH must be too — a fixed path would let a second session's
+    * memo miss delete the store out from under the first session's live
+    * scan (appId separates JVMs, identityHashCode separates newSession()s
+    * within one).
+    */
+  private[operators] def sessionScopedRoot(s: SparkSession, prefix: String, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val sid = s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}"
+      .replaceAll("[^A-Za-z0-9-]", "_")
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/$prefix-$sid-$tag"
+  }
+
   private def roundtripRoot(s: SparkSession, d: String): String =
     DocOps.Memo.get(rtMemo, s, d) {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-rt-$tag"
+      val root = sessionScopedRoot(s, "graft-rt", d)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -373,8 +385,7 @@ object EventOps {
 
   private def connectorWriteRoot(s: SparkSession, d: String): String =
     DocOps.Memo.get(cwMemo, s, d) {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-cw-$tag"
+      val root = sessionScopedRoot(s, "graft-cw", d)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)

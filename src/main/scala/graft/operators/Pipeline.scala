@@ -437,30 +437,32 @@ object Pipeline {
 
   // ---------------------------------------------------------------- q115
   /** Eval-split decontamination repair — q103 reports the leaks, this
-    * removes them: every doc on a CROSS-split verified near-dup pair
-    * that is not already in train moves to train (the standard repair —
-    * eval sets must not share near-duplicates with training data, and
-    * moving the eval endpoint keeps the data instead of discarding it;
-    * after the move every formerly-cross-split pair is train↔train).
-    * Output is the per-split migration summary: docs before, moved out,
-    * moved in, docs after — the numbers a dataset release note reports.
+    * removes them at the CLUSTER level: every near-dup connected
+    * component (q50's labels, memoized) whose members span more than one
+    * split moves its non-train members to train. Pair-level repair would
+    * be wrong — moving one endpoint of a cross-split pair can turn its
+    * OTHER same-split near-dups into fresh train↔eval leaks — while the
+    * component rule is a one-shot fixed point: every verified pair lies
+    * inside a component, multi-split components end up entirely in
+    * train, single-split components are untouched, so no cross-split
+    * pair can survive (the spec asserts exactly this). Output is the
+    * per-split migration summary: docs before, moved out, moved in,
+    * docs after — the numbers a dataset release note reports.
     *
-    * Shape: reuses the memoized verified pair set (the q50/q51/q96/q103
-    * discipline — LSH runs once per session/scale); the repair itself
-    * joins (doc_id, split) pairs and aggregates to split-count rows.
-    * Nothing corpus-sized shuffles beyond the split join.
+    * Shape: reuses the memoized cluster labels (the q50/q51/q96/q103
+    * discipline — LSH + propagation run once per session/scale); the
+    * repair itself joins (doc_id, cluster, split) triples and aggregates
+    * to cluster- then split-count rows.
     */
   val q115: Q = (s, d) => {
     val sp = CurationOps.splitOf(s, d)
-    val pairs = DocOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
-      .join(sp.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sp.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(col("sa.split") =!= col("sb.split"))
-    // every non-train endpoint of a cross-split pair
-    val moved = pairs.select(explode(array(
-        struct(col("doc_a").as("doc_id"), col("sa.split").as("split")),
-        struct(col("doc_b").as("doc_id"), col("sb.split").as("split")))).as("m"))
-      .select(col("m.doc_id"), col("m.split"))
+    val cl = dupLabels(s, d).join(sp, "doc_id")
+    val spanning = cl.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("nsp"))
+      .filter(col("nsp") > 1)
+      .select(col("cluster_id"))
+    // every non-train member of a split-spanning component
+    val moved = cl.join(spanning, "cluster_id")
       .filter(col("split") =!= "train")
       .select(col("doc_id")).distinct()
     val after = sp.join(moved.withColumn("mv", lit(true)), Seq("doc_id"), "left_outer")
@@ -483,20 +485,22 @@ object Pipeline {
   }
 
   val q115Sql: String =
-    s"""WITH ${DocOps.jaccardPairsCtes},
+    s"""WITH RECURSIVE ${DocOps.jaccardPairsCtes},
        |${CurationOps.splitSqlCte},
-       |cross_pairs AS (
-       |  SELECT jpairs.doc_a, sa.split AS split_a, jpairs.doc_b, sb.split AS split_b
-       |  FROM jpairs
-       |  JOIN sp sa ON jpairs.doc_a = sa.doc_id
-       |  JOIN sp sb ON jpairs.doc_b = sb.doc_id
-       |  WHERE sa.split <> sb.split),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.doc_b, r.label FROM reach r JOIN edges e ON e.doc_a = r.doc_id),
+       |cl AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, sp.split FROM cl JOIN sp USING (doc_id)),
+       |spanning AS (
+       |  SELECT cluster_id FROM j GROUP BY 1 HAVING count(DISTINCT split) > 1),
        |moved AS (
-       |  SELECT DISTINCT doc_id FROM (
-       |    SELECT doc_a AS doc_id, split_a AS split FROM cross_pairs
-       |    UNION ALL
-       |    SELECT doc_b AS doc_id, split_b AS split FROM cross_pairs)
-       |  WHERE split <> 'train'),
+       |  SELECT DISTINCT j.doc_id FROM j JOIN spanning USING (cluster_id)
+       |  WHERE j.split <> 'train'),
        |after AS (
        |  SELECT sp.doc_id, sp.split,
        |    CASE WHEN m.doc_id IS NOT NULL THEN 'train' ELSE sp.split END AS split_after

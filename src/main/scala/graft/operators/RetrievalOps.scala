@@ -199,7 +199,7 @@ object RetrievalOps {
        |    coalesce(1.0 / (sp.rs + $RrfK), 0.0) + coalesce(1.0 / (dn.rd + $RrfK), 0.0) AS rrf
        |  FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id)
        |SELECT doc_id, round(rrf, 6) AS rrf, rs, rd
-       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+       |FROM f ORDER BY f.rrf DESC, doc_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q66
   /** Per-source token budgeting: each source keeps its documents (best

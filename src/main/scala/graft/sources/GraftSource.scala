@@ -184,25 +184,36 @@ object GraftTable {
   /** Normalize a producer-shaped DataFrame to produce()'s contract:
     * `key` string, `value` binary (strings UTF-8 encoded), `timestamp`
     * defaulting to the server ingest time when absent (§2.6.5).
+    * Column names resolve case-insensitively (Spark's default analyzer
+    * behavior — a frame named `Key`/`Value` is conventionally valid),
+    * and ambiguous folded duplicates are rejected.
     */
   private[sources] def adaptProducerBatch(data: DataFrame): DataFrame = {
-    val cols = data.columns.toSet
-    require(cols.contains("key") && cols.contains("value"),
+    val byFolded = data.columns.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+    byFolded.collect { case (n, vs) if vs.length > 1 => n } match {
+      case dups if dups.nonEmpty => throw new IllegalArgumentException(
+        s"graft write: ambiguous columns after case folding: ${dups.mkString(", ")}")
+      case _ => ()
+    }
+    def named(n: String): Option[org.apache.spark.sql.Column] =
+      byFolded.get(n).map(vs => col(s"`${vs.head}`"))
+    require(named("key").nonEmpty && named("value").nonEmpty,
       s"graft write needs columns (key, value[, timestamp]); got ${data.columns.mkString(", ")}")
-    val extras = cols -- Set("key", "value", "timestamp")
+    val extras = byFolded.keySet -- Set("key", "value", "timestamp")
     require(extras.isEmpty,
       s"graft write accepts only (key, value[, timestamp]); unexpected: ${extras.mkString(", ")} " +
         "— the engine assigns part/offset/token/range/version itself")
-    val valueCol = data.schema("value").dataType match {
-      case BinaryType => col("value")
-      case StringType => encode(col("value"), "UTF-8")
+    val valueName = byFolded("value").head
+    val valueCol = data.schema(valueName).dataType match {
+      case BinaryType => named("value").get
+      case StringType => encode(named("value").get, "UTF-8")
       case other => throw new IllegalArgumentException(
         s"graft write: value must be BINARY or STRING, got $other")
     }
-    val tsCol =
-      if (cols.contains("timestamp")) col("timestamp").cast(TimestampType)
-      else current_timestamp()
-    data.select(col("key").cast(StringType).as("key"),
+    val tsCol = named("timestamp")
+      .map(_.cast(TimestampType))
+      .getOrElse(current_timestamp())
+    data.select(named("key").get.cast(StringType).as("key"),
       valueCol.as("value"), tsCol.as("timestamp"))
   }
 }

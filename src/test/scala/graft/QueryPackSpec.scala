@@ -387,15 +387,11 @@ class QueryPackSpec extends AnyFunSuite {
     // (assign-to-nearest + mean-update both monotonically improve)
     import org.apache.spark.sql.functions._
     val e = Graft.table(spark, sf, "embeddings")
-    def wss(cents: Array[Array[Double]]): Double = {
-      val dists = transform(
-        typedlit(cents.map(_.toSeq).toSeq),
-        c => aggregate(
-          zip_with(col("embedding"), c,
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, x) => acc + x))
-      e.select(sum(array_min(dists))).head().getDouble(0)
-    }
+    // the REAL distance expression (not a test-local copy): the WSS
+    // invariant must measure exactly what q108 computes
+    def wss(cents: Array[Array[Double]]): Double =
+      e.select(sum(array_min(operators.EmbeddingOps.kmDists(cents))))
+        .head().getDouble(0)
     val init = e.filter(col("vec_id") < 8).orderBy("vec_id")
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -404,17 +400,24 @@ class QueryPackSpec extends AnyFunSuite {
       "training made the clustering worse than the init")
   }
 
-  test("containment: bounds, direction pairs, and near-dup consistency") {
+  test("containment: bounds, no self pairs, supersets of jaccard near-dups") {
     val rows = SparkEntry.queries("q109_containment")(spark, sf).collect()
     rows.foreach { r =>
       val c = r.getAs[Double]("containment")
       assert(c >= 0.8 && c <= 1.0, s"containment out of band: $c")
       assert(r.getAs[Long]("src_id") != r.getAs[Long]("host_id"))
     }
-    // a symmetric near-identical pair must surface in both directions
+    // operator invariant (not a fixture property): J >= 0.8 implies BOTH
+    // directed containments >= 0.8 (i/min >= i/union-bound), so every
+    // high-Jaccard pair must appear in q109 in both directions
     val dirs = rows.map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("host_id"))).toSet
-    val both = dirs.count { case (a, b) => dirs.contains((b, a)) }
-    assert(rows.isEmpty || both > 0, "no symmetric containment pair at this SF")
+    SparkEntry.queries("q19_dedup_jaccard")(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .foreach { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        assert(dirs.contains((a, b)) && dirs.contains((b, a)),
+          s"J>=0.8 pair ($a, $b) missing from containment output")
+      }
   }
 
   test("hybrid rrf: scores bounded by the two-list maximum, ranks positive") {
@@ -478,5 +481,33 @@ class QueryPackSpec extends AnyFunSuite {
         assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
       }
     }
+  }
+
+  test("split repair reaches a fixed point: zero cross-split pairs remain") {
+    // black-box re-derivation from public queries only: splits from q60,
+    // components from q50, verified pairs from q19 — apply q115's
+    // component rule and assert no verified pair still crosses splits
+    // (the exact flaw of pair-level repair: moving one endpoint creates
+    // fresh leaks through its same-split near-dups)
+    val splits = SparkEntry.queries("q60_shard_shuffle")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clusters = SparkEntry.queries("q50_dup_clusters")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = SparkEntry.queries("q19_dedup_jaccard")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val spanning = clusters.groupBy(_._2)
+      .filter { case (_, ms) => ms.keys.map(splits).toSet.size > 1 }
+      .keySet
+    val repaired = clusters.map { case (doc, cl) =>
+      doc -> (if (spanning.contains(cl) && splits(doc) != "train") "train" else splits(doc))
+    }
+    pairs.foreach { case (a, b) =>
+      assert(repaired(a) == repaired(b),
+        s"pair ($a, $b) still crosses splits after repair: ${repaired(a)} vs ${repaired(b)}")
+    }
+    // and the summary's arithmetic matches this independent re-derivation
+    val rows = SparkEntry.queries("q115_split_repair")(spark, sf).collect()
+    val movedExpected = repaired.count { case (doc, after) => after != splits(doc) }
+    assert(rows.map(_.getAs[Long]("moved_out")).sum == movedExpected.toLong)
   }
 }
