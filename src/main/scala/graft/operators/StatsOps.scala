@@ -628,6 +628,91 @@ object StatsOps {
        |  MIN(v) AS min_v, MAX(v) AS max_v
        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Character-entropy gibberish score — the information-theoretic
+    * quality signal the ratio heuristics (q23) miss: Shannon entropy of
+    * the per-document character distribution. Keyboard-mash and
+    * base64-ish blobs sit far from natural text's ~4-bit/char band, and
+    * near-zero entropy flags single-character padding — both standard
+    * pre-filters before expensive model scoring.
+    *
+    * Shape: one explode to (doc_id, char) and one two-level aggregation
+    * (char counts, then per-doc entropy) — map-side combined, linear,
+    * no joins. log2 is computed as ln(x)/ln(2) on BOTH engines (q65/q75's
+    * ln discipline: ulp-level libm drift exists but the output rounds
+    * before any discrete decision).
+    */
+  val q116: Q = (s, d) => {
+    val chars = Graft.table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val ln2 = log(lit(2.0))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      // H = log2(n) - (1/n) * sum c*log2(c), folded from -sum p log2 p
+      .select(col("doc_id"), col("distinct_chars"),
+        round((log(col("n").cast("double")) - col("clogc") / col("n")) / ln2, 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val q116Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM c WHERE length(ch) > 0 GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS distinct_chars,
+      |  round((ln(CAST(sum(c) AS DOUBLE))
+      |         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c)) / ln(2.0), 6)
+      |    AS entropy
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+  /** Within-corpus repeated-substring report — the per-document view of
+    * substring-level duplication (Lee et al. 2022's motivation): for
+    * every document, the fraction of its SubK-token windows that appear
+    * verbatim in at least one OTHER document. q86 finds the contaminated
+    * pairs and their run lengths; this is the corpus-health histogram a
+    * dedup job reads first to size the problem.
+    *
+    * Shape: NO pair join at all — window df (distinct docs per gram) is
+    * one map-side-combined aggregation, and the per-doc fraction is a
+    * broadcast-joinable (gram, df>=2) flag folded back over the postings.
+    * Linear in corpus windows at any scale.
+    */
+  val q117: Q = (s, d) => {
+    val g = posGrams(s, d)
+    val shared = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("gh"))
+    g.join(shared.withColumn("hit", lit(1L)), Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("shared_windows"))
+      .select(col("doc_id"), col("n_windows"), col("shared_windows"),
+        round(col("shared_windows").cast("double") / col("n_windows"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q117Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, pos, gh
+      |  FROM read_parquet('/tmp/graft_fixtures/substr_grams/*.parquet')),
+      |df AS (SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_windows,
+      |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_windows,
+      |  round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+      |    AS dup_frac
+      |FROM g JOIN df USING (gh)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q84_stats_moments", q84, Some(q84Sql)),
     ("q85_scd2_dim", q85, Some(q85Sql)),
@@ -639,5 +724,7 @@ object StatsOps {
     ("q91_zorder_layout", q91, Some(q91Sql)),
     ("q92_stratified_priority", q92, Some(q92Sql)),
     ("q93_pit_join", q93, Some(q93Sql)),
-    ("q94_histogram", q94, Some(q94Sql)))
+    ("q94_histogram", q94, Some(q94Sql)),
+    ("q116_char_entropy", q116, Some(q116Sql)),
+    ("q117_substr_dup_frac", q117, Some(q117Sql)))
 }
