@@ -1040,6 +1040,51 @@ object DocOps {
        |WHERE round(CAST(i AS DOUBLE) / sa.n, 6) >= 0.8
        |ORDER BY src_id, host_id""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Dedup-threshold sweep — the tuning report read before committing to
+    * a similarity cutoff: verified near-dup pairs bucketed by Jaccard
+    * decile with, per band, the pair count, the distinct documents
+    * touched, and the cumulative pairs a threshold at that band's floor
+    * would remove. Reuses the memoized verified pair set (LSH runs once
+    * per session/scale); everything downstream is band-count-sized.
+    *
+    * Exactness: the Jaccard values are the same exact rationals both
+    * engines compute (q19's proof), so floor(j*10) bucketing cannot
+    * disagree; the cumulative window runs over <= 4 integer rows.
+    */
+  val q118: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = verifiedPairs(s, d)
+      .withColumn("band", least(floor(col("jaccard") * 10), lit(9)).cast("int"))
+    val pairsPerBand = p.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val docsPerBand = p.select(col("band"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("band")).agg(countDistinct(col("doc")).as("n_docs"))
+    pairsPerBand.join(docsPerBand, "band")
+      .withColumn("cum_pairs_at_thresh",
+        sum(col("n_pairs")).over(Window.orderBy(col("band").desc)))
+      .select((col("band").cast("double") / 10.0).as("thresh"),
+        col("n_pairs"), col("n_docs"), col("cum_pairs_at_thresh"))
+      .orderBy("thresh")
+  }
+
+  val q118Sql: String =
+    s"""WITH $jaccardPairsCtes,
+       |b AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(least(floor(jaccard * 10), 9) AS INT) AS band
+       |  FROM jpairs),
+       |pb AS (SELECT band, count(*) AS n_pairs FROM b GROUP BY 1),
+       |db AS (
+       |  SELECT band, count(DISTINCT doc) AS n_docs FROM (
+       |    SELECT band, doc_a AS doc FROM b
+       |    UNION ALL SELECT band, doc_b FROM b)
+       |  GROUP BY 1)
+       |SELECT CAST(pb.band AS DOUBLE) / 10.0 AS thresh,
+       |  pb.n_pairs, db.n_docs,
+       |  CAST(sum(pb.n_pairs) OVER (ORDER BY pb.band DESC) AS BIGINT)
+       |    AS cum_pairs_at_thresh
+       |FROM pb JOIN db USING (band) ORDER BY thresh""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q18_dedup_exact", q18, Some(q18Sql)),
     ("q19_dedup_jaccard", q19, Some(jaccardPairsSql)),
@@ -1058,6 +1103,7 @@ object DocOps {
     ("q75_lm_perplexity", q75, Some(q75Sql)),
     ("q82_typed_pipeline", q82, Some(q82Sql)),
     ("q97_corpus_diversity", q97, Some(q97Sql)),
-    ("q109_containment", q109, Some(q109Sql))
+    ("q109_containment", q109, Some(q109Sql)),
+    ("q118_threshold_sweep", q118, Some(q118Sql))
   )
 }

@@ -937,6 +937,56 @@ object EmbeddingOps {
        |SELECT CAST(cell AS INT) AS cell, rank, doc_id, round(score, 6) AS score
        |FROM r WHERE rank <= $CapPerCell ORDER BY cell, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Per-dimension embedding health audit — the pre-indexing check a
+    * vector platform runs before building ANN structures: mean, std,
+    * min, max, and zero fraction per dimension. Dead dimensions
+    * (std ≈ 0), exploded ranges, and all-zero columns each break
+    * quantizers (q110's per-dim affine codes degenerate, q74's PQ
+    * sub-codebooks collapse) and are cheap to catch here.
+    *
+    * Shape: one posexplode to (dim, value) and one map-side-combined
+    * aggregation to 64 rows — linear, no joins, the audit table IS the
+    * output. Same moment formula on both engines; per-dim sums may
+    * associate differently — ulp drift the round(…, 6) absorbs (min/max
+    * and the zero count are order-independent exact).
+    */
+  val q119: Q = (s, d) =>
+    emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        min(col("v")).as("mn"),
+        max(col("v")).as("mx"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("zeros"))
+      .select(col("dim"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), lit(0.0))), 6).as("std"),
+        round(col("mn"), 6).as("min_v"),
+        round(col("mx"), 6).as("max_v"),
+        round(col("zeros").cast("double") / col("n"), 6).as("zero_frac"))
+      .orderBy("dim")
+
+  val q119Sql: String =
+    """WITH e AS (
+      |  SELECT t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+      |  FROM embeddings, generate_series(1, 64) t(i)),
+      |a AS (
+      |  SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+      |    min(v) AS mn, max(v) AS mx,
+      |    sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS zeros
+      |  FROM e GROUP BY 1)
+      |SELECT CAST(dim AS INT) AS dim,
+      |  round(s1 / n, 6) AS mean,
+      |  round(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 6) AS std,
+      |  round(mn, 6) AS min_v, round(mx, 6) AS max_v,
+      |  round(CAST(zeros AS DOUBLE) / n, 6) AS zero_frac
+      |FROM a ORDER BY dim""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q27_embed_knn", q27, Some(q27Sql)),
     ("q28_embed_neardup", q28, Some(q28Sql)),
@@ -950,6 +1000,7 @@ object EmbeddingOps {
     ("q106_jl_projection", q106, Some(q106Sql)),
     ("q108_kmeans_topics", q108, Some(q108Sql)),
     ("q110_int8_quant", q110, Some(q110Sql)),
-    ("q114_cluster_balance", q114, Some(q114Sql))
+    ("q114_cluster_balance", q114, Some(q114Sql)),
+    ("q119_embedding_health", q119, Some(q119Sql))
   )
 }
