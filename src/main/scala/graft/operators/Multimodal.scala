@@ -151,9 +151,104 @@ object Multimodal {
       |FROM p GROUP BY doc_id, len, stride
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Perceptual-hash near-dup candidates over binary payloads — image
+    * dedup's standard shape (compact perceptual signature → Hamming-band
+    * candidate join), run on the stub payloads: the signature is a
+    * 64-bucket byte-BIGRAM histogram hash (bit i = bucket i above the
+    * uniform mean — the histogram-family perceptual hash; a positional
+    * aHash needs spatially-aligned inputs, which images have and these
+    * text-byte stubs deliberately don't), the candidate join is q21's
+    * pigeonhole-complete 4×16 banding at Hamming ≤ 2. Like every real
+    * perceptual-hash tier this is CANDIDATE GENERATION — recall-oriented
+    * with some false positives — and a downstream exact verify (q19/q20's
+    * shape) owns precision. Swap the byte source for a real image decode
+    * (q26/q45/q46's stub discipline) and nothing downstream changes.
+    *
+    * Exactness: the mean comparison is cross-multiplied into INTEGER
+    * arithmetic (bucket_count · 64 > total_bigrams), so the signature is
+    * engine-exact and the WHOLE operator — signature included — is
+    * re-derived relationally by the DuckDB oracle with no fixture.
+    *
+    * Shape: bigram buckets are one row-local array pass (zip_with over
+    * the shifted codes); the per-(doc, bucket) aggregation map-side
+    * combines the stream to ≤ 64 rows per document before any shuffle,
+    * so what moves is signature-sized, never payloads. Banding, the
+    * candidate join, and the pair distinct also run on signature-sized
+    * data.
+    */
+  val q120: Q = (s, d) => {
+    val base = Graft.table(s, d, "documents")
+      .withColumn("codes", expr("filter(transform(split(text, ''), x -> ascii(x)), c -> c > 0)"))
+      .withColumn("nc", expr("CAST(size(codes) AS INT)"))
+      .where(col("nc") > 1)
+      // bigram buckets: (code_i * 31 + code_{i+1}) % 64, row-local; the
+      // zip against the 1-shifted slice pads the tail with null — filtered
+      .withColumn("buckets", expr(
+        "filter(zip_with(codes, slice(codes, 2, nc), (a, b) -> (a * 31 + b) % 64), x -> x IS NOT NULL)"))
+    val bgr = base.select(col("doc_id"), explode(col("buckets")).as("bucket"))
+    val tot = bgr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val st = bgr.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val sigs = st.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("cnt") * 64 > col("n"),
+        expr("shiftleft(1L, CAST(bucket AS INT))")).otherwise(lit(0L))).as("phash"))
+
+    val chunked = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("phash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.c"), col("b.ck"))
+
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q120Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(string_split(text, ''), x -> ord(x)) AS codes
+      |  FROM documents),
+      |bk AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    list_transform(list_zip(codes, codes[2:]),
+      |      p -> CASE WHEN p[2] IS NULL THEN NULL ELSE (p[1] * 31 + p[2]) % 64 END),
+      |    x -> x IS NOT NULL)) AS bucket
+      |  FROM t WHERE len(codes) > 1),
+      |tot AS (SELECT doc_id, count(*) AS n FROM bk GROUP BY 1),
+      |st AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |sig AS (
+      |  -- bucket 63 is the sign bit: DuckDB's checked 1<<63 overflows,
+      |  -- so it contributes Long.MinValue directly (what Spark's
+      |  -- wrapping shiftleft(1L, 63) produces); the HUGEINT sum of the
+      |  -- mixed powers equals the signed 64-bit pattern and casts back
+      |  SELECT st.doc_id,
+      |    CAST(sum(CASE WHEN st.cnt * 64 <= tot.n THEN 0
+      |                  WHEN st.bucket = 63 THEN -9223372036854775807 - 1
+      |                  ELSE (CAST(1 AS BIGINT) << st.bucket) END) AS BIGINT) AS phash
+      |  FROM st JOIN tot USING (doc_id) GROUP BY 1),
+      |chunks AS (
+      |  SELECT doc_id, CAST(phash AS BIGINT) AS phash, c,
+      |    (CAST(phash AS BIGINT) >> (c * 16)) & 65535 AS ck
+      |  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS c)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+      |  FROM chunks x JOIN chunks y
+      |    ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q45_frame_sample", q45, Some(q45Sql)),
     ("q46_mm_features", q46, Some(q46Sql)),
-    ("q101_resize_stub", q101, Some(q101Sql))
+    ("q101_resize_stub", q101, Some(q101Sql)),
+    ("q120_phash_dedup", q120, Some(q120Sql))
   )
 }
