@@ -407,6 +407,46 @@ object EventOps {
       .orderBy("part", "offset")
   }
 
+  // ---------------------------------------------------------------- q121
+  /** Join-key skew audit — the diagnosis read before reaching for q69's
+    * salted join or AQE skew hints: the 10 heaviest keys of the
+    * events.user_id distribution with, per key, its row count, its share
+    * of the table in integer basis points, and its multiple of the
+    * average key load. A key at 100× the average is the one that turns a
+    * co-partitioned join into a straggler task; the fix (salting factor,
+    * AQE skew threshold) is sized directly from this table.
+    *
+    * Shape: one map-side-combined GROUP BY to distinct-key rows, a
+    * key-count-sized summary aggregation, and an exact top-10
+    * (per-partition heaps). Exactness: shares are integer
+    * cross-multiplication (cnt·10000 DIV n); the multiple is the same
+    * two-int division on both engines, rounded at 6.
+    */
+  val q121: Q = (s, d) => {
+    val counts = Graft.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum(col("cnt")).as("n"), count(lit(1)).as("k")).select(
+      col("n"), col("k"))
+    counts.crossJoin(broadcast(stats))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+      .select(
+        col("user_id"), col("cnt"),
+        expr("cnt * 10000L DIV n").as("share_bp"), // integer division — Column./ is double
+        round(col("cnt").cast("double") * col("k") / col("n"), 6).as("x_avg"))
+  }
+
+  val q121Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS k FROM c)
+      |SELECT user_id, cnt,
+      |  CAST(cnt * 10000 // s.n AS BIGINT) AS share_bp,
+      |  round(CAST(cnt AS DOUBLE) * s.k / s.n, 6) AS x_avg
+      |FROM c CROSS JOIN s
+      |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q13_json_extract", q13, Some(q13Sql)),
     ("q14_time_window_agg", q14, Some(q14Sql)),
@@ -418,6 +458,7 @@ object EventOps {
     ("q73_decay_engagement", q73, Some(q73Sql)),
     ("q76_cohort_retention", q76, Some(q76Sql)),
     ("q102_engine_roundtrip", q102, Some(q102Sql)),
-    ("q107_connector_write", q107, Some(q102Sql))
+    ("q107_connector_write", q107, Some(q102Sql)),
+    ("q121_skew_audit", q121, Some(q121Sql))
   )
 }
