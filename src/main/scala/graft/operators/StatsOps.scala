@@ -713,6 +713,86 @@ object StatsOps {
       |FROM g JOIN df USING (gh)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Quality-score length-bias calibration — the audit run before
+    * trusting a quality filter: documents bucketed into length deciles
+    * (ntile over n_chars with doc_id tiebreak — a total order, so the
+    * decile boundaries are engine-exact), with each decile's document
+    * count, character range, and mean quality score. A score that climbs
+    * monotonically with length is measuring length, not quality — the
+    * known failure mode of ratio heuristics — and this table is how it
+    * shows up.
+    *
+    * Shape: one window over (n_chars, doc_id) for the decile, one
+    * 10-row aggregation. The score itself is q23's engine-exact
+    * composite (shared builder); per-decile mean sums may associate
+    * differently — absorbed by round(…, 6).
+    */
+  val q122: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dd = Graft.table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val scored = dd.join(DocOps.qualityScores(s, d), "doc_id")
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    scored.groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("score")), 6).as("mean_score"))
+      .orderBy("decile")
+  }
+
+  val q122Sql: String =
+    s"""WITH ${DocOps.qualityScoreSqlCte},
+       |t AS (
+       |  SELECT d.doc_id, d.n_chars, q.score,
+       |    ntile(10) OVER (ORDER BY d.n_chars, d.doc_id) AS decile
+       |  FROM documents d JOIN qscore q ON q.doc_id = d.doc_id)
+       |SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       |  round(avg(score), 6) AS mean_score
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q123
+  /** Source × language composition matrix with lift — the mixture-drift
+    * audit between corpus snapshots: per (source, lang) cell, its count
+    * and its lift over independence (n·c_sl / (c_s·c_l)). A cell far
+    * from 1 means a source is feeding one language disproportionately —
+    * the first thing to check when a mixture rebalance (q57/q113)
+    * changes model behavior.
+    *
+    * Exactness: counts are integers; the lift is one two-int-product
+    * division evaluated identically on both engines, rounded at 6.
+    * Shape: one map-side-combined GROUP BY to cell rows plus two
+    * marginal aggregations broadcast back — everything after the first
+    * pass is matrix-sized.
+    */
+  val q123: Q = (s, d) => {
+    val dd = Graft.table(s, d, "documents").select(col("source"), col("lang"))
+    val cells = dd.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_sl"))
+    val bySrc = dd.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
+    val byLang = dd.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
+    val n = dd.count()
+    cells
+      .join(broadcast(bySrc), "source")
+      .join(broadcast(byLang), "lang")
+      .select(col("source"), col("lang"), col("c_sl"),
+        round(col("c_sl").cast("double") * n / (col("c_s") * col("c_l")), 6).as("lift"))
+      .orderBy("source", "lang")
+  }
+
+  val q123Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, count(*) AS c_s FROM documents GROUP BY 1),
+      |l AS (SELECT lang, count(*) AS c_l FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT cells.source, cells.lang, cells.c_sl,
+      |  round(CAST(cells.c_sl AS DOUBLE) * (SELECT n FROM n) / (s.c_s * l.c_l), 6) AS lift
+      |FROM cells JOIN s USING (source) JOIN l USING (lang)
+      |ORDER BY source, lang""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q84_stats_moments", q84, Some(q84Sql)),
     ("q85_scd2_dim", q85, Some(q85Sql)),
@@ -726,5 +806,7 @@ object StatsOps {
     ("q93_pit_join", q93, Some(q93Sql)),
     ("q94_histogram", q94, Some(q94Sql)),
     ("q116_char_entropy", q116, Some(q116Sql)),
-    ("q117_substr_dup_frac", q117, Some(q117Sql)))
+    ("q117_substr_dup_frac", q117, Some(q117Sql)),
+    ("q122_length_bias", q122, Some(q122Sql)),
+    ("q123_composition_lift", q123, Some(q123Sql)))
 }
