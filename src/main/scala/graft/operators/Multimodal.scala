@@ -155,15 +155,17 @@ object Multimodal {
   /** Perceptual-hash near-dup candidates over binary payloads — image
     * dedup's standard shape (compact perceptual signature → Hamming-band
     * candidate join), run on the stub payloads: the signature is a
-    * 64-bucket byte-BIGRAM histogram hash (bit i = bucket i above the
-    * uniform mean — the histogram-family perceptual hash; a positional
-    * aHash needs spatially-aligned inputs, which images have and these
-    * text-byte stubs deliberately don't), the candidate join is q21's
+    * 64-bucket CHARACTER-BIGRAM histogram hash over the stub payload's
+    * code points (= its bytes on this ASCII corpus; a real image tier
+    * hashes decoded pixels — q26/q45/q46's stub discipline) with
+    * bit i = bucket i above the uniform mean — the histogram-family
+    * perceptual hash; a positional aHash needs spatially-aligned
+    * inputs, which images have and shuffled text deliberately doesn't.
+    * The candidate join is q21's
     * pigeonhole-complete 4×16 banding at Hamming ≤ 2. Like every real
     * perceptual-hash tier this is CANDIDATE GENERATION — recall-oriented
     * with some false positives — and a downstream exact verify (q19/q20's
-    * shape) owns precision. Swap the byte source for a real image decode
-    * (q26/q45/q46's stub discipline) and nothing downstream changes.
+    * shape) owns precision.
     *
     * Exactness: the mean comparison is cross-multiplied into INTEGER
     * arithmetic (bucket_count · 64 > total_bigrams), so the signature is

@@ -770,15 +770,18 @@ object StatsOps {
     */
   val q123: Q = (s, d) => {
     val dd = Graft.table(s, d, "documents").select(col("source"), col("lang"))
+    // ONE corpus pass; marginals and the total are matrix-sized rollups
+    // of the cell aggregate (c_s = Σ_l c_sl etc.), never corpus rescans
     val cells = dd.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_sl"))
-    val bySrc = dd.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
-    val byLang = dd.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
-    val n = dd.count()
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("c_sl")).as("c_s"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("c_sl")).as("c_l"))
+    val total = cells.agg(sum(col("c_sl")).as("n"))
     cells
       .join(broadcast(bySrc), "source")
       .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("c_sl"),
-        round(col("c_sl").cast("double") * n / (col("c_s") * col("c_l")), 6).as("lift"))
+        round(col("c_sl").cast("double") * col("n") / (col("c_s") * col("c_l")), 6).as("lift"))
       .orderBy("source", "lang")
   }
 

@@ -28,7 +28,6 @@ class CurateSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft-curate").toString
     val (kept, dropped) = tools.Curate.run(spark, sf, out)
     val total = Graft.table(spark, sf, "documents").count()
-    assert(kept + dropped == total, "drop accounting must cover the corpus")
 
     val corpus = spark.read.parquet(s"$out/corpus")
     assert(corpus.count() == kept)
@@ -38,6 +37,10 @@ class CurateSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val got = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected, "written corpus must equal the q51 verdict")
+    // drop accounting against INDEPENDENT derivations (not run()'s own
+    // arithmetic): the verdict size and the spec's own file scan
+    assert(kept == expected.size.toLong, "reported kept drifts from the verdict")
+    assert(dropped == total - expected.size, "reported dropped drifts from the verdict")
 
     // dedup promise: no verified near-dup pair survives into the corpus
     SparkEntry.queries("q19_dedup_jaccard")(spark, sf).collect().foreach { r =>
