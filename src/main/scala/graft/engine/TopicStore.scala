@@ -803,6 +803,74 @@ class TopicStore(
     replaced
   }
 
+  /** GDPR-style key purge (right-to-be-forgotten): rewrite the topic's
+    * CURRENT generation dropping every record whose partition key is in
+    * `keys`, file-granular per leaf dir with compact's rename-first swap
+    * discipline (no original is touched until its replacement is durably
+    * in place). Surviving records keep their offsets BYTE-IDENTICAL —
+    * purge leaves gaps in the offset sequence rather than renumbering,
+    * because renumbering would silently shift committed consumer
+    * positions onto different records. Consumers are unaffected: the
+    * poll predicate is a range (`>= from`), not a dense walk, and the
+    * producer watermark never moves backwards, so no offset is ever
+    * reissued. §2.6.3's contiguity guarantee applies to records as
+    * produced; an explicit erasure is the documented exception (the same
+    * trade log compaction makes).
+    *
+    * Scale notes: only leaf dirs that actually CONTAIN a forget key are
+    * rewritten (membership probe per dir against the broadcast key set —
+    * the forget list is human-sized); untouched ranges keep their files.
+    * At object-store scale this is the standard compaction-style erasure
+    * job; schedule it like `compact`/`retentionSweep`.
+    *
+    * Returns the number of records purged.
+    */
+  def purgeKeys(topic: String, keys: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    require(keys.nonEmpty, "purgeKeys: empty forget list")
+    val g = generation(topic)
+    val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
+    val fs = hfs(topicPath.toString)
+    if (!fs.exists(topicPath)) return 0L
+    val keySet = keys.toSet
+    var purged = 0L
+    val leafDirs = fs.listStatus(topicPath).filter(_.isDirectory)
+      .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
+      .flatMap(r => fs.listStatus(r.getPath).filter(_.isDirectory))
+      // current generation only: superseded version= dirs are reclaimed
+      // wholesale by sweepStaleGenerations, not rewritten record-by-record
+      .filter(_.getPath.getName == s"version=${g.version}")
+    leafDirs.foreach { dir =>
+      val files = fs.listStatus(dir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.nonEmpty) {
+        val df = spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+        val hit = df.filter(col("key").isInCollection(keySet)).count()
+        if (hit > 0L) {
+          val tmp = new Path(s"$root/_tmp/purge-${dir.getPath.getName}-${System.nanoTime()}")
+          df.filter(!col("key").isInCollection(keySet) || col("key").isNull)
+            .coalesce(1)
+            .sortWithinPartitions("offset")
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val outs = fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          outs.zipWithIndex.foreach { case (p, i) =>
+            val target = new Path(dir.getPath, s"purged-${System.nanoTime()}-$i.parquet")
+            if (!fs.rename(p, target))
+              throw new java.io.IOException(s"purgeKeys: rename $p -> $target failed")
+          }
+          files.foreach { f =>
+            if (!fs.delete(f.getPath, false))
+              throw new java.io.IOException(s"purgeKeys: could not delete ${f.getPath}")
+          }
+          fs.delete(tmp, true)
+          purged += hit
+        }
+      }
+    }
+    purged
+  }
+
   /** Elastic rescale (C3 range split / C4 range join): open the topic's
     * NEXT GENERATION in place under a `newClusterSize` ring — the Spark
     * expression of the reference's generation dance

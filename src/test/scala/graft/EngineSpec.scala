@@ -774,4 +774,44 @@ class EngineSpec extends AnyFunSuite {
     assert(fileCount() < filesBefore)
     assert(snapshot() == before) // same rows, same offsets, nothing lost
   }
+
+  test("purgeKeys erases a key everywhere, preserving survivors' offsets and the watermark") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    val rows = (0 until 120).map(i => (s"k${i % 10}", s"m$i", ts(i)))
+    store.produceStrings("p", rows)
+
+    def view() = Graft.topic(spark, store.root, "p")
+      .select(col("key"),
+        org.apache.spark.sql.functions.decode(col("value"), "UTF-8").as("v"),
+        col("part"), col("offset"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+
+    val beforeRows = view()
+    val watermarkBefore = store.producerOffsets("p")
+
+    val purged = store.purgeKeys("p", Seq("k3", "k7"))
+    assert(purged == 24L, s"expected 24 purged records, got $purged")
+
+    val afterRows = view()
+    // erased everywhere; survivors byte-identical (same offsets — gaps,
+    // never renumbering)
+    assert(!afterRows.exists(r => r._1 == "k3" || r._1 == "k7"))
+    assert(afterRows.toSet == beforeRows.filterNot(r => r._1 == "k3" || r._1 == "k7").toSet)
+    // the watermark never moves: no offset is ever reissued
+    assert(store.producerOffsets("p") == watermarkBefore)
+
+    // a fresh consumer simply never sees the erased records
+    store.registry.register("gp", "c", Seq("p"), store.StartFrom.Earliest)
+    val polled = store.poll("gp", "p", "c").collect()
+    assert(polled.length == 96)
+    assert(!polled.exists(r => Set("k3", "k7")(r.getAs[String]("key"))))
+
+    // produce after purge continues past the preserved watermark
+    store.produceStrings("p", Seq(("k3", "again", ts(1000))))
+    val maxAfter = Graft.topic(spark, store.root, "p")
+      .groupBy(col("part")).agg(org.apache.spark.sql.functions.max(col("offset")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    maxAfter.foreach { case (p, m) => assert(m < store.producerOffsets("p")(p)) }
+  }
 }
