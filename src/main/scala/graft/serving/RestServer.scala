@@ -186,6 +186,7 @@ class RestServer(
   })
 
   private val TopicPath = "^/v1/topic/([^/]+)/messages$".r
+  private val PurgePath = "^/v1/topic/([^/]+)/purge$".r
 
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
@@ -210,6 +211,21 @@ class RestServer(
             s""","producerBinaryPort":$advertisedBinaryPort,"consumerPort":$boundPort}""",
           Map("Content-Type" -> "application/json"))
       case ("POST", TopicPath(topic)) => handleProduce(ex, topic)
+      // beyond parity (no reference analog): GDPR key erasure —
+      // `POST /v1/topic/{t}/purge?key=a&key=b` → {"purged":N}. Admin
+      // surface: the engine rewrite preserves survivors' offsets and the
+      // watermark (TopicStore.purgeKeys), so registered consumers keep
+      // their committed positions.
+      case ("POST", PurgePath(topic)) =>
+        val keys = params(ex).getOrElse("key", Seq.empty).filter(_.nonEmpty)
+        if (keys.isEmpty)
+          respond(ex, 400, """{"error":"at least one key parameter required"}""",
+            Map("Content-Type" -> "application/json"))
+        else {
+          val n = store.purgeKeys(topic, keys)
+          respond(ex, 200, s"""{"purged":$n}""",
+            Map("Content-Type" -> "application/json"))
+        }
       case ("PUT" | "POST", "/v1/consumer/register") => handleRegister(ex)
       case ("POST", "/v1/consumer/poll") => handlePoll(ex)
       case ("POST", "/v1/consumer/commit") => handleCommit(ex)

@@ -365,6 +365,29 @@ class RestServerSpec extends AnyFunSuite {
     assert(ex.getCause.isInstanceOf[IllegalStateException])
   }
 
+  test("purge endpoint erases keys; consumers keep reading survivors") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      for (i <- 0 until 6)
+        assert(send(base, "POST",
+          s"/v1/topic/gdpr/messages?partitionKey=k${i % 3}&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""").statusCode() == 200)
+      // missing key parameter -> 400
+      assert(send(base, "POST", "/v1/topic/gdpr/purge").statusCode() == 400)
+      val r = send(base, "POST", "/v1/topic/gdpr/purge?key=k1")
+      assert(r.statusCode() == 200)
+      assert(r.body() == """{"purged":2}""")
+      // a fresh consumer never sees the erased key
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cp&group=gp&topic=gdpr&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      val polled = send(base, "POST", "/v1/consumer/poll?consumerId=cp")
+      assert(polled.statusCode() == 200)
+      assert(!polled.body().contains("\"i\":1") && !polled.body().contains("\"i\":4"))
+    } finally server.stop()
+  }
+
   test("re-register under a new group leaves the old group's assignment") {
     val server = startServer()
     val base = s"http://localhost:${server.boundPort}"
