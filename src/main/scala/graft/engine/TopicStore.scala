@@ -803,6 +803,39 @@ class TopicStore(
     replaced
   }
 
+  /** Time-based offset lookup (Kafka's `offsetsForTimes` analog — the
+    * reference only has earliest/latest start policies): per ring
+    * partition, the EARLIEST offset whose record timestamp is >= `ts`;
+    * partitions with no such record map to their high watermark (seek
+    * lands at the end, Kafka's convention). One scan of the current
+    * generation with the timestamp predicate on parquet row-group stats,
+    * aggregated map-side to partition-count rows. Timestamps need not be
+    * globally ordered: like Kafka, the cut is an OFFSET position — later
+    * records with earlier timestamps are still delivered after the seek.
+    */
+  def offsetsForTime(topic: String, ts: java.sql.Timestamp): Map[Int, Long] = {
+    val g = generation(topic)
+    val high = producerOffsets(topic)
+    if (!dataDirExists) return high
+    val hits = spark.read.schema(recordSchema).parquet(dataDir)
+      .where(col("topic") === topic && col("version") === g.version &&
+        col("timestamp") >= lit(ts))
+      .groupBy(col("part")).agg(min(col("offset")).as("o"))
+      .as[(Int, Long)].collect().toMap
+    (0 until partsOf(g)).map(p => p -> hits.getOrElse(p, high.getOrElse(p, 0L))).toMap
+  }
+
+  /** Reposition a consumer group at a point in time: commit the
+    * `offsetsForTime` cut through the admin path (no origin/ownership
+    * check, monotonicity still enforced — a seek can only move the group
+    * FORWARD; replaying backwards means registering a fresh group, which
+    * is the at-least-once-safe direction). Returns the accepted
+    * positions.
+    */
+  def seekToTime(group: String, topic: String, ts: java.sql.Timestamp): Map[Int, Long] =
+    commit(group, topic, offsetsForTime(topic, ts), origin = "",
+      version = generation(topic).version)
+
   /** GDPR-style key purge (right-to-be-forgotten): rewrite the topic's
     * CURRENT generation dropping every record whose partition key is in
     * `keys`, file-granular per leaf dir with compact's rename-first swap

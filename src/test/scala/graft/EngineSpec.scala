@@ -775,6 +775,39 @@ class EngineSpec extends AnyFunSuite {
     assert(snapshot() == before) // same rows, same offsets, nothing lost
   }
 
+  test("offsetsForTime + seekToTime position a group at a timestamp cut") {
+    val store = freshStore()
+    store.produceStrings("tt", (0 until 60).map(i => (s"k${i % 6}", s"m$i", ts(i))))
+
+    // the cut: earliest offset with ts >= t30 per partition; monotonic
+    // per-partition timestamps here make it exactly the ts >= t30 set
+    val cut = store.offsetsForTime("tt", ts(30))
+    assert(cut.nonEmpty)
+
+    store.registry.register("gt", "c", Seq("tt"), store.StartFrom.Earliest)
+    val accepted = store.seekToTime("gt", "tt", ts(30))
+    assert(accepted.nonEmpty, "seek must accept forward positions")
+    val polled = store.poll("gt", "tt", "c").collect()
+    assert(polled.length == 30, s"expected the 30 records at/after the cut, got ${polled.length}")
+    assert(polled.forall(_.getAs[java.sql.Timestamp]("timestamp").getTime >= ts(30).getTime))
+
+    // a timestamp beyond the topic end seeks to the watermark (empty
+    // partitions sit at 0, which producerOffsets omits): empty poll
+    val end = store.offsetsForTime("tt", ts(10000))
+    val high = store.producerOffsets("tt")
+    assert(end.forall { case (p, o) => o == high.getOrElse(p, 0L) })
+    store.seekToTime("gt", "tt", ts(10000))
+    assert(store.poll("gt", "tt", "c").collect().isEmpty)
+
+    // seeks only move FORWARD (monotonic commit): a rewind attempt leaves
+    // every consumed partition where it was (only the untouched empty
+    // partitions' 0 -> 0 no-ops are "accepted"), so the poll stays empty
+    val back = store.seekToTime("gt", "tt", ts(0))
+    assert(back.values.forall(_ == 0L), "only no-op positions may be accepted on rewind")
+    assert(store.poll("gt", "tt", "c").collect().isEmpty,
+      "backward seek must not rewind a consumed group")
+  }
+
   test("purgeKeys erases a key everywhere, preserving survivors' offsets and the watermark") {
     import org.apache.spark.sql.functions.col
     val store = freshStore()
