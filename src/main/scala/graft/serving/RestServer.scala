@@ -229,6 +229,7 @@ class RestServer(
       case ("PUT" | "POST", "/v1/consumer/register") => handleRegister(ex)
       case ("POST", "/v1/consumer/poll") => handlePoll(ex)
       case ("POST", "/v1/consumer/commit") => handleCommit(ex)
+      case ("POST", "/v1/consumer/seek") => handleSeek(ex)
       case ("POST", "/v1/consumer/goodbye") => handleGoodbye(ex)
       case _ => respond(ex, 404, """{"error":"not found"}""",
         Map("Content-Type" -> "application/json"))
@@ -423,6 +424,33 @@ class RestServer(
   private def handleCommit(ex: HttpExchange): Unit = consumer(ex).foreach { case (_, s) =>
     commitPending(s)
     respond(ex, 204)
+  }
+
+  /** Beyond parity: reposition the consumer's group at a timestamp —
+    * `POST /v1/consumer/seek?consumerId=&topic=&timestamp=<micros>` →
+    * the accepted per-partition positions. Forward-only (the engine's
+    * monotonic commit); any staged page is dropped first, or the next
+    * poll's deferred commit could land the group BEHIND the seek.
+    */
+  private def handleSeek(ex: HttpExchange): Unit = consumer(ex).foreach { case (_, s) =>
+    val qs = params(ex)
+    (qs.get("topic").flatMap(_.headOption).filter(s.topics.contains),
+      qs.get("timestamp").flatMap(_.headOption).flatMap(_.toLongOption)) match {
+      case (Some(topic), Some(micros)) =>
+        s.synchronized { s.pendingCommit.remove(topic); () }
+        // full microsecond precision: Timestamp(millis) would truncate
+        // sub-millisecond produce timestamps and move the cut backwards
+        val t = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
+        val accepted = store.seekToTime(s.group, topic, t)
+        val body = accepted.toSeq.sortBy(_._1)
+          .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+        respond(ex, 200, body, Map("Content-Type" -> "application/json"))
+      case _ =>
+        respond(ex, 400,
+          """{"error":"topic (subscribed) and timestamp (micros) parameters required"}""",
+          Map("Content-Type" -> "application/json"))
+    }
   }
 
   private def handleGoodbye(ex: HttpExchange): Unit = consumer(ex).foreach { case (cid, s) =>

@@ -388,6 +388,31 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("seek endpoint repositions the group at a timestamp; polls resume there") {
+    val server = startServer()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      for (i <- 0 until 8)
+        assert(send(base, "POST",
+          s"/v1/topic/sk/messages?partitionKey=k${i % 2}&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""").statusCode() == 200)
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cs&group=gs&topic=sk&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      // seek before consuming anything: position at the i>=4 cut
+      val r = send(base, "POST",
+        s"/v1/consumer/seek?consumerId=cs&topic=sk&timestamp=${1700000000000000L + 4}")
+      assert(r.statusCode() == 200)
+      val polled = send(base, "POST", "/v1/consumer/poll?consumerId=cs")
+      assert(polled.statusCode() == 200)
+      (0 until 4).foreach(i => assert(!polled.body().contains(s""""i":$i""")))
+      (4 until 8).foreach(i => assert(polled.body().contains(s""""i":$i""")))
+      // missing/unsubscribed topic -> 400
+      assert(send(base, "POST",
+        s"/v1/consumer/seek?consumerId=cs&topic=nope&timestamp=1").statusCode() == 400)
+    } finally server.stop()
+  }
+
   test("re-register under a new group leaves the old group's assignment") {
     val server = startServer()
     val base = s"http://localhost:${server.boundPort}"
