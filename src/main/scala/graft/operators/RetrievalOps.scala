@@ -384,11 +384,89 @@ object RetrievalOps {
       |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Retrieval evaluation metrics — the scorecard for the q27/q65/q111
+    * retrieval stack: recall@10, MRR@10 and nDCG@10 of the dense-cosine
+    * ranking for the fixed query (vec 0), with relevance = "shares the
+    * query's label" (the embeddings fixture's label column as qrels).
+    * One row out; the formulas are the standard ones (reciprocal first
+    * relevant rank; DCG with 1/log2(rank+1) gains against the ideal).
+    *
+    * Shape: the ranking is an exact top-10 (per-partition heaps) plus
+    * one metadata aggregation for the relevant-total; metrics are a
+    * 10-row fold. Exactness: ranks and relevance are integers off the
+    * engines' identical cosine ordering (q27's proof); log2 is
+    * ln(x)/ln(2) on both sides and the output rounds at 6.
+    */
+  private val EvalK = 10
+
+  val q124: Q = (s, d) => {
+    import graft.functions.cosine_sim
+    val e = graft.Graft.table(s, d, "embeddings")
+    val q0 = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"), col("label").as("q_label"))
+    val ranked = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q0))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_vec")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(EvalK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+    val totalRel = e.as("a").crossJoin(broadcast(q0))
+      .filter(col("vec_id") =!= 0L && col("label") === col("q_label"))
+      .count()
+    val ideal = math.min(totalRel, EvalK.toLong).toInt
+    val idcg = (1 to ideal).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+    val ln2 = log(lit(2.0))
+    ranked.agg(
+      round(sum(col("rel")).cast("double") / math.max(totalRel.toDouble, 1.0), 6)
+        .as("recall_at_10"),
+      round(coalesce(
+        max(when(col("rel") === 1, lit(1.0) / col("rank"))), lit(0.0)), 6)
+        .as("mrr_at_10"),
+      round(sum(col("rel").cast("double") / (log(col("rank").cast("double") + 1.0) / ln2))
+        / idcg, 6).as("ndcg_at_10"))
+  }
+
+  val q124Sql: String =
+    s"""WITH q AS (
+       |  SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id, label,
+       |    list_sum(list_transform(list_zip(embedding, (SELECT qe FROM q)),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * (SELECT sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) FROM q)) AS sim
+       |  FROM embeddings WHERE vec_id <> 0),
+       |ranked AS (
+       |  SELECT vec_id, label,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |  FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT $EvalK)),
+       |rel AS (
+       |  SELECT rank,
+       |    CASE WHEN label = (SELECT ql FROM q) THEN 1 ELSE 0 END AS rel
+       |  FROM ranked),
+       |tot AS (
+       |  SELECT count(*) AS n FROM embeddings
+       |  WHERE vec_id <> 0 AND label = (SELECT ql FROM q)),
+       |idcg AS (
+       |  SELECT sum(1.0 / (ln(r + 1.0) / ln(2.0))) AS v
+       |  FROM generate_series(1, $EvalK) t(r)
+       |  WHERE r <= least((SELECT n FROM tot), $EvalK))
+       |SELECT
+       |  round(CAST(sum(rel) AS DOUBLE) / greatest((SELECT n FROM tot), 1), 6) AS recall_at_10,
+       |  round(coalesce(max(CASE WHEN rel = 1 THEN 1.0 / rank END), 0.0), 6) AS mrr_at_10,
+       |  round(sum(CAST(rel AS DOUBLE) / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)))
+       |    / (SELECT v FROM idcg), 6) AS ndcg_at_10
+       |FROM rel""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q65_bm25", q65, Some(q65Sql)),
     ("q66_source_budget", q66, Some(q66Sql)),
     ("q67_incremental_dedup", q67, Some(q67Sql)),
     ("q68_vocabulary", q68, Some(q68Sql)),
     ("q70_tokenize_ids", q70, Some(q70Sql)),
-    ("q111_hybrid_rrf", q111, Some(q111Sql)))
+    ("q111_hybrid_rrf", q111, Some(q111Sql)),
+    ("q124_retrieval_eval", q124, Some(q124Sql)))
 }

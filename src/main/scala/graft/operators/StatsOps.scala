@@ -796,6 +796,58 @@ object StatsOps {
       |FROM cells JOIN s USING (source) JOIN l USING (lang)
       |ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Population-stability-index drift between two corpus cohorts — the
+    * monitoring metric data platforms alarm on between snapshots:
+    * document-length distributions of cohort A (even doc_id, the
+    * "reference" crawl) vs cohort B (odd doc_id, the "candidate"), PSI =
+    * Σ (p_b − p_a)·ln(p_b/p_a) over fixed length bins, plus the per-bin
+    * contributions so the drifting bins are visible (the usual reading:
+    * PSI < 0.1 stable, > 0.25 action).
+    *
+    * Bins are FIXED integer boundaries (n_chars DIV 200, capped at 10 —
+    * engine-exact bucketing, no quantile estimation), shares are
+    * Laplace-smoothed (+1) so an empty bin cannot produce ln(0). One
+    * pass to bin-count rows; everything after is bin-count-sized.
+    * ln drift between libm and the JVM is absorbed by round(…, 6).
+    */
+  val q125: Q = (s, d) => {
+    val dd = Graft.table(s, d, "documents")
+      .select(col("doc_id"),
+        least(expr("n_chars DIV 200"), lit(10)).cast("int").as("bin"),
+        (col("doc_id") % 2 === 0).as("is_a"))
+    val binned = dd.groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = binned.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("k"))
+    binned.crossJoin(broadcast(tot))
+      // Laplace-smoothed shares: (c + 1) / (n + k)
+      .withColumn("pa", (col("ca") + 1.0) / (col("na") + col("k")))
+      .withColumn("pb", (col("cb") + 1.0) / (col("nb") + col("k")))
+      .select(col("bin"), col("ca"), col("cb"),
+        round((col("pb") - col("pa")) * log(col("pb") / col("pa")), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  val q125Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, least(n_chars // 200, 10) AS bin,
+      |    doc_id % 2 = 0 AS is_a
+      |  FROM documents),
+      |b AS (
+      |  SELECT bin,
+      |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k FROM b)
+      |SELECT CAST(bin AS INT) AS bin, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+      |  round(((cb + 1.0) / (t.nb + t.k) - (ca + 1.0) / (t.na + t.k))
+      |    * ln(((cb + 1.0) / (t.nb + t.k)) / ((ca + 1.0) / (t.na + t.k))), 6) AS psi_term
+      |FROM b CROSS JOIN t ORDER BY bin""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q84_stats_moments", q84, Some(q84Sql)),
     ("q85_scd2_dim", q85, Some(q85Sql)),
@@ -811,5 +863,6 @@ object StatsOps {
     ("q116_char_entropy", q116, Some(q116Sql)),
     ("q117_substr_dup_frac", q117, Some(q117Sql)),
     ("q122_length_bias", q122, Some(q122Sql)),
-    ("q123_composition_lift", q123, Some(q123Sql)))
+    ("q123_composition_lift", q123, Some(q123Sql)),
+    ("q125_psi_drift", q125, Some(q125Sql)))
 }
