@@ -499,6 +499,60 @@ object CurationOps {
        |  CAST(floor(p * $MixDocBudget + 0.5) AS BIGINT) AS alloc_docs
        |FROM p ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Balanced eval-set construction — the "build a held-out benchmark"
+    * step, distinct from q60's training split: a 100-doc evaluation set
+    * allocated across (source, lang) strata PROPORTIONALLY to corpus
+    * mass (alloc_i = budget·c_i DIV n — integer floor, engine-exact)
+    * with each stratum contributing its first alloc docs in seeded-hash
+    * order (q60's md5 mix key, so the draw is reproducible and
+    * uncorrelated with doc content). Proportional stratification keeps
+    * the eval set representative; the deterministic draw makes the
+    * benchmark reconstructible from the corpus + seed alone.
+    *
+    * Shape: one map-side-combined stratum count, alloc broadcast back,
+    * and a per-stratum window over hash order — parallelism scales with
+    * the stratum count, and only (doc_id, stratum, key) tuples shuffle.
+    */
+  private val EvalBudget = 100L
+
+  val q126: Q = (s, d) => {
+    val keyed = docs(s, d).select(
+      col("doc_id"), col("source"), col("lang"),
+      md5(concat(lit(MixSeed + ":eval:"), col("doc_id").cast("string"))).as("mix_key"))
+    val strata = keyed.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val total = strata.agg(sum(col("c")).as("n"))
+    val alloc = strata.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"),
+        expr(s"c * $EvalBudget DIV n").as("alloc"))
+    val w = Window.partitionBy(col("source"), col("lang")).orderBy(col("mix_key"))
+    keyed.join(broadcast(alloc), Seq("source", "lang"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("lang"), col("pick"))
+      .orderBy("source", "lang", "pick")
+  }
+
+  val q126Sql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source, lang,
+       |    md5('$MixSeed:eval:' || CAST(doc_id AS VARCHAR)) AS mix_key
+       |  FROM documents),
+       |st AS (SELECT source, lang, count(*) AS c FROM k GROUP BY 1, 2),
+       |t AS (SELECT sum(c) AS n FROM st),
+       |a AS (
+       |  SELECT source, lang, c * $EvalBudget // (SELECT n FROM t) AS alloc
+       |  FROM st),
+       |p AS (
+       |  SELECT k.doc_id, k.source, k.lang, a.alloc,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY k.source, k.lang ORDER BY k.mix_key) AS BIGINT) AS pick
+       |  FROM k JOIN a USING (source, lang))
+       |SELECT doc_id, source, lang, pick
+       |FROM p WHERE pick <= alloc
+       |ORDER BY source, lang, pick""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q54_pii_redact", q54, Some(q54Sql)),
     ("q55_seq_pack", q55, Some(q55Sql)),
@@ -508,6 +562,7 @@ object CurationOps {
     ("q71_chunk_overlap", q71, Some(q71Sql)),
     ("q95_length_buckets", q95, Some(q95Sql)),
     ("q112_snapshot_diff", q112, Some(q112Sql)),
-    ("q113_mix_temperature", q113, Some(q113Sql))
+    ("q113_mix_temperature", q113, Some(q113Sql)),
+    ("q126_eval_set", q126, Some(q126Sql))
   )
 }
