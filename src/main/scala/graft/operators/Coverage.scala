@@ -235,7 +235,7 @@ object Coverage {
       |  percent_rank() OVER w AS pct_rank,
       |  cume_dist() OVER w AS cume,
       |  count(*) OVER r AS cnt_5m,
-      |  sum(event_id) OVER r AS idsum_5m
+      |  CAST(sum(event_id) OVER r AS BIGINT) AS idsum_5m
       |FROM e
       |WINDOW
       |  w AS (PARTITION BY user_id ORDER BY us, event_id),

@@ -910,8 +910,9 @@ object DocOps {
       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
       |      AS BIGINT) AS n_tokens
       |  FROM documents WHERE n_chars > 0)
-      |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |  sum(n_tokens) AS total_tokens,
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -212,11 +212,29 @@ object RetrievalOps {
     val dd = docs(s, d).select(
       col("doc_id"), col("source"), col("n_chars"),
       size(split(lower(col("text")), " ")).cast("long").as("dl"))
-    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    // Two-level running sum so no task ever holds a whole source: the
+    // naive Window.partitionBy(source).orderBy(n_chars desc, doc_id)
+    // puts one giant source on one task at corpus scale. Instead:
+    //   (1) per (source, n_chars) group: group total + within-group prefix
+    //       ordered by doc_id — parallel across the (fine-grained) lengths;
+    //   (2) per source over the GROUPED rows (≤ #distinct lengths, i.e.
+    //       metadata-sized): prefix of strictly-longer groups + source total;
+    //   (3) cum = longer-groups prefix + within-group prefix. Identical
+    //       values to the single-window form, row-local recombination.
+    val wInGrp = Window.partitionBy(col("source"), col("n_chars")).orderBy(col("doc_id"))
+    val local = dd.withColumn("lcum", sum(col("dl")).over(wInGrp))
+    val grp = dd.groupBy(col("source"), col("n_chars")).agg(sum(col("dl")).as("gsum"))
+    val wLonger = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSrc = Window.partitionBy(col("source"))
+    val starts = grp
+      .withColumn("start", coalesce(sum(col("gsum")).over(wLonger), lit(0L)))
+      .withColumn("tot", sum(col("gsum")).over(wSrc))
+      .select(col("source"), col("n_chars"), col("start"), col("tot"))
     // pure integer comparison (cum/total <= 30% as cum*10 <= total*3):
     // no division, so no engine-specific int-vs-float division semantics
-    dd.withColumn("cum", sum(col("dl")).over(w))
-      .withColumn("tot", sum(col("dl")).over(Window.partitionBy(col("source"))))
+    local.join(starts, Seq("source", "n_chars"))
+      .withColumn("cum", col("start") + col("lcum"))
       .where(col("cum") * 10L <= col("tot") * 3L)
       .select(col("doc_id"), col("source"), col("cum"))
       .orderBy("source", "cum")
@@ -228,10 +246,12 @@ object RetrievalOps {
       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
       |  FROM documents),
       |cum AS (
+      |  -- CAST: DuckDB sum(BIGINT) is HUGEINT; pandas renders HUGEINT as
+      |  -- float64 and the driver's stringified hash sees "83.0" vs "83".
       |  SELECT doc_id, source,
-      |    sum(dl) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
-      |                  ROWS UNBOUNDED PRECEDING) AS cum,
-      |    sum(dl) OVER (PARTITION BY source) AS tot
+      |    CAST(sum(dl) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(dl) OVER (PARTITION BY source) AS BIGINT) AS tot
       |  FROM d)
       |SELECT doc_id, source, cum FROM cum WHERE cum * 10 <= tot * 3
       |ORDER BY source, cum""".stripMargin
@@ -322,7 +342,7 @@ object RetrievalOps {
       |SELECT
       |  CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
       |  token, n,
-      |  sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+      |  CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
       |  CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)
       |    / sum(n) OVER () AS coverage
       |FROM c ORDER BY rank""".stripMargin

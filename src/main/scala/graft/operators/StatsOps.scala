@@ -473,9 +473,9 @@ object StatsOps {
     """WITH z AS (
       |  SELECT o_custkey & 65535 AS xb,
       |    CAST(floor(o_totalprice) AS BIGINT) & 65535 AS yb,
-      |    list_sum(list_transform(range(0, 16),
+      |    CAST(list_sum(list_transform(range(0, 16),
       |      i -> (((o_custkey & 65535) >> i) & 1) * power(2, 2*i)::BIGINT
-      |         + (((CAST(floor(o_totalprice) AS BIGINT) & 65535) >> i) & 1) * power(2, 2*i + 1)::BIGINT)) AS zval
+      |         + (((CAST(floor(o_totalprice) AS BIGINT) & 65535) >> i) & 1) * power(2, 2*i + 1)::BIGINT)) AS BIGINT) AS zval
       |  FROM orders)
       |SELECT zval // 67108864 AS z_bucket, COUNT(*) AS n,
       |  MIN(xb) AS min_cust, MAX(xb) AS max_cust,
@@ -723,17 +723,40 @@ object StatsOps {
     * known failure mode of ratio heuristics — and this table is how it
     * shows up.
     *
-    * Shape: one window over (n_chars, doc_id) for the decile, one
-    * 10-row aggregation. The score itself is q23's engine-exact
-    * composite (shared builder); per-decile mean sums may associate
-    * differently — absorbed by round(…, 6).
+    * Shape: NO global sort — a global ntile would total-order the corpus
+    * through one task. Instead the global rank is rebuilt scale-safely:
+    * per-length counts (metadata-sized) give each length's starting rank
+    * via a window over the GROUPED table; the within-length rank is a
+    * window partitioned by n_chars (parallel across lengths); decile =
+    * ntile's closed-form bucket of (rank, N) evaluated row-locally.
+    * Output is bit-identical to ntile(10) OVER (ORDER BY n_chars,
+    * doc_id), so the oracle keeps the plain ntile form. The score itself
+    * is q23's engine-exact composite (shared builder); per-decile mean
+    * sums may associate differently — absorbed by round(…, 6).
     */
   val q122: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val dd = Graft.table(s, d, "documents").select(col("doc_id"), col("n_chars"))
-    val scored = dd.join(DocOps.qualityScores(s, d), "doc_id")
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    val perLen = dd.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val wBefore = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = perLen
+      .withColumn("start", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
+      .select(col("n_chars"), col("start"))
+    val total = dd.agg(count(lit(1)).as("nn"))
+    val wInLen = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+    val ranked = dd
+      .withColumn("rn", row_number().over(wInLen).cast("long"))
+      .join(starts, "n_chars")
+      .crossJoin(broadcast(total))
+      .withColumn("r", col("start") + col("rn"))
+      // ntile(10) closed form: first (N % 10) buckets hold ceil(N/10) rows
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN r <= (nn % 10) * (nn DIV 10 + 1)
+          |     THEN (r - 1) DIV (nn DIV 10 + 1) + 1
+          |     ELSE (nn % 10) + (r - (nn % 10) * (nn DIV 10 + 1) - 1) DIV (nn DIV 10) + 1
+          |END AS INT)""".stripMargin))
+    val scored = ranked.join(DocOps.qualityScores(s, d), "doc_id")
     scored.groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -30,6 +30,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Lint (shown only for failing queries — sums over DOUBLE are fine):
+    # DuckDB widens integer sum()/list_sum() to HUGEINT; un-CAST ones are the
+    # classic driver-hash killer (pandas renders HUGEINT as float64).
+    import re
+    lint = {}
+    for qn, sql in sorted(oracles.items()):
+        hits = []
+        for m in re.finditer(r"(?<![a-zA-Z_])(list_)?sum\(", sql):
+            pre = sql[max(0, m.start() - 70):m.start()].upper()
+            if "CAST(" not in pre:
+                hits.append(sql[m.start():m.start() + 30].replace("\n", " "))
+        if hits:
+            lint[qn] = hits
     failures = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
@@ -58,11 +71,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{name:28s} ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
             failures += 1
             continue
-        # dtype-aware exact compare
+        # dtype-STRICT exact compare: the driver hashes stringified values,
+        # so an integer column on one side vs float64 on the other ("83" vs
+        # "83.0") is a driver failure even when the numbers agree — typically
+        # DuckDB sum(BIGINT)/list_sum returning HUGEINT which pandas
+        # materializes as float64. Fail it here instead of coercing.
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
-            if str(gv.dtype).startswith("float") or str(ev.dtype).startswith("float"):
+            gf = str(gv.dtype).startswith("float")
+            ef = str(ev.dtype).startswith("float")
+            if gf != ef:
+                bad.append((c, f"DTYPE MISMATCH spark={gv.dtype} duck={ev.dtype}"
+                               " (un-CAST integer sum in the oracle?)"))
+                continue
+            if gf and ef:
                 eq = (gv.astype("float64").fillna(1.5) == ev.astype("float64").fillna(1.5))
             else:
                 eq = gv.astype(str) == ev.astype(str)
@@ -70,6 +93,8 @@ def main(sf_dir: str, out_dir: str) -> int:
                 bad.append((c, int((~eq).sum()), gv[~eq].head(3).tolist(), ev[~eq].head(3).tolist()))
         if bad:
             print(f"{name:28s} VALUE MISMATCH {bad}")
+            if name in lint:
+                print(f"{'':28s} LINT: un-CAST sum() in oracle: {lint[name][:3]}")
             failures += 1
         else:
             print(f"{name:28s} OK ({len(g)} rows)")
