@@ -104,15 +104,28 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
+    // The driver records only the last ~4 KiB of output, so the final
+    // stdout JSON line must fit there entirely (r4's full-name line was
+    // ~4.6 KiB and the driver failed to parse it). Per-query keys are
+    // therefore the short "qNN" ids in the stdout line; the full-name
+    // variant goes to stderr for humans/logs.
+    def line(qs: String): String =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +
         s""""stream_produce_msgs_per_sec":${f"$streamRate%.0f"},""" +
-        s""""msg_bytes":1024,"sf":"$sfDir"}""")
+        s""""msg_bytes":1024,"sf":"$sfDir"}"""
+    lazy val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val fullNames = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    System.err.println(line(fullNames))
+    val shortNames = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val out = line(shortNames)
+    if (out.length > 3800)
+      System.err.println(s"[bench] WARNING: stdout JSON line is ${out.length} B (> 3800)")
+    println(out)
     spark.stop()
   }
 

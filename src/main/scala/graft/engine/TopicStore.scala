@@ -431,7 +431,14 @@ class TopicStore(
     // so cluster-by-part + in-partition sort, NOT a global orderBy: a
     // global sort range-partitions with a sampling pass over the data,
     // which at 100 TB doubles the read for an ordering nobody gets.
-    val scanned = spark.read.schema(recordSchema).parquet(dataDir)
+    // ignoreMissingFiles: a direct API caller materializes the returned
+    // frame OUTSIDE withTopicReads, so a retention sweep may delete a
+    // planned file before the action runs — skip it (those records were
+    // expiring) instead of failing the poll. REST polls additionally hold
+    // the topic read lock, which also rules out the purge/compact
+    // double-delivery window.
+    val scanned = spark.read.schema(recordSchema)
+      .option("ignoreMissingFiles", "true").parquet(dataDir)
       .where(col("topic") === topic && col("version") === g.version &&
         dirFilter && partFilter)
       .repartition(math.max(assigned.size, 1), col("part"))
@@ -722,13 +729,47 @@ class TopicStore(
     }
   }
 
+  // -------------------------------------------------- maintenance locking
+
+  // purge/compact/retention delete-or-rewrite live files in place: a poll
+  // that planned its file list just before the swap fails with
+  // FileNotFoundException, and one scanning mid-swap (rename-in done,
+  // delete pending) double-delivers survivors at identical (part, offset).
+  // Maintenance therefore takes the topic's WRITE lock and serving reads
+  // take the READ lock around their materialization (the REST poll collect
+  // does; direct DataFrame users should wrap their action in
+  // `withTopicReads` when maintenance may run concurrently). The lock is
+  // reentrant and write→read downgrade-safe (rescale under the write lock
+  // produces under the read lock).
+  private val topicLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def topicLock(topic: String) =
+    topicLocks.computeIfAbsent(
+      topic, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  /** Run a maintenance operation (purge/compact/retention/rescale) with
+    * exclusive ownership of the topic's files.
+    */
+  def withTopicMaintenance[T](topic: String)(body: => T): T = {
+    val l = topicLock(topic).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  /** Run a read-side materialization (a poll's collect) with the topic's
+    * files pinned against concurrent maintenance swaps.
+    */
+  def withTopicReads[T](topic: String)(body: => T): T = {
+    val l = topicLock(topic).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+
   // ----------------------------------------------------------- retention
 
   /** Retention sweep (S10): delete whole data files whose newest record is
     * older than the cutoff — the analog of segment-file deletion
     * (`datalog_cleaner.go`), file-granular so it never rewrites live data.
     */
-  def retentionSweep(topic: String, cutoff: java.sql.Timestamp): Int = {
+  def retentionSweep(topic: String, cutoff: java.sql.Timestamp): Int = withTopicMaintenance(topic) {
     if (!pathExists(dataDir)) return 0
     val files = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic)
@@ -758,7 +799,7 @@ class TopicStore(
     * that must not run concurrently with writers to the same topic.
     * Returns the number of small files replaced.
     */
-  def compact(topic: String, smallFileBytes: Long = 128L * 1024 * 1024): Int = {
+  def compact(topic: String, smallFileBytes: Long = 128L * 1024 * 1024): Int = withTopicMaintenance(topic) {
     import org.apache.hadoop.fs.Path
     val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
@@ -816,7 +857,12 @@ class TopicStore(
   def offsetsForTime(topic: String, ts: java.sql.Timestamp): Map[Int, Long] = {
     val g = generation(topic)
     val high = producerOffsets(topic)
-    if (!dataDirExists) return high
+    // complete-map shape on the empty-store path too: producerOffsets is a
+    // sparse map omitting never-produced partitions, and callers (the REST
+    // seek response, seekToTime's accepted set) expect one entry per ring
+    // partition for the same logical result
+    if (!dataDirExists)
+      return (0 until partsOf(g)).map(p => p -> high.getOrElse(p, 0L)).toMap
     val hits = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic && col("version") === g.version &&
         col("timestamp") >= lit(ts))
@@ -858,7 +904,7 @@ class TopicStore(
     *
     * Returns the number of records purged.
     */
-  def purgeKeys(topic: String, keys: Seq[String]): Long = {
+  def purgeKeys(topic: String, keys: Seq[String]): Long = withTopicMaintenance(topic) {
     import org.apache.hadoop.fs.Path
     require(keys.nonEmpty, "purgeKeys: empty forget list")
     val g = generation(topic)
@@ -922,10 +968,25 @@ class TopicStore(
     * One shuffle + one partitioned write: the same cost shape as a
     * `repartition()` of the topic, executed fully distributed.
     */
-  def rescale(topic: String, newClusterSize: Int): Generation = {
+  def rescale(
+      topic: String,
+      newClusterSize: Int,
+      requireDrained: Boolean = false): Generation = withTopicMaintenance(topic) {
     val g = generation(topic)
     val oldHigh = producerOffsets(topic)
     val drained = drainedGroups(topic, g, oldHigh)
+    // mechanical drain-before-rescale (the reference waits for sibling
+    // OffsetCompleted before joining ranges, `offset_state.go:690-714`):
+    // with requireDrained the documented discipline is enforced — the
+    // rescale refuses while any group with committed state under this
+    // generation still has lag, instead of silently making that group
+    // re-read the whole rewritten history under its start policy.
+    if (requireDrained) {
+      val undrained = knownGroups(topic, g).filterNot(drained.contains)
+      if (undrained.nonEmpty) throw new IllegalStateException(
+        s"rescale($topic): groups still have lag under generation ${g.version}: " +
+          s"${undrained.sorted.mkString(", ")} — drain them or call with requireDrained=false")
+    }
     val old = spark.read.schema(recordSchema).parquet(dataDir)
       .where(col("topic") === topic && col("version") === g.version)
       // old (part, offset) becomes the produce-order tiebreak, so the
@@ -981,20 +1042,22 @@ class TopicStore(
   /** Groups whose committed offsets cover every produced record of the
     * topic's generation `g` (metadata-only: two small offset maps each).
     */
-  private def drainedGroups(topic: String, g: Generation, high: Map[Int, Long]): Seq[String] = {
+  private def drainedGroups(topic: String, g: Generation, high: Map[Int, Long]): Seq[String] =
+    knownGroups(topic, g).filter { group =>
+      val committed = groupOffsets(group, topic)
+      high.forall { case (p, hw) => committed.getOrElse(p, 0L) >= hw }
+    }
+
+  /** Groups with committed offset state under the topic's generation `g`
+    * (a `_meta/group_offsets` scope dir exists for it).
+    */
+  private def knownGroups(topic: String, g: Generation): Seq[String] = {
     if (!pathExists(groupMeta)) return Seq.empty
     val fs = hfs(groupMeta)
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    fs.listStatus(hpath(groupMeta)).filter(_.isDirectory).foreach { gdir =>
-      val group = gdir.getPath.getName
-      if (fs.exists(new org.apache.hadoop.fs.Path(
-          gdir.getPath, s"${scopeDir(topic)}/v${g.version}"))) {
-        val committed = groupOffsets(group, topic)
-        val covered = high.forall { case (p, hw) => committed.getOrElse(p, 0L) >= hw }
-        if (covered) out += group
-      }
-    }
-    out.toSeq
+    fs.listStatus(hpath(groupMeta)).filter(_.isDirectory).toSeq
+      .map(_.getPath.getName)
+      .filter(group => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$groupMeta/$group/${scopeDir(topic)}/v${g.version}")))
   }
 
   /** Reclaim the superseded generations of a topic: delete every

@@ -223,7 +223,10 @@ object RetrievalOps {
     //       values to the single-window form, row-local recombination.
     val wInGrp = Window.partitionBy(col("source"), col("n_chars")).orderBy(col("doc_id"))
     val local = dd.withColumn("lcum", sum(col("dl")).over(wInGrp))
-    val grp = dd.groupBy(col("source"), col("n_chars")).agg(sum(col("dl")).as("gsum"))
+    // group total = the group's final prefix value: deriving it from
+    // `local` (not from a second dd aggregation) lets ReuseExchange feed
+    // both consumers from ONE scan+split+shuffle of the text column
+    val grp = local.groupBy(col("source"), col("n_chars")).agg(max(col("lcum")).as("gsum"))
     val wLonger = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wSrc = Window.partitionBy(col("source"))

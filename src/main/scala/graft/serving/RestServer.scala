@@ -215,7 +215,10 @@ class RestServer(
       // `POST /v1/topic/{t}/purge?key=a&key=b` → {"purged":N}. Admin
       // surface: the engine rewrite preserves survivors' offsets and the
       // watermark (TopicStore.purgeKeys), so registered consumers keep
-      // their committed positions.
+      // their committed positions. purgeKeys holds the topic's maintenance
+      // (write) lock and every poll collects under the read lock, so the
+      // rename-then-delete swap window is invisible to consumers — no
+      // double delivery, no FileNotFound on a just-planned file list.
       case ("POST", PurgePath(topic)) =>
         val keys = params(ex).getOrElse("key", Seq.empty).filter(_.nonEmpty)
         if (keys.isEmpty)
@@ -328,10 +331,15 @@ class RestServer(
       val items = mutable.ArrayBuffer.empty[PollItem]
       s.topics.foreach { topic =>
         // bounded page: the offset cap prunes the scan, the byte cap trims
-        // the response; the rest of the backlog ships on later polls
-        val rows = store.poll(s.group, topic, cid,
-          maxRecords = maxPollRecords, maxBytes = maxPollBytes,
-          autoCommit = false).collect()
+        // the response; the rest of the backlog ships on later polls.
+        // The read lock pins the topic's files across plan + collect, so a
+        // concurrent purge/compact swap can neither yank a planned file
+        // (FileNotFound) nor double-deliver survivors mid-rewrite.
+        val rows = store.withTopicReads(topic) {
+          store.poll(s.group, topic, cid,
+            maxRecords = maxPollRecords, maxBytes = maxPollBytes,
+            autoCommit = false).collect()
+        }
         if (rows.nonEmpty) {
           // ONE grouping feeds both the response items and the staged
           // next-offsets — two groupBys would be duplicate work and two
@@ -437,12 +445,18 @@ class RestServer(
     (qs.get("topic").flatMap(_.headOption).filter(s.topics.contains),
       qs.get("timestamp").flatMap(_.headOption).flatMap(_.toLongOption)) match {
       case (Some(topic), Some(micros)) =>
-        s.synchronized { s.pendingCommit.remove(topic); () }
         // full microsecond precision: Timestamp(millis) would truncate
         // sub-millisecond produce timestamps and move the cut backwards
         val t = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
         t.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
-        val accepted = store.seekToTime(s.group, topic, t)
+        // drop-stage + seek under ONE lock acquisition: handlePoll holds
+        // s.synchronized for its whole body, so a poll can no longer
+        // interleave between the stage drop and the seek's commit and
+        // re-stage a pre-seek page (seek and poll serialize per consumer)
+        val accepted = s.synchronized {
+          s.pendingCommit.remove(topic)
+          store.seekToTime(s.group, topic, t)
+        }
         val body = accepted.toSeq.sortBy(_._1)
           .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
         respond(ex, 200, body, Map("Content-Type" -> "application/json"))

@@ -210,9 +210,21 @@ object GraftTable {
       case other => throw new IllegalArgumentException(
         s"graft write: value must be BINARY or STRING, got $other")
     }
-    val tsCol = named("timestamp")
-      .map(_.cast(TimestampType))
-      .getOrElse(current_timestamp())
+    // NO blanket cast(TimestampType): Spark casts numerics to timestamp as
+    // epoch SECONDS, while every produce surface in this engine speaks
+    // epoch MICROS — a micros-as-LONG producer column would silently land
+    // ~50,000 years in the future and corrupt offsetsForTime/seekToTime
+    // cuts. Integral columns are therefore converted explicitly as micros;
+    // anything else is rejected like the strict key/value handling.
+    val tsCol = named("timestamp").map { c =>
+      data.schema(byFolded("timestamp").head).dataType match {
+        case TimestampType => c
+        case LongType | IntegerType =>
+          org.apache.spark.sql.functions.timestamp_micros(c.cast(LongType))
+        case other => throw new IllegalArgumentException(
+          s"graft write: timestamp must be TIMESTAMP or an integral epoch-MICROS column, got $other")
+      }
+    }.getOrElse(current_timestamp())
     data.select(named("key").get.cast(StringType).as("key"),
       valueCol.as("value"), tsCol.as("timestamp"))
   }

@@ -429,6 +429,52 @@ class EngineSpec extends AnyFunSuite {
     assert(Graft.topic(spark, store.root, "t").count() == 24L)
   }
 
+  test("register-after-two-rescales reads every ancestor generation from offset 0") {
+    // R7 full semantics (the reference BFS-walks ParentRanges to the
+    // earliest ancestor, `offset_state.go:260-302`): data produced under
+    // THREE different generations must all be served to an Earliest group
+    // registered only after the chained rescales, from offset 0,
+    // per-partition contiguous.
+    val store = freshStore()
+    store.produceStrings("t", (0 until 10).map(i => (s"k${i % 3}", s"g1-$i", ts(i))))
+    store.rescale("t", 6)
+    store.produceStrings("t", (0 until 10).map(i => (s"k${i % 3}", s"g2-$i", ts(100 + i))))
+    store.rescale("t", 3)
+    store.produceStrings("t", (0 until 10).map(i => (s"k${i % 3}", s"g3-$i", ts(200 + i))))
+
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 30, s"expected all 3 generations' records, got ${polled.length}")
+    // offsets contiguous from 0 per partition (single current generation
+    // holds the whole rewritten history)
+    polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
+      val offs = rs.map(_.getAs[Long]("offset")).sorted
+      assert(offs.toSeq == (0L until offs.length.toLong), s"part $p offsets: ${offs.toSeq}")
+    }
+    // per-key order across the generation boundaries follows produce order
+    polled.groupBy(_.getAs[String]("key")).foreach { case (key, msgs) =>
+      val got = msgs.sortBy(r => (r.getAs[Int]("part"), r.getAs[Long]("offset")))
+        .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq
+      val want = (for (g <- 1 to 3; i <- 0 until 10 if s"k${i % 3}" == key) yield s"g$g-$i").toSeq
+      assert(got == want, s"key $key order across generations: $got")
+    }
+  }
+
+  test("rescale(requireDrained) refuses while a registered group has lag") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    // committed state exists (a first empty commit scope) once the group
+    // polls a page but NOT the whole backlog: poll a bounded page only
+    store.poll("g", "t", "c", maxRecords = 1L).collect()
+    val e = intercept[IllegalStateException](store.rescale("t", 6, requireDrained = true))
+    assert(e.getMessage.contains("still have lag"))
+    assert(store.generation("t").version == 1, "refused rescale must not flip the generation")
+    // drain, then the same call succeeds
+    store.poll("g", "t", "c").collect()
+    assert(store.rescale("t", 6, requireDrained = true).version == 2)
+  }
+
   test("rescale projects offsets for drained groups; undrained re-read") {
     val store = freshStore()
     store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"m$i", ts(i))))
@@ -773,6 +819,17 @@ class EngineSpec extends AnyFunSuite {
     assert(replaced > 0)
     assert(fileCount() < filesBefore)
     assert(snapshot() == before) // same rows, same offsets, nothing lost
+  }
+
+  test("offsetsForTime on an empty store answers one entry per ring partition") {
+    // shape consistency: the empty-store early return must not degrade to
+    // producerOffsets' sparse map (omitting never-produced partitions) —
+    // the REST seek response and seekToTime's accepted set expect the
+    // same complete-map shape as the main path
+    val store = freshStore()
+    val m = store.offsetsForTime("never_produced", ts(0))
+    assert(m.keySet == (0 until 12).toSet, s"expected 12 partitions, got ${m.keySet}")
+    assert(m.values.forall(_ == 0L))
   }
 
   test("offsetsForTime + seekToTime position a group at a timestamp cut") {

@@ -252,4 +252,27 @@ class SourcesSpec extends AnyFunSuite {
       .option("root", root).option("topic", "x").load()
     assert(back.count() == 1 && !back.head().isNullAt(2))
   }
+
+  test("DSv2 write path treats integral timestamps as epoch MICROS") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-src").toString
+    // the producer protocol's unit everywhere else in the engine is epoch
+    // micros; a blanket cast(TimestampType) would read a LONG as SECONDS
+    // (~50,000 years off) and silently corrupt offsetsForTime cuts
+    val micros = 1700000000000000L
+    Seq(("k", "v", micros)).toDF("key", "value", "timestamp")
+      .write.format("graft").option("root", root).option("topic", "m")
+      .mode("append").save()
+    val got = spark.read.format("graft")
+      .option("root", root).option("topic", "m").load()
+      .select(unix_micros(col("timestamp"))).head().getLong(0)
+    assert(got == micros, s"expected micros round-trip, got $got")
+    // non-integral, non-timestamp columns are rejected loudly
+    val e = intercept[Exception] {
+      Seq(("k", "v", "2024-01-01")).toDF("key", "value", "timestamp")
+        .write.format("graft").option("root", root).option("topic", "m")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("timestamp must be"))
+  }
 }
