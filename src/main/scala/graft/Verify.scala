@@ -62,6 +62,12 @@ object Verify {
       // q21: per-doc simhash signature — the oracle re-derives banding,
       // candidate join, hamming distance, and threshold from it
       dump("doc_simhash")(operators.DocOps.simhashSigs(spark, sfDir))
+      // q131: per-doc 64-perm minhash signature — the oracle re-derives
+      // the per-pair agreement count (estimator honesty) from it
+      dump("doc_minhash") {
+        operators.DocOps.docSignatures(Graft.table(spark, sfDir, "documents"))
+          .select(col("doc_id"), col("sig"))
+      }
       // q29: per-vector LSH bucket — the oracle re-derives the
       // bucket-equality search + exact cosine rerank
       dump("srp_buckets") {

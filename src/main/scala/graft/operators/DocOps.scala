@@ -172,7 +172,7 @@ object DocOps {
     * is the production path, the aggregator the pre-exploded-input
     * alternative).
     */
-  private[operators] def docSignatures(dd: DataFrame): DataFrame =
+  private[graft] def docSignatures(dd: DataFrame): DataFrame =
     shingleArrays(dd).select(
       col("doc_id"), size(col("hs")).cast("long").as("n"),
       minhash_sig(col("hs"), NumPerms, MinHashSeed).as("sig"))

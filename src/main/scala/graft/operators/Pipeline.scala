@@ -61,7 +61,7 @@ object Pipeline {
   private val labelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def dupLabels(s: SparkSession, d: String): DataFrame =
+  private[operators] def dupLabels(s: SparkSession, d: String): DataFrame =
     DocOps.Memo.get(labelsMemo, s, d)(computeDupLabels(s, d))
 
   private def computeDupLabels(s: SparkSession, d: String): DataFrame = {

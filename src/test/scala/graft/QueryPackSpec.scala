@@ -29,7 +29,7 @@ class QueryPackSpec extends AnyFunSuite {
       // benchmark-overlap hits
       n.contains("neardup") || n.contains("jaccard") || n.contains("minhash") ||
         n.contains("simhash") || n.contains("anti") || n.contains("decontam") ||
-        n.contains("containment")
+        n.contains("containment") || n.contains("dup_matrix")
     }
     mustBeNonEmpty.foreach { case (n, c) => assert(c > 0, s"$n is empty") }
   }
@@ -509,5 +509,31 @@ class QueryPackSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q115_split_repair")(spark, sf).collect()
     val movedExpected = repaired.count { case (doc, after) => after != splits(doc) }
     assert(rows.map(_.getAs[Long]("moved_out")).sum == movedExpected.toLong)
+  }
+
+  test("audit-pack invariants: EWMA bounds, Benford shares, estimator range, gap order") {
+    // q128: a spike is a strict comparison against the running mean — at
+    // most one per fold step
+    SparkEntry.queries("q128_ewma_anomaly")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("spikes") <= r.getAs[Long]("n_events") - 1)
+    }
+    // q130: observed shares are a partition of the order count
+    val bf = SparkEntry.queries("q130_benford_audit")(spark, sf).collect()
+    val shareSum = bf.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    assert(bf.forall(r => r.getAs[Double]("abs_dev") >= 0.0))
+    // q131: the agreement rate is a 64-denominator rational in [0, 1]
+    SparkEntry.queries("q131_minhash_error")(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Double]("est")
+      assert(est >= 0.0 && est <= 1.0 && math.round(est * 64) == est * 64)
+    }
+    // q132: discrete median never exceeds the max gap; long gaps <= total
+    SparkEntry.queries("q132_interarrival_profile")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("med_gap") <= r.getAs[Long]("max_gap"))
+      assert(r.getAs[Long]("long_gaps") <= r.getAs[Long]("n_gaps"))
+    }
+    // q129: kept + dropped partition every source's documents
+    val sv = SparkEntry.queries("q129_dedup_survivorship")(spark, sf).collect()
+    sv.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 }
