@@ -294,11 +294,148 @@ object AuditOps {
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** PMI word-association table — the corpus-statistics primitive behind
+    * collocation extraction and embedding-evaluation word lists: the top
+    * 25 adjacent bigrams by count with their pointwise mutual information
+    * ln(p(a,b) / (p(a)·p(b))). Selection and ordering are INTEGER count
+    * comparisons (exact); ln is computed only on the output column and
+    * rounded at 6 — never under a discrete decision (the exactness rule
+    * for transcendentals). One explode for unigrams, one zip_with for
+    * bigrams, both map-side combined; the rank cut runs on the
+    * vocabulary-sized count table.
+    */
+  private val PmiTopK = 25
+
+  val q133: Q = (s, d) => {
+    val words = docs(s, d)
+      .select(split(lower(col("text")), " ").as("ws"))
+      .select(expr("filter(ws, x -> x rlike '^[a-z]+$')").as("ws"))
+    // the count tables are vocabulary-sized and each feeds 2-3 consumers
+    // (totals, the rank cut, the PMI joins): localCheckpoint pins them so
+    // the corpus is scanned once per table, not once per consumer
+    val uni = words.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val totU = uni.agg(sum(col("c")).as("t"))
+    val bi = words
+      .select(explode(zip_with(col("ws"),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .where(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val totB = bi.agg(sum(col("c_ab")).as("nb"))
+    val top = bi.orderBy(col("c_ab").desc, col("w1"), col("w2")).limit(PmiTopK)
+    top
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("t") * col("t") /
+          (col("nb").cast("double") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+  }
+
+  val q133Sql: String =
+    s"""WITH w AS (
+       |  SELECT list_filter(string_split(lower(text), ' '),
+       |    x -> regexp_matches(x, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |uni AS (
+       |  SELECT u AS w, count(*) AS c FROM (SELECT unnest(ws) AS u FROM w) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+       |bi AS (
+       |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_zip(ws, ws[2:])) AS p FROM w)
+       |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+       |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bi),
+       |top AS (
+       |  SELECT w1, w2, c_ab FROM bi ORDER BY c_ab DESC, w1, w2 LIMIT $PmiTopK)
+       |SELECT top.w1, top.w2, top.c_ab,
+       |  round(ln(CAST(top.c_ab AS DOUBLE) * tot.t * tot.t /
+       |    (CAST(nb.nb AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+       |FROM top
+       |JOIN uni ua ON ua.w = top.w1
+       |JOIN uni ub ON ub.w = top.w2
+       |CROSS JOIN nb CROSS JOIN tot
+       |ORDER BY top.c_ab DESC, top.w1, top.w2""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** Per-source dataset card — the one-table summary a dataset release
+    * ships: document and token counts, language spread, mean quality,
+    * near-dup membership rate (docs sitting in a >1-member cluster, off
+    * the memoized labels), all in one row per source. Duplication rate is
+    * integer basis points (exact); the mean score is q122's rounded-avg
+    * precedent. Everything joins on doc_id against memoized or
+    * single-pass per-doc columns — one corpus scan plus metadata-sized
+    * rollups.
+    */
+  val q134: Q = (s, d) => {
+    val labels = Pipeline.dupLabels(s, d)
+    val clusterSizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cs"))
+    val dupFlag = labels.join(clusterSizes, "cluster_id")
+      .select(col("doc_id"), (col("cs") > 1L).as("is_dup"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .cast("long").as("n_tokens"))
+      .join(DocOps.qualityScores(s, d), "doc_id")
+      .join(dupFlag, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("score")), 6).as("mean_score"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_bp", expr("(dup_docs * 10000) div n_docs"))
+      .orderBy("source")
+  }
+
+  val q134Sql: String =
+    s"""WITH RECURSIVE ${DocOps.jaccardPairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs
+       |),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.doc_b, r.label FROM reach r JOIN edges e ON e.doc_a = r.doc_id
+       |),
+       |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |cs AS (SELECT cluster_id, count(*) AS cs FROM lab GROUP BY 1),
+       |flag AS (
+       |  SELECT lab.doc_id, cs.cs > 1 AS is_dup FROM lab JOIN cs USING (cluster_id)),
+       |${DocOps.qualityScoreSqlCte},
+       |t AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT t.source, count(*) AS n_docs,
+       |  CAST(count(DISTINCT t.lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(t.n_chars) AS BIGINT) AS total_chars,
+       |  round(avg(q.score), 6) AS mean_score,
+       |  CAST(sum(CASE WHEN flag.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |  CAST(sum(CASE WHEN flag.is_dup THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |    // count(*) AS dup_bp
+       |FROM t
+       |JOIN qscore q ON q.doc_id = t.doc_id
+       |JOIN flag ON flag.doc_id = t.doc_id
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q127_source_dup_matrix", q127, Some(q127Sql)),
     ("q128_ewma_anomaly", q128, Some(q128Sql)),
     ("q129_dedup_survivorship", q129, Some(q129Sql)),
     ("q130_benford_audit", q130, Some(q130Sql)),
     ("q131_minhash_error", q131, Some(q131Sql)),
-    ("q132_interarrival_profile", q132, Some(q132Sql)))
+    ("q132_interarrival_profile", q132, Some(q132Sql)),
+    ("q133_pmi_collocations", q133, Some(q133Sql)),
+    ("q134_dataset_card", q134, Some(q134Sql)))
 }

@@ -536,4 +536,24 @@ class QueryPackSpec extends AnyFunSuite {
     val sv = SparkEntry.queries("q129_dedup_survivorship")(spark, sf).collect()
     sv.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
+
+  test("q122's closed-form decile equals ntile(10) for arbitrary N") {
+    // the de-skewed q122 rebuilds ntile(10) row-locally from (rank, N);
+    // prove the closed form against Spark's own ntile for Ns that cover
+    // every remainder class, including N < 10
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(1, 7, 10, 23, 40, 101)) {
+      val df = spark.range(1, n + 1).toDF("r")
+        .withColumn("nn", lit(n.toLong))
+        .withColumn("closed", expr(
+          """CAST(CASE WHEN r <= (nn % 10) * (nn DIV 10 + 1)
+            |     THEN (r - 1) DIV (nn DIV 10 + 1) + 1
+            |     ELSE (nn % 10) + (r - (nn % 10) * (nn DIV 10 + 1) - 1) DIV (nn DIV 10) + 1
+            |END AS INT)""".stripMargin))
+        .withColumn("native", ntile(10).over(Window.orderBy(col("r"))))
+      val bad = df.filter(col("closed") =!= col("native")).count()
+      assert(bad == 0L, s"closed-form decile diverges from ntile(10) at N=$n")
+    }
+  }
 }
