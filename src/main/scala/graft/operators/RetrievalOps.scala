@@ -16,19 +16,21 @@ import org.apache.spark.sql.functions._
   *    is the (doc, term) tf aggregation, already filtered to query terms
   *    map-side. Document length rides along with the explode, so no
   *    doc-length join re-touches the corpus.
-  *  - q66 budgeting: windows are per-source, so parallelism scales with
-  *    the source count; a skewed giant source is still one partition —
-  *    the salting answer (Scale.saltedJoin) does not apply to running
-  *    sums, so the documented mitigation is sub-sharding sources upstream.
+  *  - q66 budgeting: the per-source running sum is TWO-LEVEL — within-
+  *    (source, length) prefixes in parallel plus start offsets from a
+  *    metadata-sized window over the grouped table — so no task ever
+  *    holds a whole source (round 5; previously a documented
+  *    one-partition-per-source weakness).
   *  - q67 incremental dedup: candidates come from the banded LSH join
   *    (batch side × corpus side on band key) — never batch × corpus.
   *    Exact verification touches only candidate pairs. This is the shape
   *    a daily-crawl pipeline runs: yesterday's corpus is the static side,
   *    today's batch the probe side.
-  *  - q68 vocabulary: one map-side-combined count per token; the global
-  *    rank window runs over vocabulary-sized data (tokens, not
-  *    occurrences), which for any real tokenizer prep is << executor
-  *    memory.
+  *  - q68/q70 vocabulary: one map-side-combined count per token; the
+  *    frequency rank + running coverage come from `rankedVocab`'s
+  *    two-level decomposition (sub-shard by (frequency, first char)) —
+  *    the equal-frequency hapax tail, the bulk of a web-scale
+  *    vocabulary, never funnels through one task.
   */
 object RetrievalOps {
   import Relational.Q
@@ -322,18 +324,61 @@ object RetrievalOps {
     * and a curation team reads to set UNK thresholds. Counts and running
     * sums are exact integers; coverage is a single exact-int division.
     */
-  val q68: Q = (s, d) => {
+  /** (token, n, rank64, cum): the frequency-ranked vocabulary with running
+    * coverage mass, built WITHOUT a global sort. A plain
+    * row_number/sum OVER (ORDER BY n DESC, token) funnels the whole
+    * vocabulary — whose equal-frequency hapax tail is the bulk of it at
+    * web scale — through one task. Two-level instead (q66/q122's shape):
+    * sub-shard by (n, first character), rank/sum within each shard
+    * (parallel), and add shard start offsets from a window over the
+    * GROUPED table (#distinct-frequencies × alphabet rows — metadata).
+    * First-character blocks agree with full-token ordering, so the
+    * recombined (rank, cum) are bit-identical to the single-window form;
+    * widen the prefix to 2+ chars to shard a larger corpus' tail finer.
+    */
+  private def rankedVocab(s: SparkSession, d: String): DataFrame = {
     val counts = docs(s, d)
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("token"))
-    val total = Window.partitionBy()
-    counts
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum", sum(col("n")).over(w))
-      .withColumn("coverage", col("cum").cast("double") / sum(col("n")).over(total))
-      .select(col("rank"), col("token"), col("n"), col("cum"), col("coverage"))
+      .withColumn("pfx", substring(col("token"), 1, 1))
+    val wInGrp = Window.partitionBy(col("n"), col("pfx")).orderBy(col("token"))
+    val local = counts.withColumn("rk_in", row_number().over(wInGrp).cast("long"))
+    // shard size = the shard's final row_number: deriving the grouped
+    // table (and the total mass) from `local` lets ReuseExchange feed
+    // every consumer from ONE token-count aggregation (q66's trick)
+    val grp = local.groupBy(col("n"), col("pfx")).agg(max(col("rk_in")).as("rows"))
+    val wBefore = Window.orderBy(col("n").desc, col("pfx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = grp
+      .withColumn("start_rank", coalesce(sum(col("rows")).over(wBefore), lit(0L)))
+      .withColumn("start_cum",
+        coalesce(sum(col("rows") * col("n")).over(wBefore), lit(0L)))
+      .select(col("n"), col("pfx"), col("start_rank"), col("start_cum"))
+    local.join(starts, Seq("n", "pfx"))
+      .select(col("token"), col("n"),
+        (col("start_rank") + col("rk_in")).as("rank64"),
+        // every row of an (n, pfx) shard contributes exactly n to the
+        // running sum, so the within-shard prefix is rk_in * n — exact
+        (col("start_cum") + col("rk_in") * col("n")).as("cum"))
+  }
+
+  /** Total token mass, grouped-table sized (shares rankedVocab's count
+    * aggregation through ReuseExchange).
+    */
+  private def vocabTotal(s: SparkSession, d: String) = {
+    val counts = docs(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts.agg(sum(col("n")).as("tot"))
+  }
+
+  val q68: Q = (s, d) => {
+    rankedVocab(s, d).crossJoin(broadcast(vocabTotal(s, d)))
+      .select(
+        col("rank64").cast("int").as("rank"), col("token"), col("n"), col("cum"),
+        (col("cum").cast("double") / col("tot")).as("coverage"))
       .orderBy("rank")
   }
 
@@ -361,12 +406,10 @@ object RetrievalOps {
     * scales with documents. Integer-only output, hash-exact.
     */
   val q70: Q = (s, d) => {
-    val vocab = docs(s, d)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .select(col("token"),
-        row_number().over(Window.orderBy(col("n").desc, col("token"))).as("id"))
+    // ids from the scale-safe two-level rank (shared with q68) — no
+    // global sort builds the vocabulary
+    val vocab = rankedVocab(s, d)
+      .select(col("token"), col("rank64").cast("int").as("id"))
     val toks = docs(s, d).select(
         col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
