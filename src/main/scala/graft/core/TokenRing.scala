@@ -22,6 +22,20 @@ object TokenRing {
   /** Murmur3-x64 token of a partition key (token.go:44-46 `HashToken`). */
   def hashToken(key: String): Long = Murmur3x64.hashString(key)
 
+  /** Normalize a desired broker count to a valid ring size — 1, or 3·2ⁿ
+    * (`internal/utils/utils.go:198-208` `ValidRingLength`): the ring must
+    * stay power-of-two-divisible so every rescale is a clean split/join.
+    */
+  def validRingLength(length: Int): Int = {
+    require(length >= 1, s"ring length must be positive, got $length")
+    if (length == 1) 1
+    else if (length == 2) 3
+    else {
+      val exponent = math.floor(math.log(length / 3.0) / math.log(2.0)).toInt
+      math.min(3 * (1 << exponent), MaxRingSize)
+    }
+  }
+
   private def ringFactor(clusterSize: Int): Long = (MaxRingSize / clusterSize).toLong
 
   /** Start token owned by broker `index` in a ring of `clusterSize`

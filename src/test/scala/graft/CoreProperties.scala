@@ -145,4 +145,17 @@ object CoreProperties extends Properties("graft.core") {
       val o = graft.sources.GraftOffset(gen, parts)
       graft.sources.GraftOffset.fromJson(o.json()) == o
     }
+
+  // ---- ring normalization (`utils.go:198-208`, vectors utils_test.go:29-45) ----
+  property("validRingLength matches the reference vectors") = {
+    val vectors = Seq(1 -> 1, 2 -> 3, 4 -> 3, 6 -> 6, 7 -> 6, 11 -> 6, 12 -> 12)
+    vectors.forall { case (in, want) => TokenRing.validRingLength(in) == want }
+  }
+
+  property("validRingLength is a valid ring size and <= input (except 2)") =
+    forAll(Gen.choose(1, 20000)) { n =>
+      val v = TokenRing.validRingLength(n)
+      val isValid = v == 1 || (v % 3 == 0 && Integer.bitCount(v / 3) == 1)
+      isValid && v <= TokenRing.MaxRingSize && (n == 2 || v <= n)
+    }
 }

@@ -429,6 +429,36 @@ class EngineSpec extends AnyFunSuite {
     assert(Graft.topic(spark, store.root, "t").count() == 24L)
   }
 
+  test("topology watcher rescales on broker-count change, normalized to 3*2^n") {
+    // C5 fixed-topology discovery (`discoverer.go:252-296`): the watcher
+    // polls a broker-names file; a count change rescales, a change that
+    // normalizes onto the current ring size does nothing
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
+    val topo = Files.createTempFile("graft-topology", ".txt")
+    Files.writeString(topo, "b0,b1,b2") // 3 names = current ring, no-op
+    val watcher = new graft.engine.TopologyWatcher(store, topo.toString, pollDelayMs = 100L)
+    val handle = watcher.start()
+    try {
+      Thread.sleep(400)
+      assert(store.generation("t").version == 1, "same count must not rescale")
+      // 7 names normalize to 6 (utils_test.go vector) -> one rescale to 6
+      Files.writeString(topo, "b0 b1 b2 b3 b4 b5 b6")
+      val deadline = System.currentTimeMillis() + 20000
+      while (store.generation("t").version < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(store.generation("t") == graft.engine.Generation(2, 6),
+        s"expected rescale to 6, got ${store.generation("t")} (err=${watcher.lastFailure})")
+      // records survive the topology change
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      assert(store.poll("g", "t", "c").count() == 12L)
+      // a second write normalizing onto the SAME size (6 names) is a no-op
+      Files.writeString(topo, "b0,b1,b2,b3,b4,b5")
+      Thread.sleep(400)
+      assert(store.generation("t").version == 2, "normalized-equal count must not rescale")
+    } finally handle.close()
+  }
+
   test("register-after-two-rescales reads every ancestor generation from offset 0") {
     // R7 full semantics (the reference BFS-walks ParentRanges to the
     // earliest ancestor, `offset_state.go:260-302`): data produced under
