@@ -57,19 +57,118 @@ object BpeOps {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), Seq[(Int, String, String, String, Long)]]
 
+  /** Vocabularies up to this many distinct words train driver-side (the
+    * word-frequency table is model metadata, like q108's centroids);
+    * larger ones fall back to the distributed merge loop. Both paths
+    * produce identical merges (BpeSpec proves it; the DuckDB oracle
+    * replays the iterations independently of either).
+    */
+  private[graft] val DriverVocabMax = 200000L
+
   /** Run the K-iteration merge-learning loop (memoized per (session,
     * scale): q99 emits the rules, q100 applies them — the pipeline runs
-    * once, like the shared near-dup pair set).
+    * once, like the shared near-dup pair set). The corpus-scale work —
+    * ONE word-count aggregation — is always distributed; the merge loop
+    * itself runs on the collected frequency table when it fits the
+    * driver budget (how production tokenizer trainers work, and ~10x
+    * faster than paying a Catalyst plan + job round-trip per iteration
+    * on a vocabulary-sized DataFrame), else fully distributed.
     */
   private[graft] def learnMerges(
       s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] =
     DocOps.Memo.get(mergesMemo, s, d) {
-      val v0 = vocab(s, d)
+      // pinned so the corpus-scale word count runs ONCE, fully
+      // distributed: the size probe reads the cache being built and the
+      // chosen path (driver collect of a vocab that fits, or the
+      // distributed loop) reads it back. (A limit(budget+1).collect probe
+      // was measured WORSE — Spark plans the bounded fetch as a
+      // single-task final aggregation of the whole vocabulary.)
+      import s.implicits._
+      val counts = vocab(s, d).persist()
+      try {
+        if (counts.count() <= DriverVocabMax)
+          learnMergesDriver(counts.as[(String, Long)].collect())
+        else learnMergesDistributed(s, counts)
+      } finally { counts.unpersist(); () }
+    }
+
+  /** Driver-side merge loop over the collected word-frequency table —
+    * identical semantics to the distributed loop: adjacent-pair counts
+    * weighted by word frequency, argmax tie-broken (count DESC, left,
+    * right), left-to-right non-overlapping merge application (what the
+    * wrapped-encoding literal replace does).
+    */
+  private[graft] def learnMergesDriver(
+      words: Array[(String, Long)]): Seq[(Int, String, String, String, Long)] = {
+    val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var syms: Array[(Array[String], Long)] =
+      words.map { case (w, cnt) => (w.split("").filter(_.nonEmpty), cnt) }
+    var dry = false
+    for (i <- 1 to BpeIters if !dry) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      syms.foreach { case (ss, cnt) =>
+        var j = 0
+        while (j < ss.length - 1) {
+          pairCounts.merge((ss(j), ss(j + 1)), cnt, (a, b) => a + b)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) dry = true
+      else {
+        import scala.jdk.CollectionConverters._
+        val ((l, r), c) = pairCounts.asScala.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        merges += ((i, l, r, l + r, c))
+        syms = syms.map { case (ss, cnt) =>
+          if (ss.length < 2) (ss, cnt)
+          else {
+            val out = ArrayBuffer.empty[String]
+            var j = 0
+            while (j < ss.length) {
+              if (j < ss.length - 1 && ss(j) == l && ss(j + 1) == r) {
+                out += l + r; j += 2 // left-to-right, non-overlapping
+              } else { out += ss(j); j += 1 }
+            }
+            (out.toArray, cnt)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop — the >DriverVocabMax path. */
+  private[graft] def learnMergesDistributed(
+      s: SparkSession,
+      counts: DataFrame): Seq[(Int, String, String, String, Long)] = {
+      // the merge loop iterates over the VOCABULARY: 4 partitions keep
+      // each of the K iterations' jobs at a few tasks instead of 32 —
+      // scheduling overhead dominates on a table this small. The one
+      // corpus-sized job (the word count inside vocab()) still runs at
+      // full parallelism before this repartition.
+      val v0 = counts
         .select(wrapped(col("w")).as("spaced"), col("cnt"))
+        .repartition(4)
         .cache()
       val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
       var cur = v0
+      // re-cache each round (q50/q77's lineage discipline): without it
+      // round k's pair job re-evaluates all k-1 prior replaces from v0 —
+      // O(K^2) projection work if K is ever raised. The previous layer is
+      // unpersisted only AFTER the next iteration's collect has
+      // materialized the new cache (a one-iteration-deferred drop) — an
+      // eager drop would make the next job recompute through the dropped
+      // layer, and an extra count() job just to pin the cache costs one
+      // scheduling round-trip per iteration (~25% of training wall time
+      // at this vocab size).
+      var toDrop: Option[org.apache.spark.sql.DataFrame] = None
       var dry = false
+      // AQE off for the merge loop: each iteration is a 3-stage job over a
+      // 4-partition vocabulary table, and AQE's per-shuffle re-planning
+      // round-trip is pure overhead at that size (the data cannot skew —
+      // it is bounded by the vocabulary). Restored after the loop.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       for (i <- 1 to BpeIters if !dry) {
         val syms = symsOf(col("spaced"))
         val pairs = cur
@@ -80,23 +179,21 @@ object BpeOps {
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("cnt")).as("c"))
         val top = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        // this collect materialized `cur`'s cache, so the layer beneath it
+        // is now droppable
+        toDrop.foreach(_.unpersist()); toDrop = None
         if (top.isEmpty) dry = true
         else {
           val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((i, l, r, l + r, c))
-          // re-cache each round (q50/q77's lineage discipline): without it
-          // round k's pair job re-evaluates all k-1 prior replaces from
-          // v0 — O(K^2) projection work if K is ever raised. Materialize
-          // the new cache BEFORE dropping the previous one, or the next
-          // job recomputes through the dropped layer and the chain
-          // collapses back to v0.
           val prev = cur
           cur = cur.withColumn("spaced",
             replace(col("spaced"), lit(s"($l)($r)"), lit(s"($l$r)"))).cache()
-          cur.count()
-          if (prev ne v0) prev.unpersist()
+          if (prev ne v0) toDrop = Some(prev)
         }
       }
+      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      toDrop.foreach(_.unpersist())
       if (cur ne v0) cur.unpersist()
       v0.unpersist()
       merges.toSeq

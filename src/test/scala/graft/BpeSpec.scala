@@ -52,6 +52,23 @@ class BpeSpec extends AnyFunSuite {
     assert(m(1)._2 == "aa" && m(1)._3 == "aa" && m(1)._5 == 1L)
   }
 
+  test("driver-side and distributed merge loops learn identical rules") {
+    // the driver path (vocab fits DriverVocabMax) must equal the
+    // distributed fallback rule-for-rule: same pair counts, same argmax
+    // tiebreak, same left-to-right non-overlapping application
+    val sf = "/root/testdata/sf0.001"
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val counts = Graft.table(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val driver = operators.BpeOps.learnMergesDriver(counts.as[(String, Long)].collect())
+    val dist = operators.BpeOps.learnMergesDistributed(spark, counts)
+    assert(driver == dist, s"driver=$driver\ndist=$dist")
+  }
+
   test("q100 reports non-negative compression against q99's merges") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q100_bpe_encode")(spark, sf).collect()
