@@ -34,7 +34,18 @@ object Serve {
     server.advertiseProducerBinaryPort(binServer.boundPort)
     val base = s"http://localhost:${server.boundPort}"
     println(s"serving $base (binary producer on :${binServer.boundPort})")
-    if (args.nonEmpty) { Thread.currentThread().join(); return }
+    if (args.nonEmpty) {
+      // manual-serve mode runs the maintenance loops a long-lived broker
+      // would: retention sweeping (S10) and, when a topology file is
+      // given as the second argument, fixed-topology discovery (C5) —
+      // edit the file's broker-names list to trigger a live rescale
+      store.startRetentionSweeper()
+      args.lift(1).foreach { topoFile =>
+        new graft.engine.TopologyWatcher(store, topoFile).start()
+        println(s"watching topology file $topoFile")
+      }
+      Thread.currentThread().join(); return
+    }
 
     val client = HttpClient.newHttpClient()
     def post(path: String, body: String, ctype: String = "application/json") =

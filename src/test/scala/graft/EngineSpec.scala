@@ -429,6 +429,36 @@ class EngineSpec extends AnyFunSuite {
     assert(Graft.topic(spark, store.root, "t").count() == 24L)
   }
 
+  test("maintenance write lock excludes readers; readers share") {
+    val store = freshStore()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // a reader holds the topic read lock...
+    val reader = new Thread(() => store.withTopicReads("t") {
+      started.countDown()
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    })
+    reader.start()
+    assert(started.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // ...a second reader still enters (shared)...
+    @volatile var secondReader = false
+    store.withTopicReads("t") { secondReader = true }
+    assert(secondReader)
+    // ...and maintenance on the SAME topic blocks until the reader leaves,
+    // while another topic's maintenance proceeds immediately
+    @volatile var maintDone = false
+    val maint = new Thread(() => store.withTopicMaintenance("t") { maintDone = true })
+    maint.start()
+    store.withTopicMaintenance("other") { () } // independent lock: no block
+    Thread.sleep(200)
+    assert(!maintDone, "maintenance must wait for the in-flight reader")
+    release.countDown()
+    maint.join(5000)
+    assert(maintDone, "maintenance must proceed once readers drain")
+    reader.join(5000)
+  }
+
   test("topology watcher rescales on broker-count change, normalized to 3*2^n") {
     // C5 fixed-topology discovery (`discoverer.go:252-296`): the watcher
     // polls a broker-names file; a count change rescales, a change that

@@ -388,6 +388,85 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("concurrent purge and poll: no duplicate delivery, no silent loss, no errors") {
+    // the advisor's race: purge rewrites leaf dirs (rename-in, then
+    // delete) while a poll scans them — without the per-topic RW lock a
+    // poll could observe BOTH files (double delivery at identical
+    // (part, offset)) or fail on a just-deleted one. This drives real
+    // HTTP polls against live purges and asserts the at-least-once
+    // contract end-to-end: every offset delivered at most once, every
+    // produced record either delivered or covered by a purged key, and
+    // no poll errors.
+    import scala.collection.mutable
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-rest").toString)
+    val server = new RestServer(store, port = 0, coalesceMs = 20L,
+      maxPollBytes = 1024L, maxPollRecords = 40L).start() // small pages -> many polls
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val keys = 24; val per = 15
+      for (k <- 0 until keys) {
+        val body = (0 until per).map(j => s"""{"k":$k,"j":$j}""").mkString("\n")
+        assert(send(base, "POST",
+          s"/v1/topic/cc/messages?partitionKey=k$k&timestamp=${1700000000000000L + k}",
+          body, "application/x-ndjson").statusCode() == 200)
+      }
+      assert(send(base, "PUT",
+        "/v1/consumer/register?consumerId=cpp&group=gpp&topic=cc&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+
+      val pages = mutable.ArrayBuffer.empty[String]
+      @volatile var pollError: Option[String] = None
+      val poller = new Thread(() => {
+        var empty = 0
+        while (empty < 3 && pollError.isEmpty) {
+          val r = send(base, "POST", "/v1/consumer/poll?consumerId=cpp")
+          r.statusCode() match {
+            case 200 => pages.synchronized { pages += r.body(); () }; empty = 0
+            case 204 => empty += 1; Thread.sleep(50)
+            case other => pollError = Some(s"poll -> $other: ${r.body()}")
+          }
+        }
+      })
+      poller.start()
+      // purges fire WHILE the poller drains its pages
+      val purgedKeys = Seq(3, 7, 11).map { k =>
+        val r = send(base, "POST", s"/v1/topic/cc/purge?key=k$k")
+        assert(r.statusCode() == 200, s"purge k$k -> ${r.statusCode()} ${r.body()}")
+        Thread.sleep(30)
+        k
+      }
+      poller.join(180000)
+      assert(!poller.isAlive, "poller wedged")
+      assert(pollError.isEmpty, pollError.toString)
+
+      // every (token, range, version, offset) delivered AT MOST once
+      val itemRe = ("\"token\":\"(-?\\d+)\",\"rangeIndex\":(\\d+),\"version\":(\\d+)," +
+        "\"startOffset\":\"(\\d+)\",\"values\":\\[(.*?)\\]").r
+      val seen = mutable.Set.empty[(String, Long)]
+      val delivered = mutable.Set.empty[String]
+      pages.foreach { p =>
+        itemRe.findAllMatchIn(p).foreach { m =>
+          val part = s"${m.group(1)}/${m.group(2)}/${m.group(3)}"
+          val start = m.group(4).toLong
+          val bodies = m.group(5).split("(?<=\\}),(?=\\{)").filter(_.nonEmpty)
+          bodies.zipWithIndex.foreach { case (b, i) =>
+            assert(seen.add((part, start + i)),
+              s"duplicate delivery at $part offset ${start + i}")
+            delivered += b
+          }
+        }
+      }
+      // every produced record was delivered, or its key was purged
+      for (k <- 0 until keys; j <- 0 until per) {
+        val body = s"""{"k":$k,"j":$j}"""
+        assert(delivered.contains(body) || purgedKeys.contains(k),
+          s"record silently lost: $body")
+      }
+      // sanity: the survivors really were the bulk of the corpus
+      assert(delivered.size >= (keys - purgedKeys.size) * per)
+    } finally server.stop()
+  }
+
   test("seek endpoint repositions the group at a timestamp; polls resume there") {
     val server = startServer()
     val base = s"http://localhost:${server.boundPort}"
