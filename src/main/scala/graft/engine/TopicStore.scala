@@ -223,7 +223,15 @@ class TopicStore(
     * is deterministic and shuffle-free).
     */
   def produce(topic: String, records: DataFrame): Long =
-    produceInto(topic, records, generation(topic))
+    // the generation is read UNDER produceLock — the reference's
+    // coalescer re-checks the generation inside its serialization point
+    // (`coalescer.go:93-106`) for the same reason: a produce that
+    // resolved the generation before a concurrent rescale flipped the
+    // pointer would otherwise write into the superseded generation,
+    // stranding its records the moment the flip lands (caught by
+    // EngineSpec "produce racing a rescale"). produceLock is reentrant,
+    // so produceInto's own acquisition nests freely.
+    produceLock.synchronized { produceInto(topic, records, generation(topic)) }
 
   /** Produce into an EXPLICIT generation — `produce` with the current one;
     * `rescale` with the next one so the new generation's data is fully
@@ -987,29 +995,38 @@ class TopicStore(
         s"rescale($topic): groups still have lag under generation ${g.version}: " +
           s"${undrained.sorted.mkString(", ")} — drain them or call with requireDrained=false")
     }
-    val old = spark.read.schema(recordSchema).parquet(dataDir)
-      .where(col("topic") === topic && col("version") === g.version)
-      // old (part, offset) becomes the produce-order tiebreak, so the
-      // new generation's per-key order equals the old delivery order
-      .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
-      .select("key", "value", "timestamp", "__seq")
-    val next = Generation(g.version + 1, newClusterSize)
-    // copy-then-flip: the new generation's data and watermarks are fully
-    // durable BEFORE the generation pointer moves. A crash mid-copy leaves
-    // the old generation current and every poll correct; the retry below
-    // first clears any partial v+1 leftovers so it cannot double-copy.
-    clearGenerationData(topic, next)
-    produceInto(topic, old, next) // stamps v+1; fresh watermark scope -> offsets from 0
-    setGeneration(topic, next)
-    // offset continuity for drained groups (the reference's OffsetCompleted
-    // projection, `offset_state.go` split/join): a group that had consumed
-    // the WHOLE old generation starts at the new generation's watermarks —
-    // nothing is re-delivered to it. Partially-consumed groups re-read
-    // under their start policy (at-least-once; the reference's discipline
-    // is drain-before-rescale precisely so this set is empty).
-    val newHigh = producerOffsets(topic)
-    drained.foreach(group => commit(group, topic, newHigh))
-    next
+    // The whole copy-then-flip holds produceLock (reentrant with
+    // produceInto's own acquisition): the source file listing is pinned
+    // when spark.read resolves, so a produce interleaving between that
+    // listing and the generation flip would append records the copy never
+    // saw — stranded in the superseded generation the moment the pointer
+    // moves. With the watcher automating rescale, that interleaving is a
+    // realistic schedule, not just an API-misuse corner.
+    produceLock.synchronized {
+      val old = spark.read.schema(recordSchema).parquet(dataDir)
+        .where(col("topic") === topic && col("version") === g.version)
+        // old (part, offset) becomes the produce-order tiebreak, so the
+        // new generation's per-key order equals the old delivery order
+        .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
+        .select("key", "value", "timestamp", "__seq")
+      val next = Generation(g.version + 1, newClusterSize)
+      // copy-then-flip: the new generation's data and watermarks are fully
+      // durable BEFORE the generation pointer moves. A crash mid-copy leaves
+      // the old generation current and every poll correct; the retry below
+      // first clears any partial v+1 leftovers so it cannot double-copy.
+      clearGenerationData(topic, next)
+      produceInto(topic, old, next) // stamps v+1; fresh watermark scope -> offsets from 0
+      setGeneration(topic, next)
+      // offset continuity for drained groups (the reference's OffsetCompleted
+      // projection, `offset_state.go` split/join): a group that had consumed
+      // the WHOLE old generation starts at the new generation's watermarks —
+      // nothing is re-delivered to it. Partially-consumed groups re-read
+      // under their start policy (at-least-once; the reference's discipline
+      // is drain-before-rescale precisely so this set is empty).
+      val newHigh = producerOffsets(topic)
+      drained.foreach(group => commit(group, topic, newHigh))
+      next
+    }
   }
 
   /** Remove any data, watermarks, and caches a CRASHED rescale left under

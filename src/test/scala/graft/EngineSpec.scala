@@ -520,6 +520,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("produce racing a rescale never strands records in the old generation") {
+    // rescale holds produceLock across list-copy-flip, so a concurrent
+    // produce lands either wholly before the copy (and is copied) or
+    // after the flip (in the new generation) — never in the window where
+    // it would be stranded in the superseded generation
+    val store = freshStore()
+    store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"pre$i", ts(i))))
+    val rescaler = new Thread(() => { store.rescale("t", 6); () })
+    rescaler.start()
+    for (b <- 0 until 3)
+      store.produceStrings("t",
+        (0 until 5).map(i => (s"rk$b-$i", s"mid$b-$i", ts(100 + b * 10 + i))))
+    rescaler.join(180000)
+    assert(!rescaler.isAlive, "rescale wedged")
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 35, s"expected all 35 records visible, got ${polled.length}")
+  }
+
   test("rescale(requireDrained) refuses while a registered group has lag") {
     val store = freshStore()
     store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
