@@ -510,15 +510,24 @@ class TopicStore(
       next: Map[Int, Long],
       origin: String = "",
       version: Int = -1): Map[Int, Long] = commitLock.synchronized {
-    if (version >= 0 && version != generation(topic).version) return Map.empty
-    val cur = groupOffsets(group, topic)
+    // ONE generation read pins both the version check and the offsets
+    // scope: with separate reads, a rescale flipping between them would
+    // pass the check against the old version and then write the old
+    // generation's positions into the NEW generation's scope — silently
+    // skipping that many unread new-generation records. With the pinned
+    // read a commit racing a flip either writes into the old scope
+    // (harmless: obsolete after the flip) or is rejected by the check.
+    val g = generation(topic)
+    if (version >= 0 && version != g.version) return Map.empty
+    val scope = s"$group/$topic/v${g.version}"
+    val cur = readOffsets(groupMeta, scope)
     val accepted = next.filter { case (p, off) =>
       val reader = lastReaders.get((group, topic, p))
       val owns = origin.isEmpty || reader == null || reader == origin
       owns && off >= cur.getOrElse(p, 0L)
     }
     if (accepted.nonEmpty)
-      writeOffsets(groupMeta, groupScope(group, topic), cur ++ accepted)
+      writeOffsets(groupMeta, scope, cur ++ accepted)
     accepted
   }
 
