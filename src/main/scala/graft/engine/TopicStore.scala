@@ -415,15 +415,18 @@ class TopicStore(
       maxRecords: Long = Long.MaxValue,
       maxBytes: Long = Long.MaxValue,
       autoCommit: Boolean = true): DataFrame = {
+    // ONE generation read pins assignment, offsets scope, and the scan
+    // filters (same discipline as commit): assignment computed against a
+    // newer ring than the captured g would index past tokensOf(g)
     val g = generation(topic)
-    val assigned = registry.assignment(group, consumerId, topic)
+    val assigned = registry.assignmentFor(group, consumerId, g)
     if (assigned.isEmpty || !dataDirExists) return emptyRecords
     assigned.foreach(p => lastReaders.put((group, topic, p), consumerId))
 
-    val committed = groupOffsets(group, topic)
+    val committed = readOffsets(groupMeta, s"$group/$topic/v${g.version}")
     val tokens = tokensOf(g)
     val partFilter = assigned.map { p =>
-      val from = committed.getOrElse(p, startingOffset(group, topic, p))
+      val from = committed.getOrElse(p, startingOffset(group, topic, p, g))
       val upper = // saturating bound: from + maxRecords may exceed Long range
         if (maxRecords > Long.MaxValue - from) lit(true)
         else col("offset") < from + maxRecords
@@ -600,16 +603,18 @@ class TopicStore(
   def groupOffsets(group: String, topic: String): Map[Int, Long] =
     readOffsets(groupMeta, groupScope(group, topic))
 
-  private def startingOffset(group: String, topic: String, part: Int): Long =
+  private def startingOffset(group: String, topic: String, part: Int, g: Generation): Long =
     registry.policy(group) match {
       case StartFrom.Earliest => 0L
       case StartFrom.Latest =>
         // a snapshot only applies to the generation it was taken under:
         // offsets restart per generation, so a v1 watermark applied to v2
         // would silently SKIP the first records of every partition. A
-        // stale snapshot degrades to 0 (at-least-once re-read, never loss).
+        // stale snapshot degrades to 0 (at-least-once re-read, never
+        // loss). Checked against the CALLER's pinned generation so the
+        // whole poll sees one consistent version.
         val (snapVersion, snap) = registry.latestSnapshot(group, topic)
-        if (snapVersion == generation(topic).version) snap.getOrElse(part, 0L) else 0L
+        if (snapVersion == g.version) snap.getOrElse(part, 0L) else 0L
     }
 
   // ------------------------------------------------------------ registry
@@ -735,14 +740,22 @@ class TopicStore(
       * generation: sorted ids, round-robin over ordinals —
       * `consumer_state.go:308-350` determinism.
       */
-    def assignment(group: String, consumerId: String, topic: String): Seq[Int] = {
+    def assignment(group: String, consumerId: String, topic: String): Seq[Int] =
+      assignmentFor(group, consumerId, generation(topic))
+
+    /** Assignment against an EXPLICIT generation — poll passes its pinned
+      * one so a rescale flipping mid-poll cannot hand out partition
+      * ordinals beyond the captured ring.
+      */
+    private[engine] def assignmentFor(
+        group: String, consumerId: String, g: Generation): Seq[Int] = {
       // synchronized like every other registry read: an unsynchronized
       // read of `groups` has no happens-before edge with a concurrent
       // register/goodbye, so two pollers could transiently compute
       // overlapping round-robin ownership (duplicate delivery)
       val ids = synchronized { groups.getOrElse(group, Set.empty) }.toSeq.sorted
       if (!ids.contains(consumerId)) return Seq.empty
-      (0 until partsOf(generation(topic))).filter(p => ids(p % ids.size) == consumerId)
+      (0 until partsOf(g)).filter(p => ids(p % ids.size) == consumerId)
     }
   }
 
