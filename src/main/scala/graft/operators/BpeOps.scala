@@ -44,7 +44,7 @@ object BpeOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** `(c)(h)(a)(r)` wrapped-symbol encoding of a word. */
-  private def wrapped(w: Column): Column =
+  private[operators] def wrapped(w: Column): Column =
     concat(lit("("),
       concat_ws(")(", filter(split(w, ""), c => c =!= lit(""))),
       lit(")"))
@@ -216,11 +216,11 @@ object BpeOps {
   /** Wrapped-encoding seed expression shared by the chain (vocab) and the
     * corpus-apply stage.
     */
-  private val wrapSql =
+  private[operators] val wrapSql =
     "'(' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), ')(') || ')'"
 
   /** The shared CTE chain (v, s0, t1..tK, s1..sK) both oracles build on. */
-  private val chainSql: String = {
+  private[operators] val chainSql: String = {
     val iters = (1 to BpeIters).map { k =>
       s"""t$k AS MATERIALIZED (
          |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
@@ -267,15 +267,23 @@ object BpeOps {
     * Symbol counts are integers ((len - len(without '(')) counts wrapped
     * symbols), so the gate is exact.
     */
+  /** Fold the learned merge rules (driver-held model metadata) over a
+    * wrapped-symbol column — K literal replaces in one codegen'd
+    * projection, shared by q100 (per source) and q135 (per lang).
+    */
+  private[operators] def applyMerges(
+      merges: Seq[(Int, String, String, String, Long)], spaced: Column): Column =
+    merges.foldLeft(spaced) { case (c, (_, l, r, _, _)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+
   val q100: Q = (s, d) => {
     val merges = learnMerges(s, d)
     val toks = DocOps.docs(s, d)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
       .withColumn("spaced", wrapped(col("w")))
-    val applied = merges.foldLeft(col("spaced")) { case (c, (_, l, r, _, _)) =>
-      replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
-    }
+    val applied = applyMerges(merges, col("spaced"))
     toks
       .withColumn("ap", applied)
       .groupBy(col("source"))
@@ -292,27 +300,34 @@ object BpeOps {
   /** Oracle: the q99 chain re-derives the merge rules, then one applied
     * stage folds the same K replaces over the corpus tokens.
     */
-  val q100Sql: String = {
-    // one MATERIALIZED CTE per merge stage (a single nested expression of
-    // 8 guarded replaces exceeded DuckDB's logical-planner tree depth),
-    // each guarded against a dry iteration (t_k empty before K merges
-    // exist): an unguarded replace(ap, NULL, NULL) would NULL every row,
-    // while the Spark side applies only the learned prefix of merges
+  /** The corpus-apply CTE fragment (`ap0..apK, ap`), parameterized on the
+    * carried group-by column — q100 encodes per source, q135 per lang.
+    * One MATERIALIZED CTE per merge stage (a single nested expression of
+    * 8 guarded replaces exceeded DuckDB's logical-planner tree depth),
+    * each guarded against a dry iteration (t_k empty before K merges
+    * exist): an unguarded replace(ap, NULL, NULL) would NULL every row,
+    * while the Spark side applies only the learned prefix of merges.
+    */
+  private[operators] def encodeSql(keyCol: String): String = {
     val stages = (1 to BpeIters).map { k =>
       s"""ap$k AS MATERIALIZED (
-         |  SELECT source, w,
+         |  SELECT $keyCol, w,
          |    CASE WHEN (SELECT COUNT(*) FROM t$k) = 0 THEN ap ELSE replace(ap,
          |      '(' || (SELECT l FROM t$k) || ')(' || (SELECT r FROM t$k) || ')',
          |      '(' || (SELECT l FROM t$k) || (SELECT r FROM t$k) || ')') END AS ap
          |  FROM ap${k - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH $chainSql,
-       |ap0 AS MATERIALIZED (
-       |  SELECT source, w, $wrapSql AS ap
-       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    s"""ap0 AS MATERIALIZED (
+       |  SELECT $keyCol, w, $wrapSql AS ap
+       |  FROM (SELECT $keyCol, unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$')),
        |$stages,
-       |ap AS (SELECT source, w, ap FROM ap$BpeIters)
+       |ap AS (SELECT $keyCol, w, ap FROM ap$BpeIters)""".stripMargin
+  }
+
+  val q100Sql: String = {
+    s"""WITH $chainSql,
+       |${encodeSql("source")}
        |SELECT source, COUNT(*) AS n_words,
        |  CAST(SUM(len(w)) AS BIGINT) AS symbols_before,
        |  CAST(SUM(len(ap) - len(replace(ap, '(', ''))) AS BIGINT) AS symbols_after,

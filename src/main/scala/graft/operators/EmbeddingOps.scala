@@ -22,7 +22,7 @@ import graft.functions.{cosine_sim, srp_signature}
 object EmbeddingOps {
   import Relational.Q
 
-  private def emb(s: SparkSession, d: String) = Graft.table(s, d, "embeddings")
+  private[operators] def emb(s: SparkSession, d: String) = Graft.table(s, d, "embeddings")
 
   /** The fixed query vector: embedding of vec_id 0 (broadcast single row). */
   private def queryVec(s: SparkSession, d: String): DataFrame =

@@ -537,6 +537,53 @@ class QueryPackSpec extends AnyFunSuite {
     sv.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("corpus-statistics pack invariants (q135-q140)") {
+    import org.apache.spark.sql.functions._
+    // q135: a word is >= 1 subword, a subword is >= 1 char
+    SparkEntry.queries("q135_bpe_fertility")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("chars_per_subword") >= 1.0)
+      assert(r.getAs[Long]("n_subwords") <= r.getAs[Long]("n_chars"))
+    }
+    // q136: frequency is non-increasing in rank, so the OLS slope of
+    // ln(freq) on ln(rank) is necessarily <= 0
+    SparkEntry.queries("q136_zipf_slope")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_terms") >= 2)
+      assert(r.getAs[Double]("zipf_slope") <= 0.0)
+    }
+    // q137: the kept corpus is a subset — counts and distincts can only
+    // shrink, and retention is a basis-point fraction of the whole
+    SparkEntry.queries("q137_dedup_diversity")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_tri_kept") <= r.getAs[Long]("n_tri"))
+      assert(r.getAs[Long]("d_tri_kept") <= r.getAs[Long]("d_tri"))
+      val bp = r.getAs[Long]("retention_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+    // q138: sigma1^2 + sigma2^2 - 2 sigma1 sigma2 = (sigma1 - sigma2)^2,
+    // so every per-dim term and hence the distance is >= 0 (modulo the
+    // 6-dp output rounding)
+    val fr = SparkEntry.queries("q138_cohort_distance")(spark, sf).collect()
+    assert(fr.nonEmpty)
+    fr.foreach(r => assert(r.getAs[Double]("frechet") >= -1e-6))
+    // q139: vocabulary growth is monotone, and the final checkpoint (the
+    // whole corpus) matches an independently-computed distinct count
+    val hp = SparkEntry.queries("q139_heaps_growth")(spark, sf).collect()
+    val vocabs = hp.map(_.getAs[Long]("vocab"))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b })
+    val distinctTokens = Graft.table(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .select(countDistinct(col("w"))).head().getLong(0)
+    assert(hp.last.getAs[Long]("vocab") == distinctTokens)
+    // q140: hapax + dis <= types <= tokens; unseen mass is a probability
+    SparkEntry.queries("q140_good_turing")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("hapax") + r.getAs[Long]("dis") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      val m = r.getAs[Double]("unseen_mass")
+      assert(m >= 0.0 && m <= 1.0)
+    }
+  }
+
   test("q122's closed-form decile equals ntile(10) for arbitrary N") {
     // the de-skewed q122 rebuilds ntile(10) row-locally from (rank, N);
     // prove the closed form against Spark's own ntile for Ns that cover
