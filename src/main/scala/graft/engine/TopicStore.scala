@@ -767,15 +767,17 @@ class TopicStore(
   // delete pending) double-delivers survivors at identical (part, offset).
   // Maintenance therefore takes the topic's WRITE lock and serving reads
   // take the READ lock around their materialization (the REST poll collect
-  // does; direct DataFrame users should wrap their action in
+  // does; the DSv2 source takes it around its generation-read + file
+  // listing; direct DataFrame users should wrap their action in
   // `withTopicReads` when maintenance may run concurrently). The lock is
   // reentrant and write→read downgrade-safe (rescale under the write lock
-  // produces under the read lock).
-  private val topicLocks = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
-  private def topicLock(topic: String) =
-    topicLocks.computeIfAbsent(
-      topic, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+  // produces under the read lock), and it is JVM-GLOBAL per (root, topic)
+  // — keyed in the companion, not per instance — so an observer store
+  // (the DSv2 scan builds its own TopicStore over the same root) and the
+  // serving store serialize on the SAME lock. Two instances over the same
+  // root previously held independent locks, which let an observer list
+  // files mid-swap.
+  private def topicLock(topic: String) = TopicStore.lockFor(root, topic)
 
   /** Run a maintenance operation (purge/compact/retention/rescale) with
     * exclusive ownership of the topic's files.
@@ -1318,6 +1320,23 @@ class TopicStore(
 
   private def scopeDir(scope: String): String =
     scope.replaceAll("[^A-Za-z0-9_/\\-]", "_")
+}
+
+object TopicStore {
+  // JVM-global maintenance/read locks, keyed by (normalized root, topic):
+  // every TopicStore instance over the same root — the serving store, the
+  // DSv2 observer's private instance, a test's second store — shares one
+  // lock, so maintenance swaps exclude ALL same-JVM readers. Roots are
+  // normalized through Hadoop Path so "/x/y" and "/x/y/" collide. (Cross-
+  // JVM coordination is out of scope by design: the engine is a single
+  // serving driver; multi-node deployments get coherence from the
+  // generation dimension + deferred deletes, not file locks.)
+  private val globalTopicLocks = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private[graft] def lockFor(root: String, topic: String) =
+    globalTopicLocks.computeIfAbsent(
+      (new org.apache.hadoop.fs.Path(root).toString, topic),
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 }
 
 /** A topic generation: the genVersion addressing dimension plus the ring

@@ -239,11 +239,20 @@ class GraftScan(root: String, topic: String, maxRecordsPerTrigger: Option[Long] 
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
       val store = new TopicStore(spark, root)
-      val gen = store.generation(topic).version
       val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
-      GraftSource.listFiles(spark, root, topic, gen).map { f =>
-        GraftInputPartition(f, topic, Map.empty, Map.empty, conf): InputPartition
-      }.toArray
+      // generation read + file listing under the (JVM-global) topic read
+      // lock: a maintenance swap (purge/compact/retention) holds the write
+      // lock across its whole rename-then-delete, so a listing can never
+      // see the half-swapped state (original + rewritten file at the same
+      // offsets = silent double delivery). Files deleted AFTER planning
+      // fail the task loudly instead — the batch analog of a consumer
+      // paging into retention, and a retry replans coherently.
+      store.withTopicReads(topic) {
+        val gen = store.generation(topic).version
+        GraftSource.listFiles(spark, root, topic, gen).map { f =>
+          GraftInputPartition(f, topic, Map.empty, Map.empty, conf): InputPartition
+        }.toArray
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
   }
@@ -365,12 +374,16 @@ class GraftMicroBatchStream(
     val from = so.parts
     val until = eo.parts
     if (until.forall { case (p, hi) => from.getOrElse(p, 0L) >= hi }) return Array.empty
-    val gen = store.generation(topic).version
-    requireGen(so, gen)
-    requireGen(eo, gen)
-    GraftSource.listFiles(spark, root, topic, gen).map { f =>
-      GraftInputPartition(f, topic, from, until, conf): InputPartition
-    }.toArray
+    // same read-lock discipline as the batch scan: the listing must not
+    // observe a maintenance swap mid-flight (see GraftScan.toBatch)
+    store.withTopicReads(topic) {
+      val gen = store.generation(topic).version
+      requireGen(so, gen)
+      requireGen(eo, gen)
+      GraftSource.listFiles(spark, root, topic, gen).map { f =>
+        GraftInputPartition(f, topic, from, until, conf): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory

@@ -52,6 +52,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b, "source rows must equal the partition-pruned parquet view")
   }
 
+  test("DSv2 planning serializes against maintenance swaps (global per-root lock)") {
+    // the maintenance lock must be JVM-global per (root, topic): the DSv2
+    // scan builds its OWN TopicStore over the root, and with per-instance
+    // locks its listing could catch a purge mid-swap (rename-in done,
+    // delete pending) and double-deliver survivors at identical offsets
+    val root = Files.createTempDirectory("graft-src").toString
+    assert(TopicStore.lockFor(root, "t") eq TopicStore.lockFor(root + "/", "t"),
+      "lock registry must normalize the root path")
+    val serving = new TopicStore(spark, root)
+    produceN(serving, "t", 400, 40, "a")
+    val evens = spark.read.format("graft")
+      .option("root", root).option("topic", "t").load()
+      .filter(expr("cast(substring(key, 2, 10) as int) % 2 = 0"))
+      .select(col("key"), decode(col("value"), "UTF-8").as("v"))
+      .collect().map(_.toSeq).toSet
+    assert(evens.nonEmpty)
+    @volatile var purgeErr: Option[Throwable] = None
+    val purger = new Thread(() => {
+      try {
+        (0 until 10).foreach { i => serving.purgeKeys("t", Seq(s"k${2 * i + 1}")); () }
+      } catch { case t: Throwable => purgeErr = Some(t) }
+    })
+    purger.start()
+    var reads = 0
+    var failures = 0
+    while (purger.isAlive && failures < 10) {
+      try {
+        val rows = spark.read.format("graft")
+          .option("root", root).option("topic", "t").load()
+          .select(col("key"), decode(col("value"), "UTF-8").as("v"),
+            col("part"), col("offset"))
+          .collect()
+        // (a) no double delivery: offsets unique within a coherent snapshot
+        val po = rows.map(r => (r.getInt(2), r.getLong(3)))
+        assert(po.length == po.distinct.length,
+          s"duplicate (part, offset) rows in a planned snapshot (read $reads)")
+        // (b) never-purged keys are always complete
+        val got = rows.filter(_.getString(0).drop(1).toInt % 2 == 0)
+          .map(r => Seq(r.get(0), r.get(1))).toSet
+        assert(got == evens, s"even-key rows lost or duplicated (read $reads)")
+        reads += 1
+      } catch {
+        // a file deleted AFTER a coherent planning is a loud, retryable
+        // failure (the batch analog of paging into retention) — never
+        // silent duplication
+        case _: org.apache.spark.SparkException => failures += 1
+      }
+    }
+    purger.join()
+    assert(purgeErr.isEmpty, s"purge loop failed: $purgeErr")
+    assert(reads > 0, "no successful concurrent read completed")
+  }
+
   test("micro-batch stream delivers offset-exact batches exactly once") {
     val root = Files.createTempDirectory("graft-src").toString
     val chk = Files.createTempDirectory("graft-src-chk").toString
