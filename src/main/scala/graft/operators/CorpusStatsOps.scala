@@ -285,8 +285,12 @@ object CorpusStatsOps {
     val wInB = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
     val local = dd.withColumn("lcum", sum(col("n_tok")).over(wInB))
     // bucket totals derived from the windowed side (q66's ReuseExchange
-    // trick: one scan feeds both consumers)
+    // trick), then localCheckpointed: the bucket table is metadata-sized
+    // (corpus/64 rows) and feeds THREE consumers (starts, the total, the
+    // checkpoint list) — without the pin each consumer re-derives it from
+    // its own corpus scan (the audit showed 4 scans / 23 exchanges)
     val grp = local.groupBy(col("bucket")).agg(max(col("lcum")).as("bsum"))
+      .localCheckpoint(true)
     val wPrev = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val starts = grp
