@@ -1027,19 +1027,24 @@ class TopicStore(
     // moves. With the watcher automating rescale, that interleaving is a
     // realistic schedule, not just an API-misuse corner.
     produceLock.synchronized {
-      val old = spark.read.schema(recordSchema).parquet(dataDir)
-        .where(col("topic") === topic && col("version") === g.version)
-        // old (part, offset) becomes the produce-order tiebreak, so the
-        // new generation's per-key order equals the old delivery order
-        .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
-        .select("key", "value", "timestamp", "__seq")
       val next = Generation(g.version + 1, newClusterSize)
       // copy-then-flip: the new generation's data and watermarks are fully
       // durable BEFORE the generation pointer moves. A crash mid-copy leaves
       // the old generation current and every poll correct; the retry below
       // first clears any partial v+1 leftovers so it cannot double-copy.
       clearGenerationData(topic, next)
-      produceInto(topic, old, next) // stamps v+1; fresh watermark scope -> offsets from 0
+      // a topic rescaled before its first produce has no data dir — the
+      // generation still flips (the reference reshapes empty topics too),
+      // there is just nothing to copy
+      if (dataDirExists) {
+        val old = spark.read.schema(recordSchema).parquet(dataDir)
+          .where(col("topic") === topic && col("version") === g.version)
+          // old (part, offset) becomes the produce-order tiebreak, so the
+          // new generation's per-key order equals the old delivery order
+          .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
+          .select("key", "value", "timestamp", "__seq")
+        produceInto(topic, old, next) // stamps v+1; fresh watermark scope -> offsets from 0
+      }
       setGeneration(topic, next)
       // offset continuity for drained groups (the reference's OffsetCompleted
       // projection, `offset_state.go` split/join): a group that had consumed

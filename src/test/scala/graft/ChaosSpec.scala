@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.TopicStore
+
+/** Chaos composition: every engine mutation class running concurrently
+  * against one topic — produce, group polls, compaction, GDPR purge,
+  * and generation rescales — then a full quiescent audit of the
+  * delivery contract. The piecewise race specs (produce-vs-rescale,
+  * purge-vs-poll, commit-vs-rescale) each found a real bug when added;
+  * this spec locks their COMPOSITION: the pairwise serialization
+  * disciplines (produceLock across copy-then-flip, the per-(root,
+  * topic) maintenance RW lock, one pinned generation read per op) must
+  * also hold when everything runs at once, because real serving mixes
+  * all of them on independent schedules.
+  *
+  * Invariants audited at quiescence (a fresh group reading everything):
+  *  1. liveness — no thread wedges, no op throws;
+  *  2. per-partition offsets are distinct (a half-swapped purge or
+  *     compaction listing double-delivers at identical offsets; purge
+  *     legitimately leaves GAPS — survivors keep byte-identical offsets
+  *     — so contiguity is not asserted, loss is caught by 3);
+  *  3. exactly the acked, never-purged values are delivered, once each;
+  *  4. per-key produce order survives as offset order (§2.6.1).
+  */
+class ChaosSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("chaos-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("produce + poll + compact + purge + rescale compose under load") {
+    val store = new TopicStore(
+      spark, Files.createTempDirectory("graft-chaos").toString)
+    val topic = "t"
+    // the sacrificial key the purger erases; excluded from the audit on
+    // both sides (purge-vs-produce interleaving makes its survivor set
+    // schedule-dependent, which is the documented GDPR contract: erase
+    // what exists at purge time)
+    val PurgeKey = "gdpr"
+    val errors = TrieMap.empty[String, Throwable]
+    def guard(name: String)(body: => Unit): Thread =
+      new Thread(() => try body catch { case t: Throwable => errors.put(name, t); () }, name)
+
+    // ---- producer: 20 batches of 20 keyed records; every value is
+    // unique and carries its per-key sequence for the order audit
+    val seqOf = TrieMap.empty[String, AtomicInteger]
+    val acked = TrieMap.empty[String, Vector[String]]
+    val producer = guard("producer") {
+      for (b <- 0 until 20) {
+        val rows = (0 until 20).map { i =>
+          val key = if (i == 19) PurgeKey else s"k${(b * 20 + i) % 16}"
+          val n = seqOf.getOrElseUpdate(key, new AtomicInteger).getAndIncrement()
+          (key, s"$key#$n", ts(b * 20 + i))
+        }
+        store.produceStrings(topic, rows)
+        // produceStrings returns after the durable write: acked
+        rows.foreach { case (k, v, _) =>
+          acked.updateWith(k)(old => Some(old.getOrElse(Vector.empty) :+ v)); ()
+        }
+      }
+    }
+
+    // ---- consumer group: polls with auto-commit the whole run (its
+    // deliveries are at-least-once across rescales by contract, so the
+    // audit below uses a FRESH group; this thread exists to keep commit
+    // scopes, assignment, and the deferred-commit machinery in the mix)
+    @volatile var stop = false
+    store.registry.register("g", "c", Seq(topic), store.StartFrom.Earliest)
+    val consumer = guard("consumer") {
+      while (!stop) {
+        val page = store.withTopicReads(topic) {
+          store.poll("g", topic, "c", maxRecords = 64L).collect()
+        }
+        if (page.isEmpty) Thread.sleep(20)
+      }
+    }
+
+    // ---- maintenance: compaction (merge-everything threshold) and the
+    // sacrificial-key purge, alternating
+    val maintenance = guard("maintenance") {
+      for (i <- 0 until 6) {
+        if (i % 2 == 0) store.compact(topic) else store.purgeKeys(topic, Seq(PurgeKey))
+        Thread.sleep(50)
+      }
+    }
+
+    // ---- rescaler: grow and shrink the ring under fire
+    val rescaler = guard("rescaler") {
+      for (size <- Seq(6, 3, 6)) {
+        store.rescale(topic, size)
+        Thread.sleep(100)
+      }
+    }
+
+    val threads = Seq(producer, consumer, maintenance, rescaler)
+    threads.foreach(_.start())
+    Seq(producer, maintenance, rescaler).foreach(_.join(300000))
+    stop = true
+    consumer.join(300000)
+    assert(threads.forall(!_.isAlive), "a chaos thread wedged")
+    assert(errors.isEmpty,
+      s"ops must not throw under composition: ${errors.toMap.view.mapValues(_.toString).toMap}")
+
+    // one last purge so the audit's expectation (no PurgeKey rows older
+    // than the final purge) is simply "none survive"
+    store.purgeKeys(topic, Seq(PurgeKey))
+
+    // ---- quiescent audit with a fresh group over the final generation
+    store.registry.register("audit", "a", Seq(topic), store.StartFrom.Earliest)
+    val rows = store.withTopicReads(topic) {
+      store.poll("audit", topic, "a").collect()
+    }
+    val byPart = rows.groupBy(_.getAs[Int]("part"))
+    byPart.foreach { case (p, rs) =>
+      val offs = rs.map(_.getAs[Long]("offset"))
+      assert(offs.distinct.length == offs.length,
+        s"partition $p double-delivered at identical offsets")
+    }
+    val delivered = rows.map(r =>
+      (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
+        r.getAs[Long]("offset")))
+    assert(!delivered.exists(_._1 == PurgeKey), "purged key leaked into the audit read")
+    val expected = acked.toMap - PurgeKey
+    val deliveredByKey = delivered.groupBy(_._1)
+    assert(deliveredByKey.keySet == expected.keySet,
+      s"key sets differ: missing=${expected.keySet -- deliveredByKey.keySet} " +
+        s"extra=${deliveredByKey.keySet -- expected.keySet}")
+    // exactly once + per-key produce order == offset order: a key maps to
+    // one partition within the final generation, so its records are
+    // totally ordered by offset (§2.6.1)
+    deliveredByKey.foreach { case (k, vs) =>
+      assert(vs.sortBy(_._3).map(_._2).toVector == expected(k),
+        s"key $k: delivered ${vs.length} records, order/body mismatch vs produce order")
+    }
+  }
+}

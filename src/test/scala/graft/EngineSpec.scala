@@ -539,6 +539,17 @@ class EngineSpec extends AnyFunSuite {
     assert(polled.length == 35, s"expected all 35 records visible, got ${polled.length}")
   }
 
+  test("rescale before the first produce flips the generation with nothing to copy") {
+    // found by ChaosSpec: a rescaler starting before the producer's first
+    // batch hit PATH_NOT_FOUND on the absent data dir — an empty topic
+    // must still be reshapeable
+    val store = freshStore()
+    assert(store.rescale("t", 6).version == 2)
+    store.produceStrings("t", Seq(("k", "v", ts(0))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g", "t", "c").collect().length == 1)
+  }
+
   test("rescale(requireDrained) refuses while a registered group has lag") {
     val store = freshStore()
     store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
