@@ -192,14 +192,26 @@ class TopicStore(
 
   // ------------------------------------------------------------- produce
 
-  // ONE produce at a time per store: produce is a read-modify-write of the
+  // ONE produce at a time per ROOT: produce is a read-modify-write of the
   // per-topic watermark, and concurrent partitioned appends to the same
   // dataDir can also collide in the Hadoop committer's shared _temporary
   // staging. The REST/binary channels already serialize through one
   // coalescer; this lock extends the guarantee to ANY composition
   // (streaming ingest via foreachBatch concurrent with REST produce,
-  // direct API callers) instead of relying on caller discipline.
-  private val produceLock = new Object
+  // direct API callers) instead of relying on caller discipline. Like the
+  // topic RW lock below, it is JVM-GLOBAL keyed by the normalized root —
+  // the DSv2 writer builds its own TopicStore over the same root, and a
+  // per-instance lock would let that produce interleave with the serving
+  // store's rescale copy-then-flip (appending into the superseded
+  // generation after the copy's listing resolved = silent loss of acked
+  // records, the cross-instance twin of the intra-instance race the
+  // pinned-generation produce already closes).
+  private lazy val produceLock: Object = TopicStore.produceLockFor(lockRootKey)
+
+  // normalized through the root's FileSystem so scheme-variant spellings
+  // of one directory ("/x/y", "file:///x/y", trailing slash) share locks
+  private lazy val lockRootKey: String =
+    TopicStore.normalizeRoot(root, spark.sparkContext.hadoopConfiguration)
 
   /** Run `body` with this thread's Spark jobs scheduled in the dedicated
     * serving pool: under the session's FAIR root (Graft.configure), the
@@ -777,7 +789,7 @@ class TopicStore(
   // serving store serialize on the SAME lock. Two instances over the same
   // root previously held independent locks, which let an observer list
   // files mid-swap.
-  private def topicLock(topic: String) = TopicStore.lockFor(root, topic)
+  private def topicLock(topic: String) = TopicStore.lockForKey(lockRootKey, topic)
 
   /** Run a maintenance operation (purge/compact/retention/rescale) with
     * exclusive ownership of the topic's files.
@@ -1328,20 +1340,46 @@ class TopicStore(
 }
 
 object TopicStore {
-  // JVM-global maintenance/read locks, keyed by (normalized root, topic):
-  // every TopicStore instance over the same root — the serving store, the
-  // DSv2 observer's private instance, a test's second store — shares one
-  // lock, so maintenance swaps exclude ALL same-JVM readers. Roots are
-  // normalized through Hadoop Path so "/x/y" and "/x/y/" collide. (Cross-
-  // JVM coordination is out of scope by design: the engine is a single
-  // serving driver; multi-node deployments get coherence from the
+  // JVM-global maintenance/read and produce locks, keyed by normalized
+  // root (+ topic for the RW lock): every TopicStore instance over the
+  // same root — the serving store, the DSv2 observer's/writer's private
+  // instance, a test's second store — shares one lock, so maintenance
+  // swaps exclude ALL same-JVM readers and produces serialize with
+  // rescale's copy-then-flip across instances. The maps are append-only;
+  // their cardinality is (roots × topics) touched over the JVM's life —
+  // operationally small (an entry is one lock object), and the
+  // alternative (weak values) races compute-if-absent with collection.
+  // (Cross-JVM coordination is out of scope by design: the engine is a
+  // single serving driver; multi-node deployments get coherence from the
   // generation dimension + deferred deletes, not file locks.)
   private val globalTopicLocks = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.locks.ReentrantReadWriteLock]()
-  private[graft] def lockFor(root: String, topic: String) =
+  private val globalProduceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Root key through the root's FileSystem: "/x/y", "file:///x/y", and
+    * "/x/y/" all qualify to one URI, so scheme-variant spellings of the
+    * same directory cannot key independent locks.
+    */
+  private[graft] def normalizeRoot(
+      root: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(conf).makeQualified(p).toUri.toString
+  }
+
+  private[graft] def lockForKey(rootKey: String, topic: String) =
     globalTopicLocks.computeIfAbsent(
-      (new org.apache.hadoop.fs.Path(root).toString, topic),
+      (rootKey, topic),
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  private[graft] def produceLockFor(rootKey: String): Object =
+    globalProduceLocks.computeIfAbsent(rootKey, _ => new Object)
+
+  /** Test/dev aid: the lock a store over `root` would use, resolved with
+    * the default Hadoop configuration.
+    */
+  private[graft] def lockFor(root: String, topic: String) =
+    lockForKey(normalizeRoot(root, new org.apache.hadoop.conf.Configuration()), topic)
 }
 
 /** A topic generation: the genVersion addressing dimension plus the ring

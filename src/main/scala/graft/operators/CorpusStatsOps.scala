@@ -121,7 +121,12 @@ object CorpusStatsOps {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
     val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
       (col("n_terms") * col("sxx") - col("sx") * col("sx"))
-    sums.select(col("source"), col("n_terms"),
+    // a source with ONE distinct term has x = ln(1) = 0 for its only
+    // point, so the OLS denominator is exactly 0 (NaN on Spark, NULL in
+    // DuckDB) — a slope needs two points; such degenerate sources are
+    // excluded identically on both sides
+    sums.where(col("n_terms") >= 2L)
+      .select(col("source"), col("n_terms"),
         round(slope, 6).as("zipf_slope"),
         round((col("sy") - slope * col("sx")) / col("n_terms"), 6).as("intercept"))
       .orderBy("source")
@@ -144,7 +149,7 @@ object CorpusStatsOps {
        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
        |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
        |    / n_terms, 6) AS intercept
-       |FROM s ORDER BY source""".stripMargin
+       |FROM s WHERE n_terms >= 2 ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q137
   /** Dedup diversity retention: per source, the distinct word-trigram

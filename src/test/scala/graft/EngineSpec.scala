@@ -539,6 +539,28 @@ class EngineSpec extends AnyFunSuite {
     assert(polled.length == 35, s"expected all 35 records visible, got ${polled.length}")
   }
 
+  test("produce from a SECOND store instance racing a rescale strands nothing") {
+    // the DSv2 writer builds its own TopicStore over the serving root, so
+    // the produce/rescale serialization must hold ACROSS instances: with
+    // per-instance produce locks, the writer's produce could append into
+    // the superseded generation after the rescale's copy listing resolved
+    // — acked records invisible to every subsequent poll
+    val store = freshStore()
+    val writer = new TopicStore(spark, store.root)
+    store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"pre$i", ts(i))))
+    val rescaler = new Thread(() => { store.rescale("t", 6); () })
+    rescaler.start()
+    for (b <- 0 until 3)
+      writer.produceStrings("t",
+        (0 until 5).map(i => (s"wk$b-$i", s"mid$b-$i", ts(100 + b * 10 + i))))
+    rescaler.join(180000)
+    assert(!rescaler.isAlive, "rescale wedged")
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 35,
+      s"expected all 35 records visible across instances, got ${polled.length}")
+  }
+
   test("rescale before the first produce flips the generation with nothing to copy") {
     // found by ChaosSpec: a rescaler starting before the producer's first
     // batch hit PATH_NOT_FOUND on the absent data dir — an empty topic

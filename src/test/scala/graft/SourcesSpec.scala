@@ -60,6 +60,8 @@ class SourcesSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-src").toString
     assert(TopicStore.lockFor(root, "t") eq TopicStore.lockFor(root + "/", "t"),
       "lock registry must normalize the root path")
+    assert(TopicStore.lockFor(root, "t") eq TopicStore.lockFor(s"file://$root", "t"),
+      "scheme-variant spellings of one root must share the lock")
     val serving = new TopicStore(spark, root)
     produceN(serving, "t", 400, 40, "a")
     val evens = spark.read.format("graft")
