@@ -121,9 +121,9 @@ class TopicStore(
       "message generation { required int32 version; required int32 cluster_size; }")
 
   def generation(topic: String): Generation = {
-    val key = scopeDir(topic)
-    genCache.computeIfAbsent(key, _ => {
-      val p = s"$genMeta/$key"
+    val dirKey = scopeDir(topic)
+    genCache.computeIfAbsent(genCacheKey(topic), _ => {
+      val p = s"$genMeta/$dirKey"
       // driver-side group read (no Spark job on the serving path) with
       // the same transient-swap retry as readOffsets: setGeneration's
       // swap can yank a just-listed file from under a cross-instance
@@ -165,12 +165,26 @@ class TopicStore(
     val gf = new SimpleGroupFactory(generationSchema)
     swapWriteGroups(s"$genMeta/$key", generationSchema,
       Seq(gf.newGroup().append("version", g.version).append("cluster_size", g.clusterSize)))
-    genCache.put(key, g)
+    genCache.put(genCacheKey(topic), g)
     ()
   }
 
-  private val genCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Generation]()
+  // The _meta caches (generation, producer/group offsets, reconcile
+  // ledger) are JVM-GLOBAL keyed by normalized root, like the locks:
+  // the DSv2 writer produces through its OWN TopicStore instance, and a
+  // per-instance write-through cache made the serving store's watermark
+  // stale the moment another instance advanced the disk state — the two
+  // producers then assigned DUPLICATE (part, offset) pairs (caught by
+  // ChaosSpec's DSv2-writer thread). Shared caches + the global
+  // produceLock restore the single-writer view across instances.
+  // (Instances over one root must agree on the ring-size default, i.e.
+  // one deployment configuration per root — same assumption the on-disk
+  // layout already makes.)
+  private def genCache = TopicStore.globalGenCache
+  private def genCacheKey(topic: String): String =
+    lockRootKey + "|" + scopeDir(topic)
+  private def metaCacheKey(path: String): String =
+    lockRootKey + "|" + path.stripPrefix(root)
 
   private def partsOf(g: Generation): Int = g.clusterSize * rangesPerToken
   private def tokensOf(g: Generation): Seq[Long] =
@@ -574,9 +588,17 @@ class TopicStore(
     // double-checked under a lock: concurrent first accessors must WAIT
     // for the heal (or they would read a stale watermark and reissue the
     // orphaned offsets), and a thrown scan must NOT mark the scope done
-    if (!reconciled.contains(scope)) reconcileLock.synchronized {
-      if (!reconciled.contains(scope)) {
-        if (pathExists(dataDir)) {
+    val rscope = lockRootKey + "|" + scope
+    if (!reconciled.contains(rscope)) reconcileLock.synchronized {
+      if (!reconciled.contains(rscope)) {
+        // the heal SCAN reads topic data files and collects eagerly, so
+        // the topic read lock pins its listing against a concurrent
+        // maintenance swap (a compact deleting merged-away files failed
+        // the scan; found by ChaosSpec's DSv2-writer thread, whose fresh
+        // store instance reconciles on first produce). Lock order is
+        // produceLock -> RW everywhere: rescale takes produceLock BEFORE
+        // its write lock for exactly this reason.
+        if (pathExists(dataDir)) withTopicReads(topic) {
           val persisted = readOffsets(producerMeta, scope)
           val pred = (0 until partsOf(g)).map { p =>
             col("part") === p && col("offset") >= persisted.getOrElse(p, 0L)
@@ -590,15 +612,14 @@ class TopicStore(
           }
           if (healed != persisted) writeOffsets(producerMeta, scope, healed)
         }
-        reconciled.add(scope)
+        reconciled.add(rscope)
         ()
       }
     }
     readOffsets(producerMeta, scope)
   }
 
-  private val reconciled =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def reconciled = TopicStore.globalReconciled
   private val reconcileLock = new Object
 
   /** Per-partition consumer lag: high watermark minus committed next-read
@@ -1012,10 +1033,16 @@ class TopicStore(
     * One shuffle + one partitioned write: the same cost shape as a
     * `repartition()` of the topic, executed fully distributed.
     */
+  // produceLock OUTSIDE the write lock: produce's reconcile acquires the
+  // topic READ lock while holding produceLock, so a rescale acquiring
+  // produceLock while holding the WRITE lock would deadlock with it (the
+  // JVM-wide lock order is produceLock -> topic RW lock). Intrinsic
+  // monitors are reentrant, so produceInto's own acquisition still nests.
   def rescale(
       topic: String,
       newClusterSize: Int,
-      requireDrained: Boolean = false): Generation = withTopicMaintenance(topic) {
+      requireDrained: Boolean = false): Generation =
+    produceLock.synchronized { withTopicMaintenance(topic) {
     val g = generation(topic)
     val oldHigh = producerOffsets(topic)
     val drained = drainedGroups(topic, g, oldHigh)
@@ -1068,7 +1095,7 @@ class TopicStore(
       drained.foreach(group => commit(group, topic, newHigh))
       next
     }
-  }
+  } }
 
   /** Remove any data, watermarks, and caches a CRASHED rescale left under
     * a not-yet-current generation, so the retry starts from a clean v+1
@@ -1092,8 +1119,8 @@ class TopicStore(
     val metaPath = s"$producerMeta/${scopeDir(scope)}"
     if (pathExists(metaPath) && !hfs(metaPath).delete(hpath(metaPath), true))
       throw new java.io.IOException(s"rescale: could not clear $metaPath")
-    offsetCache.remove(metaPath)
-    reconciled.remove(scope)
+    offsetCache.remove(metaCacheKey(metaPath))
+    reconciled.remove(lockRootKey + "|" + scope)
     ()
   }
 
@@ -1207,11 +1234,11 @@ class TopicStore(
 
   // --------------------------------------------------------- meta tables
 
-  // this store is the only writer of its _meta tables, so a write-through
-  // cache makes the per-produce/poll offset lookups memory-speed; the
-  // parquet table remains the durable copy a fresh store recovers from
-  private val offsetCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+  // write-through cache so per-produce/poll offset lookups are
+  // memory-speed; the parquet table remains the durable copy a fresh
+  // store recovers from. JVM-global (see genCache) so every producing
+  // instance over one root shares a single coherent watermark view.
+  private def offsetCache = TopicStore.globalOffsetCache
 
   /** Drop this instance's cached watermark + generation state for a
     * topic, so the next read observes offsets advanced by ANOTHER store
@@ -1220,8 +1247,8 @@ class TopicStore(
     * DSv2 streaming source calls this before each `latestOffset()` poll.
     */
   def refreshOffsets(topic: String): Unit = {
-    offsetCache.keySet.removeIf(_.startsWith(s"$producerMeta/${scopeDir(topic)}/"))
-    genCache.remove(scopeDir(topic))
+    offsetCache.keySet.removeIf(_.startsWith(metaCacheKey(s"$producerMeta/${scopeDir(topic)}/")))
+    genCache.remove(genCacheKey(topic))
     ()
   }
 
@@ -1274,7 +1301,7 @@ class TopicStore(
         }
         m.result()
       }
-    offsetCache.computeIfAbsent(p, _ => {
+    offsetCache.computeIfAbsent(metaCacheKey(p), _ => {
       // a concurrent writer's swap (delete old visible file, rename tmp
       // in) can yank a just-listed file from under a READ-SIDE observer
       // (the DSv2 source polling another instance's store): retry the
@@ -1331,7 +1358,7 @@ class TopicStore(
       offsets.toSeq.sortBy(_._1).map { case (part, next) =>
         gf.newGroup().append("part", part).append("next", next)
       })
-    offsetCache.put(p, offsets)
+    offsetCache.put(metaCacheKey(p), offsets)
     ()
   }
 
@@ -1374,6 +1401,31 @@ object TopicStore {
 
   private[graft] def produceLockFor(rootKey: String): Object =
     globalProduceLocks.computeIfAbsent(rootKey, _ => new Object)
+
+  // _meta write-through caches + the reconcile ledger, shared across all
+  // instances over one root (keys carry the normalized root prefix) —
+  // see the class-side genCache comment for why per-instance caches
+  // corrupted cross-instance offset assignment
+  private[engine] val globalGenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Generation]()
+  private[engine] val globalOffsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+  private[engine] val globalReconciled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test aid: drop every shared cache entry for `root`, so the next
+    * store over it recovers from disk exactly as a cold JVM would — the
+    * restart-simulation tests call this to keep exercising the durable
+    * path now that a warm JVM shares caches across instances.
+    */
+  private[graft] def dropCachesForTests(
+      root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val prefix = normalizeRoot(root, conf) + "|"
+    globalGenCache.keySet.removeIf(_.startsWith(prefix))
+    globalOffsetCache.keySet.removeIf(_.startsWith(prefix))
+    globalReconciled.removeIf(_.startsWith(prefix))
+    ()
+  }
 
   /** Test/dev aid: the lock a store over `root` would use, resolved with
     * the default Hadoop configuration.

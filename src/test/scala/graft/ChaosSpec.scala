@@ -13,9 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.TopicStore
 
 /** Chaos composition: every engine mutation class running concurrently
-  * against one topic — produce, group polls, compaction, GDPR purge,
-  * and generation rescales — then a full quiescent audit of the
-  * delivery contract. The piecewise race specs (produce-vs-rescale,
+  * against one topic — direct produce, DSv2 writes (a second TopicStore
+  * instance under the hood), group polls, compaction, GDPR purge, and
+  * generation rescales — then a full quiescent audit of the delivery
+  * contract. The piecewise race specs (produce-vs-rescale,
   * purge-vs-poll, commit-vs-rescale) each found a real bug when added;
   * this spec locks their COMPOSITION: the pairwise serialization
   * disciplines (produceLock across copy-then-flip, the per-(root,
@@ -77,6 +78,29 @@ class ChaosSpec extends AnyFunSuite {
       }
     }
 
+    // ---- DSv2 writer: appends through df.write.format("graft"), which
+    // builds its OWN TopicStore over the root — the cross-instance
+    // produce surface. One record per key per save: a multi-row DataFrame
+    // carries no row order, so per-key order across SAVES is the contract
+    // being audited
+    val writer = guard("dsv2-writer") {
+      import spark.implicits._
+      for (b <- 0 until 10) {
+        val rows = (0 until 8).map { i =>
+          val key = s"w$i"
+          val n = seqOf.getOrElseUpdate(key, new AtomicInteger).getAndIncrement()
+          (key, s"$key#$n", ts(1000 + b * 8 + i))
+        }
+        rows.toDF("key", "value", "timestamp")
+          .write.format("graft")
+          .option("root", store.root).option("topic", topic)
+          .mode("append").save()
+        rows.foreach { case (k, v, _) =>
+          acked.updateWith(k)(old => Some(old.getOrElse(Vector.empty) :+ v)); ()
+        }
+      }
+    }
+
     // ---- consumer group: polls with auto-commit the whole run (its
     // deliveries are at-least-once across rescales by contract, so the
     // audit below uses a FRESH group; this thread exists to keep commit
@@ -109,9 +133,9 @@ class ChaosSpec extends AnyFunSuite {
       }
     }
 
-    val threads = Seq(producer, consumer, maintenance, rescaler)
+    val threads = Seq(producer, writer, consumer, maintenance, rescaler)
     threads.foreach(_.start())
-    Seq(producer, maintenance, rescaler).foreach(_.join(300000))
+    Seq(producer, writer, maintenance, rescaler).foreach(_.join(300000))
     stop = true
     consumer.join(300000)
     assert(threads.forall(!_.isAlive), "a chaos thread wedged")

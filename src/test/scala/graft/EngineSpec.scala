@@ -684,6 +684,7 @@ class EngineSpec extends AnyFunSuite {
     java.nio.file.Files.walk(meta).iterator().asScala.toSeq.reverse
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
 
+    TopicStore.dropCachesForTests(root, spark.sparkContext.hadoopConfiguration)
     val store2 = new TopicStore(spark, root) // restart
     store2.produceStrings("t", Seq(("k", "after", ts(100))))
     store2.registry.register("g", "c", Seq("t"), store2.StartFrom.Earliest)
@@ -843,6 +844,7 @@ class EngineSpec extends AnyFunSuite {
     store.poll("g", "t", "c").collect() // consume all, auto-commit
     store.produceStrings("t", Seq(("k0", "late", ts(100))))
 
+    TopicStore.dropCachesForTests(root, spark.sparkContext.hadoopConfiguration)
     val store2 = new TopicStore(spark, root) // driver restart
     assert(store2.registry.policy("g") == store2.StartFrom.Earliest)
     // re-registration must NOT reset the persisted policy to the default
@@ -866,6 +868,7 @@ class EngineSpec extends AnyFunSuite {
     val scope = s"$root/_meta/producer_offsets/t/v1"
     expected.toSeq.toDF("part", "next").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(scope)
+    TopicStore.dropCachesForTests(root, spark.sparkContext.hadoopConfiguration)
     val store2 = new TopicStore(spark, root) // fresh cache, driver-side read
     val got = store2.producerOffsets("t")
     expected.foreach { case (p, n) =>
