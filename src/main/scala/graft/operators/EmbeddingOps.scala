@@ -740,6 +740,17 @@ object EmbeddingOps {
   private[graft] def kmeansCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     DocOps.Memo.get(kmMemo, s, d) { kmeansFit(s, d) }
 
+  /** The memoized q108 centroids as a (cell, dim, val) frame — the Verify
+    * fixture shape q145's oracle re-derives assignments and silhouettes
+    * from (K×64 rows: model metadata, not corpus data).
+    */
+  private[graft] def kmCentroidsDf(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansCentroids(s, d)
+    import s.implicits._
+    (for { c <- cents.indices; dim <- cents(c).indices }
+      yield (c, dim, cents(c)(dim))).toDF("cell", "dim", "val")
+  }
+
   private def kmeansFit(s: SparkSession, d: String): Array[Array[Double]] = {
     // deterministic init: the first K vectors by vec_id (k-means++ at
     // scale would be a few more passes; init choice is not what this

@@ -49,7 +49,7 @@ object RetrievalOps {
     * engines, so the output score is rounded to 6 dp while the ordering
     * uses each engine's unrounded value with doc_id as tiebreak.
     */
-  private val bmTerms = Seq("hash", "join", "filter", "scan")
+  private[operators] val bmTerms = Seq("hash", "join", "filter", "scan")
   private val bmK1 = 1.2
   private val bmB = 0.75
 
@@ -60,7 +60,7 @@ object RetrievalOps {
   /** Full (doc_id, score) BM25 table for the fixed query — q65 takes its
     * top-10, q111 fuses its top-100 with the dense ranking.
     */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val base = dd.select(col("doc_id"), split(lower(col("text")), " ").as("s"))
     // corpus stats: two exact ints -> exact doubles (model metadata, the
@@ -98,7 +98,7 @@ object RetrievalOps {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
   /** CTE list ending in `scored` (doc_id, score) — shared by q65/q111. */
-  private val bm25SqlCtes: String = {
+  private[operators] val bm25SqlCtes: String = {
     val in = bmTerms.map(t => s"'$t'").mkString(", ")
     s"""stats AS (
        |  SELECT count(*) AS n,
