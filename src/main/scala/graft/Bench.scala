@@ -95,13 +95,17 @@ object Bench {
       // plan, not the previous queries' accumulated garbage
       if (sinceGc >= 8) { System.gc(); Thread.sleep(500); sinceGc = 0 }
       sinceGc += 1
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      // median of 3 back-to-back runs: single-shot numbers on this host
+      // swing up to ~2x with memory-bandwidth throttling, which made
+      // sub-2x round-over-round moves unattributable (noise vs regression)
+      val times = (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.isEmpty) -1.0 else medianOf(times))
     }
 
     // The driver records only the last ~4 KiB of output, so the final
@@ -281,6 +285,8 @@ object Bench {
     medianOf(rates)
   }
 
-  /** Middle of an odd-sized sample; used by every ingest phase. */
+  /** Middle of the sorted sample (upper middle when even); used by the
+    * ingest phases and the per-query loop.
+    */
   private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 }

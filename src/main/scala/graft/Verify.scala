@@ -110,6 +110,18 @@ object Verify {
       // q106: the deterministic Rademacher projection matrix — the oracle
       // re-projects every sampled vector from it
       dump("jl_signs")(operators.EmbeddingOps.jlSignsDf(spark, sfDir))
+      // q142: the distinct alphabetic vocabulary's murmur3 token map —
+      // the oracle re-derives both sketches (bottom-k, union-k) and the
+      // exact Jaccard from it
+      dump("vocab_tokens") {
+        Graft.table(spark, sfDir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .where(col("w").rlike("^[a-z]+$")).distinct()
+          .withColumn("token", murmur3_token(col("w")))
+      }
+      // q145: the memoized q108 k-means centroids (K×64 rows) — the
+      // oracle re-derives assignments and silhouettes from them
+      dump("km_cents")(operators.EmbeddingOps.kmCentroidsDf(spark, sfDir))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

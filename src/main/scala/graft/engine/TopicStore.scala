@@ -530,15 +530,18 @@ class TopicStore(
     */
   // serializes the commit read-modify-write: REST pool threads commit
   // concurrently, and an unsynchronized interleaving could publish a
-  // stale map that silently rewinds another consumer's partitions
-  private val commitLock = new Object
-
+  // stale map that silently rewinds another consumer's partitions. The
+  // lock is JVM-global per (root, group, topic) — group-offset state
+  // (globalOffsetCache, the parquet swap-writes) is shared across all
+  // instances over one root, so a per-instance lock would let two stores
+  // interleave the RMW and lose one commit's partitions.
   def commit(
       group: String,
       topic: String,
       next: Map[Int, Long],
       origin: String = "",
-      version: Int = -1): Map[Int, Long] = commitLock.synchronized {
+      version: Int = -1): Map[Int, Long] =
+    TopicStore.scopedLockFor(s"$lockRootKey|commit|$group/$topic").synchronized {
     // ONE generation read pins both the version check and the offsets
     // scope: with separate reads, a rescale flipping between them would
     // pass the check against the old version and then write the old
@@ -588,8 +591,11 @@ class TopicStore(
     // double-checked under a lock: concurrent first accessors must WAIT
     // for the heal (or they would read a stale watermark and reissue the
     // orphaned offsets), and a thrown scan must NOT mark the scope done
+    // the lock is JVM-global per (root, scope) like the ledger itself:
+    // with a per-instance lock, two stores first-touching one scope both
+    // pass the contains check and race the heal's delete-then-rename swap
     val rscope = lockRootKey + "|" + scope
-    if (!reconciled.contains(rscope)) reconcileLock.synchronized {
+    if (!reconciled.contains(rscope)) TopicStore.scopedLockFor(s"reconcile|$rscope").synchronized {
       if (!reconciled.contains(rscope)) {
         // the heal SCAN reads topic data files and collects eagerly, so
         // the topic read lock pins its listing against a concurrent
@@ -620,7 +626,6 @@ class TopicStore(
   }
 
   private def reconciled = TopicStore.globalReconciled
-  private val reconcileLock = new Object
 
   /** Per-partition consumer lag: high watermark minus committed next-read
     * (the operational metric every broker exposes; derived from the same
@@ -1383,6 +1388,17 @@ object TopicStore {
     (String, String), java.util.concurrent.locks.ReentrantReadWriteLock]()
   private val globalProduceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // fine-grained RMW locks (commit read-modify-write, reconcile heal),
+  // keyed by qualified root + operation scope: group-offset state and the
+  // reconcile ledger are JVM-global per root, so their serialization must
+  // be too — two instances over one root (the DSv2 writer/observer
+  // pattern) would otherwise interleave read-modify-writes and lose a
+  // commit's partitions or double-run the heal's delete-then-rename swap
+  private val globalScopedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def scopedLockFor(key: String): Object =
+    globalScopedLocks.computeIfAbsent(key, _ => new Object)
 
   /** Root key through the root's FileSystem: "/x/y", "file:///x/y", and
     * "/x/y/" all qualify to one URI, so scheme-variant spellings of the

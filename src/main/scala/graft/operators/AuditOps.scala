@@ -18,11 +18,14 @@ import graft.Graft
   *  - q127/q129/q131 operate on the PAIR SET / LABELS, which are
   *    candidate-sized (near-dup pairs), never corpus²; the joins back to
   *    doc metadata are on doc_id — fine-grained keys, no skew.
-  *  - q128/q132 are per-user ordered folds/windows: parallelism scales
-  *    with the user count and the per-user arrays are event-history
-  *    sized (the same per-key-state bound any streaming sessionizer
-  *    carries; a pathological single-key firehose would need the q66
-  *    two-level split).
+  *  - q132 is fully firehose-proof: the gap lag is the q66 two-level
+  *    split (within-hour-bucket windows + bucket-boundary stitching from
+  *    the metadata-sized bucket table) and the median runs on the
+  *    (user, gap) count table — no per-key history is materialized.
+  *  - q128's EWMA spike fold is irreducibly sequential per key under the
+  *    bit-exactness contract (proof note at q128) — its per-key history
+  *    bound is ENFORCED by a guard that fails the job past MaxKeyHistory
+  *    events rather than building an unbounded aggregation buffer.
   *  - q130 is one map-side-combined digit count — 9 rows of output.
   */
 object AuditOps {
@@ -76,8 +79,28 @@ object AuditOps {
     * rounded, on output. The fold is an in-order array aggregate (the
     * sanctioned shape for order-sensitive recurrences); per-user arrays
     * are event-history sized.
+    *
+    * Why this one CANNOT be chunk-split (proof note): each step is
+    * e_t = rnd(0.5·v_t + 0.5·e_{t-1}) — affine in exact arithmetic, so a
+    * scan decomposition would summarize a chunk as (A, B) with
+    * e_out = A·e_in + B. But under IEEE rounding the inner sums do not
+    * distribute over the incoming state: rnd(0.25·v + 0.25·e_in) ≠
+    * rnd(0.25·v) + 0.25·e_in — every intermediate ROUNDING inside a chunk
+    * depends on e_in, so no state-independent (A, B) reproduces the
+    * sequential bit pattern, and the spike comparisons (discrete
+    * decisions on those bits: v_t > 2·e_{t-1}) can flip. Contrast q132,
+    * whose integer gap/median pipeline decomposes exactly. The fold is
+    * therefore irreducibly sequential per key under the exactness
+    * contract, and the documented per-key bound is ENFORCED: a key whose
+    * history exceeds MaxKeyHistory fails the job with a named error
+    * (QueryPackSpec drives the trip) instead of silently building an
+    * arbitrarily large aggregation buffer.
     */
-  val q128: Q = (s, d) => {
+  private[graft] val MaxKeyHistory = 8L * 1024 * 1024
+
+  val q128: Q = (s, d) => q128Bounded(MaxKeyHistory)(s, d)
+
+  private[graft] def q128Bounded(maxPerKey: Long): Q = (s, d) => {
     val e = Graft.events(s, d)
       .where(col("value").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -85,6 +108,10 @@ object AuditOps {
     e.groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("value"))))
         .as("evs"))
+      .where(assert_true(size(col("evs")).cast("long") <= lit(maxPerKey),
+        concat(lit("q128 firehose guard: user "), col("user_id").cast("string"),
+          lit(s" exceeds $maxPerKey events — split the feed or raise MaxKeyHistory")))
+        .isNull)
       .withColumn("vs", expr("transform(evs, x -> x.value)"))
       .withColumn("acc", expr(
         """aggregate(
@@ -263,20 +290,47 @@ object AuditOps {
     * exactly — no interpolation, no float.
     */
   val q132: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    Graft.events(s, d)
+    // Firehose-proof (no per-key history is ever materialized): the lag
+    // is split two-level — within-(user, hour-bucket) lag in parallel,
+    // bucket-first rows take the previous bucket's last timestamp from a
+    // window over the GROUPED (user × active-hours, metadata-sized)
+    // table; equal timestamps share a bucket, so the recombined gaps are
+    // identical to a single per-user lag. The median is decomposed onto
+    // the (user, gap) COUNT table: the discrete median is the smallest
+    // gap whose running count reaches rank (n+1) DIV 2 — one spill-safe
+    // window over per-user distinct gaps instead of a collect_list whose
+    // aggregation buffer holds the whole event history. Integer
+    // microsecond arithmetic end-to-end, so every decomposition is
+    // bit-identical by construction.
+    val ev = Graft.events(s, d)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("tb", expr("us DIV 3600000000"))
+    val wInB = Window.partitionBy(col("user_id"), col("tb"))
+      .orderBy(col("us"), col("event_id"))
+    val local = ev.withColumn("prev_in", lag(col("us"), 1).over(wInB))
+    // bucket meta derived from the windowed side (q66's ReuseExchange
+    // trick: max over the bucket = the bucket's last timestamp)
+    val bmeta = local.groupBy(col("user_id"), col("tb")).agg(max(col("us")).as("last_us"))
+    val wMeta = Window.partitionBy(col("user_id")).orderBy(col("tb"))
+    val prevB = bmeta
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wMeta))
+      .select(col("user_id"), col("tb"), col("prev_last"))
+    val gaps = local.join(prevB, Seq("user_id", "tb"))
+      .withColumn("gap", col("us") - coalesce(col("prev_in"), col("prev_last")))
       .where(col("gap").isNotNull)
-      .groupBy(col("user_id"))
+    val gcnt = gaps.groupBy(col("user_id"), col("gap")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("gap"))
+    val cum = gcnt
+      .withColumn("cum", sum(col("c")).over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("c")).over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.groupBy(col("user_id"))
       .agg(
-        count(lit(1)).as("n_gaps"),
+        max(col("cum")).as("n_gaps"),
         max(col("gap")).as("max_gap"),
-        sort_array(collect_list(col("gap"))).as("gaps"),
-        sum(when(col("gap") > 1800000000L, 1L).otherwise(0L)).as("long_gaps"))
-      .select(col("user_id"), col("n_gaps"), col("max_gap"),
-        element_at(col("gaps"), expr("CAST((n_gaps + 1) DIV 2 AS INT)")).as("med_gap"),
-        col("long_gaps"))
+        min(expr("CASE WHEN cum >= (tot + 1) DIV 2 THEN gap END")).as("med_gap"),
+        sum(when(col("gap") > 1800000000L, col("c")).otherwise(0L)).as("long_gaps"))
       .orderBy("user_id")
   }
 

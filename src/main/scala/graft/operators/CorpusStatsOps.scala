@@ -108,9 +108,31 @@ object CorpusStatsOps {
   private val ZipfTopK = 100
 
   val q136: Q = (s, d) => {
-    val wRank = Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))
-    val top = sourceCounts(s, d)
-      .withColumn("rk", row_number().over(wRank))
+    // top-K rank WITHOUT a per-source full-vocabulary window: vocabulary
+    // grows with the corpus (Heaps — q139 measures it), so row_number()
+    // OVER (PARTITION BY source ORDER BY c DESC, w) would sort a web
+    // source's ~10⁹-word vocab on one task. q68's rankedVocab two-level
+    // instead: shard by (source, c, first char) — first-char blocks agree
+    // with full-word ordering inside an equal-count run, so recombined
+    // ranks are bit-identical — rank within shards in parallel, add shard
+    // start offsets from a window over the GROUPED (per-source
+    // #counts × alphabet rows, metadata-sized) table, and drop whole
+    // shards that start at ≥ K before the join ever sees them.
+    val counts = sourceCounts(s, d).withColumn("pfx", substring(col("w"), 1, 1))
+    val wInGrp = Window.partitionBy(col("source"), col("c"), col("pfx"))
+      .orderBy(col("w"))
+    val local = counts.withColumn("rk_in", row_number().over(wInGrp).cast("long"))
+    val grp = local.groupBy(col("source"), col("c"), col("pfx"))
+      .agg(max(col("rk_in")).as("rows"))
+    val wBefore = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("pfx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = grp
+      .withColumn("start", coalesce(sum(col("rows")).over(wBefore), lit(0L)))
+      .where(col("start") < ZipfTopK)
+      .select(col("source"), col("c"), col("pfx"), col("start"))
+    val top = local.join(starts, Seq("source", "c", "pfx"))
+      .withColumn("rk", col("start") + col("rk_in"))
       .where(col("rk") <= ZipfTopK)
       .select(col("source"),
         log(col("rk").cast("double")).as("x"),
@@ -290,16 +312,28 @@ object CorpusStatsOps {
     val wInB = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
     val local = dd.withColumn("lcum", sum(col("n_tok")).over(wInB))
     // bucket totals derived from the windowed side (q66's ReuseExchange
-    // trick), then localCheckpointed: the bucket table is metadata-sized
-    // (corpus/64 rows) and feeds THREE consumers (starts, the total, the
-    // checkpoint list) — without the pin each consumer re-derives it from
-    // its own corpus scan (the audit showed 4 scans / 23 exchanges)
+    // trick), then localCheckpointed: the bucket table is corpus/64 rows
+    // and feeds THREE consumers (starts, the total, the checkpoint list)
+    // — without the pin each consumer re-derives it from its own corpus
+    // scan (the audit showed 4 scans / 23 exchanges)
     val grp = local.groupBy(col("bucket")).agg(max(col("lcum")).as("bsum"))
       .localCheckpoint(true)
-    val wPrev = Window.orderBy(col("bucket"))
+    // THIRD prefix level: corpus/64 is linear, so an un-partitioned
+    // window over `grp` would still funnel one task at 100× scale.
+    // Superbuckets of 4096 buckets bound the only single-task window to
+    // corpus/2^18 two-long-column rows (~400K rows at 10¹¹ docs); the
+    // recombined bstart arithmetic is the same integer sum — bit-identical
+    val dd2 = grp.withColumn("sb", expr("bucket DIV 4096"))
+    val wInSb = Window.partitionBy(col("sb")).orderBy(col("bucket"))
+    val local2 = dd2.withColumn("scum", sum(col("bsum")).over(wInSb))
+    val sgrp = local2.groupBy(col("sb")).agg(max(col("scum")).as("ssum"))
+    val wPrevSb = Window.orderBy(col("sb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val starts = grp
-      .withColumn("bstart", coalesce(sum(col("bsum")).over(wPrev), lit(0L)))
+    val sstarts = sgrp
+      .withColumn("sstart", coalesce(sum(col("ssum")).over(wPrevSb), lit(0L)))
+      .select(col("sb"), col("sstart"))
+    val starts = local2.join(sstarts, "sb")
+      .withColumn("bstart", col("sstart") + col("scum") - col("bsum"))
       .select(col("bucket"), col("bstart"))
     val indexed = local.join(starts, "bucket")
       .withColumn("doc_start", col("bstart") + col("lcum") - col("n_tok"))

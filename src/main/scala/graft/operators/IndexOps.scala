@@ -154,6 +154,9 @@ object IndexOps {
       .join(mA, col("sa") === col("ma") && col("token") === col("ta"), "left_semi")
       .join(mB, col("sb") === col("mb") && col("token") === col("tb"), "left_semi")
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("kint"))
+      // renamed keys: km shares pr's lineage (u is built from pr), so a
+      // join back on bare `sa`/`sb` is ambiguous-by-attribute-id
+      .select(col("sa").as("ksa"), col("sb").as("ksb"), col("kint"))
     val cnt = st.groupBy(col("source")).agg(count(lit(1)).as("c"))
     val xA = st.select(col("source").as("xa"), col("token").as("xt"))
     val xB = st.select(col("source").as("xb"), col("token").as("yt"))
@@ -165,8 +168,8 @@ object IndexOps {
         col("sa") === col("sa2"))
       .join(broadcast(cnt.select(col("source").as("sb2"), col("c").as("cb"))),
         col("sb") === col("sb2"))
-      .join(km, col("sa") === km("sa") && col("sb") === km("sb"), "left")
-      .drop(km("sa")).drop(km("sb"))
+      .join(km, col("sa") === col("ksa") && col("sb") === col("ksb"), "left")
+      .drop("ksa", "ksb")
       .join(ix, col("sa") === col("isa") && col("sb") === col("isb"), "left")
       .withColumn("kint0", coalesce(col("kint"), lit(0L)))
       .withColumn("i0", coalesce(col("inter"), lit(0L)))

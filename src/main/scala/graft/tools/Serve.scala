@@ -41,7 +41,11 @@ object Serve {
       // edit the file's broker-names list to trigger a live rescale
       store.startRetentionSweeper()
       args.lift(1).foreach { topoFile =>
-        new graft.engine.TopologyWatcher(store, topoFile).start()
+        // requireDrained: an automated topology edit must not silently
+        // force partially-drained groups to re-read rewritten history —
+        // the watcher retries (and now logs) until consumers catch up,
+        // matching the documented drain discipline
+        graft.engine.TopologyWatcher.forFile(store, topoFile, requireDrained = true).start()
         println(s"watching topology file $topoFile")
       }
       Thread.currentThread().join(); return

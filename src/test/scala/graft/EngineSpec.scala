@@ -467,7 +467,7 @@ class EngineSpec extends AnyFunSuite {
     store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
     val topo = Files.createTempFile("graft-topology", ".txt")
     Files.writeString(topo, "b0,b1,b2") // 3 names = current ring, no-op
-    val watcher = new graft.engine.TopologyWatcher(store, topo.toString, pollDelayMs = 100L)
+    val watcher = graft.engine.TopologyWatcher.forFile(store, topo.toString, pollDelayMs = 100L)
     val handle = watcher.start()
     try {
       Thread.sleep(400)
@@ -487,6 +487,41 @@ class EngineSpec extends AnyFunSuite {
       Thread.sleep(400)
       assert(store.generation("t").version == 2, "normalized-equal count must not rescale")
     } finally handle.close()
+  }
+
+  test("topology watcher over a pluggable replica supplier scales up and down") {
+    // C5 generic loop (`discoverer.go:99-164`): the watcher consumes a
+    // desired-replicas FEED — the file poller and the reference's K8s
+    // StatefulSet watch are just suppliers. A fake supplier drives
+    // scale-up, a normalization no-op, and scale-down, stepped explicitly
+    // through pollOnce so the test needs no sleeps.
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
+    assert(store.generation("t") == graft.engine.Generation(1, 3))
+    val desired = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val events = scala.collection.mutable.ArrayBuffer[(String, graft.engine.Generation)]()
+    val watcher = new graft.engine.TopologyWatcher(
+      store,
+      () => if (desired.get() < 0) None else Some(desired.get()),
+      onRescale = (t, g) => events.synchronized { events += ((t, g)); () })
+    watcher.pollOnce() // no signal yet -> no-op
+    assert(store.generation("t").version == 1)
+    desired.set(12) // scale up: 12 = 3·2² is already a valid ring size
+    watcher.pollOnce()
+    assert(store.generation("t") == graft.engine.Generation(2, 12),
+      s"expected scale-up to 12, got ${store.generation("t")} (err=${watcher.lastFailure})")
+    desired.set(13) // 13 normalizes DOWN to 12 -> no rescale
+    watcher.pollOnce()
+    assert(store.generation("t").version == 2, "normalized-equal count must not rescale")
+    desired.set(6) // scale down: 6-ring
+    watcher.pollOnce()
+    assert(store.generation("t") == graft.engine.Generation(3, 6),
+      s"expected scale-down to 6, got ${store.generation("t")} (err=${watcher.lastFailure})")
+    assert(events.toSeq == Seq(("t", graft.engine.Generation(2, 12)),
+      ("t", graft.engine.Generation(3, 6))))
+    // records survive both topology changes
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g", "t", "c").count() == 12L)
   }
 
   test("register-after-two-rescales reads every ancestor generation from offset 0") {

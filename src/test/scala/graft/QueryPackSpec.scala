@@ -537,6 +537,27 @@ class QueryPackSpec extends AnyFunSuite {
     sv.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("q128 firehose guard fails the job when a key's history exceeds the bound") {
+    // the documented per-key bound is enforced, not prose: the fold is
+    // irreducibly sequential per key (proof note at q128), so a key past
+    // MaxKeyHistory must fail with the named error instead of silently
+    // building an unbounded aggregation buffer
+    graft.functions.registerAll(spark)
+    val e = intercept[Exception] {
+      graft.operators.AuditOps.q128Bounded(maxPerKey = 2L)(spark, sf).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("firehose guard")),
+      s"expected the guard's named error, got: ${messages(e).mkString(" | ")}")
+    // and the default bound passes untouched (same values as q128 itself)
+    val bounded = graft.operators.AuditOps
+      .q128Bounded(graft.operators.AuditOps.MaxKeyHistory)(spark, sf)
+      .collect().map(_.toSeq)
+    val plain = SparkEntry.queries("q128_ewma_anomaly")(spark, sf).collect().map(_.toSeq)
+    assert(bounded.toSeq == plain.toSeq)
+  }
+
   test("corpus-statistics pack invariants (q135-q140)") {
     import org.apache.spark.sql.functions._
     // q135: a word is >= 1 subword, a subword is >= 1 char

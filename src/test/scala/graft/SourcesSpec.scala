@@ -191,8 +191,21 @@ class SourcesSpec extends AnyFunSuite {
       produceN(store, "n", 200, 97, "b")
       q.processAllAvailable()
       val n = spark.table("graft_src_newpart").count()
-      assert(n == 240, s"expected all 240 records, got $n — first records of " +
-        "newly-touched partitions were dropped")
+      // recorded flake (~1 in 6 full-suite runs as of r5): on recurrence
+      // the per-partition delivered/produced breakdown below is the
+      // diagnostic — it distinguishes a dropped-first-record pushdown bug
+      // from a racing micro-batch that hasn't committed the tail
+      if (n != 240) {
+        val got = spark.table("graft_src_newpart")
+          .groupBy("part").agg(
+            org.apache.spark.sql.functions.count("*").as("n"),
+            org.apache.spark.sql.functions.min("offset").as("min_off"),
+            org.apache.spark.sql.functions.max("offset").as("max_off"))
+          .orderBy("part").collect().mkString(", ")
+        val produced = store.producerOffsets("n").toSeq.sorted.mkString(", ")
+        fail(s"expected all 240 records, got $n — first records of newly-" +
+          s"touched partitions were dropped?\n  delivered: $got\n  produced next-offsets: $produced")
+      }
     } finally {
       q.stop()
       spark.sql("DROP VIEW IF EXISTS graft_src_newpart")
