@@ -119,6 +119,12 @@ object IndexOps {
   private val KmvK = 64
 
   val q142: Q = (s, d) => {
+    // localCheckpoint pins the per-source token vocabulary: it feeds FIVE
+    // consumers (both sketch levels, the source list, the exact-Jaccard
+    // self-join's two sides, the per-source counts) which would otherwise
+    // each re-run the corpus scan + double distinct (the audit showed 12
+    // parquet scans / 60 exchanges); the pinned table is vocabulary ×
+    // sources sized — corpus metadata, not corpus data
     val st = docs(s, d)
       .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
@@ -126,6 +132,7 @@ object IndexOps {
       .withColumn("token", murmur3_token(col("w")))
       .select(col("source"), col("token"))
       .distinct()
+      .localCheckpoint(true)
     // two-level exact min-k: per-(source, token-bucket) top-k bounds any
     // task at k rows per bucket; the per-source pass then sorts ≤ k·64
     // survivors — no task ever holds a full source vocabulary
