@@ -537,6 +537,41 @@ class QueryPackSpec extends AnyFunSuite {
     sv.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("monitor-pack invariants (q147-q152): Fano, correlation, CUSUM, burst, eta2 bounds") {
+    // q147: one row per observed hour-of-day; Fano and the mean are
+    // positive (counts are positive integers)
+    val hp = SparkEntry.queries("q147_hourly_profile")(spark, sf).collect()
+    assert(hp.length == 24)
+    hp.foreach { r =>
+      assert(r.getAs[Double]("mean_per_cell") > 0.0)
+      assert(r.getAs[Double]("fano") >= 0.0)
+      assert(r.getAs[Long]("n_cells") <= r.getAs[Long]("n_events"))
+    }
+    // q149: a Pearson coefficient lives in [-1, 1]
+    SparkEntry.queries("q149_autocorrelation")(spark, sf).collect().foreach { r =>
+      val r1 = r.getAs[Double]("lag1_r")
+      assert(r1 >= -1.000001 && r1 <= 1.000001, s"lag1_r out of range: $r1")
+    }
+    // q150: the change split is interior and its statistic bounded by n*T
+    SparkEntry.queries("q150_changepoint")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("split_pos") < r.getAs[Long]("n_days"))
+    }
+    // q151: median <= peak, bursts are a subset of days, ratio >= 1
+    SparkEntry.queries("q151_burst_summary")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("med_daily") <= r.getAs[Long]("peak_daily"))
+      assert(r.getAs[Long]("n_burst_days") <= r.getAs[Long]("n_days"))
+      assert(r.getAs[Double]("peak_to_median") >= 1.0)
+    }
+    // q152: a variance share lives in [0, 1] (Cauchy-Schwarz, exact
+    // sums; 6-dp rounding bounds any float residue); dow phase in [0, 6]
+    SparkEntry.queries("q152_dow_seasonality")(spark, sf).collect().foreach { r =>
+      val e2 = r.getAs[Double]("eta2")
+      assert(e2 >= -0.000001 && e2 <= 1.000001, s"eta2 out of range: $e2")
+      val pd = r.getAs[Int]("peak_dow")
+      assert(pd >= 0 && pd <= 6)
+    }
+  }
+
   test("q128 firehose guard fails the job when a key's history exceeds the bound") {
     // the documented per-key bound is enforced, not prose: the fold is
     // irreducibly sequential per key (proof note at q128), so a key past
