@@ -94,7 +94,10 @@ object AuditOps {
     * contract, and the documented per-key bound is ENFORCED: a key whose
     * history exceeds MaxKeyHistory fails the job with a named error
     * (QueryPackSpec drives the trip) instead of silently building an
-    * arbitrarily large aggregation buffer.
+    * arbitrarily large aggregation buffer. The TRUE firehose path is the
+    * streaming form, `StreamOps.ewmaSpikes`: the identical recurrence as
+    * per-key O(1) state (ewma, spikes, n) — sequentiality costs nothing
+    * when events fold as they arrive.
     */
   private[graft] val MaxKeyHistory = 8L * 1024 * 1024
 

@@ -235,6 +235,42 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  case class EwmaState(ewma: Double, spikes: Long, n: Long)
+  case class EwmaUpdate(key: String, n: Long, ewma: Double, spikes: Long)
+
+  /** Streaming EWMA spike monitor — the O(1)-state PRODUCTION path for
+    * q128's audit. The batch fold is irreducibly sequential per key and
+    * must hold the key's whole history in one aggregation buffer
+    * (`AuditOps.q128`'s proof note + enforced MaxKeyHistory guard); the
+    * streaming form applies the identical α = 0.5 recurrence as events
+    * arrive, keeping exactly (ewma, spikes, n) per key — a firehose key
+    * costs three state fields, not its history. Bit-equality with the
+    * batch fold holds when events arrive in per-key event order, which
+    * the engine's per-key total order (§2.6.1) provides across batches;
+    * within a micro-batch rows are sorted by (ts, then value as a
+    * deterministic tie-break) before folding.
+    */
+  def ewmaSpikes(events: Dataset[Evt]): Dataset[EwmaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Evt], state: GroupState[EwmaState]) => {
+          var s = state.getOption.getOrElse(EwmaState(0.0, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            s =
+              if (s.n == 0L) EwmaState(e.value, 0L, 1L)
+              else EwmaState(
+                0.5d * e.value + 0.5d * s.ewma,
+                s.spikes + (if (e.value > 2.0d * s.ewma) 1L else 0L),
+                s.n + 1L)
+          }
+          state.update(s)
+          Iterator.single(EwmaUpdate(key, s.n, s.ewma, s.spikes))
+        })
+  }
+
   /** Custom per-key streaming state via flatMapGroupsWithState: running
     * session accumulator emitting an update per batch (the §2.4 offset
     * state-machine's Spark-native analog for user state).

@@ -272,6 +272,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRow == ((3L, 6.0))) // state carried across micro-batches
   }
 
+  test("streaming EWMA spike monitor matches the sequential fold across batches") {
+    // the O(1)-state production path for q128's audit: same α = 0.5
+    // recurrence, state = (ewma, spikes, n) only. Sequence 4, 2, 8, 1, 9:
+    // spikes at 8 (> 2·3.0) and 9 (> 2·3.25); final ewma 6.125 — every
+    // step a power-of-two multiply + one add, so equality is EXACT.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.ewmaSpikes(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    mem.addData(StreamOps.Evt("u1", ts(0), 4.0), StreamOps.Evt("u1", ts(1), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Evt("u1", ts(2), 8.0), StreamOps.Evt("u1", ts(3), 1.0),
+      StreamOps.Evt("u1", ts(4), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.sql("SELECT n, ewma, spikes FROM ewma_out ORDER BY n DESC LIMIT 1")
+      .as[(Long, Double, Long)].head()
+    assert(fin == ((5L, 6.125, 2L)),
+      s"streaming fold diverged from the sequential recurrence: $fin")
+    spark.sql("DROP VIEW IF EXISTS ewma_out")
+    ()
+  }
+
   // ---- near-dup gate: dedup-on-ingest against a static corpus index ----
 
   private val gateSf = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
