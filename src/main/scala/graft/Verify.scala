@@ -16,12 +16,22 @@ object Verify {
       }
     }
 
-    // fixtures for the hash-dependent oracles (q17/q25): murmur3 is
-    // deterministic (checked against the reference's vectors in
-    // Murmur3Spec) but not SQL-expressible; dumping the token map lets
-    // the DuckDB oracle verify everything downstream of the hash (ring
-    // placement arithmetic, normalization, joins, aggregation). The SQL
-    // references this fixed absolute path.
+    dumpFixtures(spark, sfDir)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    spark.stop()
+  }
+
+  /** Fixtures for the hash/model-dependent oracles (q17/q25/…): murmur3
+    * is deterministic (checked against the reference's vectors in
+    * Murmur3Spec) but not SQL-expressible; dumping the token map lets
+    * the DuckDB oracle verify everything downstream of the hash (ring
+    * placement arithmetic, normalization, joins, aggregation). The SQL
+    * references this fixed absolute path — fixtures are SCALE-SPECIFIC,
+    * so a gate run at one sf needs the fixtures dumped at that sf
+    * (`graft.tools.Fixtures <sfDir>` refreshes them without re-running
+    * all queries).
+    */
+  private[graft] def dumpFixtures(spark: SparkSession, sfDir: String): Unit = {
     {
       import org.apache.spark.sql.functions._
       import graft.functions.murmur3_token
@@ -123,8 +133,6 @@ object Verify {
       // oracle re-derives assignments and silhouettes from them
       dump("km_cents")(operators.EmbeddingOps.kmCentroidsDf(spark, sfDir))
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
-    spark.stop()
   }
 
   /** The oracle map as a JSON object (also dumped standalone by

@@ -572,6 +572,35 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("eval-pack invariants (q153-q156): recall, tau decomposition, overlap, votes") {
+    // q153: recall@k in [0, 1], hits bounded by k
+    val rc = SparkEntry.queries("q153_ann_recall")(spark, sf).collect()
+    assert(rc.length == 3)
+    rc.foreach { r =>
+      val k = r.getAs[Int]("k")
+      assert(r.getAs[Long]("ivf_hits") <= k && r.getAs[Long]("lsh_hits") <= k)
+      assert(r.getAs[Double]("ivf_recall") >= 0.0 && r.getAs[Double]("ivf_recall") <= 1.0)
+      assert(r.getAs[Double]("lsh_recall") >= 0.0 && r.getAs[Double]("lsh_recall") <= 1.0)
+    }
+    // q154: concordant + discordant + ties partition every pair; tau in [-1, 1]
+    val tau = SparkEntry.queries("q154_quant_rank_damage")(spark, sf).collect().head
+    assert(tau.getAs[Long]("concordant") + tau.getAs[Long]("discordant")
+      + tau.getAs[Long]("ties") == tau.getAs[Long]("n_pairs"))
+    val t = tau.getAs[Double]("kendall_tau")
+    assert(t >= -1.0 && t <= 1.0)
+    // q155: Jaccard in [0, 1], intersection bounded by set size
+    SparkEntry.queries("q155_retriever_overlap")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_common") <= 10L)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // q156: the exact retriever trivially agrees with itself
+    val kc = SparkEntry.queries("q156_knn_consistency")(spark, sf).collect()
+    assert(kc.length == 3)
+    assert(kc.find(_.getAs[String]("method") == "exact")
+      .exists(_.getAs[Boolean]("agrees_with_exact")))
+  }
+
   test("q128 firehose guard fails the job when a key's history exceeds the bound") {
     // the documented per-key bound is enforced, not prose: the fold is
     // irreducibly sequential per key (proof note at q128), so a key past
