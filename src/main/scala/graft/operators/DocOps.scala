@@ -354,7 +354,7 @@ object DocOps {
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q22
-  private val dicts: Seq[(String, Seq[String])] = Seq(
+  private[operators] val dicts: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "im"),
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
     "es" -> Seq("el", "la", "de", "que", "y", "un", "los", "se", "no", "por"),

@@ -336,7 +336,7 @@ object RetrievalOps {
     * recombined (rank, cum) are bit-identical to the single-window form;
     * widen the prefix to 2+ chars to shard a larger corpus' tail finer.
     */
-  private def rankedVocab(s: SparkSession, d: String): DataFrame = {
+  private[operators] def rankedVocab(s: SparkSession, d: String): DataFrame = {
     val counts = docs(s, d)
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")

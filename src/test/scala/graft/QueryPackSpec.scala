@@ -601,6 +601,32 @@ class QueryPackSpec extends AnyFunSuite {
       .exists(_.getAs[Boolean]("agrees_with_exact")))
   }
 
+  test("style-pack invariants (q157-q160): CLI ordering, cosine, OOV and rate bounds") {
+    SparkEntry.queries("q157_readability")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("min_cli") <= r.getAs[Double]("max_cli"))
+      // micro-unit mean sits inside [min, max] up to the rounding grain
+      assert(r.getAs[Double]("mean_cli") >= r.getAs[Double]("min_cli") - 1e-6)
+      assert(r.getAs[Double]("mean_cli") <= r.getAs[Double]("max_cli") + 1e-6)
+    }
+    // q158: count vectors are non-negative, so cosines live in [0, 1]
+    SparkEntry.queries("q158_stylometry")(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("style_cos")
+      assert(c >= 0.0 && c <= 1.000001, s"style_cos out of range: $c")
+    }
+    SparkEntry.queries("q159_oov_rate")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("oov_tokens") <= r.getAs[Long]("total_tokens"))
+      val o = r.getAs[Double]("oov_rate")
+      assert(o >= 0.0 && o <= 1.0)
+    }
+    SparkEntry.queries("q160_discourse_profile")(spark, sf).collect().foreach { r =>
+      Seq("question_rate", "exclaim_rate", "quote_rate", "digit_rate", "upper_rate")
+        .foreach { cName =>
+          val v = r.getAs[Double](cName)
+          assert(v >= 0.0 && v <= 1.0, s"$cName out of range: $v")
+        }
+    }
+  }
+
   test("q128 firehose guard fails the job when a key's history exceeds the bound") {
     // the documented per-key bound is enforced, not prose: the fold is
     // irreducibly sequential per key (proof note at q128), so a key past
