@@ -627,6 +627,22 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("inference-pack invariants (q161-q162): SE relation, replicate counts, influence arithmetic") {
+    graft.functions.registerAll(spark)
+    SparkEntry.queries("q161_bootstrap_se")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_half") <= 64L)
+      val sd = r.getAs[Double]("sd_halves"); val se = r.getAs[Double]("se_est")
+      assert(sd >= 0.0 && se >= 0.0)
+      // se = sd / sqrt(2) up to the 6-dp output rounding
+      assert(math.abs(se * math.sqrt(2.0) - sd) < 5e-6, s"se/sd relation broken: $se vs $sd")
+    }
+    SparkEntry.queries("q162_jackknife_influence")(spark, sf).collect().foreach { r =>
+      val g = r.getAs[Double]("global_mean"); val l = r.getAs[Double]("loo_mean")
+      val inf = r.getAs[Double]("influence")
+      assert(math.abs((g - l) - inf) < 2e-6, s"influence != global - loo: $g $l $inf")
+    }
+  }
+
   test("q128 firehose guard fails the job when a key's history exceeds the bound") {
     // the documented per-key bound is enforced, not prose: the fold is
     // irreducibly sequential per key (proof note at q128), so a key past
