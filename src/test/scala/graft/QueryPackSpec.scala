@@ -643,6 +643,29 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence-pack invariants (q163-q166): row-stochastic, support, dwell, entropy") {
+    // q163: each row of the transition matrix sums to ~1
+    val tm = SparkEntry.queries("q163_markov_transitions")(spark, sf).collect()
+    tm.groupBy(_.getAs[String]("cur")).foreach { case (cur, rows) =>
+      val ps = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(ps - 1.0) < 1e-4, s"row $cur sums to $ps")
+    }
+    // q164: a pattern's user support cannot exceed its occurrence count
+    SparkEntry.queries("q164_seq_trigrams")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("support") <= r.getAs[Long]("n"))
+    }
+    // q165: the mean gap never exceeds the max gap
+    SparkEntry.queries("q165_transition_dwell")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("mean_gap_sec") <= r.getAs[Long]("max_gap_us") / 1e6 + 1e-6)
+    }
+    // q166: entropy bounded by ln(|types|); the modal step is at least uniform
+    SparkEntry.queries("q166_next_entropy")(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Double]("next_entropy")
+      assert(h >= 0.0 && h <= math.log(5.0) + 1e-6, s"entropy out of range: $h")
+      assert(r.getAs[Double]("modal_p") >= 0.2 - 1e-6)
+    }
+  }
+
   test("q128 firehose guard fails the job when a key's history exceeds the bound") {
     // the documented per-key bound is enforced, not prose: the fold is
     // irreducibly sequential per key (proof note at q128), so a key past
