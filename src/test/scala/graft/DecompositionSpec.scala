@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence proofs for the round-6 two-level window
+  * decompositions: on ADVERSARIAL data shapes the testdata cannot
+  * contain — same-microsecond timestamp collisions, events packed
+  * against hour-bucket boundaries, tie-heavy vocabularies — the
+  * decomposed pipelines must be row-identical to the naive
+  * single-window forms they replaced. (The DuckDB oracles already prove
+  * equivalence on the real testdata at two scales; these tests cover
+  * the tie/boundary space.)
+  */
+class DecompositionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("decomp-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Seeded adversarial event set: 8 users × ~40 events each, timestamps
+    * drawn on a coarse 20-minute grid across 6 hours so that (a) many
+    * user-pairs collide on the exact microsecond and (b) adjacent events
+    * regularly straddle hour-bucket boundaries — the two shapes the
+    * two-level lag's stitch must survive.
+    */
+  private lazy val eventsDir: String = {
+    val rnd = new scala.util.Random(42)
+    val base = 1700000000000000L // epoch micros
+    val rows = (0 until 320).map { i =>
+      val user = 1L + rnd.nextInt(8)
+      // coarse grid => deliberate duplicates and boundary adjacency
+      val us = base + rnd.nextInt(18).toLong * 1200000000L +
+        (if (rnd.nextBoolean()) 0L else 3599999999L) // hug the bucket edge
+      val typ = Seq("view", "click", "purchase")(rnd.nextInt(3))
+      (i.toLong, new Timestamp(us / 1000L), user, typ,
+        rnd.nextInt(100).toDouble, "{}")
+    }
+    val dir = Files.createTempDirectory("graft-decomp-ev").toString
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q132's two-level gap/median pipeline equals the naive per-user window") {
+    val got = SparkEntry.queries("q132_interarrival_profile")(spark, eventsDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val naive = Graft.events(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        max(col("gap")).as("max_gap"),
+        sort_array(collect_list(col("gap"))).as("gaps"),
+        sum(when(col("gap") > 1800000000L, 1L).otherwise(0L)).as("long_gaps"))
+      .select(col("user_id"), col("n_gaps"), col("max_gap"),
+        element_at(col("gaps"), expr("CAST((n_gaps + 1) DIV 2 AS INT)")).as("med_gap"),
+        col("long_gaps"))
+      .select(col("user_id"), col("n_gaps"), col("max_gap"), col("med_gap"),
+        col("long_gaps"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("q163/q165's two-level bigram stream equals the naive per-user lag") {
+    val wNaive = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val naiveBg = Graft.events(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("typ"))
+      .withColumn("ptyp", lag(col("typ"), 1).over(wNaive))
+      .withColumn("us_prev", lag(col("us"), 1).over(wNaive))
+      .where(col("ptyp").isNotNull)
+    val naiveTrans = naiveBg.groupBy(col("ptyp"), col("typ"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gotTrans = SparkEntry.queries("q163_markov_transitions")(spark, eventsDir)
+      .collect().map(r => (r.getAs[String]("cur"), r.getAs[String]("next"))
+        -> r.getAs[Long]("n")).toMap
+    assert(gotTrans == naiveTrans)
+    // dwell sums ride the same stitched pairs — cross-check the totals
+    val naiveDwell = naiveBg
+      .agg(sum(col("us") - col("us_prev")).as("sg"), count(lit(1)).as("n"))
+      .head()
+    val gotDwell = SparkEntry.queries("q165_transition_dwell")(spark, eventsDir)
+      .agg(sum(col("n")).as("n")).head()
+    assert(gotDwell.getLong(0) == naiveDwell.getAs[Long]("n"))
+  }
+
+  /** Tie-heavy vocabulary: 5 sources drawing words from a 12-word pool,
+    * so the (count, word) rank ordering is dominated by exact count ties
+    * — the shape q136's (source, count, first-char) shards must order
+    * identically to the naive per-source window.
+    */
+  private lazy val docsDir: String = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("aa", "ab", "ac", "ba", "bb", "bc", "ca", "cb", "cc",
+      "da", "db", "dc")
+    val rows = (0 until 250).map { i =>
+      val source = s"s${rnd.nextInt(5)}"
+      val text = (0 until (5 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, text, "en", source, text.length.toLong)
+    }
+    val dir = Files.createTempDirectory("graft-decomp-doc").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q136's two-level top-K rank equals the naive per-source window on tie-heavy data") {
+    val got = SparkEntry.queries("q136_zipf_slope")(spark, docsDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val wc = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+    val top = wc.withColumn("rk", row_number().over(wRank)).where(col("rk") <= 100)
+      .select(col("source"),
+        log(col("rk").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    val sums = top.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+    val naive = sums.where(col("n_terms") >= 2L)
+      .select(col("source"), col("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n_terms"), 6).as("intercept"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == naive.toSeq)
+  }
+}
