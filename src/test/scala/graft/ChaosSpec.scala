@@ -174,4 +174,64 @@ class ChaosSpec extends AnyFunSuite {
         s"key $k: delivered ${vs.length} records, order/body mismatch vs produce order")
     }
   }
+
+  test("topology-watcher-driven rescales compose with live produce") {
+    // the r6 C5 supplier path under fire: a fast-flapping desired-replicas
+    // feed drives rescales FROM THE WATCHER'S POLL LOOP (normalization,
+    // error-swallow, listTopics walk) while a producer streams keyed
+    // batches. The delivery contract must hold exactly as it does for
+    // direct rescale calls — the watcher adds no third serialization
+    // domain, it rides produceLock like everyone else.
+    val store = new TopicStore(
+      spark, Files.createTempDirectory("graft-chaos-topo").toString)
+    val topic = "t"
+    store.produceStrings(topic, Seq(("seed", "seed#0", ts(0))))
+    val errors = TrieMap.empty[String, Throwable]
+    val acked = TrieMap.empty[String, Vector[String]]
+    val desired = new AtomicInteger(3)
+    val watcher = new graft.engine.TopologyWatcher(
+      store, () => Some(desired.get()), pollDelayMs = 30L)
+    val handle = watcher.start()
+    val flapper = new Thread(() => try {
+      for (size <- Seq(6, 12, 3, 6)) { desired.set(size); Thread.sleep(150) }
+    } catch { case t: Throwable => errors.put("flapper", t); () }, "flapper")
+    val producer = new Thread(() => try {
+      for (b <- 0 until 12) {
+        val rows = (0 until 10).map { i =>
+          val key = s"k${(b * 10 + i) % 8}"
+          (key, s"$key#$b-$i", ts(b * 10 + i))
+        }
+        store.produceStrings(topic, rows)
+        rows.foreach { case (k, v, _) =>
+          acked.updateWith(k)(old => Some(old.getOrElse(Vector.empty) :+ v)); ()
+        }
+      }
+    } catch { case t: Throwable => errors.put("producer", t); () }, "producer")
+    flapper.start(); producer.start()
+    producer.join(300000); flapper.join(300000)
+    // let the watcher catch up to the final desired size, then stop it
+    val deadline = System.currentTimeMillis() + 20000
+    while (store.generation(topic).clusterSize != 6 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    handle.close()
+    assert(errors.isEmpty,
+      s"chaos threads must not throw: ${errors.toMap.view.mapValues(_.toString).toMap}")
+    assert(store.generation(topic).clusterSize == 6,
+      s"watcher never converged: ${store.generation(topic)} (err=${watcher.lastFailure})")
+    // audit: every acked record delivered exactly once, per-key order
+    store.registry.register("taud", "a", Seq(topic), store.StartFrom.Earliest)
+    val rows = store.withTopicReads(topic) {
+      store.poll("taud", topic, "a").collect()
+    }
+    val delivered = rows.map(r =>
+      (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
+        r.getAs[Long]("offset")))
+      .filter(_._1 != "seed")
+    val byKey = delivered.groupBy(_._1)
+    assert(byKey.keySet == acked.keySet)
+    byKey.foreach { case (k, vs) =>
+      assert(vs.sortBy(_._3).map(_._2).toVector == acked(k),
+        s"key $k: delivered ${vs.length}, order/body mismatch under watcher rescales")
+    }
+  }
 }
