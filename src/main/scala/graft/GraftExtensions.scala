@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -63,5 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topic_list"),
       new ExpressionInfo(TopicListTable.getClass.getName, "topic_list"),
       (exprs: Seq[Expression]) => TopicListTable.plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("topic_lag"),
+      new ExpressionInfo(TopicLagTable.getClass.getName, "topic_lag"),
+      (exprs: Seq[Expression]) => TopicLagTable.plan(exprs)))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicListTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -78,5 +78,7 @@ package object functions {
       "topic_records", exprs => TopicRecordsTable.plan(exprs), "built-in")
     tvf.createOrReplaceTempFunction(
       "topic_list", exprs => TopicListTable.plan(exprs), "built-in")
+    tvf.createOrReplaceTempFunction(
+      "topic_lag", exprs => TopicLagTable.plan(exprs), "built-in")
   }
 }

@@ -81,6 +81,44 @@ object TopicListTable {
   }
 }
 
+/** `SELECT * FROM topic_lag('<store root>', '<group>')` — the
+  * operational lag table: one row per (topic, partition) with the
+  * produce watermark, the group's committed next-read position, and the
+  * lag (watermark − committed; an uncommitted partition reports the
+  * full watermark). The SQL face of the R8 max-produced-offset /
+  * consumer-lag metric the reference exposes through Prometheus
+  * (`EngineMetrics` carries the push-side twin); metadata-sized, one
+  * row per ring partition, evaluated plan-time like `topic_list`.
+  */
+object TopicLagTable {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2, "topic_lag(root, group) takes two string literals")
+    val Seq(root, group) = exprs.map {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"topic_lag arguments must be string literals, got $other")
+    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("topic_lag requires an active SparkSession"))
+    val store = new graft.engine.TopicStore(spark, root)
+    val rows = store.listTopics().flatMap { case (t, _, _) =>
+      val hw = store.producerOffsets(t)
+      store.lag(group, t).toSeq.sortBy(_._1).map { case (p, l) =>
+        val w = hw.getOrElse(p, 0L)
+        InternalRow(UTF8String.fromString(t), p, w, w - l, l)
+      }
+    }
+    LocalRelation(
+      Seq(
+        AttributeReference("topic", StringType, nullable = false)(),
+        AttributeReference("part", IntegerType, nullable = false)(),
+        AttributeReference("watermark", LongType, nullable = false)(),
+        AttributeReference("committed", LongType, nullable = false)(),
+        AttributeReference("lag", LongType, nullable = false)()),
+      rows)
+  }
+}
+
 object TopicRecordsTable {
   def plan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 2,

@@ -77,6 +77,22 @@ class ExtensionsSpec extends AnyFunSuite {
       val after = spark.sql(
         s"SELECT version, cluster_size FROM topic_list('$root')").head()
       assert(after.getInt(0) == 2 && after.getInt(1) == 6)
+
+      // topic_lag TVF: the operational watermark/committed/lag table.
+      // Before any consumption every produced record is lag; after a
+      // full poll + auto-commit the group is caught up everywhere.
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      val pre = spark.sql(
+        s"SELECT part, watermark, committed, lag FROM topic_lag('$root', 'g')").collect()
+      assert(pre.map(_.getLong(1)).sum == 6L, "watermarks must cover all 6 records")
+      assert(pre.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)),
+        "lag must equal watermark - committed on every row")
+      assert(pre.map(_.getLong(3)).sum == 6L, "everything is lag before consumption")
+      store.poll("g", "t", "c").collect()
+      val post = spark.sql(
+        s"SELECT sum(lag), sum(watermark) FROM topic_lag('$root', 'g')").head()
+      assert(post.getLong(0) == 0L && post.getLong(1) == 6L,
+        s"a fully polled+committed group must show zero lag, got $post")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
