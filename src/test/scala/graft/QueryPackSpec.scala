@@ -666,6 +666,22 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("graph-pack invariants (q167-q168): assortativity range, partition of the corpus") {
+    SparkEntry.queries("q167_assortativity")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("mean_deg") >= 1.0) // every graph node has an edge
+      if (!r.isNullAt(r.fieldIndex("assortativity"))) {
+        val a = r.getAs[Double]("assortativity")
+        assert(a >= -1.000001 && a <= 1.000001, s"assortativity out of range: $a")
+      }
+    }
+    // component sizes partition every document exactly once
+    val cs = SparkEntry.queries("q168_component_sizes")(spark, sf).collect()
+    val nDocs = Graft.table(spark, sf, "documents").count()
+    assert(cs.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val share = cs.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"doc shares sum to $share")
+  }
+
   test("q128 firehose guard fails the job when a key's history exceeds the bound") {
     // the documented per-key bound is enforced, not prose: the fold is
     // irreducibly sequential per key (proof note at q128), so a key past
