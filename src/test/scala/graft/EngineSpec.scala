@@ -732,6 +732,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("TWO fresh instances racing first-touch reconciliation heal exactly once") {
+    // the heal's delete-then-rename swap is guarded by a JVM-global
+    // per-(root, scope) lock: with per-instance locks, two stores
+    // first-touching the same orphaned scope both pass the contains
+    // check and race the swap — a transient IOException or a yanked
+    // listing on the crash-recovery path the heal exists for
+    val root = Files.createTempDirectory("graft-engine-heal2").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", (0 until 10).map(i => ("k", s"m$i", ts(i))))
+    val meta = java.nio.file.Paths.get(s"$root/_meta/producer_offsets")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(meta).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+
+    TopicStore.dropCachesForTests(root, spark.sparkContext.hadoopConfiguration)
+    val a = new TopicStore(spark, root)
+    val b = new TopicStore(spark, root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fa = pool.submit(new java.util.concurrent.Callable[Map[Int, Long]] {
+      def call(): Map[Int, Long] = a.producerOffsets("t")
+    })
+    val fb = pool.submit(new java.util.concurrent.Callable[Map[Int, Long]] {
+      def call(): Map[Int, Long] = b.producerOffsets("t")
+    })
+    val (oa, ob) = (fa.get(), fb.get()) // neither may throw
+    pool.shutdown()
+    assert(oa == ob, s"instances disagree on the healed watermark: $oa vs $ob")
+    assert(oa.values.sum == 10L, s"heal lost or duplicated offsets: $oa")
+    // the healed watermark must actually take: a follow-up produce + full
+    // poll sees 11 records with contiguous offsets
+    a.produceStrings("t", Seq(("k", "after", ts(100))))
+    a.registry.register("g", "c", Seq("t"), a.StartFrom.Earliest)
+    assert(a.poll("g", "t", "c").collect().length == 11)
+  }
+
   test("byte-capped poll still delivers null-valued records") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val store = freshStore()
@@ -868,6 +903,38 @@ class EngineSpec extends AnyFunSuite {
     (0 until 4).foreach { p =>
       val expected = (1 to 24).filter(_ % 4 == p).max.toLong
       assert(off(p) == expected, s"part $p lost a commit: ${off(p)} != $expected")
+    }
+  }
+
+  test("commits racing from TWO store instances over one root never lose updates") {
+    // the commit RMW (read cur, merge accepted, swap-write) is guarded by a
+    // JVM-global per-(root, group/topic) lock, not a per-instance one — the
+    // DSv2-writer pattern means a second TopicStore over the same root is
+    // routine, and with per-instance locks both instances could read cur,
+    // both write cur ++ accepted, and one side's partitions vanish
+    val store = freshStore()
+    val other = new TopicStore(spark, store.root)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // even i commits via store, odd i via other; disjoint partitions per
+    // parity so an interleaved lost update is unambiguous
+    val futures = (1 to 24).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val s = if (i % 2 == 0) store else other
+          s.commit("g", "t", Map(i % 4 -> i.toLong)); ()
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    // both instances must agree on the merged map, with every partition's max
+    Seq(store, other).foreach { s =>
+      val off = s.groupOffsets("g", "t")
+      (0 until 4).foreach { p =>
+        val expected = (1 to 24).filter(_ % 4 == p).max.toLong
+        assert(off(p) == expected, s"part $p lost a cross-instance commit: ${off(p)} != $expected")
+      }
     }
   }
 
