@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -67,5 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topic_lag"),
       new ExpressionInfo(TopicLagTable.getClass.getName, "topic_lag"),
       (exprs: Seq[Expression]) => TopicLagTable.plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("topic_offsets_for_time"),
+      new ExpressionInfo(TopicOffsetsForTimeTable.getClass.getName,
+        "topic_offsets_for_time"),
+      (exprs: Seq[Expression]) => TopicOffsetsForTimeTable.plan(exprs)))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -80,5 +80,8 @@ package object functions {
       "topic_list", exprs => TopicListTable.plan(exprs), "built-in")
     tvf.createOrReplaceTempFunction(
       "topic_lag", exprs => TopicLagTable.plan(exprs), "built-in")
+    tvf.createOrReplaceTempFunction(
+      "topic_offsets_for_time",
+      exprs => TopicOffsetsForTimeTable.plan(exprs), "built-in")
   }
 }

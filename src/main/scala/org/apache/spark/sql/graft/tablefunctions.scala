@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.TokenRing
@@ -115,6 +115,49 @@ object TopicLagTable {
         AttributeReference("watermark", LongType, nullable = false)(),
         AttributeReference("committed", LongType, nullable = false)(),
         AttributeReference("lag", LongType, nullable = false)()),
+      rows)
+  }
+}
+
+/** `SELECT * FROM topic_offsets_for_time('<store root>', '<topic>',
+  * TIMESTAMP '2024-01-01 00:00:00')` — the time-based offset cut on the
+  * SQL surface: one row per ring partition with the earliest offset
+  * whose record timestamp is >= the argument (partitions with no such
+  * record report their high watermark — the seek lands at the end,
+  * Kafka's `offsetsForTimes` convention, matching
+  * `TopicStore.offsetsForTime`). The third argument is a TIMESTAMP or
+  * 'yyyy-mm-dd hh:mm:ss[.f…]' string literal; metadata-sized output,
+  * evaluated plan-time like `topic_lag`.
+  */
+object TopicOffsetsForTimeTable {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3,
+      "topic_offsets_for_time(root, topic, ts) takes three literals")
+    val Seq(root, topic) = exprs.take(2).map {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"topic_offsets_for_time root/topic must be string literals, got $other")
+    }
+    val ts = exprs(2) match {
+      case Literal(micros: Long, _: TimestampType) =>
+        new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+      case Literal(s: UTF8String, StringType) =>
+        java.sql.Timestamp.valueOf(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"topic_offsets_for_time ts must be a TIMESTAMP or string literal, got $other")
+    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "topic_offsets_for_time requires an active SparkSession"))
+    val store = new graft.engine.TopicStore(spark, root)
+    val rows = store.offsetsForTime(topic, ts).toSeq.sortBy(_._1).map {
+      case (p, o) => InternalRow(UTF8String.fromString(topic), p, o)
+    }
+    LocalRelation(
+      Seq(
+        AttributeReference("topic", StringType, nullable = false)(),
+        AttributeReference("part", IntegerType, nullable = false)(),
+        AttributeReference("offset", LongType, nullable = false)()),
       rows)
   }
 }

@@ -93,6 +93,26 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT sum(lag), sum(watermark) FROM topic_lag('$root', 'g')").head()
       assert(post.getLong(0) == 0L && post.getLong(1) == 6L,
         s"a fully polled+committed group must show zero lag, got $post")
+
+      // topic_offsets_for_time TVF: the time cut on the SQL surface. A
+      // timestamp before every record cuts at offset 0 on produced
+      // partitions; one after every record lands at the high watermark
+      // (Kafka's convention). TIMESTAMP and string literals both bind.
+      val early = spark.sql(
+        "SELECT part, offset FROM topic_offsets_for_time(" +
+          s"'$root', 't', TIMESTAMP '2023-01-01 00:00:00')").collect()
+      assert(early.map(_.getLong(1)).sum == 0L, "pre-history cut must be offset 0")
+      val late = spark.sql(
+        s"SELECT sum(offset) FROM topic_offsets_for_time('$root', 't', '2030-01-01 00:00:00')")
+        .head().getLong(0)
+      assert(late == 6L, s"post-history cut must land at the watermarks, got $late")
+      // the cut agrees with the engine API it mirrors
+      val mid = new java.sql.Timestamp(1700000000000L + 3 * 1000L)
+      val apiCut = store.offsetsForTime("t", mid)
+      val sqlCut = spark.sql(
+        s"SELECT part, offset FROM topic_offsets_for_time('$root', 't', '${mid.toString}')")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sqlCut == apiCut, s"SQL cut $sqlCut != API cut $apiCut")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
