@@ -148,4 +148,79 @@ class DecompositionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(got.toSeq == naive.toSeq)
   }
+
+  test("q169's two-level backward as-of equals the naive per-user running max") {
+    val got = SparkEntry.queries("q169_asof_attribution")(spark, eventsDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val e = Graft.events(spark, eventsDir)
+      .where(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = e.withColumn("best",
+        max(when(col("tag") === 0, struct(col("us"), col("event_id")))).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("best.event_id").as("view_id"),
+        (col("us") - col("best.us")).as("gap_us"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("q170's two-level forward as-of equals the naive per-user running min") {
+    val got = SparkEntry.queries("q170_conversion_lag")(spark, eventsDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val horizon = 604800000000L
+    val e = Graft.events(spark, eventsDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val naive = e.withColumn("best",
+        min(when(col("tag") === 0, struct(col("us"), col("event_id")))).over(w))
+      .where(col("tag") === 1)
+      .withColumn("gap", col("best.us") - col("us"))
+      .select(col("event_id"), col("user_id"),
+        when(col("gap") <= horizon, col("best.event_id")).as("purchase_id"),
+        when(col("gap") <= horizon, col("gap")).as("gap_us"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("q172's two-level sweep line equals the naive global running sum") {
+    val got = SparkEntry.queries("q172_daily_peak")(spark, eventsDir)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    // naive sessions: plain per-user sessionize, no bucket stitch
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Graft.events(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("is_new",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val deltas = sess.select(col("user_id"), col("session_id"),
+        explode(array(
+          struct(col("start_us").as("us"), lit(1L).as("delta")),
+          struct(col("end_us").as("us"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.us").as("us"), col("x.delta").as("delta"),
+        col("user_id"), col("session_id"))
+    val wRun = Window.orderBy(col("us"), col("delta").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = deltas.withColumn("run", sum(col("delta")).over(wRun))
+      .withColumn("day", expr("us DIV 86400000000"))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == naive.toSeq)
+  }
 }
