@@ -265,6 +265,7 @@ object DistStatOps {
         sum(col("v").cast("decimal(38,0)") *
           (lit(2L) * col("c") * col("cp") + col("c") * col("c") + col("c"))
             .cast("decimal(38,0)")).as("t2"))
+      .localCheckpoint(true) // source-sized; feeds the output AND the totals
     val tot = per.agg(
       sum(col("s_chars").cast("decimal(38,0)")).as("s_tot"),
       sum(col("s_chars").cast("decimal(38,0)") * col("s_chars").cast("decimal(38,0)"))

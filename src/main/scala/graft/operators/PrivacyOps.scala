@@ -43,6 +43,7 @@ object PrivacyOps {
       .withColumn("band", expr(s"($centsExpr) DIV 10000"))
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
       .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true) // class-table-sized; feeds the census AND the total
     val tot = classes.agg(sum(col("k")).as("n_total"))
     classes.groupBy(col("k")).agg(count(lit(1)).as("n_classes"))
       .crossJoin(broadcast(tot))
@@ -100,11 +101,16 @@ object PrivacyOps {
     * class size. One fixed-size union of four class-table passes.
     */
   val q187: Q = (s, d) => {
-    val c = Graft.table(s, d, "customer")
+    // ONE corpus pass: the finest class table (nation, segment, cents) is
+    // bounded by distinct QI tuples; every coarser level is an exact
+    // rollup of its counts — no second scan of the records
+    val fine = Graft.table(s, d, "customer")
       .withColumn("cents", expr(centsExpr))
-      .withColumn("band", expr(s"($centsExpr) DIV 10000"))
-    def level(lv: Int, keys: Seq[String]): DataFrame =
-      c.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    def level(lv: Int, classes: DataFrame): DataFrame =
+      classes
         .agg(count(lit(1)).as("n_classes"),
           sum(when(col("k") === 1L, 1L).otherwise(0L)).as("n_unique"),
           min(col("k")).as("min_k"), sum(col("k")).as("n_total"))
@@ -112,10 +118,13 @@ object PrivacyOps {
           col("min_k"),
           round(col("n_unique").cast("double") / col("n_total"), 6)
             .as("unique_share"))
-    level(1, Seq("c_nationkey"))
-      .union(level(2, Seq("c_nationkey", "c_mktsegment")))
-      .union(level(3, Seq("c_nationkey", "c_mktsegment", "band")))
-      .union(level(4, Seq("c_nationkey", "c_mktsegment", "cents")))
+    def rollup(keys: Seq[String]): DataFrame =
+      fine.withColumn("band", expr("cents DIV 10000"))
+        .groupBy(keys.map(col): _*).agg(sum(col("k")).as("k"))
+    level(1, rollup(Seq("c_nationkey")))
+      .union(level(2, rollup(Seq("c_nationkey", "c_mktsegment"))))
+      .union(level(3, rollup(Seq("c_nationkey", "c_mktsegment", "band"))))
+      .union(level(4, fine))
       .orderBy("level")
   }
 
@@ -145,11 +154,17 @@ object PrivacyOps {
     * count — privacy gained vs resolution lost, one row per width.
     */
   val q188: Q = (s, d) => {
-    val c = Graft.table(s, d, "customer").withColumn("cents", expr(centsExpr))
+    // same one-pass rollup discipline as q187: every width is an exact
+    // regrouping of the finest (nation, segment, cents) class table
+    val fine = Graft.table(s, d, "customer")
+      .withColumn("cents", expr(centsExpr))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("cents"))
+      .agg(count(lit(1)).as("k0"))
+      .localCheckpoint(true)
     def width(wu: Long): DataFrame =
-      c.withColumn("band", expr(s"cents DIV ${wu * 100}"))
+      fine.withColumn("band", expr(s"cents DIV ${wu * 100}"))
         .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
-        .agg(count(lit(1)).as("k"))
+        .agg(sum(col("k0")).as("k"))
         .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
           sum(when(col("k") >= 5L, col("k")).otherwise(0L)).as("n_k5"),
           sum(col("k")).as("n_total"))

@@ -80,7 +80,13 @@ object RobustOps {
       |    CAST(min(CASE WHEN cum >= least(n, (3 * (n + 1)) // 4) THEN v END) AS BIGINT) AS q3
       |  FROM lc GROUP BY source)""".stripMargin
 
+  private val quartilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def quartiles(s: SparkSession, d: String): DataFrame =
+    DocOps.Memo.get(quartilesMemo, s, d)(quartilesUncached(s, d).localCheckpoint(true))
+
+  private def quartilesUncached(s: SparkSession, d: String): DataFrame =
     lenCounts(s, d).groupBy(col("source"))
       .agg(max(col("n")).as("n"),
         min(col("v")).as("v_min"), max(col("v")).as("v_max"),
