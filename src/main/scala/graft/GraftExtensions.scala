@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable, TopicStatsTable}
 
 /** Standard extension entry point: makes the graft SQL functions available
   * in every session via
@@ -72,5 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(TopicOffsetsForTimeTable.getClass.getName,
         "topic_offsets_for_time"),
       (exprs: Seq[Expression]) => TopicOffsetsForTimeTable.plan(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("topic_stats"),
+      new ExpressionInfo(TopicStatsTable.getClass.getName, "topic_stats"),
+      (exprs: Seq[Expression]) => TopicStatsTable.plan(exprs)))
   }
 }

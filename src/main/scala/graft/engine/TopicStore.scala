@@ -941,6 +941,32 @@ class TopicStore(
     (0 until partsOf(g)).map(p => p -> hits.getOrElse(p, high.getOrElse(p, 0L))).toMap
   }
 
+  /** Per-partition storage + watermark stats for the CURRENT generation:
+    * (part, parquet file count, bytes, high watermark) — the broker
+    * admin/observability readout behind the `topic_stats` TVF (file
+    * counts feed the compaction decision, bytes the retention budget).
+    * Driver-side FS listing of the partition leaf dirs under the read
+    * lock — metadata-sized, no data scan; one generation read pins the
+    * dir set and the offsets scope.
+    */
+  def topicStats(topic: String): Seq[(Int, Long, Long, Long)] =
+    withTopicReads(topic) {
+      val g = generation(topic)
+      val toks = tokensOf(g)
+      val hw = producerOffsetsFor(topic, g)
+      (0 until partsOf(g)).map { p =>
+        val dir = s"$dataDir/topic=${escapeDir(topic)}/token=${toks(p / rangesPerToken)}" +
+          s"/range=${p % rangesPerToken}/version=${g.version}"
+        val (files, bytes) =
+          if (pathExists(dir)) {
+            val st = hfs(dir).listStatus(hpath(dir))
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            (st.length.toLong, st.map(_.getLen).sum)
+          } else (0L, 0L)
+        (p, files, bytes, hw.getOrElse(p, 0L))
+      }
+    }
+
   /** Reposition a consumer group at a point in time: commit the
     * `offsetsForTime` cut through the admin path (no origin/ownership
     * check, monotonicity still enforced — a seek can only move the group

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable}
+import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable, TopicStatsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -83,5 +83,7 @@ package object functions {
     tvf.createOrReplaceTempFunction(
       "topic_offsets_for_time",
       exprs => TopicOffsetsForTimeTable.plan(exprs), "built-in")
+    tvf.createOrReplaceTempFunction(
+      "topic_stats", exprs => TopicStatsTable.plan(exprs), "built-in")
   }
 }

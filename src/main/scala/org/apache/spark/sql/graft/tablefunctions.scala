@@ -162,6 +162,38 @@ object TopicOffsetsForTimeTable {
   }
 }
 
+/** `SELECT * FROM topic_stats('<store root>', '<topic>')` — per-ring-
+  * partition storage and watermark stats for the current generation:
+  * parquet file count, bytes on disk, and the produce high watermark.
+  * The SQL face of the broker's admin/observability surface (file
+  * counts feed compaction, bytes the retention budget); metadata-sized
+  * driver-side FS listing, evaluated plan-time like `topic_lag`.
+  */
+object TopicStatsTable {
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2, "topic_stats(root, topic) takes two string literals")
+    val Seq(root, topic) = exprs.map {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"topic_stats arguments must be string literals, got $other")
+    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("topic_stats requires an active SparkSession"))
+    val store = new graft.engine.TopicStore(spark, root)
+    val rows = store.topicStats(topic).map { case (p, files, bytes, hw) =>
+      InternalRow(UTF8String.fromString(topic), p, files, bytes, hw)
+    }
+    LocalRelation(
+      Seq(
+        AttributeReference("topic", StringType, nullable = false)(),
+        AttributeReference("part", IntegerType, nullable = false)(),
+        AttributeReference("files", LongType, nullable = false)(),
+        AttributeReference("bytes", LongType, nullable = false)(),
+        AttributeReference("watermark", LongType, nullable = false)()),
+      rows)
+  }
+}
+
 object TopicRecordsTable {
   def plan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 2,

@@ -113,6 +113,19 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT part, offset FROM topic_offsets_for_time('$root', 't', '${mid.toString}')")
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(sqlCut == apiCut, s"SQL cut $sqlCut != API cut $apiCut")
+
+      // topic_stats TVF: per-partition storage observability. Watermarks
+      // agree with the engine API; produced partitions have files+bytes,
+      // never-produced ones report zeros.
+      val stats = spark.sql(
+        s"SELECT part, files, bytes, watermark FROM topic_stats('$root', 't')")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(stats.map(_._4).sum == 6L, s"watermarks must sum to 6: ${stats.toSeq}")
+      assert(stats.forall { case (_, files, bytes, hw) =>
+        if (hw > 0L) files > 0L && bytes > 0L else files == 0L && bytes == 0L
+      }, s"files/bytes must track the watermark: ${stats.toSeq}")
+      val apiStats = store.topicStats("t").map(t => (t._1, t._2, t._3, t._4))
+      assert(stats.toSeq == apiStats, s"SQL stats ${stats.toSeq} != API $apiStats")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
