@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Business analytics depth (round 6, fifteenth pack): the order-book
+  * readouts layered on the TPC-H-ish tables — monthly return rates and
+  * revenue (q201), customer-LTV deciles (q202), supplier revenue
+  * concentration (q203), and per-priority shipping-delay SLAs (q204).
+  *
+  * Scale notes (the 100 TB story): q201 is one map-side-combined
+  * month rollup; q202's decile assignment uses the count-table
+  * closed-form rank (cprev + within-tie rank, tie groups are tiny
+  * partitions — q122's no-global-sort discipline); q203 ranks the
+  * supplier-sized dimension table and derives HHI from exact decimal
+  * squares; q204's percentiles are closed-form rank selections over
+  * per-priority DELAY-VALUE count tables (delays span a bounded range
+  * of days, so the count table is metadata regardless of row count).
+  *
+  * Exactness: money flows as exact integer cents
+  * (round(x·100) → BIGINT, the micro-unit rule; all amounts positive);
+  * delays are integer epoch-day differences (timestamps → us DIV
+  * 86400000000, identical on both engines, negatives never divided);
+  * ranks, deciles, and percentile selections are integer decisions;
+  * means/shares are single divisions rounded on output.
+  */
+object BizOps {
+  import Relational.Q
+
+  private val RevCentsExpr =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+  // ---------------------------------------------------------------- q201
+  /** Monthly return rate and net revenue: per ship-month, item count,
+    * returned count ('R'), the return share, and exact revenue cents.
+    */
+  val q201: Q = (s, d) =>
+    Graft.table(s, d, "lineitem")
+      .select(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"),
+        col("l_returnflag"), expr(RevCentsExpr).as("cents"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(col("cents")).as("revenue_cents"))
+      .select(col("yr").cast("long").as("yr"), col("mo").cast("long").as("mo"),
+        col("n_items"), col("n_returned"),
+        round(col("n_returned").cast("double") / col("n_items"), 6)
+          .as("return_share"),
+        col("revenue_cents"))
+      .orderBy("yr", "mo")
+
+  val q201Sql: String =
+    s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+       |  CAST(month(l_shipdate) AS BIGINT) AS mo,
+       |  count(*) AS n_items,
+       |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_returned,
+       |  round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS return_share,
+       |  CAST(sum($RevCentsExpr) AS BIGINT) AS revenue_cents
+       |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  /** Customer-LTV deciles: per customer exact total order cents, rank
+    * via the count-table closed form (cprev + within-tie rank by
+    * custkey — no global sort), decile = ((rank−1)·10) DIV n; per
+    * decile count, total, min/max, and mean.
+    */
+  val q202: Q = (s, d) => {
+    // customer-sized (one row per customer) and feeds three consumers
+    // (value counts, the total, the rank join): pin it so orders is
+    // scanned once
+    val cust = Graft.table(s, d, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("ltv"))
+      .localCheckpoint(true)
+    // two-level closed-form rank (q122's discipline): prefix counts
+    // within ~1M-cent value superbuckets + a metadata-sized bucket-carry
+    // table — no single task ever sorts the full customer value list
+    val vc = cust.groupBy(expr("ltv DIV 1048576").as("vb"), col("ltv"))
+      .agg(count(lit(1)).as("c"))
+    val wInB = Window.partitionBy(col("vb")).orderBy(col("ltv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bSums = vc.groupBy(col("vb")).agg(sum(col("c")).as("bc"))
+    val wB = Window.orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bCarry = bSums
+      .withColumn("carry", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("vb"), col("carry"))
+    val cprev = vc
+      .withColumn("inprev", coalesce(sum(col("c")).over(wInB), lit(0L)))
+      .join(broadcast(bCarry), Seq("vb"))
+      .select(col("ltv"), (col("carry") + col("inprev")).as("cprev"))
+    val tot = cust.agg(count(lit(1)).as("n"))
+    val wTie = Window.partitionBy(col("ltv")).orderBy(col("o_custkey"))
+    cust.join(cprev, Seq("ltv")).crossJoin(broadcast(tot))
+      .withColumn("rk", col("cprev") + row_number().over(wTie))
+      .withColumn("decile", expr("((rk - 1) * 10) DIV n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("ltv")).as("total_cents"),
+        min(col("ltv")).as("min_cents"), max(col("ltv")).as("max_cents"),
+        round(sum(col("ltv")).cast("double") / count(lit(1)), 6).as("mean_cents"))
+      .orderBy("decile")
+  }
+
+  val q202Sql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS ltv
+      |  FROM orders GROUP BY 1),
+      |vc AS (
+      |  SELECT ltv, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(coalesce(sum(count(*)) OVER (ORDER BY ltv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev
+      |  FROM cust GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+      |rk AS (
+      |  SELECT c2.o_custkey, c2.ltv,
+      |    v.cprev + row_number() OVER (PARTITION BY c2.ltv ORDER BY c2.o_custkey)
+      |      AS rk, t.n
+      |  FROM cust c2 JOIN vc v USING (ltv) CROSS JOIN t)
+      |SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+      |  count(*) AS n_customers,
+      |  CAST(sum(ltv) AS BIGINT) AS total_cents,
+      |  CAST(min(ltv) AS BIGINT) AS min_cents, CAST(max(ltv) AS BIGINT) AS max_cents,
+      |  round(CAST(sum(ltv) AS DOUBLE) / count(*), 6) AS mean_cents
+      |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** Supplier revenue concentration: the top-20 suppliers by exact
+    * revenue cents with their shares, plus the supplier HHI (decimal
+    * squares over the supplier-sized dimension table).
+    */
+  val q203: Q = (s, d) => {
+    // supplier-sized and feeds both the totals fold and the rank window:
+    // pin it so lineitem is scanned once
+    val rev = Graft.table(s, d, "lineitem")
+      .select(col("l_suppkey"), expr(RevCentsExpr).as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("rev"))
+      .localCheckpoint(true)
+    val tot = rev.agg(
+      sum(col("rev").cast("decimal(38,0)")).as("s_tot"),
+      sum(col("rev").cast("decimal(38,0)") * col("rev").cast("decimal(38,0)"))
+        .as("s_sq"))
+    // top-20 via TakeOrderedAndProject (parallel per-partition top-K +
+    // driver merge), then rank the 20-row result — no full-supplier
+    // single-task sort window
+    val w = Window.orderBy(col("rev").desc, col("l_suppkey"))
+    rev.orderBy(col("rev").desc, col("l_suppkey")).limit(20)
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col("l_suppkey"), col("rev").as("revenue_cents"),
+        round(col("rev").cast("double") / col("s_tot").cast("double"), 6)
+          .as("share"),
+        round(col("s_sq").cast("double")
+          / (col("s_tot") * col("s_tot")).cast("double"), 6).as("hhi"))
+      .orderBy("rk")
+  }
+
+  val q203Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, CAST(sum($RevCentsExpr) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |t AS (
+       |  SELECT sum(rev::HUGEINT) AS s_tot, sum(rev::HUGEINT * rev::HUGEINT) AS s_sq
+       |  FROM rev),
+       |rk AS (
+       |  SELECT l_suppkey, rev, row_number() OVER (
+       |    ORDER BY rev DESC, l_suppkey) AS rk
+       |  FROM rev)
+       |SELECT CAST(r.rk AS INT) AS rk, r.l_suppkey, r.rev AS revenue_cents,
+       |  round(CAST(r.rev AS DOUBLE) / CAST(t.s_tot AS DOUBLE), 6) AS share,
+       |  round(CAST(t.s_sq AS DOUBLE) / CAST(t.s_tot * t.s_tot AS DOUBLE), 6) AS hhi
+       |FROM rk r CROSS JOIN t WHERE r.rk <= 20 ORDER BY rk""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  /** Per-priority shipping-delay SLA: delay = ship epoch-day − order
+    * epoch-day (integer, possibly negative — the testdata's dates are
+    * not causal); per order priority the exact mean, closed-form p50
+    * and p90 over the delay-value count table, and min/max.
+    */
+  val q204: Q = (s, d) => {
+    val li = Graft.table(s, d, "lineitem")
+      .select(col("l_orderkey"), expr("unix_micros(l_shipdate) DIV 86400000000").as("sd"))
+    val o = Graft.table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) DIV 86400000000").as("od"))
+    val delays = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"), (col("sd") - col("od")).as("delay"))
+    val cnt = delays.groupBy(col("priority"), col("delay"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("delay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("priority"))
+    cnt
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n"),
+        round(sum(col("delay") * col("c")).cast("double") / max(col("n")), 6)
+          .as("mean_delay"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("delay"))).as("p50"),
+        min(when(col("cum") >= least(col("n"), expr("(9 * (n + 1)) DIV 10")),
+          col("delay"))).as("p90"),
+        min(col("delay")).as("min_delay"), max(col("delay")).as("max_delay"))
+      .orderBy("priority")
+  }
+
+  val q204Sql: String =
+    """WITH delays AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    epoch_us(l.l_shipdate) // 86400000000
+      |      - epoch_us(o.o_orderdate) // 86400000000 AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cnt AS (
+      |  SELECT priority, delay, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(count(*)) OVER (PARTITION BY priority ORDER BY delay
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(count(*)) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM delays GROUP BY 1, 2)
+      |SELECT priority, CAST(max(n) AS BIGINT) AS n,
+      |  round(CAST(sum(delay * c) AS DOUBLE) / max(n), 6) AS mean_delay,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN delay END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN cum >= least(n, (9 * (n + 1)) // 10) THEN delay END)
+      |    AS BIGINT) AS p90,
+      |  CAST(min(delay) AS BIGINT) AS min_delay,
+      |  CAST(max(delay) AS BIGINT) AS max_delay
+      |FROM cnt GROUP BY 1 ORDER BY priority""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q201_monthly_returns", q201, Some(q201Sql)),
+    ("q202_ltv_deciles", q202, Some(q202Sql)),
+    ("q203_supplier_concentration", q203, Some(q203Sql)),
+    ("q204_priority_sla", q204, Some(q204Sql)))
+}

@@ -750,6 +750,21 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("q202's two-level rank yields balanced deciles covering every customer") {
+    // the LTV decile comes from a bucketed closed-form rank (no global
+    // sort); floor-division deciles must partition customers into sizes
+    // that differ by at most 1, summing to the customer count
+    val rows = operators.BizOps.q202(spark, sf)
+      .select("decile", "n_customers").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = Graft.table(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == total, "deciles must cover every customer")
+    assert(rows.map(_._1).toSet.subsetOf((0L to 9L).toSet))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: ${rows.toSeq}")
+  }
+
   test("q122's closed-form decile equals ntile(10) for arbitrary N") {
     // the de-skewed q122 rebuilds ntile(10) row-locally from (rank, N);
     // prove the closed form against Spark's own ntile for Ns that cover
