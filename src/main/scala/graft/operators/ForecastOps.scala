@@ -42,7 +42,7 @@ object ForecastOps {
   private val dailyMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def daily(s: SparkSession, d: String): DataFrame =
+  private[operators] def daily(s: SparkSession, d: String): DataFrame =
     DocOps.Memo.get(dailyMemo, s, d) {
       Graft.events(s, d)
         .select(col("event_type").as("t"),
