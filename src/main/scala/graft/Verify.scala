@@ -132,6 +132,10 @@ object Verify {
       // q145: the memoized q108 k-means centroids (K×64 rows) — the
       // oracle re-derives assignments and silhouettes from them
       dump("km_cents")(operators.EmbeddingOps.kmCentroidsDf(spark, sfDir))
+      // q225–q228: the trained classifier's per-doc label + micro-unit
+      // probability — the calibration oracles bin/rank the stored
+      // integers (exp can't be replayed bit-exactly across engines)
+      dump("clf_scores")(operators.ClassifierOps.scoredMicro(spark, sfDir))
     }
   }
 

@@ -142,6 +142,24 @@ object ClassifierOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc label + micro-unit probability from the trained model —
+    * the calibration pack's input, dumped as the `clf_scores` fixture
+    * (the oracle reads the stored micros; it cannot replay exp
+    * bit-exactly). Memoized: one training run feeds q225–q228.
+    */
+  private val scoredMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def scoredMicro(s: SparkSession, d: String): DataFrame =
+    DocOps.Memo.get(scoredMemo, s, d) {
+      val model = trainModel(s, d)
+      feats(s, d)
+        .withColumn("m", marginCol(model.w, model.b0 + model.c))
+        .select(col("doc_id"), col("label").cast("long").as("y"),
+          (round(sigmoidCol(col("m")) * lit(1000000.0), 0)).cast("long").as("pm"))
+        .localCheckpoint(true)
+    }
+
   val q105Sql: String = {
     val lr = "4.0"
     val mom = "0.9"
