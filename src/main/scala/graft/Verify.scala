@@ -136,6 +136,10 @@ object Verify {
       // probability — the calibration oracles bin/rank the stored
       // integers (exp can't be replayed bit-exactly across engines)
       dump("clf_scores")(operators.ClassifierOps.scoredMicro(spark, sfDir))
+      // q229–q232: the driver-trained leading principal component
+      // (dim, v, mu) — the oracle reads the literals (a recomputed mu
+      // could differ in the last ulp and flip a micro rounding)
+      dump("pca_vec")(operators.SpectralOps.pcaVecDf(spark, sfDir))
     }
   }
 
