@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Market-basket analytics (round 6, twenty-third pack): co-purchase
+  * structure over the order/lineitem star — pair support (q233),
+  * association rules with confidence/lift (q234), label-propagation
+  * communities on the co-purchase graph (q235), and item-item cosine
+  * similarity (q236).
+  *
+  * Scale notes (the 100 TB story): the pair generator is a self-join
+  * on l_orderkey over the DISTINCT (order, part) item set — pairs per
+  * order are bounded by the basket size squared (TPC-H baskets are
+  * ≤ 7 items), so the pair table is O(orders), not O(orders²); it
+  * map-side combines to the part×part support table (bounded by the
+  * part dimension squared, and in practice by co-occurrence sparsity)
+  * which is memoized and feeds the whole pack. q235's LPA runs 5
+  * synchronous iterations of (edges ⋈ labels → per-node majority) —
+  * each iteration is one shuffle on the part key with a
+  * part-partitioned tie-break window, localCheckpoint-truncated like
+  * q50's loop; the oracle unrolls the same 5 iterations as CTEs.
+  *
+  * Exactness: supports are integers; LPA's majority vote is an
+  * integer decision (count desc, then min label — row_number with
+  * the identical ORDER BY on both sides); confidence/lift/cosine are
+  * single divisions of exact integers (sqrt IEEE-exact), rounded on
+  * output, and every ranking on them uses the ROUNDED value with an
+  * integer pair tiebreak (q58's rule).
+  */
+object BasketOps {
+  import Relational.Q
+
+  /** Distinct (order, part) items. */
+  private def items(s: SparkSession, d: String): DataFrame =
+    Graft.table(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  private val ItemsSqlCte: String =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)""".stripMargin
+
+  /** Pair support table (pa < pb), memoized. */
+  private val pairMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def pairSupport(s: SparkSession, d: String): DataFrame =
+    DocOps.Memo.get(pairMemo, s, d) {
+      val it = items(s, d)
+      val a = it.select(col("ok"), col("pk").as("pa"))
+      val b = it.select(col("ok").as("ok2"), col("pk").as("pb"))
+      a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
+        .localCheckpoint(true)
+    }
+
+  private val PairSqlCte: String =
+    s"""$ItemsSqlCte,
+       |pairs AS MATERIALIZED (
+       |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS sab
+       |  FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------- q233
+  /** Top-50 co-purchased part pairs by support (integer ordering). */
+  val q233: Q = (s, d) =>
+    pairSupport(s, d)
+      .orderBy(col("sab").desc, col("pa"), col("pb"))
+      .limit(50)
+      .select(col("pa"), col("pb"), col("sab").as("support"))
+
+  val q233Sql: String =
+    s"""WITH $PairSqlCte
+       |SELECT pa, pb, sab AS support FROM pairs
+       |ORDER BY sab DESC, pa, pb LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+  /** Association rules (both directions, support ≥ 3): confidence
+    * sab/sa and lift n·sab/(sa·sb); top-50 by rounded lift with the
+    * integer pair tiebreak.
+    */
+  val q234: Q = (s, d) => {
+    val it = items(s, d)
+    val supp = it.groupBy(col("pk")).agg(count(lit(1)).as("sp"))
+    val nOrd = it.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+    val pr = pairSupport(s, d).where(col("sab") >= 3)
+    val rules = pr.select(col("pa").as("ante"), col("pb").as("cons"), col("sab"))
+      .union(pr.select(col("pb").as("ante"), col("pa").as("cons"), col("sab")))
+    rules
+      .join(supp.select(col("pk").as("ka"), col("sp").as("sa")), col("ante") === col("ka"))
+      .join(supp.select(col("pk").as("kb"), col("sp").as("sb")), col("cons") === col("kb"))
+      .crossJoin(broadcast(nOrd))
+      .select(col("ante"), col("cons"), col("sab").as("support"),
+        round(col("sab").cast("double") / col("sa"), 6).as("confidence"),
+        round(col("n").cast("double") * col("sab")
+          / (col("sa").cast("double") * col("sb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(50)
+  }
+
+  val q234Sql: String =
+    s"""WITH $PairSqlCte,
+       |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS sp FROM items GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+       |rules AS (
+       |  SELECT pa AS ante, pb AS cons, sab FROM pairs WHERE sab >= 3
+       |  UNION ALL
+       |  SELECT pb AS ante, pa AS cons, sab FROM pairs WHERE sab >= 3)
+       |SELECT r.ante, r.cons, r.sab AS support,
+       |  round(CAST(r.sab AS DOUBLE) / a.sp, 6) AS confidence,
+       |  round(CAST(n.n AS DOUBLE) * r.sab
+       |    / (CAST(a.sp AS DOUBLE) * b.sp), 6) AS lift
+       |FROM rules r
+       |JOIN supp a ON a.pk = r.ante JOIN supp b ON b.pk = r.cons
+       |CROSS JOIN n
+       |ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q235
+  /** Label propagation (5 synchronous iterations, majority vote with
+    * count-desc/min-label tie-break) on the co-purchase graph;
+    * community sizes, top-20.
+    */
+  val q235: Q = (s, d) => {
+    val pr = pairSupport(s, d)
+    val edges = pr.select(col("pa").as("u"), col("pb").as("v"))
+      .union(pr.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint(true)
+    var lab = edges.select(col("u").as("p")).distinct()
+      .select(col("p"), col("p").as("lb"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val nb = edges
+        .join(lab.select(col("p").as("v2"), col("lb")), col("v") === col("v2"))
+        .groupBy(col("u"), col("lb")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("lb"))
+      lab = nb.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("u").as("p"), col("lb"))
+        .localCheckpoint(true)
+    }
+    lab.groupBy(col("lb")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("lb"))
+      .limit(20)
+      .select(col("lb").as("community"), col("size"))
+  }
+
+  val q235Sql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT u AS p, lb FROM (
+         |    SELECT e.u, l.lb, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY count(*) DESC, l.lb) AS rn
+         |    FROM edges e JOIN l${k - 1} l ON l.p = e.v
+         |    GROUP BY e.u, l.lb)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $PairSqlCte,
+       |edges AS MATERIALIZED (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS u, pa AS v FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS p, u AS lb FROM edges),
+       |$iters
+       |SELECT lb AS community, count(*) AS size FROM l5
+       |GROUP BY 1 ORDER BY size DESC, lb LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q236
+  /** Item-item cosine over order-occurrence vectors:
+    * sab/sqrt(sa·sb), top-20 by the rounded value + pair tiebreak.
+    */
+  val q236: Q = (s, d) => {
+    val supp = items(s, d).groupBy(col("pk")).agg(count(lit(1)).as("sp"))
+    pairSupport(s, d)
+      .join(supp.select(col("pk").as("ka"), col("sp").as("sa")), col("pa") === col("ka"))
+      .join(supp.select(col("pk").as("kb"), col("sp").as("sb")), col("pb") === col("kb"))
+      .select(col("pa"), col("pb"), col("sab").as("support"),
+        round(col("sab").cast("double")
+          / sqrt(col("sa").cast("double") * col("sb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  val q236Sql: String =
+    s"""WITH $PairSqlCte,
+       |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS sp FROM items GROUP BY 1)
+       |SELECT p.pa, p.pb, p.sab AS support,
+       |  round(CAST(p.sab AS DOUBLE)
+       |    / sqrt(CAST(a.sp AS DOUBLE) * b.sp), 6) AS cosine
+       |FROM pairs p JOIN supp a ON a.pk = p.pa JOIN supp b ON b.pk = p.pb
+       |ORDER BY cosine DESC, pa, pb LIMIT 20""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q233_pair_support", q233, Some(q233Sql)),
+    ("q234_association_rules", q234, Some(q234Sql)),
+    ("q235_lpa_communities", q235, Some(q235Sql)),
+    ("q236_item_cosine", q236, Some(q236Sql)))
+}
