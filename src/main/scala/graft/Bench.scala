@@ -123,8 +123,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     System.err.println(line(fullNames))
+    // 2 decimals on the stdout line: at 236 queries the %.3f variant
+    // brushes the driver's 4 KiB tail (full precision stays on stderr)
     val shortNames = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val out = line(shortNames)
     if (out.length > 3800)
