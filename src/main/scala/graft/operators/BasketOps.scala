@@ -137,9 +137,10 @@ object BasketOps {
         .join(lab.select(col("p").as("v2"), col("lb")), col("v") === col("v2"))
         .groupBy(col("u"), col("lb")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("lb"))
+      // no per-iteration checkpoint: 5 iterations grow the plan linearly
+      // (unlike q50's doubling star rounds) and one final action runs it
       lab = nb.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("u").as("p"), col("lb"))
-        .localCheckpoint(true)
     }
     lab.groupBy(col("lb")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("lb"))
