@@ -765,6 +765,43 @@ class QueryPackSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: ${rows.toSeq}")
   }
 
+  test("round-6 statistical packs respect their mathematical bounds") {
+    import org.apache.spark.sql.Row
+    // Spearman and Kendall tau-b live in [-1, 1]
+    operators.RankCorrOps.q209(spark, sf).collect().foreach {
+      case Row(_, _, rho: java.lang.Double) =>
+        assert(math.abs(rho) <= 1.0 + 1e-9, s"spearman out of range: $rho")
+      case _ => ()
+    }
+    operators.RankCorrOps.q210(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_users")
+      val c = r.getAs[Long]("concordant"); val dd = r.getAs[Long]("discordant")
+      assert(c + dd <= n * (n - 1) / 2, "pair counts exceed n choose 2")
+      Option(r.getAs[java.lang.Double]("tau_b")).foreach(t =>
+        assert(math.abs(t) <= 1.0 + 1e-9, s"tau out of range: $t"))
+    }
+    // Kaplan-Meier is nonincreasing in [0, 1] (exactly 0 when the last
+    // risk set has no survivors)
+    val km = operators.LifecycleOps.q213(spark, sf)
+      .select("gap_days", "km").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    km.foreach { case (_, v) => assert(v >= 0.0 && v <= 1.0) }
+    km.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(b <= a + 1e-9, "KM must not increase")
+      case _ => ()
+    }
+    // Mann-Kendall: trend flag is the sign of S
+    operators.TrendOps.q224(spark, sf).collect().foreach { r =>
+      val sStat = r.getAs[Long]("s_stat"); val tr = r.getAs[Long]("trend")
+      assert(tr == sStat.sign, "trend must be sign(S)")
+    }
+    // AUC in [0, 1]
+    operators.CalibrationOps.q227(spark, sf).collect().foreach { r =>
+      Option(r.getAs[java.lang.Double]("auc")).foreach(a =>
+        assert(a >= -1e-9 && a <= 1.0 + 1e-9, s"auc out of range: $a"))
+    }
+  }
+
   test("q122's closed-form decile equals ntile(10) for arbitrary N") {
     // the de-skewed q122 rebuilds ntile(10) row-locally from (rank, N);
     // prove the closed form against Spark's own ntile for Ns that cover
