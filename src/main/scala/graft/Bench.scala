@@ -108,29 +108,43 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else medianOf(times))
     }
 
-    // The driver records only the last ~4 KiB of output, so the final
-    // stdout JSON line must fit there entirely (r4's full-name line was
-    // ~4.6 KiB and the driver failed to parse it). Per-query keys are
-    // therefore the short "qNN" ids in the stdout line; the full-name
-    // variant goes to stderr for humans/logs.
+    // The driver records only the LAST 2,000 BYTES of stdout (measured:
+    // every BENCH_r*.json has len(tail) == 2000; sbt's "[success]" trailer
+    // eats ~75 B of that). The final stdout line must therefore fit in
+    // ~1,900 B — a full per-query map stopped fitting at ~150 queries
+    // (r4 and r6 both lost their bench data to this). So stdout carries
+    // aggregates + the SLOWEST-N per-query entries (filled greedily while
+    // the line stays under budget — decoupled from total query count);
+    // the full %.3f map goes to stderr and BENCH_FULL.json for humans,
+    // regression diffs and the round log.
+    lazy val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nQ = results.size
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQ,""" +
         s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +
         s""""stream_produce_msgs_per_sec":${f"$streamRate%.0f"},""" +
-        s""""msg_bytes":1024,"sf":"$sfDir"}"""
-    lazy val total = results.collect { case (_, v) if v >= 0 => v }.sum
+        s""""msg_bytes":1024,"sf":"$sfDir","queries":$qs}"""
     val fullNames = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     System.err.println(line(fullNames))
-    // 2 decimals on the stdout line: at 236 queries the %.3f variant
-    // brushes the driver's 4 KiB tail (full precision stays on stderr)
-    val shortNames = results
+    try {
+      val p = java.nio.file.Path.of(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+      java.nio.file.Files.writeString(p, line(fullNames) + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+    // slowest-first short-key ("qNN":%.2f) entries, greedily while the
+    // whole line stays under the 1,900 B stdout budget
+    val budget = 1900
+    val slowestFirst = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    val out = line(shortNames)
-    if (out.length > 3800)
-      System.err.println(s"[bench] WARNING: stdout JSON line is ${out.length} B (> 3800)")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (e <- slowestFirst)
+      if (line((kept :+ e).mkString("{", ",", "}")).length <= budget) kept += e
+    val out = line(kept.mkString("{", ",", "}"))
+    if (out.length > budget)
+      System.err.println(s"[bench] WARNING: stdout JSON line is ${out.length} B (> $budget)")
     println(out)
     spark.stop()
   }

@@ -1405,8 +1405,9 @@ object TopicStore {
   // swaps exclude ALL same-JVM readers and produces serialize with
   // rescale's copy-then-flip across instances. The maps are append-only;
   // their cardinality is (roots × topics) touched over the JVM's life —
-  // operationally small (an entry is one lock object), and the
-  // alternative (weak values) races compute-if-absent with collection.
+  // operationally small (an entry is one lock object), so these two stay
+  // strongly held; the higher-churn scoped-lock table below is
+  // weak-valued instead.
   // (Cross-JVM coordination is out of scope by design: the engine is a
   // single serving driver; multi-node deployments get coherence from the
   // generation dimension + deferred deletes, not file locks.)
@@ -1419,12 +1420,33 @@ object TopicStore {
   // reconcile ledger are JVM-global per root, so their serialization must
   // be too — two instances over one root (the DSv2 writer/observer
   // pattern) would otherwise interleave read-modify-writes and lose a
-  // commit's partitions or double-run the heal's delete-then-rename swap
-  private val globalScopedLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // commit's partitions or double-run the heal's delete-then-rename swap.
+  // Values are WEAK so churning ephemeral groups/topics (test suites,
+  // short-lived consumer groups) can't grow the table without bound: a
+  // monitor some thread holds or waits on is strongly reachable from that
+  // thread's stack, so collection only ever reclaims locks nobody is
+  // using — the remove(key, ref)+retry loop then re-interns race-free
+  // (remove is value-conditional, so a fresh winner is never evicted)
+  private val globalScopedLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[Object]]()
 
-  private[graft] def scopedLockFor(key: String): Object =
-    globalScopedLocks.computeIfAbsent(key, _ => new Object)
+  private[graft] def scopedLockFor(key: String): Object = {
+    var o: Object = null
+    while (o == null) {
+      val ref = globalScopedLocks.computeIfAbsent(
+        key, _ => new java.lang.ref.WeakReference(new Object))
+      o = ref.get()
+      if (o == null) globalScopedLocks.remove(key, ref)
+    }
+    // dead-entry stubs (cleared ref + string key) still accumulate until
+    // their key is re-touched; sweep them once the table grows past any
+    // plausible live-scope count
+    if (globalScopedLocks.size() > 4096) {
+      val it = globalScopedLocks.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+    }
+    o
+  }
 
   /** Root key through the root's FileSystem: "/x/y", "file:///x/y", and
     * "/x/y/" all qualify to one URI, so scheme-variant spellings of the

@@ -88,9 +88,16 @@ object ModalityOps {
     * the pair ids as integer tiebreaks.
     */
   val q198: Q = (s, d) => {
+    // top-10 via orderBy+limit = TakeOrderedAndProject (parallel
+    // per-partition top-K + driver merge), then rank the 10-row result —
+    // the dup-pair set is corpus-order at scale (boilerplate clusters are
+    // quadratic within cluster), so a global row_number window over it
+    // would be a single-task sort of a huge table (q203/EvalOps
+    // discipline; bit-identical ordering, oracle unchanged)
     val w = Window.orderBy(round(col("cos"), 6).asc, col("doc_a"), col("doc_b"))
     pairCos(s, d)
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .orderBy(round(col("cos"), 6).asc, col("doc_a"), col("doc_b")).limit(10)
+      .withColumn("rk", row_number().over(w))
       .select(col("rk"), col("doc_a"), col("doc_b"),
         round(col("cos"), 6).as("cos"))
       .orderBy("rk")

@@ -182,7 +182,10 @@ object StreamOps {
       .select(l("key").as("key"), col("lts"), col("rts"))
   }
 
-  case class Evt(key: String, ts: java.sql.Timestamp, value: Double)
+  // eventId defaults to 0 for sources without a record id; ewmaSpikes
+  // uses it as the tie-break mirroring q128's (us, event_id, value) sort
+  case class Evt(key: String, ts: java.sql.Timestamp, value: Double,
+      eventId: Long = 0L)
   case class SessionState(n: Long, sumValue: Double, lastUs: Long)
   case class SessionUpdate(key: String, n: Long, sumValue: Double)
 
@@ -247,18 +250,23 @@ object StreamOps {
     * costs three state fields, not its history. Bit-equality with the
     * batch fold holds when events arrive in per-key event order, which
     * the engine's per-key total order (§2.6.1) provides across batches;
-    * within a micro-batch rows are sorted by (ts, then value as a
-    * deterministic tie-break) before folding.
+    * within a micro-batch rows are sorted by (epoch MICROS, eventId,
+    * value) before folding — the same sort key as q128's
+    * sort_array(struct(us, event_id, value)), so same-millisecond events
+    * and same-timestamp events with eventId order ≠ value order fold in
+    * the identical sequence.
     */
   def ewmaSpikes(events: Dataset[Evt]): Dataset[EwmaUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[Evt], state: GroupState[EwmaState]) => {
           var s = state.getOption.getOrElse(EwmaState(0.0, 0L, 0L))
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          rows.toSeq.sortBy(e => (micros(e.ts), e.eventId, e.value)).foreach { e =>
             s =
               if (s.n == 0L) EwmaState(e.value, 0L, 1L)
               else EwmaState(

@@ -101,11 +101,20 @@ object TopicLagTable {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("topic_lag requires an active SparkSession"))
     val store = new graft.engine.TopicStore(spark, root)
+    // committed comes from groupOffsets DIRECTLY (not watermark − lag:
+    // lag clamps at 0, so a committed position at/above the watermark
+    // would be misreported as the watermark), and partitions enumerate
+    // the full ring 0 until clusterSize·rangesPerToken — producerOffsets
+    // is a sparse map, and the doc promises one row per ring partition
+    // with uncommitted partitions reporting the full watermark as lag
     val rows = store.listTopics().flatMap { case (t, _, _) =>
+      val g = store.generation(t)
       val hw = store.producerOffsets(t)
-      store.lag(group, t).toSeq.sortBy(_._1).map { case (p, l) =>
+      val committed = store.groupOffsets(group, t)
+      (0 until g.clusterSize * store.rangesPerToken).map { p =>
         val w = hw.getOrElse(p, 0L)
-        InternalRow(UTF8String.fromString(t), p, w, w - l, l)
+        val c = committed.getOrElse(p, 0L)
+        InternalRow(UTF8String.fromString(t), p, w, c, math.max(0L, w - c))
       }
     }
     LocalRelation(
@@ -138,17 +147,34 @@ object TopicOffsetsForTimeTable {
       case other => throw new IllegalArgumentException(
         s"topic_offsets_for_time root/topic must be string literals, got $other")
     }
-    val ts = exprs(2) match {
-      case Literal(micros: Long, _: TimestampType) =>
-        new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
-      case Literal(s: UTF8String, StringType) =>
-        java.sql.Timestamp.valueOf(s.toString)
-      case other => throw new IllegalArgumentException(
-        s"topic_offsets_for_time ts must be a TIMESTAMP or string literal, got $other")
-    }
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException(
         "topic_offsets_for_time requires an active SparkSession"))
+    // epoch-micros → java.sql.Timestamp with the sub-millisecond part
+    // preserved via setNanos (the millis-only constructor would silently
+    // shift a sub-millisecond cut earlier)
+    def microsToTs(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
+    }
+    val ts = exprs(2) match {
+      case Literal(micros: Long, _: TimestampType) => microsToTs(micros)
+      case l @ Literal(_: UTF8String, StringType) =>
+        // parse through the SESSION timezone (Cast to TimestampType),
+        // matching what TIMESTAMP '...' literals resolve to — the old
+        // Timestamp.valueOf path used the JVM default timezone, which can
+        // disagree with spark.sql.session.timeZone
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
+        org.apache.spark.sql.catalyst.expressions
+          .Cast(l, TimestampType, Some(zone)).eval() match {
+          case micros: Long => microsToTs(micros)
+          case _ => throw new IllegalArgumentException(
+            s"topic_offsets_for_time: unparseable timestamp string ${l.value}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"topic_offsets_for_time ts must be a TIMESTAMP or string literal, got $other")
+    }
     val store = new graft.engine.TopicStore(spark, root)
     val rows = store.offsetsForTime(topic, ts).toSeq.sortBy(_._1).map {
       case (p, o) => InternalRow(UTF8String.fromString(topic), p, o)

@@ -84,6 +84,11 @@ class ExtensionsSpec extends AnyFunSuite {
       store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
       val pre = spark.sql(
         s"SELECT part, watermark, committed, lag FROM topic_lag('$root', 'g')").collect()
+      // one row per ring partition (clusterSize 6 after the rescale ×
+      // rangesPerToken 4), INCLUDING never-produced partitions — the
+      // producerOffsets map is sparse (r7 fix)
+      assert(pre.length == 6 * store.rangesPerToken,
+        s"topic_lag must enumerate the full ring, got ${pre.length} rows")
       assert(pre.map(_.getLong(1)).sum == 6L, "watermarks must cover all 6 records")
       assert(pre.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)),
         "lag must equal watermark - committed on every row")
@@ -113,6 +118,19 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT part, offset FROM topic_offsets_for_time('$root', 't', '${mid.toString}')")
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(sqlCut == apiCut, s"SQL cut $sqlCut != API cut $apiCut")
+      // sub-millisecond precision survives (r7 fix: the millis-only
+      // Timestamp constructor truncated micros, shifting a cut 500 µs
+      // after the 3 s record EARLIER so it wrongly included that record)
+      val micro = new java.sql.Timestamp(1700000000000L + 3 * 1000L)
+      micro.setNanos(500000)
+      val apiMicro = store.offsetsForTime("t", micro)
+      val sqlMicro = spark.sql(
+        s"SELECT part, offset FROM topic_offsets_for_time('$root', 't', '${micro.toString}')")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sqlMicro == apiMicro,
+        s"micro-precision SQL cut $sqlMicro != API cut $apiMicro")
+      assert(apiMicro != apiCut,
+        "the 500 µs shift must move the cut past the 3 s record")
 
       // topic_stats TVF: per-partition storage observability. Watermarks
       // agree with the engine API; produced partitions have files+bytes,

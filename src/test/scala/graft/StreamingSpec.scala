@@ -297,6 +297,31 @@ class StreamingSpec extends AnyFunSuite {
     ()
   }
 
+  test("ewmaSpikes folds same-millisecond events in (micros, eventId) order") {
+    // two events in ONE millisecond, micros order (8.0 then 1.0) opposite
+    // to value order (1.0 then 8.0): folding 8-then-1 yields ewma 4.5 and
+    // ZERO spikes, while the old (getTime, value) sort folded 1-then-8 and
+    // counted a spurious spike (8 > 2·1). The sort key now mirrors q128's
+    // sort_array(struct(us, event_id, value)).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Evt]
+    val q = StreamOps.ewmaSpikes(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_us_out")
+      .outputMode("update").start()
+    val a = new Timestamp(1700000000000L); a.setNanos(1000) // +1 µs
+    val b = new Timestamp(1700000000000L); b.setNanos(2000) // +2 µs
+    mem.addData(StreamOps.Evt("u1", b, 1.0, 2L), StreamOps.Evt("u1", a, 8.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.sql("SELECT n, ewma, spikes FROM ewma_us_out ORDER BY n DESC LIMIT 1")
+      .as[(Long, Double, Long)].head()
+    assert(fin == ((2L, 4.5, 0L)),
+      s"same-millisecond events must fold in micros order: $fin")
+    spark.sql("DROP VIEW IF EXISTS ewma_us_out")
+    ()
+  }
+
   // ---- near-dup gate: dedup-on-ingest against a static corpus index ----
 
   private val gateSf = "/root/testdata/sf0.01" // sf0.001 has no near-dup pairs
