@@ -114,4 +114,76 @@ object TopologyWatcher {
       onRescale: (String, Generation) => Unit = (_, _) => ()): TopologyWatcher =
     new TopologyWatcher(store, fileReplicas(topologyFile), pollDelayMs,
       requireDrained, onRescale)
+
+  /** Parse a Kubernetes `StatefulSetList` (or single `StatefulSet`) API
+    * payload — the shape `kubectl get statefulset -l
+    * app.kubernetes.io/name=<app> -o json` returns — into the desired
+    * replica count, with the reference's exact edge semantics
+    * (`k8s_client.go:80-105`): no matching StatefulSet is an error (→
+    * no-signal here, warn-and-continue), an absent `spec.replicas`
+    * defaults to 1, and zero replicas is an error (the reference refuses
+    * to scale a cluster to nothing). Malformed payloads are no-signal.
+    */
+  private[graft] def parseStatefulSetReplicas(json: String): Option[Int] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      if (root == null || !root.isObject) None
+      else {
+        val sts =
+          if (root.has("items")) {
+            val items = root.get("items")
+            if (!items.isArray || items.size == 0) null else items.get(0)
+          } else root
+        if (sts == null) None
+        else {
+          val spec = sts.get("spec")
+          val replicas =
+            if (spec == null || spec.get("replicas") == null) 1
+            else spec.get("replicas").asInt(1)
+          if (replicas <= 0) None else Some(replicas)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** The Kubernetes StatefulSet feed (`k8s_client.go`): desired replicas
+    * come from the StatefulSet selected by the reference's
+    * `app.kubernetes.io/name=<app>` label in the pod's namespace,
+    * queried through an external command (default: kubectl against the
+    * cluster API, exactly the AppsV1 List the reference issues). A
+    * failing or missing command is no-signal — the poll loop
+    * warns-and-continues like the reference's watch-reconnect backoff;
+    * there is no separate watch channel because the poll delay plays
+    * that role (the same simplification the fixed-topology file mode
+    * makes in `discoverer.go`).
+    */
+  private[graft] def commandReplicas(cmd: Seq[String]): () => Option[Int] = () =>
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      if (rc != 0) None else parseStatefulSetReplicas(out)
+    } catch { case _: Exception => None } // kubectl absent/unreachable: next tick
+
+  /** Kubernetes-discovery watcher: polls the StatefulSet named by the
+    * app label for its desired replicas (the in-cluster analog reads the
+    * same object through the API server; see `parseStatefulSetReplicas`
+    * for the payload semantics).
+    */
+  def forKubernetes(
+      store: TopicStore,
+      namespace: String,
+      appName: String,
+      pollDelayMs: Long = 10000L,
+      requireDrained: Boolean = false,
+      onRescale: (String, Generation) => Unit = (_, _) => (),
+      kubectl: String = "kubectl"): TopologyWatcher =
+    new TopologyWatcher(
+      store,
+      commandReplicas(Seq(kubectl, "get", "statefulset",
+        "-n", namespace, "-l", s"app.kubernetes.io/name=$appName",
+        "-o", "json")),
+      pollDelayMs, requireDrained, onRescale)
 }

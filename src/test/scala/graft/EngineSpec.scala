@@ -524,6 +524,58 @@ class EngineSpec extends AnyFunSuite {
     assert(store.poll("g", "t", "c").count() == 12L)
   }
 
+  test("k8s StatefulSet payloads parse with the reference's edge semantics") {
+    // recorded-payload drive of the K8s feed (`k8s_client.go:80-105`):
+    // no live cluster — the parser sees exactly what
+    // `kubectl get statefulset -l app.kubernetes.io/name=x -o json`
+    // returns. Reference semantics: absent spec.replicas defaults to 1,
+    // zero replicas is an error, no matching StatefulSet is an error
+    // (both are no-signal skips in the poll loop).
+    import graft.engine.TopologyWatcher.parseStatefulSetReplicas
+    def stsList(items: String) = s"""{"kind":"StatefulSetList","apiVersion":"apps/v1","items":[$items]}"""
+    val sts6 = """{"kind":"StatefulSet","metadata":{"name":"graft","labels":{"app.kubernetes.io/name":"graft"}},"spec":{"replicas":6,"serviceName":"graft"}}"""
+    assert(parseStatefulSetReplicas(stsList(sts6)) == Some(6))
+    // single-object payload (kubectl get sts/<name> -o json) binds too
+    assert(parseStatefulSetReplicas(sts6) == Some(6))
+    // nil replicas -> 1 (the reference's default)
+    assert(parseStatefulSetReplicas(
+      stsList("""{"kind":"StatefulSet","spec":{"serviceName":"graft"}}""")) == Some(1))
+    // zero replicas -> error/no-signal (refuse to scale to nothing)
+    assert(parseStatefulSetReplicas(
+      stsList("""{"kind":"StatefulSet","spec":{"replicas":0}}""")) == None)
+    // empty list -> "No statefulset found" -> no-signal
+    assert(parseStatefulSetReplicas(stsList("")) == None)
+    // malformed payload -> no-signal
+    assert(parseStatefulSetReplicas("""{"kind":""") == None)
+    assert(parseStatefulSetReplicas("not json at all") == None)
+  }
+
+  test("k8s command supplier drives a rescale from a recorded payload") {
+    // the command path end-to-end without kubectl: `cat <payload>` stands
+    // in for the API call; a failing command (missing file) is no-signal
+    // and the poll loop continues, like the reference's watch backoff.
+    val store = freshStore()
+    store.produceStrings("t", (0 until 6).map(i => (s"k$i", s"m$i", ts(i))))
+    assert(store.generation("t") == graft.engine.Generation(1, 3))
+    val payload = java.nio.file.Files.createTempFile("graft-k8s", ".json")
+    java.nio.file.Files.writeString(payload,
+      """{"kind":"StatefulSetList","items":[{"spec":{"replicas":6}}]}""")
+    val supplier = graft.engine.TopologyWatcher.commandReplicas(
+      Seq("cat", payload.toString))
+    assert(supplier() == Some(6))
+    val watcher = new graft.engine.TopologyWatcher(store, supplier)
+    watcher.pollOnce()
+    assert(store.generation("t") == graft.engine.Generation(2, 6),
+      s"expected k8s-driven scale-up, got ${store.generation("t")} (err=${watcher.lastFailure})")
+    // command failure (deleted payload) = no-signal: topology holds
+    java.nio.file.Files.delete(payload)
+    watcher.pollOnce()
+    assert(store.generation("t").version == 2, "failed command must not rescale")
+    // records survive the k8s-driven change
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g", "t", "c").count() == 6L)
+  }
+
   test("register-after-two-rescales reads every ancestor generation from offset 0") {
     // R7 full semantics (the reference BFS-walks ParentRanges to the
     // earliest ancestor, `offset_state.go:260-302`): data produced under
