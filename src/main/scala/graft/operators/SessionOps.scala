@@ -1,0 +1,374 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Session analytics over `events` (round 7, twenty-eighth pack): the
+  * product-analytics layer a topic consumer feeds — session shape
+  * histogram (q253), the within-session ordered funnel (q254), the
+  * entry/exit event matrix (q255), inter-session return gaps (q256),
+  * hourly session concurrency (q257), and within-session time-to-convert
+  * (q258). Sessions close after a 6-HOUR inactivity gap (q15 keeps the
+  * reference 30-minute gap; this pack's wider window is the
+  * daily-visit-level cut product analytics runs next to it — at this
+  * event density a 30-minute cut degenerates to one-event sessions).
+  *
+  * Scale notes (the 100 TB story): sessionization is the q15
+  * gaps-and-islands — every window partitions by user_id (or by the
+  * (user_id, sid) refinement, which hash(user_id) already satisfies, so
+  * ONE exchange feeds all per-session windows); there is no
+  * un-partitioned window anywhere in the pack. The funnel (q254/q258) is
+  * q72's chained filter → min-aggregate → equi-join discipline on the
+  * (user_id, sid) key with monotonically shrinking stage tables. Final
+  * aggregations land on bounded domains: 4–5 label buckets, |types|²
+  * cells, span hours (q257's explode fans each session to its
+  * duration-in-hours, bounded by span, not by corpus). Per-session
+  * event counts are gap-bounded in practice; no per-key history list is
+  * ever collected.
+  *
+  * Exactness: all time arithmetic on epoch MICROS (integer); bucket
+  * edges are integer literals; session value sums stay DECIMAL(18,4)
+  * through BOTH aggregation levels and cast to double only on output;
+  * the single division (q255 share) divides exact BIGINTs identically on
+  * both engines, rounded at 6 on output only.
+  */
+object SessionOps {
+  import Relational.Q
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** 6 h of silence closes a session. */
+  private val GapUs = 21600000000L
+
+  /** The q15 gaps-and-islands at the 6 h gap: events + `us` + `sid`. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val e = Graft.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_us", "is_new")
+  }
+
+  private val sessionCte: String =
+    """t AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |t2 AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM t),
+      |se AS (
+      |  SELECT user_id, event_id, event_type, value, us,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM t2)""".stripMargin
+
+  // ---------------------------------------------------------------- q253
+  /** Session shape histogram: sessions bucketed by event count (bounce /
+    * 2–4 / 5–9 / 10+) with users, events, total duration, and total
+    * value per bucket. Two hash aggregations (per-session, then 4-row
+    * bucket table); value sums stay DECIMAL through both levels.
+    */
+  val q253: Q = (s, d) => {
+    val g = sessionized(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        count(lit(1)).as("ne"),
+        (max(col("us")) - min(col("us"))).as("dur_us"),
+        sum(dec(col("value"))).as("sv"))
+    g.withColumn("bidx",
+        when(col("ne") === 1, 0).when(col("ne") <= 4, 1)
+          .when(col("ne") <= 9, 2).otherwise(3))
+      .withColumn("bucket",
+        when(col("ne") === 1, "bounce").when(col("ne") <= 4, "2-4")
+          .when(col("ne") <= 9, "5-9").otherwise("10+"))
+      .groupBy(col("bidx"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("ne")).as("n_events"),
+        sum(col("dur_us")).as("sum_dur_us"),
+        sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy("bidx")
+  }
+
+  val q253Sql: String =
+    s"""WITH $sessionCte,
+       |g AS (
+       |  SELECT user_id, sid, count(*) AS ne, max(us) - min(us) AS dur_us,
+       |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+       |  FROM se GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *,
+       |    CASE WHEN ne = 1 THEN 0 WHEN ne <= 4 THEN 1
+       |         WHEN ne <= 9 THEN 2 ELSE 3 END AS bidx,
+       |    CASE WHEN ne = 1 THEN 'bounce' WHEN ne <= 4 THEN '2-4'
+       |         WHEN ne <= 9 THEN '5-9' ELSE '10+' END AS bucket
+       |  FROM g)
+       |SELECT bidx, bucket, count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(ne) AS BIGINT) AS n_events,
+       |  CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+       |  CAST(sum(sv) AS DOUBLE) AS sum_value
+       |FROM b GROUP BY 1, 2 ORDER BY bidx""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** Within-session ordered funnel: sessions whose OWN event stream
+    * progresses view → click → purchase, each stage strictly after the
+    * previous stage's first qualifying event (q72 is the cross-session
+    * per-user funnel; this is the per-visit conversion product teams
+    * read next to it). Chained (user_id, sid)-key joins, stage tables
+    * shrink monotonically.
+    */
+  val q254: Q = (s, d) => {
+    val se = sessionized(s, d).select("user_id", "sid", "event_type", "us")
+    val s1 = se.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t1"))
+    val s2 = se.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id", "sid")).filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t2"))
+    val s3 = se.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id", "sid")).filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t3"))
+    def st(df: DataFrame, stage: Int, typ: String) =
+      df.agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(stage).as("stage"), lit(typ).as("event_type"),
+          col("n_sessions"), col("n_users"))
+    st(s1, 1, "view").unionAll(st(s2, 2, "click")).unionAll(st(s3, 3, "purchase"))
+      .orderBy("stage")
+  }
+
+  private val funnelCte: String =
+    """s1 AS (
+      |  SELECT user_id, sid, min(us) AS t1 FROM se
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT se.user_id, se.sid, min(se.us) AS t2
+      |  FROM se JOIN s1 ON se.user_id = s1.user_id AND se.sid = s1.sid
+      |  WHERE se.event_type = 'click' AND se.us > s1.t1 GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT se.user_id, se.sid, min(se.us) AS t3
+      |  FROM se JOIN s2 ON se.user_id = s2.user_id AND se.sid = s2.sid
+      |  WHERE se.event_type = 'purchase' AND se.us > s2.t2 GROUP BY 1, 2)""".stripMargin
+
+  val q254Sql: String =
+    s"""WITH $sessionCte,
+       |$funnelCte
+       |SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users FROM s1
+       |UNION ALL
+       |SELECT 2, 'click', count(*), count(DISTINCT user_id) FROM s2
+       |UNION ALL
+       |SELECT 3, 'purchase', count(*), count(DISTINCT user_id) FROM s3
+       |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q255
+  /** Entry/exit matrix: counts of (first event type, last event type)
+    * per session with each cell's share of all sessions. First/last
+    * resolve by the codebase total order (us, event_id) via two
+    * row_numbers over the SAME (user_id, sid) partitioning — one
+    * exchange, two sorts; |types|² output.
+    */
+  val q255: Q = (s, d) => {
+    val se = sessionized(s, d)
+    val wA = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    val wD = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val ee = se
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        max(when(col("ra") === 1, col("event_type"))).as("entry_type"),
+        max(when(col("rd") === 1, col("event_type"))).as("exit_type"))
+    val tot = ee.agg(count(lit(1)).as("total"))
+    ee.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("total"), 6).as("share"))
+      .orderBy("entry_type", "exit_type")
+  }
+
+  val q255Sql: String =
+    s"""WITH $sessionCte,
+       |r AS (
+       |  SELECT user_id, sid, event_type,
+       |    row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS ra,
+       |    row_number() OVER (PARTITION BY user_id, sid ORDER BY us DESC, event_id DESC) AS rd
+       |  FROM se),
+       |ee AS (
+       |  SELECT user_id, sid,
+       |    max(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+       |    max(CASE WHEN rd = 1 THEN event_type END) AS exit_type
+       |  FROM r GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS total FROM ee),
+       |m AS (
+       |  SELECT entry_type, exit_type, count(*) AS n_sessions
+       |  FROM ee GROUP BY 1, 2)
+       |SELECT entry_type, exit_type, n_sessions,
+       |  round(CAST(n_sessions AS DOUBLE) / total, 6) AS share
+       |FROM m, tot ORDER BY entry_type, exit_type""".stripMargin
+
+  // ---------------------------------------------------------------- q256
+  /** Inter-session return gaps: silence between a session's end and the
+    * user's next session start, bucketed (6–12 h / 12–24 h / 1–3 d /
+    * 3–7 d / >7 d — the 6 h floor is the gap rule itself). Per-user lag
+    * over the sessions table; 5-row output, all integers.
+    */
+  val q256: Q = (s, d) => {
+    val g = sessionized(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("sid"))
+    g.withColumn("prev_end", lag(col("end_us"), 1).over(wu))
+      .filter(col("prev_end").isNotNull)
+      .withColumn("gap_us", col("start_us") - col("prev_end"))
+      .withColumn("bidx",
+        when(col("gap_us") <= 43200000000L, 0)
+          .when(col("gap_us") <= 86400000000L, 1)
+          .when(col("gap_us") <= 259200000000L, 2)
+          .when(col("gap_us") <= 604800000000L, 3).otherwise(4))
+      .withColumn("bucket",
+        when(col("gap_us") <= 43200000000L, "6-12h")
+          .when(col("gap_us") <= 86400000000L, "12-24h")
+          .when(col("gap_us") <= 259200000000L, "1-3d")
+          .when(col("gap_us") <= 604800000000L, "3-7d").otherwise(">7d"))
+      .groupBy(col("bidx"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("bidx")
+  }
+
+  val q256Sql: String =
+    s"""WITH $sessionCte,
+       |g AS (
+       |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+       |  FROM se GROUP BY 1, 2),
+       |r AS (
+       |  SELECT user_id, start_us,
+       |    lag(end_us, 1) OVER (PARTITION BY user_id ORDER BY sid) AS prev_end
+       |  FROM g),
+       |c AS (
+       |  SELECT user_id, start_us - prev_end AS gap_us
+       |  FROM r WHERE prev_end IS NOT NULL),
+       |b AS (
+       |  SELECT user_id, gap_us,
+       |    CASE WHEN gap_us <= 43200000000 THEN 0 WHEN gap_us <= 86400000000 THEN 1
+       |         WHEN gap_us <= 259200000000 THEN 2 WHEN gap_us <= 604800000000 THEN 3
+       |         ELSE 4 END AS bidx,
+       |    CASE WHEN gap_us <= 43200000000 THEN '6-12h' WHEN gap_us <= 86400000000 THEN '12-24h'
+       |         WHEN gap_us <= 259200000000 THEN '1-3d' WHEN gap_us <= 604800000000 THEN '3-7d'
+       |         ELSE '>7d' END AS bucket
+       |  FROM c)
+       |SELECT bidx, bucket, count(*) AS n_gaps, count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, max(gap_us) AS max_gap_us
+       |FROM b GROUP BY 1, 2 ORDER BY bidx""".stripMargin
+
+  // ---------------------------------------------------------------- q257
+  /** Hourly session concurrency: for every epoch hour, how many sessions
+    * were open and how many distinct users active. Each session explodes
+    * to its spanned hours (`sequence` on integer hour indexes — fan-out
+    * bounded by session duration, never by corpus size), then one count
+    * per hour; output is span-bounded.
+    */
+  val q257: Q = (s, d) => {
+    val g = sessionized(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    g.select(col("user_id"),
+        explode(sequence(
+          expr("start_us DIV 3600000000"),
+          expr("end_us DIV 3600000000"))).as("hour_idx"))
+      .groupBy(col("hour_idx"))
+      .agg(count(lit(1)).as("n_open"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_idx")
+  }
+
+  val q257Sql: String =
+    s"""WITH $sessionCte,
+       |g AS (
+       |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+       |  FROM se GROUP BY 1, 2),
+       |h AS (
+       |  SELECT user_id,
+       |    unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS hour_idx
+       |  FROM g)
+       |SELECT hour_idx, count(*) AS n_open, count(DISTINCT user_id) AS n_users
+       |FROM h GROUP BY 1 ORDER BY hour_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q258
+  /** Within-session time-to-convert: for q254's fully-converting
+    * sessions, the view→purchase delay distribution (≤30 m / 30 m–2 h /
+    * 2–6 h / >6 h). Stage tables from the same chained-join funnel;
+    * 4-row integer output.
+    */
+  val q258: Q = (s, d) => {
+    val se = sessionized(s, d).select("user_id", "sid", "event_type", "us")
+    val s1 = se.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t1"))
+    val s2 = se.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id", "sid")).filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t2"))
+    val s3 = se.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id", "sid")).filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t3"))
+    s3.join(s1, Seq("user_id", "sid"))
+      .withColumn("delay_us", col("t3") - col("t1"))
+      .withColumn("bidx",
+        when(col("delay_us") <= 1800000000L, 0)
+          .when(col("delay_us") <= 7200000000L, 1)
+          .when(col("delay_us") <= 21600000000L, 2).otherwise(3))
+      .withColumn("bucket",
+        when(col("delay_us") <= 1800000000L, "<=30m")
+          .when(col("delay_us") <= 7200000000L, "30m-2h")
+          .when(col("delay_us") <= 21600000000L, "2-6h").otherwise(">6h"))
+      .groupBy(col("bidx"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("delay_us")).as("sum_delay_us"),
+        min(col("delay_us")).as("min_delay_us"),
+        max(col("delay_us")).as("max_delay_us"))
+      .orderBy("bidx")
+  }
+
+  val q258Sql: String =
+    s"""WITH $sessionCte,
+       |$funnelCte,
+       |dly AS (
+       |  SELECT s3.user_id, s3.t3 - s1.t1 AS delay_us
+       |  FROM s3 JOIN s1 ON s3.user_id = s1.user_id AND s3.sid = s1.sid),
+       |c AS (
+       |  SELECT user_id, delay_us,
+       |    CASE WHEN delay_us <= 1800000000 THEN 0 WHEN delay_us <= 7200000000 THEN 1
+       |         WHEN delay_us <= 21600000000 THEN 2 ELSE 3 END AS bidx,
+       |    CASE WHEN delay_us <= 1800000000 THEN '<=30m' WHEN delay_us <= 7200000000 THEN '30m-2h'
+       |         WHEN delay_us <= 21600000000 THEN '2-6h' ELSE '>6h' END AS bucket
+       |  FROM dly)
+       |SELECT bidx, bucket, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(delay_us) AS BIGINT) AS sum_delay_us,
+       |  min(delay_us) AS min_delay_us, max(delay_us) AS max_delay_us
+       |FROM c GROUP BY 1, 2 ORDER BY bidx""".stripMargin
+
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q253_session_shape", q253, Some(q253Sql)),
+    ("q254_session_funnel", q254, Some(q254Sql)),
+    ("q255_entry_exit", q255, Some(q255Sql)),
+    ("q256_return_gaps", q256, Some(q256Sql)),
+    ("q257_hourly_concurrency", q257, Some(q257Sql)),
+    ("q258_time_to_convert", q258, Some(q258Sql)))
+}

@@ -238,6 +238,10 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** Epoch MICROS — the codebase-wide timestamp unit (getTime is millis). */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
   case class EwmaState(ewma: Double, spikes: Long, n: Long)
   case class EwmaUpdate(key: String, n: Long, ewma: Double, spikes: Long)
 
@@ -259,14 +263,12 @@ object StreamOps {
   def ewmaSpikes(events: Dataset[Evt]): Dataset[EwmaUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[Evt], state: GroupState[EwmaState]) => {
           var s = state.getOption.getOrElse(EwmaState(0.0, 0L, 0L))
-          rows.toSeq.sortBy(e => (micros(e.ts), e.eventId, e.value)).foreach { e =>
+          rows.toSeq.sortBy(e => (microsOf(e.ts), e.eventId, e.value)).foreach { e =>
             s =
               if (s.n == 0L) EwmaState(e.value, 0L, 1L)
               else EwmaState(
@@ -277,6 +279,67 @@ object StreamOps {
           state.update(s)
           Iterator.single(EwmaUpdate(key, s.n, s.ewma, s.spikes))
         })
+  }
+
+  case class OpenSession(sid: Long, startUs: Long, lastUs: Long, n: Long,
+      sumValue: Double)
+  case class SessionClosed(key: String, sid: Long, nEvents: Long,
+      durationUs: Long, sumValue: Double)
+
+  /** Streaming sessionizer — the O(1)-state production path for
+    * `SessionOps`' 6 h gaps-and-islands (q253–q258 consume its output
+    * shape). State per key is ONLY the open session (sid, startUs,
+    * lastUs, n, sumValue); a closed session is emitted the moment a row
+    * arrives more than `gapUs` after the previous one, so a firehose key
+    * costs five state fields, never its history. With the engine's
+    * per-key total order (§2.6.1) across batches and the q128 intra-batch
+    * sort key (epoch MICROS, eventId, value), the emitted closed sessions
+    * equal the batch gaps-and-islands fold over the same prefix — proven
+    * in StreamingSpec against a sequential fold with the per-key tail
+    * session still open in state.
+    */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Evt, SessionClosed] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[OpenSession](
+        "open", org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Evt],
+        timers: TimerValues): Iterator[SessionClosed] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionClosed]
+      var open: OpenSession = if (state.exists()) state.get() else null
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.eventId, e.value)).foreach { e =>
+        val us = microsOf(e.ts)
+        if (open == null) open = OpenSession(1L, us, us, 1L, e.value)
+        else if (us - open.lastUs > gapUs) {
+          out += SessionClosed(key, open.sid, open.n,
+            open.lastUs - open.startUs, open.sumValue)
+          open = OpenSession(open.sid + 1L, us, us, 1L, e.value)
+        } else open = OpenSession(open.sid, open.startUs, us, open.n + 1L,
+          open.sumValue + e.value)
+      }
+      if (open != null) state.update(open)
+      out.iterator
+    }
+  }
+
+  /** Closed-session stream (see `SessionProcessor`). Requires the RocksDB
+    * state store provider, like `offsetWatermarks`.
+    */
+  def sessionizeStream(events: Dataset[Evt], gapUs: Long): Dataset[SessionClosed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(
+        new SessionProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
   }
 
   /** Custom per-key streaming state via flatMapGroupsWithState: running

@@ -232,6 +232,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState sessionizer emits closed sessions equal to the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.Evt]
+      // 30 s inactivity gap; values are exact binary fractions so sums are
+      // order-proof and the equality below is EXACT
+      val q = StreamOps.sessionizeStream(mem.toDS(), 30000000L)
+        .writeStream.format("memory").queryName("sclose_out")
+        .outputMode("update").start()
+      // per-key event order across batches (the engine's §2.6.1 guarantee)
+      mem.addData(StreamOps.Evt("u1", ts(0), 1.0), StreamOps.Evt("u1", ts(10), 2.0),
+        StreamOps.Evt("u2", ts(0), 3.0))
+      q.processAllAvailable()
+      // u1's first session closes ACROSS a batch boundary (state carried);
+      // u2's closes from a single later event
+      mem.addData(StreamOps.Evt("u1", ts(20), 4.0), StreamOps.Evt("u1", ts(100), 0.5),
+        StreamOps.Evt("u2", ts(50), 1.5))
+      q.processAllAvailable()
+      // u1's second session closes WITHIN this batch (two state transitions
+      // in one handleInputRows call); the third stays open in state
+      mem.addData(StreamOps.Evt("u1", ts(105), 0.25), StreamOps.Evt("u1", ts(200), 8.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql("SELECT key, sid, nEvents, durationUs, sumValue FROM sclose_out")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      // the batch gaps-and-islands fold over the same events, minus each
+      // key's still-open tail session (u1 sid 3, u2 sid 2)
+      val expected = Set(
+        ("u1", 1L, 3L, 20000000L, 7.0),
+        ("u1", 2L, 2L, 5000000L, 0.75),
+        ("u2", 1L, 1L, 0L, 3.0))
+      assert(got == expected, s"closed sessions diverged from the batch fold: $got")
+      spark.sql("DROP VIEW IF EXISTS sclose_out")
+      ()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
