@@ -10,8 +10,8 @@ import graft.Graft
   * product-analytics layer a topic consumer feeds — session shape
   * histogram (q253), the within-session ordered funnel (q254), the
   * entry/exit event matrix (q255), inter-session return gaps (q256),
-  * hourly session concurrency (q257), and within-session time-to-convert
-  * (q258). Sessions close after a 6-HOUR inactivity gap (q15 keeps the
+  * the session-maturity conversion curve (q257), and within-session
+  * time-to-convert (q258). Sessions close after a 6-HOUR inactivity gap (q15 keeps the
   * reference 30-minute gap; this pack's wider window is the
   * daily-visit-level cut product analytics runs next to it — at this
   * event density a 30-minute cut degenerates to one-event sessions).
@@ -23,11 +23,9 @@ import graft.Graft
   * un-partitioned window anywhere in the pack. The funnel (q254/q258) is
   * q72's chained filter → min-aggregate → equi-join discipline on the
   * (user_id, sid) key with monotonically shrinking stage tables. Final
-  * aggregations land on bounded domains: 4–5 label buckets, |types|²
-  * cells, span hours (q257's explode fans each session to its
-  * duration-in-hours, bounded by span, not by corpus). Per-session
-  * event counts are gap-bounded in practice; no per-key history list is
-  * ever collected.
+  * aggregations land on bounded domains: 4–5 label buckets or |types|²
+  * cells. Per-session event counts are gap-bounded in practice; no
+  * per-key history list is ever collected.
   *
   * Exactness: all time arithmetic on epoch MICROS (integer); bucket
   * edges are integer literals; session value sums stay DECIMAL(18,4)
@@ -278,37 +276,60 @@ object SessionOps {
        |FROM b GROUP BY 1, 2 ORDER BY bidx""".stripMargin
 
   // ---------------------------------------------------------------- q257
-  /** Hourly session concurrency: for every epoch hour, how many sessions
-    * were open and how many distinct users active. Each session explodes
-    * to its spanned hours (`sequence` on integer hour indexes — fan-out
-    * bounded by session duration, never by corpus size), then one count
-    * per hour; output is span-bounded.
+  /** Session-maturity curve: behavior by session ORDINAL in the user's
+    * lifetime (1st / 2nd–3rd / 4th–9th / 10th+) — does a returning
+    * visit convert more than a first visit? Per bucket: sessions,
+    * users, purchase-containing sessions, conversion share, events,
+    * value. The ordinal IS the gaps-and-islands sid, so no extra
+    * window; 4-row output, conversion = one BIGINT division rounded on
+    * output. (Hourly session concurrency is q171/q172's ground.)
     */
   val q257: Q = (s, d) => {
     val g = sessionized(s, d)
       .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
-    g.select(col("user_id"),
-        explode(sequence(
-          expr("start_us DIV 3600000000"),
-          expr("end_us DIV 3600000000"))).as("hour_idx"))
-      .groupBy(col("hour_idx"))
-      .agg(count(lit(1)).as("n_open"),
-        countDistinct(col("user_id")).as("n_users"))
-      .orderBy("hour_idx")
+      .agg(
+        count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(dec(col("value"))).as("sv"))
+    g.withColumn("bidx",
+        when(col("sid") === 1, 0).when(col("sid") <= 3, 1)
+          .when(col("sid") <= 9, 2).otherwise(3))
+      .withColumn("bucket",
+        when(col("sid") === 1, "first").when(col("sid") <= 3, "2-3")
+          .when(col("sid") <= 9, "4-9").otherwise("10+"))
+      .groupBy(col("bidx"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("np") > 0, 1L).otherwise(0L)).as("purchase_sessions"),
+        round(sum(when(col("np") > 0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("conversion"),
+        sum(col("ne")).as("n_events"),
+        sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy("bidx")
   }
 
   val q257Sql: String =
     s"""WITH $sessionCte,
        |g AS (
-       |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+       |  SELECT user_id, sid, count(*) AS ne,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+       |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
        |  FROM se GROUP BY 1, 2),
-       |h AS (
-       |  SELECT user_id,
-       |    unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS hour_idx
+       |b AS (
+       |  SELECT *,
+       |    CASE WHEN sid = 1 THEN 0 WHEN sid <= 3 THEN 1
+       |         WHEN sid <= 9 THEN 2 ELSE 3 END AS bidx,
+       |    CASE WHEN sid = 1 THEN 'first' WHEN sid <= 3 THEN '2-3'
+       |         WHEN sid <= 9 THEN '4-9' ELSE '10+' END AS bucket
        |  FROM g)
-       |SELECT hour_idx, count(*) AS n_open, count(DISTINCT user_id) AS n_users
-       |FROM h GROUP BY 1 ORDER BY hour_idx""".stripMargin
+       |SELECT bidx, bucket, count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS purchase_sessions,
+       |  round(CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS conversion,
+       |  CAST(sum(ne) AS BIGINT) AS n_events,
+       |  CAST(sum(sv) AS DOUBLE) AS sum_value
+       |FROM b GROUP BY 1, 2 ORDER BY bidx""".stripMargin
 
   // ---------------------------------------------------------------- q258
   /** Within-session time-to-convert: for q254's fully-converting
@@ -369,6 +390,6 @@ object SessionOps {
     ("q254_session_funnel", q254, Some(q254Sql)),
     ("q255_entry_exit", q255, Some(q255Sql)),
     ("q256_return_gaps", q256, Some(q256Sql)),
-    ("q257_hourly_concurrency", q257, Some(q257Sql)),
+    ("q257_session_maturity", q257, Some(q257Sql)),
     ("q258_time_to_convert", q258, Some(q258Sql)))
 }
