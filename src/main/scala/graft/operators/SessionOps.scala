@@ -54,7 +54,16 @@ object SessionOps {
       .drop("prev_us", "is_new")
   }
 
-  private val sessionCte: String =
+  /** (user_id, sid, start_us, end_us) at the 6 h gap — one row per
+    * session; the gap rule makes one user's sessions disjoint with
+    * ≥ 6 h between them. Shared with `OverlapOps`.
+    */
+  private[operators] def sessionTable(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+
+  private[operators] val sessionCte: String =
     """t AS (
       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
       |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
