@@ -342,6 +342,69 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  case class FunnelEvt(key: String, ts: java.sql.Timestamp, etype: String,
+      eventId: Long = 0L)
+  case class FunnelUpdate(key: String, stage: Int, stageUs: Long)
+
+  /** Streaming funnel — the per-key stage state machine twin of the
+    * batch q72/q254 chained-min funnel. State is (stage, t1, t2, t3):
+    * a view opens stage 1, a click STRICTLY after t1 advances to 2, a
+    * purchase strictly after t2 to 3 — the same strict event-time
+    * progression the batch joins enforce, O(1) per key. Emits one
+    * update per stage transition; rows fold in the q128 intra-batch
+    * order (micros, eventId), so with per-key ordered delivery
+    * (§2.6.1) the reached stages equal the batch fold — proven in
+    * StreamingSpec against the sequential recurrence.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FunnelEvt, FunnelUpdate] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Int, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Int, Long, Long, Long)](
+        "funnel",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[FunnelEvt],
+        timers: TimerValues): Iterator[FunnelUpdate] = {
+      var (stage, t1, t2, t3) =
+        if (state.exists()) state.get() else (0, 0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.eventId)).foreach { e =>
+        val us = microsOf(e.ts)
+        if (stage == 0 && e.etype == "view") {
+          stage = 1; t1 = us; out += FunnelUpdate(key, 1, us)
+        } else if (stage == 1 && e.etype == "click" && us > t1) {
+          stage = 2; t2 = us; out += FunnelUpdate(key, 2, us)
+        } else if (stage == 2 && e.etype == "purchase" && us > t2) {
+          stage = 3; t3 = us; out += FunnelUpdate(key, 3, us)
+        }
+      }
+      state.update((stage, t1, t2, t3))
+      out.iterator
+    }
+  }
+
+  /** The stage-transition stream (see `FunnelProcessor`). Requires the
+    * RocksDB state store provider.
+    */
+  def funnelStream(events: Dataset[FunnelEvt]): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(
+        new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Custom per-key streaming state via flatMapGroupsWithState: running
     * session accumulator emitting an update per batch (the §2.4 offset
     * state-machine's Spark-native analog for user state).

@@ -272,6 +272,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState funnel advances stages exactly like the batch chained-min fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.FunnelEvt]
+      val q = StreamOps.funnelStream(mem.toDS())
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("update").start()
+      // u1 converts across batches; u2's click arrives at the SAME micro
+      // as its view, so the strictly-after rule must hold it at stage 1;
+      // u3's purchase precedes any click — never past stage 1
+      mem.addData(
+        StreamOps.FunnelEvt("u1", ts(0), "view", 1L),
+        StreamOps.FunnelEvt("u2", ts(0), "view", 2L),
+        StreamOps.FunnelEvt("u2", ts(0), "click", 3L),
+        StreamOps.FunnelEvt("u3", ts(0), "view", 4L))
+      q.processAllAvailable()
+      mem.addData(
+        StreamOps.FunnelEvt("u1", ts(5), "click", 5L),
+        StreamOps.FunnelEvt("u3", ts(5), "purchase", 6L))
+      q.processAllAvailable()
+      mem.addData(StreamOps.FunnelEvt("u1", ts(9), "purchase", 7L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql("SELECT key, stage, stageUs FROM funnel_out")
+        .as[(String, Int, Long)].collect().toSet
+      // the batch q72 fold on the same events: u1 1-2-3, u2 1 only
+      // (click not strictly after view), u3 1 only (no click ever)
+      val base = 1700000000000000L
+      val expected = Set(
+        ("u1", 1, base), ("u1", 2, base + 5000000L), ("u1", 3, base + 9000000L),
+        ("u2", 1, base), ("u3", 1, base))
+      assert(got == expected, s"funnel transitions diverged from the batch fold: $got")
+      spark.sql("DROP VIEW IF EXISTS funnel_out")
+      ()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
