@@ -345,6 +345,51 @@ object StreamOps {
   case class FunnelEvt(key: String, ts: java.sql.Timestamp, etype: String,
       eventId: Long = 0L)
   case class FunnelUpdate(key: String, stage: Int, stageUs: Long)
+  case class Transition(key: String, prev: String, cur: String)
+
+  /** Streaming bigram emitter — the q163 transition matrix's streaming
+    * front: per-key state is ONLY the last event type; each arriving
+    * event emits its (prev, cur) adjacent pair, which a downstream
+    * windowed count aggregates into the matrix. Per-key ordered
+    * delivery (§2.6.1) + the q128 intra-batch sort make the emitted
+    * pair multiset equal the batch lag-window derivation — proven in
+    * StreamingSpec.
+    */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FunnelEvt, Transition] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[String](
+        "last", org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[FunnelEvt],
+        timers: TimerValues): Iterator[Transition] = {
+      var last: String = if (state.exists()) state.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.eventId)).foreach { e =>
+        if (last != null) out += Transition(key, last, e.etype)
+        last = e.etype
+      }
+      if (last != null) state.update(last)
+      out.iterator
+    }
+  }
+
+  /** The per-key adjacent-pair stream (see `TransitionProcessor`). */
+  def transitionStream(events: Dataset[FunnelEvt]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(
+        new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
 
   /** Streaming funnel — the per-key stage state machine twin of the
     * batch q72/q254 chained-min funnel. State is (stage, t1, t2, t3):

@@ -312,6 +312,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState transition emitter matches the batch lag-window bigrams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.FunnelEvt]
+      val q = StreamOps.transitionStream(mem.toDS())
+        .writeStream.format("memory").queryName("trans_out")
+        .outputMode("update").start()
+      mem.addData(
+        StreamOps.FunnelEvt("u1", ts(0), "view", 1L),
+        StreamOps.FunnelEvt("u1", ts(1), "click", 2L),
+        StreamOps.FunnelEvt("u2", ts(0), "view", 3L))
+      q.processAllAvailable()
+      // the u1 view→purchase pair spans the batch boundary (state carries
+      // the last type); u2's second event arrives a batch late
+      mem.addData(
+        StreamOps.FunnelEvt("u1", ts(2), "purchase", 4L),
+        StreamOps.FunnelEvt("u2", ts(3), "view", 5L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql("SELECT key, prev, cur FROM trans_out")
+        .as[(String, String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // the batch q163 lag-window pairs over the same per-key streams
+      val expected = Map(
+        ("u1", "view", "click") -> 1, ("u1", "click", "purchase") -> 1,
+        ("u2", "view", "view") -> 1)
+      assert(got == expected, s"transition multiset diverged from the batch bigrams: $got")
+      spark.sql("DROP VIEW IF EXISTS trans_out")
+      ()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
