@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, AuditOps, BasketOps, BizOps, BpeOps, CalibrationOps, CausalOps, ClassifierOps, CorpusStatsOps, Coverage, DistStatOps, DriftOps, CurationOps, DocOps, EmbedQualityOps, EmbeddingOps, EvalOps, EventOps, ExperimentOps, ForecastOps, FrontierOps, GraphOps, IndexOps, InferenceOps, InfoOps, LifecycleOps, ModalityOps, MonitorOps, Multimodal, OrderStatOps, OverlapOps, Pipeline, PrivacyOps, QualityGateOps, Relational, RankCorrOps, RetrievalOps, RobustOps, Scale, SequenceOps, SessionOps, SpectralOps, StatsOps, StyleOps, TemporalOps, TradeOps, TrendOps}
+import graft.operators.{Advanced, AuditOps, BasketOps, BizOps, BpeOps, CalibrationOps, CausalOps, ClassifierOps, CorpusStatsOps, Coverage, DistStatOps, DriftOps, CurationOps, DocOps, EmbedQualityOps, EmbeddingOps, EvalOps, EventOps, ExperimentOps, ForecastOps, FrontierOps, GraphOps, IndexOps, InferenceOps, InfoOps, LifecycleOps, ModalityOps, MonitorOps, Multimodal, OrderStatOps, OverlapOps, Pipeline, PrivacyOps, QualityGateOps, Relational, RankCorrOps, RetrievalOps, RobustOps, Scale, SequenceOps, SessionOps, SourcingOps, SpectralOps, StatsOps, StyleOps, TemporalOps, TradeOps, TrendOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       Advanced.all ++ Multimodal.all ++ Pipeline.all ++ CurationOps.all ++ RetrievalOps.all ++
       Scale.all ++ StatsOps.all ++ BpeOps.all ++ ClassifierOps.all ++ AuditOps.all ++
       CorpusStatsOps.all ++ IndexOps.all ++ MonitorOps.all ++ EvalOps.all ++ StyleOps.all ++
-      InferenceOps.all ++ SequenceOps.all ++ GraphOps.all ++ TemporalOps.all ++ DistStatOps.all ++ DriftOps.all ++ RobustOps.all ++ PrivacyOps.all ++ ExperimentOps.all ++ EmbedQualityOps.all ++ ModalityOps.all ++ BizOps.all ++ TradeOps.all ++ RankCorrOps.all ++ LifecycleOps.all ++ ForecastOps.all ++ TrendOps.all ++ CalibrationOps.all ++ SpectralOps.all ++ BasketOps.all ++ QualityGateOps.all ++ OrderStatOps.all ++ CausalOps.all ++ InfoOps.all ++ SessionOps.all ++ OverlapOps.all ++ FrontierOps.all
+      InferenceOps.all ++ SequenceOps.all ++ GraphOps.all ++ TemporalOps.all ++ DistStatOps.all ++ DriftOps.all ++ RobustOps.all ++ PrivacyOps.all ++ ExperimentOps.all ++ EmbedQualityOps.all ++ ModalityOps.all ++ BizOps.all ++ TradeOps.all ++ RankCorrOps.all ++ LifecycleOps.all ++ ForecastOps.all ++ TrendOps.all ++ CalibrationOps.all ++ SpectralOps.all ++ BasketOps.all ++ QualityGateOps.all ++ OrderStatOps.all ++ CausalOps.all ++ InfoOps.all ++ SessionOps.all ++ OverlapOps.all ++ FrontierOps.all ++ SourcingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -394,11 +394,52 @@ object SessionOps {
        |  min(delay_us) AS min_delay_us, max(delay_us) AS max_delay_us
        |FROM c GROUP BY 1, 2 ORDER BY bidx""".stripMargin
 
+  // ---------------------------------------------------------------- q269
+  /** Top session journeys: the 10 most common session paths — the
+    * '>'-joined event-type sequence of each session's first 8 events
+    * (the explicit cap keeps per-session state bounded, q128's rule;
+    * sessions here never exceed it anyway). One (user, sid) window for
+    * the ordinal, one ordered string_agg per session, then a count on
+    * the path-string domain and a top-10 TakeOrderedAndProject.
+    */
+  private val PathCap = 8
+
+  val q269: Q = (s, d) => {
+    val se = sessionized(s, d)
+    val wA = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    val paths = se.withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= PathCap)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">",
+        transform(
+          sort_array(collect_list(struct(col("ra"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  val q269Sql: String =
+    s"""WITH $sessionCte,
+       |r AS (
+       |  SELECT user_id, sid, event_type,
+       |    row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS ra
+       |  FROM se),
+       |paths AS (
+       |  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ra) AS path
+       |  FROM r WHERE ra <= $PathCap GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions
+       |FROM paths GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q253_session_shape", q253, Some(q253Sql)),
     ("q254_session_funnel", q254, Some(q254Sql)),
     ("q255_entry_exit", q255, Some(q255Sql)),
     ("q256_return_gaps", q256, Some(q256Sql)),
     ("q257_session_maturity", q257, Some(q257Sql)),
-    ("q258_time_to_convert", q258, Some(q258Sql)))
+    ("q258_time_to_convert", q258, Some(q258Sql)),
+    ("q269_session_paths", q269, Some(q269Sql)))
 }
