@@ -176,9 +176,43 @@ object OverlapOps {
        |  CAST(sum(ovl_us) AS BIGINT) AS sum_ovl_us
        |FROM p GROUP BY 1 ORDER BY hod""".stripMargin
 
+  // ---------------------------------------------------------------- q270
+  /** Trigger matrix: for every ordered event-type pair (a, b), how many
+    * times a user's b event lands STRICTLY after an a event within one
+    * hour, and how many users exhibit it — the batch analog of the
+    * stream-stream interval join (`StreamOps.intervalJoin`), on the
+    * event-TIME band where q39 bands values. One user-key equi-join
+    * with the band predicate: each join task is per-user bounded (a
+    * user's pairs ≤ events × events-per-hour — rate-bounded, not
+    * corpus-bounded; a firehose user adds an hour-bucket second key
+    * the q136 way). |types|² output, pure integer counts.
+    */
+  val q270: Q = (s, d) => {
+    val e = graft.Graft.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val a = e.select(col("user_id"), col("event_type").as("a_type"), col("us").as("a_us"))
+    val b = e.select(col("user_id"), col("event_type").as("b_type"), col("us").as("b_us"))
+    a.join(b, Seq("user_id"))
+      .filter(col("b_us") > col("a_us") && col("b_us") - col("a_us") <= 3600000000L)
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("a_type", "b_type")
+  }
+
+  val q270Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+      |SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |  count(*) AS n_pairs, count(DISTINCT a.user_id) AS n_users
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 3600000000
+      |GROUP BY 1, 2 ORDER BY a_type, b_type""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q259_copresence_pairs", q259, Some(q259Sql)),
     ("q260_overlap_profile", q260, Some(q260Sql)),
     ("q261_social_time", q261, Some(q261Sql)),
-    ("q262_meeting_hours", q262, Some(q262Sql)))
+    ("q262_meeting_hours", q262, Some(q262Sql)),
+    ("q270_trigger_matrix", q270, Some(q270Sql)))
 }
