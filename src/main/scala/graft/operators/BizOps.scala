@@ -231,9 +231,64 @@ object BizOps {
       |  CAST(max(delay) AS BIGINT) AS max_delay
       |FROM cnt GROUP BY 1 ORDER BY priority""".stripMargin
 
+  // ---------------------------------------------------------------- q273
+  /** Customer quadrant analysis (round 7): customers split by
+    * above/below-MEAN account balance × above/below-mean total spend —
+    * the classic value-vs-liquidity 2×2. Mean splits keep every
+    * decision integer: "above mean" is the cross-multiplication
+    * bal_cents·n ≥ Σbal_cents (no division, no double); spend is the
+    * exact-cents order rollup with no-order customers at 0. One
+    * customer-key join, one 1-row totals broadcast, 4-row output.
+    */
+  val q273: Q = (s, d) => {
+    val c = Graft.table(s, d, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val o = Graft.table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sp"))
+    val j = c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("bal_c"), coalesce(col("sp"), lit(0L)).as("sp_c"))
+    val tot = j.agg(count(lit(1)).as("n"), sum(col("bal_c")).as("tb"),
+      sum(col("sp_c")).as("ts"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("hi_bal", when(col("bal_c") * col("n") >= col("tb"), 1).otherwise(0))
+      .withColumn("hi_spend", when(col("sp_c") * col("n") >= col("ts"), 1).otherwise(0))
+      .groupBy(col("hi_bal"), col("hi_spend"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("bal_c")).as("sum_bal_cents"),
+        sum(col("sp_c")).as("sum_spend_cents"))
+      .orderBy(col("hi_bal").desc, col("hi_spend").desc)
+  }
+
+  val q273Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |o AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT c.c_custkey, c.bal_c, COALESCE(o.sp, 0) AS sp_c
+      |  FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey),
+      |tot AS (
+      |  SELECT count(*) AS n, CAST(sum(bal_c) AS BIGINT) AS tb,
+      |    CAST(sum(sp_c) AS BIGINT) AS ts
+      |  FROM j),
+      |q AS (
+      |  SELECT j.*, CASE WHEN j.bal_c * tot.n >= tot.tb THEN 1 ELSE 0 END AS hi_bal,
+      |    CASE WHEN j.sp_c * tot.n >= tot.ts THEN 1 ELSE 0 END AS hi_spend
+      |  FROM j, tot)
+      |SELECT hi_bal, hi_spend, count(*) AS n_customers,
+      |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_cents,
+      |  CAST(sum(sp_c) AS BIGINT) AS sum_spend_cents
+      |FROM q GROUP BY 1, 2 ORDER BY hi_bal DESC, hi_spend DESC""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q201_monthly_returns", q201, Some(q201Sql)),
     ("q202_ltv_deciles", q202, Some(q202Sql)),
     ("q203_supplier_concentration", q203, Some(q203Sql)),
-    ("q204_priority_sla", q204, Some(q204Sql)))
+    ("q204_priority_sla", q204, Some(q204Sql)),
+    ("q273_customer_quadrants", q273, Some(q273Sql)))
 }

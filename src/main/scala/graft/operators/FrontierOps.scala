@@ -38,8 +38,10 @@ object FrontierOps {
   /** Part-catalog skyline: minimize p_retailprice, maximize p_size —
     * parts no other part beats on both (one strictly).
     */
-  private def partSkyline(s: SparkSession, d: String): DataFrame = {
-    val parts = Graft.table(s, d, "part")
+  /** The (min price, max size) skyline of any part-shaped frame via the
+    * bounded size-domain extremum table.
+    */
+  private def skylineOf(parts: DataFrame): DataFrame = {
     val st = parts.groupBy(col("p_size")).agg(min(col("p_retailprice")).as("mp"))
     // un-partitioned window, but over the ≤50-row size-domain table
     val w = Window.orderBy(col("p_size").desc)
@@ -51,6 +53,11 @@ object FrontierOps {
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
         col("p_retailprice"))
   }
+
+  private def partSkyline(s: SparkSession, d: String): DataFrame =
+    skylineOf(Graft.table(s, d, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        col("p_retailprice")))
 
   val q263: Q = (s, d) =>
     partSkyline(s, d).orderBy(col("p_size").desc, col("p_retailprice"), col("p_partkey"))
@@ -130,8 +137,72 @@ object FrontierOps {
       |GROUP BY 1, 2, 3
       |ORDER BY n_dominated DESC, s.sk_key""".stripMargin
 
+  // ---------------------------------------------------------------- q272
+  /** Frontier layers (onion peeling): the first three skylines — peel
+    * layer 1, re-run the same bounded-domain kernel on the remainder,
+    * repeat. Three unrolled iterations (the q235 LPA discipline: fixed
+    * synchronous rounds), each one extremum aggregation + one anti
+    * join; per-layer summary rows only. Each layer is SKYLINE-SIZED,
+    * so pinning it truncates the peel's lineage — without the pins the
+    * plan re-derives every earlier layer per reference (2^k scans);
+    * with them each layer costs a constant number of base scans.
+    */
+  val q272: Q = (s, d) => {
+    val p0 = Graft.table(s, d, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+        col("p_retailprice"))
+    def summary(layer: Int, l: DataFrame) =
+      l.agg(count(lit(1)).as("n_parts"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"),
+          min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"))
+        .select(lit(layer).as("layer"), col("n_parts"), col("min_price"),
+          col("max_price"), col("min_size"), col("max_size"))
+    val l1 = skylineOf(p0).localCheckpoint(true)
+    val r1 = p0.join(l1.select("p_partkey"), Seq("p_partkey"), "left_anti")
+    val l2 = skylineOf(r1).localCheckpoint(true)
+    val r2 = r1.join(l2.select("p_partkey"), Seq("p_partkey"), "left_anti")
+    val l3 = skylineOf(r2).localCheckpoint(true)
+    summary(1, l1).unionAll(summary(2, l2)).unionAll(summary(3, l3))
+      .orderBy("layer")
+  }
+
+  val q272Sql: String =
+    """WITH l1 AS MATERIALIZED (
+      |  SELECT * FROM part p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM part q
+      |    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))),
+      |r1 AS MATERIALIZED (
+      |  SELECT * FROM part WHERE p_partkey NOT IN (SELECT p_partkey FROM l1)),
+      |l2 AS MATERIALIZED (
+      |  SELECT * FROM r1 p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM r1 q
+      |    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))),
+      |r2 AS MATERIALIZED (
+      |  SELECT * FROM r1 WHERE p_partkey NOT IN (SELECT p_partkey FROM l2)),
+      |l3 AS MATERIALIZED (
+      |  SELECT * FROM r2 p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM r2 q
+      |    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)))
+      |SELECT 1 AS layer, count(*) AS n_parts, min(p_retailprice) AS min_price,
+      |  max(p_retailprice) AS max_price, min(p_size) AS min_size, max(p_size) AS max_size
+      |FROM l1
+      |UNION ALL
+      |SELECT 2, count(*), min(p_retailprice), max(p_retailprice), min(p_size), max(p_size) FROM l2
+      |UNION ALL
+      |SELECT 3, count(*), min(p_retailprice), max(p_retailprice), min(p_size), max(p_size) FROM l3
+      |ORDER BY layer""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q263_part_skyline", q263, Some(q263Sql)),
     ("q264_order_frontier", q264, Some(q264Sql)),
-    ("q265_dominance_score", q265, Some(q265Sql)))
+    ("q265_dominance_score", q265, Some(q265Sql)),
+    ("q272_frontier_layers", q272, Some(q272Sql)))
 }

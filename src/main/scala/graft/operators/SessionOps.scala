@@ -434,6 +434,69 @@ object SessionOps {
        |FROM paths GROUP BY 1
        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q271
+  /** Cart abandonment aging: sessions that clicked after a view but
+    * never purchased (reached funnel stage 2, not 3), bucketed by how
+    * long the session stayed active after the click — the negative
+    * space of q254, with the value at stake. Stage tables as in
+    * q254/q258; the not-converted cut is one left-anti join on the
+    * (user, sid) key.
+    */
+  val q271: Q = (s, d) => {
+    val se = sessionized(s, d)
+    val g = se.groupBy(col("user_id"), col("sid"))
+      .agg(max(col("us")).as("end_us"), sum(dec(col("value"))).as("sv"))
+    val sev = se.select("user_id", "sid", "event_type", "us")
+    val s1 = sev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t1"))
+    val s2 = sev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id", "sid")).filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t2"))
+    val s3 = sev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id", "sid")).filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("sid")).agg(min(col("us")).as("t3"))
+    s2.join(s3.select("user_id", "sid"), Seq("user_id", "sid"), "left_anti")
+      .join(g, Seq("user_id", "sid"))
+      .withColumn("age_us", col("end_us") - col("t2"))
+      .withColumn("bidx",
+        when(col("age_us") === 0L, 0).when(col("age_us") <= 1800000000L, 1)
+          .when(col("age_us") <= 7200000000L, 2).otherwise(3))
+      .withColumn("bucket",
+        when(col("age_us") === 0L, "click-was-last").when(col("age_us") <= 1800000000L, "<=30m")
+          .when(col("age_us") <= 7200000000L, "30m-2h").otherwise(">2h"))
+      .groupBy(col("bidx"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("age_us")).as("sum_age_us"),
+        sum(col("sv")).cast("double").as("value_at_stake"))
+      .orderBy("bidx")
+  }
+
+  val q271Sql: String =
+    s"""WITH $sessionCte,
+       |g AS (
+       |  SELECT user_id, sid, max(us) AS end_us,
+       |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+       |  FROM se GROUP BY 1, 2),
+       |$funnelCte,
+       |ab AS (
+       |  SELECT s2.user_id, s2.sid, s2.t2, g.end_us, g.sv
+       |  FROM s2 LEFT JOIN s3 ON s2.user_id = s3.user_id AND s2.sid = s3.sid
+       |  JOIN g ON s2.user_id = g.user_id AND s2.sid = g.sid
+       |  WHERE s3.user_id IS NULL),
+       |c AS (
+       |  SELECT user_id, end_us - t2 AS age_us, sv,
+       |    CASE WHEN end_us - t2 = 0 THEN 0 WHEN end_us - t2 <= 1800000000 THEN 1
+       |         WHEN end_us - t2 <= 7200000000 THEN 2 ELSE 3 END AS bidx,
+       |    CASE WHEN end_us - t2 = 0 THEN 'click-was-last' WHEN end_us - t2 <= 1800000000 THEN '<=30m'
+       |         WHEN end_us - t2 <= 7200000000 THEN '30m-2h' ELSE '>2h' END AS bucket
+       |  FROM ab)
+       |SELECT bidx, bucket, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(age_us) AS BIGINT) AS sum_age_us,
+       |  CAST(sum(sv) AS DOUBLE) AS value_at_stake
+       |FROM c GROUP BY 1, 2 ORDER BY bidx""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q253_session_shape", q253, Some(q253Sql)),
     ("q254_session_funnel", q254, Some(q254Sql)),
@@ -441,5 +504,6 @@ object SessionOps {
     ("q256_return_gaps", q256, Some(q256Sql)),
     ("q257_session_maturity", q257, Some(q257Sql)),
     ("q258_time_to_convert", q258, Some(q258Sql)),
-    ("q269_session_paths", q269, Some(q269Sql)))
+    ("q269_session_paths", q269, Some(q269Sql)),
+    ("q271_cart_abandonment", q271, Some(q271Sql)))
 }
