@@ -223,4 +223,107 @@ class DecompositionSpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(got.toSeq == naive.toSeq)
   }
+
+  /** Adversarial interval shapes for q259's hour-blocked overlap join:
+    * sessions whose starts/ends sit EXACTLY on hour-bucket boundaries,
+    * zero-length sessions, multi-hour spans, and touching endpoints
+    * (overlap exactly 0, which co-presence must exclude). Each interval
+    * is laid down as two events (or one, when zero-length) well inside
+    * the 6 h session gap, with ≥ 7 h between a user's intervals.
+    */
+  private lazy val overlapDir: String = {
+    val H = 3600000000L
+    val base = 1700006400000000L // an exact hour boundary
+    // (user, start, end) — crafted boundary cases:
+    val iv = Seq(
+      (1L, 0L, 2L * H),            // ends exactly on a boundary
+      (2L, 2L * H, 3L * H),        // starts exactly where u1 ends: ovl 0
+      (3L, H / 2L, 5L * H / 2L),   // overlaps u1 across two buckets
+      (4L, H, H),                  // zero-length, ON the boundary
+      (5L, 0L, 5L * H),            // long span containing everyone
+      (6L, 3L * H - 1L, 3L * H),   // 1-µs sliver against the boundary
+      // second sessions, ≥ 7 h after each user's first
+      (1L, 10L * H, 12L * H),
+      (3L, 10L * H + 1L, 11L * H),
+      (5L, 20L * H, 20L * H))
+    def tsUs(totalUs: Long): Timestamp = {
+      val t = new Timestamp(totalUs / 1000L)
+      t.setNanos(((totalUs % 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = iv.zipWithIndex.flatMap { case ((u, s0, e0), i) =>
+      val pts = if (s0 == e0) Seq(s0) else Seq(s0, e0)
+      pts.zipWithIndex.map { case (us, j) =>
+        (i.toLong * 10L + j, tsUs(base + us), u, "view", 1.0, "{}")
+      }
+    }
+    val dir = Files.createTempDirectory("graft-ovl-ev").toString
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q259's hour-blocked overlap join equals the naive unblocked inequality join") {
+    val got = SparkEntry.queries("q259_copresence_pairs")(spark, overlapDir)
+      .collect().map(_.toSeq).sortBy(r => (r(0).toString, r(1).toString))
+    // naive: unblocked theta-join over the same 6 h-gap session table
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val g = Graft.events(spark, overlapDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("is_new",
+        when(col("us") - lag(col("us"), 1).over(w) > 21600000000L ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    val a = g.select(col("user_id").as("ua"), col("s").as("as_"), col("e").as("ae"))
+    val b = g.select(col("user_id").as("ub"), col("s").as("bs"), col("e").as("be"))
+    val naive = a.join(b,
+        col("ua") < col("ub") && col("as_") <= col("be") && col("bs") <= col("ae"))
+      .withColumn("ovl", least(col("ae"), col("be")) - greatest(col("as_"), col("bs")))
+      .filter(col("ovl") > 0L)
+      .groupBy(col("ua"), col("ub"))
+      .agg(sum(col("ovl")).as("total_ovl_us"), count(lit(1)).as("n_meetings"))
+      .orderBy(col("total_ovl_us").desc, col("ua"), col("ub")).limit(20)
+      .collect().map(_.toSeq).sortBy(r => (r(0).toString, r(1).toString))
+    assert(got.toSeq == naive.toSeq)
+    // the touching pair (u1, u2) must NOT appear: overlap exactly 0
+    assert(!got.exists(r => r(0) == 1L && r(1) == 2L))
+    // the boundary-hugging pairs must appear: u5 meets everyone overlapping
+    assert(got.exists(r => r(0) == 3L && r(1) == 5L))
+  }
+
+  test("q263's bounded-domain prefix-min skyline equals brute-force dominance") {
+    // tie-heavy point set: duplicate skyline points (both copies must
+    // survive — no STRICT dominator among equals), same-size ties,
+    // same-price ties across sizes
+    val pts = Seq(
+      (1L, 3, 10.0), (2L, 3, 10.0),  // duplicate skyline point
+      (3L, 3, 12.0),                 // dominated within its size
+      (4L, 2, 10.0),                 // dominated by (3, 10.0) strictly in size
+      (5L, 2, 9.0), (6L, 2, 9.0),    // duplicate skyline point
+      (7L, 1, 9.0),                  // dominated by (2, 9.0)
+      (8L, 1, 8.0),                  // skyline: cheapest overall
+      (9L, 3, 11.0), (10L, 1, 20.0))
+    val dir = Files.createTempDirectory("graft-sky").toString
+    import spark.implicits._
+    pts.map { case (k, sz, pr) => (k, s"part$k", "B", sz, pr) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q263_part_skyline")(spark, dir)
+      .select("p_partkey").as[Long].collect().toSet
+    // brute force: p survives iff NO q strictly dominates it
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+    val q = parts.select(col("p_size").as("qs"), col("p_retailprice").as("qp"))
+    val dominated = parts.join(q,
+        col("qp") <= col("p_retailprice") && col("qs") >= col("p_size") &&
+          (col("qp") < col("p_retailprice") || col("qs") > col("p_size")))
+      .select("p_partkey").distinct().as[Long].collect().toSet
+    val naive = parts.select("p_partkey").as[Long].collect().toSet -- dominated
+    assert(got == naive)
+    assert(got == Set(1L, 2L, 5L, 6L, 8L))
+  }
 }
