@@ -204,6 +204,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("x", "y"))
   }
 
+  test("topic DSv2 stream composes into a watermarked session_window aggregation") {
+    // end-to-end §2.7 composition: the graft micro-batch source feeding a
+    // stateful session-window agg — k1's two produces land 10 s apart
+    // (one session), k2's second lands 120 s later (two sessions) under a
+    // 60 s gap; the late z-record advances the watermark so sessions close
+    import spark.implicits._
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-sessw").toString)
+    val streaming = new StreamingTopic(store)
+    store.produceStrings("t",
+      Seq(("k1", "a", ts(0)), ("k1", "b", ts(10)), ("k2", "c", ts(0)), ("k2", "d", ts(130))))
+    store.produceStrings("t", Seq(("z", "w", ts(600))))
+    val q = StreamOps.sessionAgg(
+        streaming.stream("t").select(col("key"), col("timestamp")),
+        "timestamp", "60 seconds", "10 seconds")
+      .writeStream.format("memory").queryName("sessw_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT key, n FROM sessw_out WHERE key IN ('k1','k2')")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(got == Seq(("k1", 2L), ("k2", 1L), ("k2", 1L)),
+      s"session composition over the topic source diverged: $got")
+    spark.sql("DROP VIEW IF EXISTS sessw_out")
+    ()
+  }
+
   test("transformWithState tracks per-key high watermark and duplicate count") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
