@@ -553,7 +553,51 @@ object CurationOps {
        |FROM p WHERE pick <= alloc
        |ORDER BY source, lang, pick""".stripMargin
 
+  // ---------------------------------------------------------------- q274
+  /** Pad/truncate tradeoff sweep (round 7): the SFT one-doc-per-slot
+    * layout q55's concat-packing replaces — for context sizes 256 / 512
+    * / 1024 / 2048, how many tokens survive, how many are cut by
+    * truncation, how much padding the slot wastes, and the slot
+    * utilization. One corpus pass fanned 4× by a literal explode
+    * (map-side combine; 4-row output); all integer sums, utilization is
+    * the single division rounded on output.
+    */
+  val q274: Q = (s, d) => {
+    val toks = DocOps.docs(s, d).select(
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    toks
+      .select(col("tokens"), explode(expr("array(256L, 512L, 1024L, 2048L)")).as("ctx"))
+      .withColumn("kept", least(col("tokens"), col("ctx")))
+      .groupBy(col("ctx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(col("kept")).as("kept_tokens"),
+        sum(col("tokens") - col("kept")).as("truncated_tokens"),
+        sum(col("ctx") - col("kept")).as("pad_tokens"),
+        round(sum(col("kept")).cast("double") / (count(lit(1)) * col("ctx")), 6)
+          .as("utilization"))
+      .orderBy("ctx")
+  }
+
+  val q274Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |f AS (
+      |  SELECT tokens, unnest([256, 512, 1024, 2048]) AS ctx FROM t),
+      |k AS (
+      |  SELECT CAST(ctx AS BIGINT) AS ctx, tokens, least(tokens, ctx) AS kept FROM f)
+      |SELECT ctx, count(*) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(kept) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(tokens - kept) AS BIGINT) AS truncated_tokens,
+      |  CAST(sum(ctx - kept) AS BIGINT) AS pad_tokens,
+      |  round(CAST(sum(kept) AS DOUBLE) / (count(*) * ctx), 6) AS utilization
+      |FROM k GROUP BY 1 ORDER BY ctx""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q274_pad_truncate_sweep", q274, Some(q274Sql)),
     ("q54_pii_redact", q54, Some(q54Sql)),
     ("q55_seq_pack", q55, Some(q55Sql)),
     ("q56_boilerplate", q56, Some(q56Sql)),

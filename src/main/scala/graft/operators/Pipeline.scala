@@ -518,7 +518,69 @@ object Pipeline {
        |FROM b FULL JOIN a ON b.split = a.split
        |ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- q275
+  /** Bounded k-core peel (round 7): 4 synchronous rounds of removing
+    * vertices with degree < k from the near-dup graph, for k = 2 and 3,
+    * reporting (k, round, n_nodes, n_edges) — the template-farm core
+    * detector next to q96's triangle census. Rounds are UNROLLED (the
+    * q235 LPA discipline: fixed synchronous rounds both engines; k-core
+    * is confluent, so the truncation point is the only semantic knob),
+    * each round one degree aggregation + two semi joins over the
+    * pair-sized edge set, pinned so lineage stays linear. Counts land
+    * via driver actions per round (q108's model-metadata discipline —
+    * the edge set is candidate-pairs-sized, never corpus-sized).
+    */
+  private val PeelRounds = 4
+
+  val q275: Q = (s, d) => {
+    val pairs = DocOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val rows = Seq(2, 3).flatMap { k =>
+      var e = pairs
+      (1 to PeelRounds).map { r =>
+        val deg = e.select(col("doc_a").as("v"))
+          .unionAll(e.select(col("doc_b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select("v")
+        e = e
+          .join(keep.select(col("v").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(keep.select(col("v").as("doc_b")), Seq("doc_b"), "left_semi")
+          .localCheckpoint(true)
+        val nEdges = e.count()
+        val nNodes = e.select(col("doc_a").as("v"))
+          .unionAll(e.select(col("doc_b").as("v"))).distinct().count()
+        (k, r, nNodes, nEdges)
+      }
+    }
+    import s.implicits._
+    rows.toDF("k", "round", "n_nodes", "n_edges").orderBy("k", "round")
+  }
+
+  val q275Sql: String = {
+    def chain(k: Int): String = (1 to PeelRounds).map { r =>
+      val prev = if (r == 1) "p" else s"ek${k}_${r - 1}"
+      s"""ek${k}_$r AS MATERIALIZED (
+         |  SELECT e.doc_a, e.doc_b FROM $prev e
+         |  JOIN (SELECT v FROM (SELECT doc_a AS v FROM $prev UNION ALL SELECT doc_b AS v FROM $prev) d
+         |        GROUP BY 1 HAVING count(*) >= $k) ka ON e.doc_a = ka.v
+         |  JOIN (SELECT v FROM (SELECT doc_a AS v FROM $prev UNION ALL SELECT doc_b AS v FROM $prev) d
+         |        GROUP BY 1 HAVING count(*) >= $k) kb ON e.doc_b = kb.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    val selects = (for (k <- Seq(2, 3); r <- 1 to PeelRounds) yield
+      s"""SELECT $k AS k, $r AS round,
+         |  (SELECT count(DISTINCT v) FROM (SELECT doc_a AS v FROM ek${k}_$r UNION ALL SELECT doc_b AS v FROM ek${k}_$r) u) AS n_nodes,
+         |  (SELECT count(*) FROM ek${k}_$r) AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${DocOps.jaccardPairsCtes},
+       |p AS MATERIALIZED (SELECT doc_a, doc_b FROM jpairs),
+       |${chain(2)},
+       |${chain(3)}
+       |$selects
+       |ORDER BY k, round""".stripMargin
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
+    ("q275_kcore_peel", q275, Some(q275Sql)),
     ("q49_normalize", q49, Some(q49Sql)),
     ("q50_dup_clusters", q50, Some(q50Sql)),
     ("q51_corpus_filter", q51, Some(q51Sql)),
