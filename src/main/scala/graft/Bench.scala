@@ -128,11 +128,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     System.err.println(line(fullNames))
-    try {
-      val p = java.nio.file.Path.of(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
-      java.nio.file.Files.writeString(p, line(fullNames) + "\n")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    // a SPARK_GRAFT_ONLY subset (or ingest-only) run must not clobber the
+    // last FULL run's per-query record — that file is the round's bench
+    // evidence (an ingest-only recheck once wiped it to an empty map)
+    if (only.isEmpty) {
+      try {
+        val p = java.nio.file.Path.of(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+        java.nio.file.Files.writeString(p, line(fullNames) + "\n")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+      }
     }
     // slowest-first short-key ("qNN":%.2f) entries, greedily while the
     // whole line stays under the 1,900 B stdout budget
