@@ -285,10 +285,67 @@ object BizOps {
       |  CAST(sum(sp_c) AS BIGINT) AS sum_spend_cents
       |FROM q GROUP BY 1, 2 ORDER BY hi_bal DESC, hi_spend DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q276
+  /** Share-of-parent hierarchy report (round 7): order revenue rolled
+    * region → nation with each nation's share of its region and of the
+    * world — the percent-of-parent drill-down q11's rollup counts
+    * don't carry. One fact aggregation to the customer key, dimension
+    * joins broadcast, then every rollup/join runs on the ≤25-row
+    * nation table. Exact cents; shares are single divisions rounded on
+    * output.
+    */
+  val q276: Q = (s, d) => {
+    val cust = Graft.table(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nat = Graft.table(s, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Graft.table(s, d, "region").select(col("r_regionkey"), col("r_name"))
+    val natRev = Graft.table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(sum(col("cents")).as("nation_cents"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("nation_cents"))
+    val regRev = natRev.groupBy(col("region")).agg(sum(col("nation_cents")).as("region_cents"))
+    val tot = natRev.agg(sum(col("nation_cents")).as("global_cents"))
+    natRev.join(broadcast(regRev), Seq("region")).crossJoin(broadcast(tot))
+      .select(col("region"), col("nation"), col("nation_cents"),
+        col("region_cents"), col("global_cents"),
+        round(col("nation_cents").cast("double") / col("region_cents"), 6)
+          .as("share_of_region"),
+        round(col("nation_cents").cast("double") / col("global_cents"), 6)
+          .as("share_of_global"))
+      .orderBy("region", "nation")
+  }
+
+  val q276Sql: String =
+    """WITH cr AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |nr AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    CAST(sum(cr.cents) AS BIGINT) AS nation_cents
+      |  FROM cr JOIN customer c ON cr.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |rr AS (
+      |  SELECT region, CAST(sum(nation_cents) AS BIGINT) AS region_cents
+      |  FROM nr GROUP BY 1),
+      |t AS (SELECT CAST(sum(nation_cents) AS BIGINT) AS global_cents FROM nr)
+      |SELECT nr.region, nr.nation, nr.nation_cents, rr.region_cents, t.global_cents,
+      |  round(CAST(nr.nation_cents AS DOUBLE) / rr.region_cents, 6) AS share_of_region,
+      |  round(CAST(nr.nation_cents AS DOUBLE) / t.global_cents, 6) AS share_of_global
+      |FROM nr JOIN rr USING (region) CROSS JOIN t
+      |ORDER BY region, nation""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q201_monthly_returns", q201, Some(q201Sql)),
     ("q202_ltv_deciles", q202, Some(q202Sql)),
     ("q203_supplier_concentration", q203, Some(q203Sql)),
     ("q204_priority_sla", q204, Some(q204Sql)),
-    ("q273_customer_quadrants", q273, Some(q273Sql)))
+    ("q273_customer_quadrants", q273, Some(q273Sql)),
+    ("q276_share_of_parent", q276, Some(q276Sql)))
 }
