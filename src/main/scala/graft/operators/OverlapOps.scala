@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * user co-presence from `SessionOps`' 6 h-gap sessions — which users'
   * sessions overlap in time, for how long, and when. Top co-present
   * pairs (q259), the meeting-duration histogram (q260), the most
-  * co-present users (q261), and the meeting hour-of-day profile (q262).
+  * co-present users (q261), the meeting hour-of-day profile (q262),
+  * and the event-time band self-join trigger matrix (q270).
   *
   * The operator family this adds is the INTERVAL SELF-OVERLAP JOIN
   * (q38/q39/q93 are as-of / value-band / point-in-time joins; nothing

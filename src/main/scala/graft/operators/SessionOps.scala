@@ -10,8 +10,9 @@ import graft.Graft
   * product-analytics layer a topic consumer feeds — session shape
   * histogram (q253), the within-session ordered funnel (q254), the
   * entry/exit event matrix (q255), inter-session return gaps (q256),
-  * the session-maturity conversion curve (q257), and within-session
-  * time-to-convert (q258). Sessions close after a 6-HOUR inactivity gap (q15 keeps the
+  * the session-maturity conversion curve (q257), within-session
+  * time-to-convert (q258), top session journeys (q269), and
+  * cart-abandonment aging (q271). Sessions close after a 6-HOUR inactivity gap (q15 keeps the
   * reference 30-minute gap; this pack's wider window is the
   * daily-visit-level cut product analytics runs next to it — at this
   * event density a 30-minute cut degenerates to one-event sessions).
