@@ -498,6 +498,75 @@ object SessionOps {
        |  CAST(sum(sv) AS DOUBLE) AS value_at_stake
        |FROM c GROUP BY 1, 2 ORDER BY bidx""".stripMargin
 
+  // ---------------------------------------------------------------- q277
+  /** Session-duration SLO by maturity: per q257 lifetime bucket, the
+    * P50/P90/max session duration in SECONDS — exact closed-form rank
+    * selection (q204's discipline) over the per-bucket duration count
+    * table. Quantizing to seconds bounds the count-table domain by the
+    * session span, so the per-bucket prefix window runs over a
+    * span-bounded table at any corpus size; percentile picks are
+    * integer cross-multiplications (b·cum ≥ a ⟺ cum ≥ ⌈a/b⌉).
+    */
+  val q277: Q = (s, d) => {
+    val g = sessionized(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("dur_s", expr("(end_us - start_us) DIV 1000000"))
+      .withColumn("bidx",
+        when(col("sid") === 1, 0).when(col("sid") <= 3, 1)
+          .when(col("sid") <= 9, 2).otherwise(3))
+      .withColumn("bucket",
+        when(col("sid") === 1, "first").when(col("sid") <= 3, "2-3")
+          .when(col("sid") <= 9, "4-9").otherwise("10+"))
+    val ct = g.groupBy(col("bidx"), col("bucket"), col("dur_s"))
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("bidx")).orderBy(col("dur_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ct.withColumn("cum", sum(col("c")).over(wb))
+    val n = g.groupBy(col("bidx")).agg(count(lit(1)).as("n"),
+      max(col("dur_s")).as("max_s"))
+    val j = cum.join(n, Seq("bidx"))
+    val p50 = j.filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("bidx"), col("bucket")).agg(min(col("dur_s")).as("p50_s"))
+    val p90 = j.filter(col("cum") * 10 >= col("n") * 9)
+      .groupBy(col("bidx")).agg(min(col("dur_s")).as("p90_s"))
+    p50.join(p90, Seq("bidx")).join(n, Seq("bidx"))
+      .select(col("bidx"), col("bucket"), col("n").as("n_sessions"),
+        col("p50_s"), col("p90_s"), col("max_s"))
+      .orderBy("bidx")
+  }
+
+  val q277Sql: String =
+    s"""WITH $sessionCte,
+       |g AS (
+       |  SELECT user_id, sid, (max(us) - min(us)) // 1000000 AS dur_s,
+       |    CASE WHEN sid = 1 THEN 0 WHEN sid <= 3 THEN 1
+       |         WHEN sid <= 9 THEN 2 ELSE 3 END AS bidx,
+       |    CASE WHEN sid = 1 THEN 'first' WHEN sid <= 3 THEN '2-3'
+       |         WHEN sid <= 9 THEN '4-9' ELSE '10+' END AS bucket
+       |  FROM se GROUP BY user_id, sid),
+       |ct AS (
+       |  SELECT bidx, bucket, dur_s, CAST(count(*) AS BIGINT) AS c
+       |  FROM g GROUP BY 1, 2, 3),
+       |cm AS (
+       |  SELECT *, CAST(SUM(c) OVER (PARTITION BY bidx ORDER BY dur_s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM ct),
+       |nn AS (
+       |  SELECT bidx, CAST(count(*) AS BIGINT) AS n, max(dur_s) AS max_s
+       |  FROM g GROUP BY 1),
+       |p50 AS (
+       |  SELECT cm.bidx, cm.bucket, min(cm.dur_s) AS p50_s
+       |  FROM cm JOIN nn ON cm.bidx = nn.bidx WHERE cm.cum * 2 >= nn.n
+       |  GROUP BY 1, 2),
+       |p90 AS (
+       |  SELECT cm.bidx, min(cm.dur_s) AS p90_s
+       |  FROM cm JOIN nn ON cm.bidx = nn.bidx WHERE cm.cum * 10 >= nn.n * 9
+       |  GROUP BY 1)
+       |SELECT p50.bidx, p50.bucket, nn.n AS n_sessions, p50.p50_s, p90.p90_s, nn.max_s
+       |FROM p50 JOIN p90 ON p50.bidx = p90.bidx JOIN nn ON p50.bidx = nn.bidx
+       |ORDER BY p50.bidx""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q253_session_shape", q253, Some(q253Sql)),
     ("q254_session_funnel", q254, Some(q254Sql)),
@@ -506,5 +575,6 @@ object SessionOps {
     ("q257_session_maturity", q257, Some(q257Sql)),
     ("q258_time_to_convert", q258, Some(q258Sql)),
     ("q269_session_paths", q269, Some(q269Sql)),
-    ("q271_cart_abandonment", q271, Some(q271Sql)))
+    ("q271_cart_abandonment", q271, Some(q271Sql)),
+    ("q277_session_sla", q277, Some(q277Sql)))
 }
