@@ -117,10 +117,14 @@ object Bench {
     // the line stays under budget — decoupled from total query count);
     // the full %.3f map goes to stderr and BENCH_FULL.json for humans,
     // regression diffs and the round log.
+    // n_queries counts SUCCESSES only, with failures surfaced separately:
+    // a run where queries failed (-1.0 sentinels) must not report the
+    // same n_queries as a clean run in the driver-recorded stdout line
     lazy val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val nQ = results.size
+    val nQ = results.count(_._2 >= 0)
+    val nFailed = results.count(_._2 < 0)
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQ,""" +
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQ,"n_failed":$nFailed,""" +
         s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +
         s""""stream_produce_msgs_per_sec":${f"$streamRate%.0f"},""" +
         s""""msg_bytes":1024,"sf":"$sfDir","queries":$qs}"""
@@ -141,8 +145,10 @@ object Bench {
     }
     // slowest-first short-key ("qNN":%.2f) entries, greedily while the
     // whole line stays under the 1,900 B stdout budget
+    // failed (-1.0) entries are excluded — they must not occupy
+    // slowest-N slots (they are already counted in n_failed)
     val budget = 1900
-    val slowestFirst = results.sortBy { case (_, v) => -v }
+    val slowestFirst = results.filter(_._2 >= 0).sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     for (e <- slowestFirst)

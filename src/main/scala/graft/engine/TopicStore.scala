@@ -1440,10 +1440,22 @@ object TopicStore {
     }
     // dead-entry stubs (cleared ref + string key) still accumulate until
     // their key is re-touched; sweep them once the table grows past any
-    // plausible live-scope count
+    // plausible live-scope count. The remove must be VALUE-conditional
+    // (remove(key, ref)), like the re-intern loop above: the iterator's
+    // it.remove() deletes the key unconditionally, so a thread
+    // re-interning a fresh monitor between this sweep's get() and the
+    // removal would have its LIVE lock evicted — the next caller would
+    // intern a different monitor and two threads would enter the same
+    // commit/reconcile critical section concurrently.
     if (globalScopedLocks.size() > 4096) {
       val it = globalScopedLocks.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.get() == null) {
+          globalScopedLocks.remove(e.getKey, e.getValue)
+          ()
+        }
+      }
     }
     o
   }

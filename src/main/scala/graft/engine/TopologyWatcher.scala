@@ -156,15 +156,39 @@ object TopologyWatcher {
     * that role (the same simplification the fixed-topology file mode
     * makes in `discoverer.go`).
     */
-  private[graft] def commandReplicas(cmd: Seq[String]): () => Option[Int] = () =>
+  private[graft] def commandReplicas(
+      cmd: Seq[String], timeoutMs: Long = 30000L): () => Option[Int] = () =>
     try {
       val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(false)
+      // stderr is DISCARDED, not left on a pipe: a kubectl writing more
+      // than the ~64 KB pipe buffer of diagnostics would otherwise block
+      // on the full stderr pipe while we block on stdout readAllBytes —
+      // a permanent deadlock of the topology poll thread
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val rc = proc.waitFor()
-      if (rc != 0) None else parseStatefulSetReplicas(out)
+      // watchdog BEFORE the stdout read: a kubectl hung on an unreachable
+      // API server neither exits nor closes stdout, so a bare
+      // readAllBytes would block forever ahead of any waitFor timeout.
+      // Destroying the process closes its pipes, which unblocks the read;
+      // the poll loop then degrades to the documented no-signal
+      // warn-and-continue instead of stalling permanently.
+      val watchdog = new java.util.Timer("graft-k8s-watchdog", true)
+      val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      watchdog.schedule(new java.util.TimerTask {
+        override def run(): Unit = {
+          killed.set(true)
+          proc.destroyForcibly()
+          ()
+        }
+      }, timeoutMs)
+      try {
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val done = proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (!done) { proc.destroyForcibly(); None }
+        else if (killed.get() || proc.exitValue() != 0) None
+        else parseStatefulSetReplicas(out)
+      } finally watchdog.cancel()
     } catch { case _: Exception => None } // kubectl absent/unreachable: next tick
 
   /** Kubernetes-discovery watcher: polls the StatefulSet named by the
