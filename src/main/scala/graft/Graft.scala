@@ -101,16 +101,20 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** A topic's current-generation log as a DataFrame — the programmatic
-    * twin of the `topic_records(root, topic)` SQL TVF: record envelope
-    * off the partitioned layout, other topics and stale generations
-    * pruned at scan.
+  /** A topic's LIVE log as a DataFrame — the programmatic twin of the
+    * `topic_records(root, topic)` SQL TVF: record envelope off the
+    * partitioned layout, other topics and non-live generation dirs
+    * (swept ancestors' leftovers, pre-lineage rewrite dirs) pruned at
+    * scan. Spans the whole live generation chain — after a
+    * metadata-only rescale the topic's history stays in ancestor
+    * generations, and "the topic's records" means all of them; order
+    * within a key is (version, part, offset).
     */
   def topic(spark: SparkSession, root: String, name: String): DataFrame = {
     val store = new engine.TopicStore(spark, root)
+    val live = store.generations(name).map(_.version)
     spark.read.schema(store.recordSchema).parquet(store.dataDir)
-      .where(col("topic") === name &&
-        col("version") === store.generation(name).version)
+      .where(col("topic") === name && col("version").isin(live: _*))
   }
 
   /** `events` with `ts` normalized to TimestampType (micros). The file

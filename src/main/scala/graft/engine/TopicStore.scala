@@ -107,30 +107,48 @@ class TopicStore(
 
   // ---------------------------------------------------------- generations
 
-  /** Current generation of a topic — the reference's genVersion dimension
-    * (`internal/types/models.go:250-255`): every address is
+  /** Current generation of a topic — the last entry of the LIVE
+    * generation chain (see `generations`).
+    */
+  def generation(topic: String): Generation = generations(topic).last
+
+  /** The topic's live generation chain, ascending by version — the
+    * reference's genVersion dimension plus its `Parents` lineage
+    * (`internal/types/models_generation.go:10-23`,
+    * `internal/types/models.go:250-255`) collapsed to a LINEAR chain:
+    * this engine's rescale reshapes the whole ring at once, so
+    * generation v+1 has exactly generation v as parent. Every address is
     * (topic, token, rangeIndex, genVersion), the layout carries a
-    * `version=` dir (`internal/conf/config.go:354-357`), and offsets
-    * restart at 0 when a split/join opens the next generation
-    * (`internal/producing/coalescer.go:124-135`). A generation pins its
-    * own ring size, so rescale is an in-place version bump, not a new
-    * store. Durable in `_meta/generations`, cached write-through.
+    * `version=` dir (`internal/conf/config.go:354-357`), offsets restart
+    * at 0 when a rescale opens the next generation
+    * (`internal/producing/coalescer.go:124-135`), and a generation pins
+    * its own ring size. The chain holds every generation whose data is
+    * still ADDRESSABLE: rescale appends an empty new generation (moving
+    * no data — the reference's zero-copy split/join,
+    * `ownership/process_local_split_range.go:12-132`), consumers drain
+    * ancestors in chain order (`offset_state.go:260-302` earliest-
+    * ancestor BFS), and `sweepStaleGenerations` removes fully-drained
+    * ancestors. Durable in `_meta/generations`, one row per live
+    * generation; pre-lineage stores wrote a single row, which reads back
+    * as a chain of one — correct, because the old copying rescale
+    * rewrote all ancestor data into the current generation. Cached
+    * write-through.
     */
   private val generationSchema =
     org.apache.parquet.schema.MessageTypeParser.parseMessageType(
       "message generation { required int32 version; required int32 cluster_size; }")
 
-  def generation(topic: String): Generation = {
+  def generations(topic: String): Seq[Generation] = {
     val dirKey = scopeDir(topic)
     genCache.computeIfAbsent(genCacheKey(topic), _ => {
       val p = s"$genMeta/$dirKey"
       // driver-side group read (no Spark job on the serving path) with
-      // the same transient-swap retry as readOffsets: setGeneration's
+      // the same transient-swap retry as readOffsets: setGenerations'
       // swap can yank a just-listed file from under a cross-instance
       // reader. Files written by the old Spark path (optional fields)
       // read identically.
-      def readOnce(): Generation =
-        if (!pathExists(p)) Generation(1, clusterSize)
+      def readOnce(): Seq[Generation] =
+        if (!pathExists(p)) Seq(Generation(1, clusterSize))
         else {
           import org.apache.parquet.hadoop.ParquetReader
           import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -140,14 +158,19 @@ class TopicStore(
           files.headOption.map { f =>
             val r = ParquetReader.builder(new GroupReadSupport(), f)
               .withConf(spark.sparkContext.hadoopConfiguration).build()
+            val out = Seq.newBuilder[Generation]
             try {
-              val g = r.read()
-              if (g == null) Generation(1, clusterSize)
-              else Generation(g.getInteger("version", 0), g.getInteger("cluster_size", 0))
+              var g = r.read()
+              while (g != null) {
+                out += Generation(g.getInteger("version", 0), g.getInteger("cluster_size", 0))
+                g = r.read()
+              }
             } finally r.close()
-          }.getOrElse(Generation(1, clusterSize))
+            val chain = out.result().sortBy(_.version)
+            if (chain.isEmpty) Seq(Generation(1, clusterSize)) else chain
+          }.getOrElse(Seq(Generation(1, clusterSize)))
         }
-      var res: Either[Throwable, Generation] =
+      var res: Either[Throwable, Seq[Generation]] =
         try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
       var i = 0
       while (res.isLeft && i < 5) {
@@ -159,13 +182,16 @@ class TopicStore(
     })
   }
 
-  private def setGeneration(topic: String, g: Generation): Unit = {
+  private def setGenerations(topic: String, chain: Seq[Generation]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    require(chain.nonEmpty && chain.map(_.version) == chain.map(_.version).sorted,
+      s"generation chain must be non-empty ascending: $chain")
     val key = scopeDir(topic)
     val gf = new SimpleGroupFactory(generationSchema)
     swapWriteGroups(s"$genMeta/$key", generationSchema,
-      Seq(gf.newGroup().append("version", g.version).append("cluster_size", g.clusterSize)))
-    genCache.put(genCacheKey(topic), g)
+      chain.map(g =>
+        gf.newGroup().append("version", g.version).append("cluster_size", g.clusterSize)))
+    genCache.put(genCacheKey(topic), chain)
     ()
   }
 
@@ -259,10 +285,10 @@ class TopicStore(
     // so produceInto's own acquisition nests freely.
     produceLock.synchronized { produceInto(topic, records, generation(topic)) }
 
-  /** Produce into an EXPLICIT generation — `produce` with the current one;
-    * `rescale` with the next one so the new generation's data is fully
-    * written BEFORE the generation pointer durably flips (a crash between
-    * the two leaves the old generation current and intact).
+  /** Produce into an EXPLICIT generation — `produce` pins the current one
+    * under produceLock, so a produce racing a rescale lands wholly under
+    * the generation it read (still live in the chain) or wholly under
+    * the new one, never in between.
     */
   private def produceInto(topic: String, records: DataFrame, g: Generation): Long =
     inServingPool { produceLock.synchronized {
@@ -422,17 +448,49 @@ class TopicStore(
 
   // ---------------------------------------------------------------- poll
 
+  /** One generation's serving state for a (group, consumer): the ring
+    * assignment, the per-partition read positions (committed, else the
+    * group's start policy) and the generation's high watermarks.
+    */
+  private case class GenPage(
+      g: Generation, assigned: Seq[Int], from: Map[Int, Long], high: Map[Int, Long]) {
+    def hasLag: Boolean = assigned.exists(p => from(p) < high.getOrElse(p, 0L))
+  }
+
+  private def pageFor(
+      group: String, topic: String, consumerId: String, g: Generation): GenPage = {
+    val assigned = registry.assignmentFor(group, consumerId, g)
+    val committed = readOffsets(groupMeta, s"$group/$topic/v${g.version}")
+    val high = producerOffsetsFor(topic, g)
+    val from = assigned
+      .map(p => p -> committed.getOrElse(p, startingOffset(group, topic, p, g))).toMap
+    GenPage(g, assigned, from, high)
+  }
+
   /** Records for `consumerId` of `group` from its assigned partitions,
     * starting at the group's committed offsets, at most `maxRecords` AND
-    * `maxBytes` of record bodies per partition, ordered by (part, offset)
-    * — the delivery order guarantee. Partition dirs outside the assignment
-    * are pruned at scan; the `maxRecords` bound lands on the offset column
-    * so parquet row-group stats prune the read, and the byte bound is a
-    * running-sum window that trims the page after the bounded scan (the
-    * reference's `ConsumerReadThreshold` rate control,
-    * `internal/conf/config.go:278-280`). A record that straddles the byte
-    * boundary is still delivered, so a single oversized record cannot
-    * stall the consumer.
+    * `maxBytes` of record bodies per partition, ordered by
+    * (version, part, offset) — the delivery order guarantee. Partition
+    * dirs outside the assignment are pruned at scan; the `maxRecords`
+    * bound lands on the offset column so parquet row-group stats prune
+    * the read, and the byte bound is a running-sum window that trims the
+    * page after the bounded scan (the reference's `ConsumerReadThreshold`
+    * rate control, `internal/conf/config.go:278-280`). A record that
+    * straddles the byte boundary is still delivered, so a single
+    * oversized record cannot stall the consumer.
+    *
+    * Lineage serving (the reference consumers' walk over `Parents`,
+    * `internal/consuming/offset_state.go:260-302,492-611`): after a
+    * metadata-only rescale the topic's history stays in ancestor
+    * generations, and a group consumes them IN CHAIN ORDER before the
+    * current generation's records. A BOUNDED poll serves the earliest
+    * live generation where the group still has lag — generation v+1
+    * records are never delivered while v has unconsumed records, which
+    * carries per-key total order (§2.6.1) across the ring change. An
+    * UNBOUNDED poll (no maxRecords/maxBytes) returns every remaining
+    * generation at once; consumers processing in (version, part, offset)
+    * order preserve the same total order per key. Each generation's
+    * positions commit under its own versioned scope.
     */
   def poll(
       group: String,
@@ -441,25 +499,120 @@ class TopicStore(
       maxRecords: Long = Long.MaxValue,
       maxBytes: Long = Long.MaxValue,
       autoCommit: Boolean = true): DataFrame = {
-    // ONE generation read pins assignment, offsets scope, and the scan
-    // filters (same discipline as commit): assignment computed against a
-    // newer ring than the captured g would index past tokensOf(g)
-    val g = generation(topic)
-    val assigned = registry.assignmentFor(group, consumerId, g)
-    if (assigned.isEmpty || !dataDirExists) return emptyRecords
-    assigned.foreach(p => lastReaders.put((group, topic, p), consumerId))
+    // ONE chain read pins generations, assignments, offsets scopes and
+    // the scan filters for the whole poll (same discipline as commit):
+    // assignment computed against a newer ring than the captured one
+    // would index past its tokensOf
+    val chain = generations(topic)
+    if (registry.assignmentFor(group, consumerId, chain.last).isEmpty || !dataDirExists)
+      return emptyRecords
 
-    val committed = readOffsets(groupMeta, s"$group/$topic/v${g.version}")
-    val tokens = tokensOf(g)
-    val partFilter = assigned.map { p =>
-      val from = committed.getOrElse(p, startingOffset(group, topic, p, g))
+    val ancestors = chain.init.map(g => pageFor(group, topic, consumerId, g))
+    val withLag = ancestors.filter(_.hasLag)
+    val unbounded = maxRecords == Long.MaxValue && maxBytes == Long.MaxValue
+    val served: Seq[GenPage] =
+      if (withLag.isEmpty) Seq(pageFor(group, topic, consumerId, chain.last))
+      else if (unbounded) withLag :+ pageFor(group, topic, consumerId, chain.last)
+      else Seq(withLag.head)
+
+    served.foreach(pg => pg.assigned.foreach(p =>
+      lastReaders.put((group, topic, pg.g.version, p), consumerId)))
+
+    val out = served.map(pg => scanPage(topic, pg, maxRecords, maxBytes)).reduce(_.union(_))
+
+    if (autoCommit) {
+      val delivered: Map[Int, Map[Int, Long]] = out
+        .groupBy(col("version"), col("part")).agg((max(col("offset")) + 1L).as("next"))
+        .as[(Int, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      served.foreach { pg =>
+        val got = delivered.getOrElse(pg.g.version, Map.empty)
+        val next = pg.assigned.flatMap { p =>
+          got.get(p).map(p -> _).orElse {
+            // gap skip: an assigned partition with lag that delivered
+            // NOTHING means the whole bounded window [from, from+max)
+            // was erased by purgeKeys (the byte trim always ships the
+            // first present record, so it cannot empty a non-empty
+            // window). Advance past the window, or the consumer would
+            // re-poll the same empty range forever — for an ancestor
+            // generation that would also permanently block the group's
+            // advance to the next generation.
+            val from = pg.from(p)
+            val hi = pg.high.getOrElse(p, 0L)
+            val windowEnd =
+              if (maxRecords > Long.MaxValue - from) hi
+              else math.min(from + maxRecords, hi)
+            if (from < hi) Some(p -> windowEnd) else None
+          }
+        }.toMap
+        if (next.nonEmpty) {
+          commit(group, topic, next, origin = consumerId, version = pg.g.version)
+          ()
+        }
+      }
+    }
+    out
+  }
+
+  /** Deferred-commit companion to poll's gap skip (the REST path): a
+    * poll with `autoCommit = false` whose page came back EMPTY while the
+    * group still has lag means the bounded window was erased by
+    * purgeKeys — the deferred-commit stage is derived from delivered
+    * rows, so it cannot advance over the gap, and the group would
+    * re-poll the same empty range forever (for an ancestor generation,
+    * also permanently blocking its advance to the next generation).
+    * This re-derives the group's earliest-lag page, re-verifies with a
+    * bounded count that the window holds NO records (offsets are never
+    * reissued, so a verified-empty window below the captured watermark
+    * stays empty), and commits the window ends for the record-free
+    * partitions — nothing delivered-but-unacked is marked consumed,
+    * because there is nothing in the window at all. Fast path is
+    * metadata-only (no Spark job) when the group has no lag. Returns
+    * the accepted advances.
+    */
+  def skipPurgedPage(
+      group: String,
+      topic: String,
+      consumerId: String,
+      maxRecords: Long = Long.MaxValue): Map[Int, Long] = {
+    val chain = generations(topic)
+    if (registry.assignmentFor(group, consumerId, chain.last).isEmpty || !dataDirExists)
+      return Map.empty
+    chain.map(g => pageFor(group, topic, consumerId, g)).find(_.hasLag) match {
+      case None => Map.empty
+      case Some(pg) =>
+        val present = scanPage(topic, pg, maxRecords, Long.MaxValue)
+          .groupBy(col("part")).agg(count(lit(1)).as("n"))
+          .as[(Int, Long)].collect().toMap
+        val next = pg.assigned.flatMap { p =>
+          val from = pg.from(p)
+          val hi = pg.high.getOrElse(p, 0L)
+          val windowEnd =
+            if (maxRecords > Long.MaxValue - from) hi
+            else math.min(from + maxRecords, hi)
+          if (from < hi && present.getOrElse(p, 0L) == 0L) Some(p -> windowEnd) else None
+        }.toMap
+        if (next.isEmpty) Map.empty
+        else commit(group, topic, next, origin = consumerId, version = pg.g.version)
+    }
+  }
+
+  /** One generation's bounded scan: partition-dir pruning on
+    * (token, range, version), the offset-window predicate on row-group
+    * stats, the byte-budget trim, in-partition (part, offset) order.
+    */
+  private def scanPage(
+      topic: String, pg: GenPage, maxRecords: Long, maxBytes: Long): DataFrame = {
+    if (pg.assigned.isEmpty) return emptyRecords
+    val tokens = tokensOf(pg.g)
+    val partFilter = pg.assigned.map { p =>
+      val from = pg.from(p)
       val upper = // saturating bound: from + maxRecords may exceed Long range
         if (maxRecords > Long.MaxValue - from) lit(true)
         else col("offset") < from + maxRecords
       col("part") === p && col("offset") >= from && upper
     }.reduce(_ || _)
-    // partition-dir pruning on (token, range, version)
-    val dirFilter = assigned.map { p =>
+    val dirFilter = pg.assigned.map { p =>
       col("token") === tokens(p / rangesPerToken) && col("range") === p % rangesPerToken
     }.reduce(_ || _)
 
@@ -476,9 +629,9 @@ class TopicStore(
     // double-delivery window.
     val scanned = spark.read.schema(recordSchema)
       .option("ignoreMissingFiles", "true").parquet(dataDir)
-      .where(col("topic") === topic && col("version") === g.version &&
+      .where(col("topic") === topic && col("version") === pg.g.version &&
         dirFilter && partFilter)
-      .repartition(math.max(assigned.size, 1), col("part"))
+      .repartition(math.max(pg.assigned.size, 1), col("part"))
 
     val paged =
       if (maxBytes == Long.MaxValue) scanned
@@ -494,21 +647,15 @@ class TopicStore(
           .filter(col("__before") < maxBytes)
           .drop("__before")
       }
-    val out = paged.sortWithinPartitions(col("part"), col("offset"))
-
-    if (autoCommit) {
-      val next = out.groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
-        .as[(Int, Long)].collect().toMap
-      if (next.nonEmpty) commit(group, topic, next, origin = consumerId, version = g.version)
-      ()
-    }
-    out
+    paged.sortWithinPartitions(col("part"), col("offset"))
   }
 
-  // last registered reader per (group, topic, part) — the commit "origin"
-  // (reference `internal/data/segment_reader.go:115-135`)
+  // last registered reader per (group, topic, generation version, part) —
+  // the commit "origin" (reference `internal/data/segment_reader.go:
+  // 115-135`); versioned because the same partition ordinal addresses
+  // DIFFERENT partitions across generations
   private val lastReaders =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), String]()
 
   /** Manual offset commit (R4): set next-read positions for the group.
     *
@@ -522,11 +669,13 @@ class TopicStore(
     * still holds). Returns the accepted subset.
     *
     * A commit may carry the generation `version` its offsets were read
-    * under (polls and the REST deferred-commit staging do); the whole
-    * commit is rejected when that generation is no longer current —
-    * offsets staged against generation v are positions in v's numbering
-    * and would silently skip unread v+1 records if applied after a
-    * rescale. `version = -1` skips the check (admin path).
+    * under (polls and the REST deferred-commit staging do); the commit
+    * then applies to THAT generation's scope, and is rejected when the
+    * generation is no longer live (swept) — offsets staged against
+    * generation v are positions in v's numbering and would silently skip
+    * unread records if applied to another generation's scope.
+    * `version = -1` targets the current generation without the liveness
+    * check (admin path).
     */
   // serializes the commit read-modify-write: REST pool threads commit
   // concurrently, and an unsynchronized interleaving could publish a
@@ -542,19 +691,19 @@ class TopicStore(
       origin: String = "",
       version: Int = -1): Map[Int, Long] =
     TopicStore.scopedLockFor(s"$lockRootKey|commit|$group/$topic").synchronized {
-    // ONE generation read pins both the version check and the offsets
-    // scope: with separate reads, a rescale flipping between them would
-    // pass the check against the old version and then write the old
-    // generation's positions into the NEW generation's scope — silently
-    // skipping that many unread new-generation records. With the pinned
-    // read a commit racing a flip either writes into the old scope
-    // (harmless: obsolete after the flip) or is rejected by the check.
-    val g = generation(topic)
-    if (version >= 0 && version != g.version) return Map.empty
-    val scope = s"$group/$topic/v${g.version}"
+    // ONE chain read pins both the liveness check and the offsets scope:
+    // with separate reads, a sweep removing the generation between them
+    // could apply positions to a scope that no longer backs any data.
+    // A commit racing a rescale is unaffected: rescale only APPENDS a
+    // generation, so the staged version stays live and its scope stays
+    // meaningful (ancestor positions keep advancing the drain).
+    val chain = generations(topic)
+    val targetVersion = if (version >= 0) version else chain.last.version
+    if (version >= 0 && !chain.exists(_.version == version)) return Map.empty
+    val scope = s"$group/$topic/v$targetVersion"
     val cur = readOffsets(groupMeta, scope)
     val accepted = next.filter { case (p, off) =>
-      val reader = lastReaders.get((group, topic, p))
+      val reader = lastReaders.get((group, topic, targetVersion, p))
       val owns = origin.isEmpty || reader == null || reader == origin
       owns && off >= cur.getOrElse(p, 0L)
     }
@@ -627,32 +776,58 @@ class TopicStore(
 
   private def reconciled = TopicStore.globalReconciled
 
-  /** Per-partition consumer lag: high watermark minus committed next-read
-    * (the operational metric every broker exposes; derived from the same
-    * two offset maps the reference's R8 gossip aggregates). Partitions
-    * with no committed offset report the full watermark as lag.
+  /** Per-(generation version, partition) consumer lag across the topic's
+    * LIVE lineage: high watermark minus committed next-read (the
+    * operational metric every broker exposes; derived from the same two
+    * offset maps the reference's R8 gossip aggregates). After a
+    * metadata-only rescale a group's real backlog lives in ancestor
+    * generations, so a current-generation-only readout would report 0
+    * for a group that has not even started draining — the lineage sum is
+    * the honest number. Partitions with no committed offset report the
+    * full watermark as lag (raw committed state; start-policy skips are
+    * not netted out here).
     */
-  def lag(group: String, topic: String): Map[Int, Long] = {
-    val high = producerOffsets(topic)
-    val committed = groupOffsets(group, topic)
-    high.map { case (p, hw) => p -> math.max(0L, hw - committed.getOrElse(p, 0L)) }
-  }
+  def lag(group: String, topic: String): Map[(Int, Int), Long] =
+    generations(topic).flatMap { g =>
+      val high = producerOffsetsFor(topic, g)
+      val committed = groupOffsets(group, topic, g.version)
+      high.map { case (p, hw) =>
+        (g.version, p) -> math.max(0L, hw - committed.getOrElse(p, 0L))
+      }
+    }.toMap
 
+  /** Committed next-read positions for the CURRENT generation. */
   def groupOffsets(group: String, topic: String): Map[Int, Long] =
     readOffsets(groupMeta, groupScope(group, topic))
+
+  /** Committed next-read positions under an explicit generation version
+    * (lineage observability: lag TVFs, drain checks).
+    */
+  def groupOffsets(group: String, topic: String, version: Int): Map[Int, Long] =
+    readOffsets(groupMeta, s"$group/$topic/v$version")
 
   private def startingOffset(group: String, topic: String, part: Int, g: Generation): Long =
     registry.policy(group) match {
       case StartFrom.Earliest => 0L
       case StartFrom.Latest =>
         // a snapshot only applies to the generation it was taken under:
-        // offsets restart per generation, so a v1 watermark applied to v2
-        // would silently SKIP the first records of every partition. A
-        // stale snapshot degrades to 0 (at-least-once re-read, never
-        // loss). Checked against the CALLER's pinned generation so the
-        // whole poll sees one consistent version.
+        // offsets restart per generation, so a watermark from one
+        // generation applied to another would silently SKIP records.
+        // Against the snapshot's OWN generation the snapshot is the
+        // position; generations BEFORE it are history a Latest group
+        // never owes (their watermark is the position — drained);
+        // generations AFTER it (opened by rescales since registration)
+        // are read in full from 0, the cross-generation twin of "new
+        // records after the snapshot are delivered". A group with no
+        // snapshot (never registered) degrades to 0 everywhere
+        // (at-least-once re-read, never loss). Checked against the
+        // CALLER's pinned generation so the whole poll sees one
+        // consistent chain.
         val (snapVersion, snap) = registry.latestSnapshot(group, topic)
-        if (snapVersion == g.version) snap.getOrElse(part, 0L) else 0L
+        if (g.version == snapVersion) snap.getOrElse(part, 0L)
+        else if (g.version < snapVersion)
+          producerOffsetsFor(topic, g).getOrElse(part, 0L)
+        else 0L
     }
 
   // ------------------------------------------------------------ registry
@@ -923,28 +1098,48 @@ class TopicStore(
     * aggregated map-side to partition-count rows. Timestamps need not be
     * globally ordered: like Kafka, the cut is an OFFSET position — later
     * records with earlier timestamps are still delivered after the seek.
+    * The returned map is the CURRENT generation's cut (one entry per
+    * current ring partition — the shape every caller keys on);
+    * `seekToTime` additionally applies the per-ancestor cuts so a seek
+    * is correct across the whole live lineage.
     */
-  def offsetsForTime(topic: String, ts: java.sql.Timestamp): Map[Int, Long] = {
-    val g = generation(topic)
-    val high = producerOffsets(topic)
-    // complete-map shape on the empty-store path too: producerOffsets is a
-    // sparse map omitting never-produced partitions, and callers (the REST
-    // seek response, seekToTime's accepted set) expect one entry per ring
-    // partition for the same logical result
-    if (!dataDirExists)
-      return (0 until partsOf(g)).map(p => p -> high.getOrElse(p, 0L)).toMap
-    val hits = spark.read.schema(recordSchema).parquet(dataDir)
-      .where(col("topic") === topic && col("version") === g.version &&
-        col("timestamp") >= lit(ts))
-      .groupBy(col("part")).agg(min(col("offset")).as("o"))
-      .as[(Int, Long)].collect().toMap
-    (0 until partsOf(g)).map(p => p -> hits.getOrElse(p, high.getOrElse(p, 0L))).toMap
+  def offsetsForTime(topic: String, ts: java.sql.Timestamp): Map[Int, Long] =
+    offsetsForTimeByGen(topic, ts, generations(topic))(generation(topic).version)
+
+  /** The time cut per LIVE generation: one scan over the lineage grouped
+    * by (version, part) — the predicate sits on parquet row-group
+    * timestamp stats, aggregated map-side to ring-size rows per
+    * generation. Complete-map shape per generation (partitions with no
+    * record at/after the cut map to their high watermark).
+    */
+  private def offsetsForTimeByGen(
+      topic: String,
+      ts: java.sql.Timestamp,
+      chain: Seq[Generation]): Map[Int, Map[Int, Long]] = {
+    val byGen: Map[Int, Map[Int, Long]] =
+      if (!dataDirExists) Map.empty
+      else spark.read.schema(recordSchema).parquet(dataDir)
+        .where(col("topic") === topic &&
+          col("version").isin(chain.map(_.version): _*) &&
+          col("timestamp") >= lit(ts))
+        .groupBy(col("version"), col("part")).agg(min(col("offset")).as("o"))
+        .as[(Int, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    chain.map { g =>
+      val high = producerOffsetsFor(topic, g)
+      val hits = byGen.getOrElse(g.version, Map.empty[Int, Long])
+      g.version ->
+        (0 until partsOf(g)).map(p => p -> hits.getOrElse(p, high.getOrElse(p, 0L))).toMap
+    }.toMap
   }
 
-  /** Per-partition storage + watermark stats for the CURRENT generation:
-    * (part, parquet file count, bytes, high watermark) — the broker
-    * admin/observability readout behind the `topic_stats` TVF (file
-    * counts feed the compaction decision, bytes the retention budget).
+  /** Per-partition storage + watermark stats for the CURRENT generation
+    * (the active write path — `compact`/`retentionSweep` cover ancestor
+    * dirs too; lineage-wide lag observability is `lag`/the `topic_lag`
+    * TVF): (part, parquet file count, bytes, high watermark) — the
+    * broker admin/observability readout behind the `topic_stats` TVF
+    * (file counts feed the compaction decision, bytes the retention
+    * budget).
     * Driver-side FS listing of the partition leaf dirs under the read
     * lock — metadata-sized, no data scan; one generation read pins the
     * dir set and the offsets scope.
@@ -971,12 +1166,22 @@ class TopicStore(
     * `offsetsForTime` cut through the admin path (no origin/ownership
     * check, monotonicity still enforced — a seek can only move the group
     * FORWARD; replaying backwards means registering a fresh group, which
-    * is the at-least-once-safe direction). Returns the accepted
-    * positions.
+    * is the at-least-once-safe direction). The cut applies PER LIVE
+    * GENERATION: ancestor generations commit their own cuts, so records
+    * at/after `ts` anywhere in the lineage are still delivered while
+    * everything before it is skipped in every generation. Returns the
+    * accepted current-generation positions.
     */
-  def seekToTime(group: String, topic: String, ts: java.sql.Timestamp): Map[Int, Long] =
-    commit(group, topic, offsetsForTime(topic, ts), origin = "",
-      version = generation(topic).version)
+  def seekToTime(group: String, topic: String, ts: java.sql.Timestamp): Map[Int, Long] = {
+    val chain = generations(topic)
+    val cuts = offsetsForTimeByGen(topic, ts, chain)
+    chain.init.foreach { g =>
+      commit(group, topic, cuts(g.version), origin = "", version = g.version)
+      ()
+    }
+    commit(group, topic, cuts(chain.last.version), origin = "",
+      version = chain.last.version)
+  }
 
   /** GDPR-style key purge (right-to-be-forgotten): rewrite the topic's
     * CURRENT generation dropping every record whose partition key is in
@@ -1003,7 +1208,7 @@ class TopicStore(
   def purgeKeys(topic: String, keys: Seq[String]): Long = withTopicMaintenance(topic) {
     import org.apache.hadoop.fs.Path
     require(keys.nonEmpty, "purgeKeys: empty forget list")
-    val g = generation(topic)
+    val live = generations(topic).map(g => s"version=${g.version}").toSet
     val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0L
@@ -1012,9 +1217,12 @@ class TopicStore(
     val leafDirs = fs.listStatus(topicPath).filter(_.isDirectory)
       .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
       .flatMap(r => fs.listStatus(r.getPath).filter(_.isDirectory))
-      // current generation only: superseded version= dirs are reclaimed
-      // wholesale by sweepStaleGenerations, not rewritten record-by-record
-      .filter(_.getPath.getName == s"version=${g.version}")
+      // every LIVE generation: after a metadata-only rescale the
+      // forgotten key's records live in ancestor generations too — a
+      // current-generation-only erasure would keep serving them.
+      // Non-live version dirs are reclaimed wholesale by
+      // sweepStaleGenerations, not rewritten record-by-record.
+      .filter(d => live.contains(d.getPath.getName))
     leafDirs.foreach { dir =>
       val files = fs.listStatus(dir.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1047,91 +1255,90 @@ class TopicStore(
   }
 
   /** Elastic rescale (C3 range split / C4 range join): open the topic's
-    * NEXT GENERATION in place under a `newClusterSize` ring — the Spark
-    * expression of the reference's generation dance
-    * (`ownership/process_local_split_range.go`,
-    * `process_local_join_range.go`): data moves to the ring partitions of
-    * the new topology under `version=v+1` dirs, and offsets restart at 0
-    * per partition because the producer watermark scope includes the
-    * generation (`coalescer.go:124-135`). Like the reference — which waits
-    * for consumers to drain old generations before joining ranges —
-    * callers rescale between consumption epochs; polls then serve the new
-    * generation and group offsets re-derive from the registered start
-    * policy. Per-key order carries over because produce re-sequences on
-    * (timestamp, key, original (part, offset)). Old-generation files stay
-    * until `retentionSweep` reclaims them.
+    * NEXT GENERATION in place under a `newClusterSize` ring —
+    * METADATA-ONLY, the reference's zero-copy generation dance
+    * (`ownership/process_local_split_range.go:12-132`,
+    * `process_local_join_range.go`): generation v+1 starts EMPTY, no
+    * record moves, and the old generations stay addressable through the
+    * chain (`Parents` lineage). Subsequent produces land in v+1 with
+    * offsets restarting at 0 per partition (the producer watermark scope
+    * includes the generation, `coalescer.go:124-135`); consumers drain
+    * the ancestors in chain order before v+1 records (`poll`'s lineage
+    * walk — the reference's `offset_state.go:260-302` earliest-ancestor
+    * BFS), which preserves per-key total order across the ring change. A
+    * group that had fully drained the old lineage simply starts v+1 at
+    * its (empty) beginning — nothing is re-delivered. Old-generation
+    * files stay until `retentionSweep` (time) or
+    * `sweepStaleGenerations` (drain) reclaims them.
     *
-    * One shuffle + one partitioned write: the same cost shape as a
-    * `repartition()` of the topic, executed fully distributed.
+    * Cost: two tiny `_meta` writes — independent of topic size. The old
+    * implementation rewrote the topic's full history into the new
+    * generation; at 100 TB a ring change cost a full-topic shuffle +
+    * rewrite, which this removes (work proportional to the CHANGE, not
+    * to history).
     */
   // produceLock OUTSIDE the write lock: produce's reconcile acquires the
   // topic READ lock while holding produceLock, so a rescale acquiring
   // produceLock while holding the WRITE lock would deadlock with it (the
-  // JVM-wide lock order is produceLock -> topic RW lock). Intrinsic
-  // monitors are reentrant, so produceInto's own acquisition still nests.
+  // JVM-wide lock order is produceLock -> topic RW lock). produceLock
+  // still serializes the flip against concurrent produces: a produce
+  // pins its generation under the same lock, so it lands either wholly
+  // under v (still live in the chain — nothing strands) or wholly under
+  // v+1 after the flip.
   def rescale(
       topic: String,
       newClusterSize: Int,
       requireDrained: Boolean = false): Generation =
     produceLock.synchronized { withTopicMaintenance(topic) {
-    val g = generation(topic)
-    val oldHigh = producerOffsets(topic)
-    val drained = drainedGroups(topic, g, oldHigh)
+    val chain = generations(topic)
     // mechanical drain-before-rescale (the reference waits for sibling
     // OffsetCompleted before joining ranges, `offset_state.go:690-714`):
     // with requireDrained the documented discipline is enforced — the
-    // rescale refuses while any group with committed state under this
-    // generation still has lag, instead of silently making that group
-    // re-read the whole rewritten history under its start policy.
+    // rescale refuses while any group with committed state under the
+    // live lineage still has lag. Without it the rescale is still safe
+    // (ancestors keep serving), the flag just bounds the lineage depth a
+    // deployment accumulates.
     if (requireDrained) {
-      val undrained = knownGroups(topic, g).filterNot(drained.contains)
+      val undrained = knownGroups(topic, chain)
+        .filter(gr => groupHasLag(gr, topic, chain))
       if (undrained.nonEmpty) throw new IllegalStateException(
-        s"rescale($topic): groups still have lag under generation ${g.version}: " +
+        s"rescale($topic): groups still have lag under the live lineage " +
+          s"(versions ${chain.map(_.version).mkString(",")}): " +
           s"${undrained.sorted.mkString(", ")} — drain them or call with requireDrained=false")
     }
-    // The whole copy-then-flip holds produceLock (reentrant with
-    // produceInto's own acquisition): the source file listing is pinned
-    // when spark.read resolves, so a produce interleaving between that
-    // listing and the generation flip would append records the copy never
-    // saw — stranded in the superseded generation the moment the pointer
-    // moves. With the watcher automating rescale, that interleaving is a
-    // realistic schedule, not just an API-misuse corner.
-    produceLock.synchronized {
-      val next = Generation(g.version + 1, newClusterSize)
-      // copy-then-flip: the new generation's data and watermarks are fully
-      // durable BEFORE the generation pointer moves. A crash mid-copy leaves
-      // the old generation current and every poll correct; the retry below
-      // first clears any partial v+1 leftovers so it cannot double-copy.
-      clearGenerationData(topic, next)
-      // a topic rescaled before its first produce has no data dir — the
-      // generation still flips (the reference reshapes empty topics too),
-      // there is just nothing to copy
-      if (dataDirExists) {
-        val old = spark.read.schema(recordSchema).parquet(dataDir)
-          .where(col("topic") === topic && col("version") === g.version)
-          // old (part, offset) becomes the produce-order tiebreak, so the
-          // new generation's per-key order equals the old delivery order
-          .withColumn("__seq", col("part").cast("long") * (1L << 40) + col("offset"))
-          .select("key", "value", "timestamp", "__seq")
-        produceInto(topic, old, next) // stamps v+1; fresh watermark scope -> offsets from 0
-      }
-      setGeneration(topic, next)
-      // offset continuity for drained groups (the reference's OffsetCompleted
-      // projection, `offset_state.go` split/join): a group that had consumed
-      // the WHOLE old generation starts at the new generation's watermarks —
-      // nothing is re-delivered to it. Partially-consumed groups re-read
-      // under their start policy (at-least-once; the reference's discipline
-      // is drain-before-rescale precisely so this set is empty).
-      val newHigh = producerOffsets(topic)
-      drained.foreach(group => commit(group, topic, newHigh))
-      next
-    }
+    val next = Generation(chain.last.version + 1, newClusterSize)
+    // defense-in-depth: clear any stray files under the next version
+    // (nothing writes there before the flip, but a crashed pre-lineage
+    // copying rescale may have left partial v+1 dirs behind — serving
+    // them as live data would duplicate records)
+    clearGenerationData(topic, next)
+    // the flip IS the rescale: one durable chain append. A crash before
+    // it leaves the old chain current and every poll correct; after it,
+    // the new generation is open and empty.
+    setGenerations(topic, chain :+ next)
+    next
   } }
 
-  /** Remove any data, watermarks, and caches a CRASHED rescale left under
-    * a not-yet-current generation, so the retry starts from a clean v+1
-    * (without this, the retry's copy would append after the partial
-    * copy's watermarks and duplicate records).
+  /** True when `group` has unconsumed records anywhere in the live
+    * lineage (committed-or-start-policy position below the watermark in
+    * any generation). Metadata-only: two small offset maps per
+    * generation.
+    */
+  private def groupHasLag(group: String, topic: String, chain: Seq[Generation]): Boolean =
+    chain.exists { g =>
+      val high = producerOffsetsFor(topic, g)
+      val committed = readOffsets(groupMeta, s"$group/$topic/v${g.version}")
+      (0 until partsOf(g)).exists { p =>
+        committed.getOrElse(p, startingOffset(group, topic, p, g)) < high.getOrElse(p, 0L)
+      }
+    }
+
+  /** Remove any data, watermarks, and caches lingering under a
+    * not-yet-live generation, so a rescale opens v+1 genuinely EMPTY.
+    * Nothing writes ahead of the flip in the metadata-only design, but a
+    * crashed PRE-LINEAGE copying rescale (or any stray partial state)
+    * may have left v+1 dirs behind — chaining them as live data would
+    * duplicate every partially-copied record.
     */
   private def clearGenerationData(topic: String, g: Generation): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1155,57 +1362,88 @@ class TopicStore(
     ()
   }
 
-  /** Groups whose committed offsets cover every produced record of the
-    * topic's generation `g` (metadata-only: two small offset maps each).
+  /** Groups with committed offset state under ANY generation of the
+    * topic's live chain (a `_meta/group_offsets` scope dir exists for
+    * it). Groups that registered but never committed are invisible here
+    * — the documented limitation of the drain checks.
     */
-  private def drainedGroups(topic: String, g: Generation, high: Map[Int, Long]): Seq[String] =
-    knownGroups(topic, g).filter { group =>
-      val committed = groupOffsets(group, topic)
-      high.forall { case (p, hw) => committed.getOrElse(p, 0L) >= hw }
-    }
-
-  /** Groups with committed offset state under the topic's generation `g`
-    * (a `_meta/group_offsets` scope dir exists for it).
-    */
-  private def knownGroups(topic: String, g: Generation): Seq[String] = {
+  private def knownGroups(topic: String, chain: Seq[Generation]): Seq[String] = {
     if (!pathExists(groupMeta)) return Seq.empty
     val fs = hfs(groupMeta)
     fs.listStatus(hpath(groupMeta)).filter(_.isDirectory).toSeq
       .map(_.getPath.getName)
-      .filter(group => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$groupMeta/$group/${scopeDir(topic)}/v${g.version}")))
+      .filter(group => chain.exists(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$groupMeta/$group/${scopeDir(topic)}/v${g.version}"))))
   }
 
-  /** Reclaim the superseded generations of a topic: delete every
-    * `version=` dir below the current generation. Rescale rewrites all
-    * live records into the new generation but PRESERVES their timestamps,
-    * so time-based retention cannot distinguish a stale generation's
-    * files from their rewrites — this sweep is the generation-aware
-    * companion (the reference deletes old-generation segment dirs after
-    * consumers drain, `datalog_cleaner.go`). Call after consumers have
-    * moved to the current generation. Returns deleted file count.
+  /** Reclaim DRAINED ancestor generations of a topic: ancestors whose
+    * records every known group (committed state under the live lineage)
+    * has fully consumed are deleted and removed from the chain — the
+    * reference deletes old-generation segment dirs after consumers
+    * drain (`datalog_cleaner.go`). Only a contiguous PREFIX of the chain
+    * is reclaimed (consumers drain in chain order, so an undrained
+    * generation fences everything after it). With no known groups, all
+    * ancestors are reclaimable — the admin asserts nobody is consuming
+    * (groups that never committed, and streaming readers, are invisible
+    * to this check; their reads of a swept generation fail loudly).
+    * Version dirs NOT in the live chain at all — pre-lineage rewrite
+    * leftovers and crashed-future dirs — are reclaimed unconditionally:
+    * nothing addresses them. Rescale preserves record timestamps, so
+    * time-based retention cannot distinguish generations; this sweep is
+    * the generation-aware companion. Maintenance path (write lock): a
+    * poll serving an ancestor must never race the delete. Returns
+    * deleted file count.
     */
-  def sweepStaleGenerations(topic: String): Int = {
-    val cur = generation(topic).version
+  def sweepStaleGenerations(topic: String): Int = withTopicMaintenance(topic) {
+    val chain = generations(topic)
+    val groups = knownGroups(topic, chain)
+    val reclaimable = chain.init.takeWhile { g =>
+      groups.forall { gr =>
+        val high = producerOffsetsFor(topic, g)
+        val committed = readOffsets(groupMeta, s"$gr/$topic/v${g.version}")
+        (0 until partsOf(g)).forall { p =>
+          committed.getOrElse(p, startingOffset(gr, topic, p, g)) >= high.getOrElse(p, 0L)
+        }
+      }
+    }
+    val keep = chain.drop(reclaimable.size)
+    val keepNames = keep.map(g => s"version=${g.version}").toSet
     // partitionBy escapes special characters in partition-value dir names,
     // so addressing a topic dir must escape the same way (NOT the _meta
     // scopeDir encoding)
     val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
-    if (!fs.exists(topicPath)) return 0
     var deleted = 0
-    fs.listStatus(topicPath).filter(_.isDirectory).foreach { tokenDir =>
-      fs.listStatus(tokenDir.getPath).filter(_.isDirectory).foreach { rangeDir =>
-        fs.listStatus(rangeDir.getPath).filter(_.isDirectory).foreach { verDir =>
-          val name = verDir.getPath.getName
-          if (name.startsWith("version=") &&
-              name.stripPrefix("version=").toIntOption.exists(_ < cur)) {
-            val it = fs.listFiles(verDir.getPath, true)
-            while (it.hasNext) { it.next(); deleted += 1 }
-            fs.delete(verDir.getPath, true)
-            ()
+    if (fs.exists(topicPath)) {
+      fs.listStatus(topicPath).filter(_.isDirectory).foreach { tokenDir =>
+        fs.listStatus(tokenDir.getPath).filter(_.isDirectory).foreach { rangeDir =>
+          fs.listStatus(rangeDir.getPath).filter(_.isDirectory).foreach { verDir =>
+            val name = verDir.getPath.getName
+            if (name.startsWith("version=") && !keepNames.contains(name)) {
+              val it = fs.listFiles(verDir.getPath, true)
+              while (it.hasNext) { it.next(); deleted += 1 }
+              fs.delete(verDir.getPath, true)
+              ()
+            }
           }
         }
+      }
+    }
+    // the chain truncation is durable AFTER the deletes: a crash between
+    // them leaves a swept generation still chained, whose polls read an
+    // empty dir (no lag) — harmless; the next sweep re-truncates.
+    if (reclaimable.nonEmpty) {
+      setGenerations(topic, keep)
+      // drop the swept generations' watermark scopes + caches (their
+      // offsets tables are unreachable once the chain no longer lists
+      // them; leaving them would leak one tiny dir per swept generation)
+      reclaimable.foreach { g =>
+        val scope = producerScopeFor(topic, g)
+        val metaPath = s"$producerMeta/${scopeDir(scope)}"
+        if (pathExists(metaPath)) { hfs(metaPath).delete(hpath(metaPath), true); () }
+        offsetCache.remove(metaCacheKey(metaPath))
+        reconciled.remove(lockRootKey + "|" + scope)
+        ()
       }
     }
     deleted
@@ -1294,6 +1532,24 @@ class TopicStore(
     */
   def persistedProducerOffsets(topic: String): Map[Int, Long] =
     readOffsets(producerMeta, producerScope(topic))
+
+  /** Persisted high watermark under an explicit generation version — the
+    * read-side view of an ANCESTOR generation (frozen after the flip:
+    * produce only writes the current generation). The DSv2 streaming
+    * source drains ancestors against exactly this map.
+    */
+  def persistedProducerOffsets(topic: String, version: Int): Map[Int, Long] =
+    readOffsets(producerMeta, s"$topic/v$version")
+
+  /** Healing high watermark under an explicit LIVE generation version
+    * (owner-side lineage observability: the lag TVF enumerates every
+    * live generation's ring).
+    */
+  def producerOffsets(topic: String, version: Int): Map[Int, Long] =
+    generations(topic).find(_.version == version) match {
+      case Some(g) => producerOffsetsFor(topic, g)
+      case None => Map.empty
+    }
 
   // The offsets tables are <= ring-size rows of driver metadata; running a
   // Spark job to read/write them (the old toDF.write / spark.read path)
@@ -1483,7 +1739,7 @@ object TopicStore {
   // see the class-side genCache comment for why per-instance caches
   // corrupted cross-instance offset assignment
   private[engine] val globalGenCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Generation]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Generation]]()
   private[engine] val globalOffsetCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
   private[engine] val globalReconciled =

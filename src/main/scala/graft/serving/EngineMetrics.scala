@@ -1,11 +1,54 @@
 package graft.serving
 
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicLong, AtomicLongArray}
 
-/** Engine counters in Prometheus exposition format — the C10 analog of
-  * the reference's metrics endpoint (`internal/metrics/metrics.go:77`,
-  * port 9253): messages in, coalesced groups, records delivered, polls
-  * served, active consumers. Served by `RestServer` at `GET /metrics`.
+/** A fixed-bucket Prometheus histogram: lock-free observe, cumulative
+  * `_bucket{le=…}` rendering with `+Inf`, `_sum` and `_count` — the
+  * exposition shape the reference's prometheus client emits for its
+  * histogram vectors (`internal/metrics/metrics.go:28,54`). Buckets are
+  * upper bounds, ascending.
+  */
+class PromHistogram(val buckets: Array[Long]) {
+  require(buckets.nonEmpty && buckets.sameElements(buckets.sorted),
+    "histogram buckets must be non-empty ascending")
+  private val counts = new AtomicLongArray(buckets.length + 1) // last = +Inf
+  private val sum = new AtomicLong
+
+  def observe(v: Long): Unit = {
+    var i = 0
+    while (i < buckets.length && v > buckets(i)) i += 1
+    counts.incrementAndGet(i)
+    sum.addAndGet(v)
+    ()
+  }
+
+  def render(name: String, help: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"# HELP graft_$name $help\n# TYPE graft_$name histogram\n"
+    var cum = 0L
+    var i = 0
+    while (i < buckets.length) {
+      cum += counts.get(i)
+      sb ++= s"""graft_${name}_bucket{le="${buckets(i)}"} $cum""" += '\n'
+      i += 1
+    }
+    cum += counts.get(buckets.length)
+    sb ++= s"""graft_${name}_bucket{le="+Inf"} $cum""" += '\n'
+    sb ++= s"graft_${name}_sum ${sum.get}\n"
+    sb ++= s"graft_${name}_count $cum\n"
+    sb.result()
+  }
+}
+
+/** Engine counters + histograms in Prometheus exposition format — the
+  * C10 analog of the reference's metrics endpoint
+  * (`internal/metrics/metrics.go:77`, port 9253): messages in,
+  * coalesced groups, records delivered, polls served, active consumers,
+  * plus the two distribution metrics the reference exposes as
+  * histograms — messages per coalesced group
+  * (`metrics.go:28` CoalescerMessagesPerGroup) and bytes per durable
+  * flush (`metrics.go:54` SegmentFlushBytes). Served by `RestServer`
+  * at `GET /metrics`.
   */
 class EngineMetrics {
   val messagesReceived = new AtomicLong
@@ -13,6 +56,13 @@ class EngineMetrics {
   val recordsDelivered = new AtomicLong
   val pollsServed = new AtomicLong
   val activeConsumers = new AtomicLong
+  // powers of two: group sizes are small integers (1 = no batching
+  // happening), flush bytes span 1 KiB .. the 2 MiB group cap and beyond
+  val coalescerMessagesPerGroup = new PromHistogram(
+    Array(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L))
+  val produceFlushBytes = new PromHistogram(
+    Array(1024L, 4096L, 16384L, 65536L, 262144L, 1048576L, 2097152L,
+      4194304L, 16777216L))
 
   def render: String = {
     def c(name: String, help: String, v: Long): String =
@@ -22,6 +72,10 @@ class EngineMetrics {
       c("records_delivered_total", "Records returned to consumers", recordsDelivered.get) +
       c("polls_served_total", "Poll requests answered", pollsServed.get) +
       s"# HELP graft_active_consumers Registered consumers\n" +
-      s"# TYPE graft_active_consumers gauge\ngraft_active_consumers ${activeConsumers.get}\n"
+      s"# TYPE graft_active_consumers gauge\ngraft_active_consumers ${activeConsumers.get}\n" +
+      coalescerMessagesPerGroup.render("coalescer_messages_per_group",
+        "Messages per coalesced produce group") +
+      produceFlushBytes.render("produce_flush_bytes",
+        "Record-body bytes per durable produce flush")
   }
 }

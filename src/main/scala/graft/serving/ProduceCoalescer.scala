@@ -119,6 +119,12 @@ class ProduceCoalescer(
         store.produce(topic, df)
         metrics.messagesReceived.addAndGet(rows.size.toLong)
         metrics.groupsFlushed.incrementAndGet()
+        // the two reference histograms (`metrics.go:28,54`): distribution
+        // of group sizes (1 everywhere = the linger is not amortizing)
+        // and of durable flush bytes (vs the maxGroupBytes cap)
+        metrics.coalescerMessagesPerGroup.observe(rows.size.toLong)
+        metrics.produceFlushBytes.observe(
+          reqs.iterator.flatMap(_.lines).map(_.length.toLong).sum)
         reqs.foreach(_.ack.complete(java.lang.Boolean.TRUE))
       } catch {
         case e: Throwable => reqs.foreach(_.ack.completeExceptionally(e))

@@ -360,10 +360,20 @@ class RestServer(
           }
           val next = byPart.view
             .mapValues(_.last.getAs[Long]("offset") + 1L).toMap
-          // all rows of one poll share the current generation (poll filters
-          // on it); commitPending above cleared any prior stage, so this is
-          // a plain put — never a cross-poll merge
+          // all rows of one BOUNDED poll share one generation (the
+          // earliest live one where the group has lag — poll's lineage
+          // walk); commitPending above cleared any prior stage, so this
+          // is a plain put — never a cross-poll merge
           s.pendingCommit(topic) = (rows.head.getAs[Int]("version"), next)
+        } else {
+          // empty page: if the group still has lag, the bounded window
+          // was erased by purgeKeys — advance past it (metadata-only
+          // fast path when there is simply no lag), or the consumer
+          // would page over the same gap forever
+          store.withTopicReads(topic) {
+            store.skipPurgedPage(s.group, topic, cid, maxPollRecords)
+          }
+          ()
         }
       }
 

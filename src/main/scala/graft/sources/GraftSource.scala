@@ -47,14 +47,16 @@ import graft.engine.TopicStore
   * plus a directory listing pruned to `topic=`/`version=`; each file is
   * one input partition, so read parallelism is file-granular. The
   * listing runs per trigger (like any file-based source) and every
-  * current-generation file gets a task whose row groups the offset
-  * predicate then skips — for long-lived topics, `compact` keeps the
-  * file count (and so per-trigger planning cost) bounded. Offsets are
-  * generation-stamped: after a rescale they restart per partition, and
-  * the source fails LOUDLY on a generation mismatch instead of
-  * reinterpreting old watermarks — restart the stream with a fresh
-  * checkpoint, exactly like reference consumers re-register on a
-  * generation change (SURVEY §2.4 R6). One source instance follows ONE
+  * planned file gets a task whose row groups the offset predicate then
+  * skips — for long-lived topics, `compact` keeps the file count (and
+  * so per-trigger planning cost) bounded. Offsets are
+  * generation-stamped (they restart per partition at a rescale), and
+  * the stream RIDES THROUGH generation flips: it drains its positioned
+  * generation to that generation's frozen watermarks, then continues at
+  * the next live generation's offset 0 — the reference consumer's R6
+  * split/join continuity (`offset_state.go:492-611`). Only a
+  * mid-stream `sweepStaleGenerations` of the positioned generation
+  * fails loudly (the records are gone). One source instance follows ONE
   * topic (each topic has independent offsets); a reference-style
   * multi-topic subscription is the union of per-topic streams —
   * `stream("a").union(stream("b"))` — each with its own offset log.
@@ -87,11 +89,11 @@ object GraftSource {
     StructField("range", IntegerType),
     StructField("version", IntegerType)))
 
-  /** Driver-side file snapshot of a topic's generation: (path, token,
-    * range, version) parsed from the partition directories.
+  /** Driver-side file snapshot of a topic's generation set: (path,
+    * token, range, version) parsed from the partition directories.
     */
   private[sources] def listFiles(
-      spark: SparkSession, root: String, topic: String, version: Int): Seq[GraftFile] = {
+      spark: SparkSession, root: String, topic: String, versions: Set[Int]): Seq[GraftFile] = {
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(topic)
     val topicDir = new Path(s"$root/data/topic=$esc")
     val fs = topicDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,7 +107,7 @@ object GraftSource {
         def seg(name: String): Option[String] =
           s"/$name=([^/]+)/".r.findFirstMatchIn(p + "/").map(_.group(1))
         (seg("token"), seg("range"), seg("version")) match {
-          case (Some(t), Some(r), Some(v)) if v.toInt == version =>
+          case (Some(t), Some(r), Some(v)) if versions.contains(v.toInt) =>
             out += GraftFile(p, t.toLong, r.toInt, v.toInt)
           case _ => ()
         }
@@ -248,8 +250,11 @@ class GraftScan(root: String, topic: String, maxRecordsPerTrigger: Option[Long] 
       // fail the task loudly instead — the batch analog of a consumer
       // paging into retention, and a retry replans coherently.
       store.withTopicReads(topic) {
-        val gen = store.generation(topic).version
-        GraftSource.listFiles(spark, root, topic, gen).map { f =>
+        // the whole LIVE lineage: after a metadata-only rescale the
+        // topic's history stays in ancestor generations — a current-
+        // generation-only batch read would see an empty topic
+        val live = store.generations(topic).map(_.version).toSet
+        GraftSource.listFiles(spark, root, topic, live).map { f =>
           GraftInputPartition(f, topic, Map.empty, Map.empty, conf): InputPartition
         }.toArray
       }
@@ -293,31 +298,32 @@ class GraftMicroBatchStream(
   private val store = new TopicStore(spark, root)
   private val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
 
+  /** A fresh stream reads the WHOLE live topic: start at the earliest
+    * live generation (after metadata-only rescales the history lives in
+    * ancestors) with empty positions.
+    */
   override def initialOffset(): Offset =
-    GraftOffset(store.generation(topic).version, Map.empty)
+    GraftOffset(pollChain().head.version, Map.empty)
 
-  /** One watermark + generation poll per trigger (latestOffset caches,
-    * reportLatestOffset reuses): the PERSISTED watermark, never the
-    * healing read — a read-side observer must not write `_meta` or
-    * surface records ahead of their watermark commit.
+  /** One chain poll per trigger (latestOffset caches, reportLatestOffset
+    * reuses). Watermarks are the PERSISTED maps, never the healing read —
+    * a read-side observer must not write `_meta` or surface records
+    * ahead of their watermark commit.
     */
   @volatile private var lastPoll: (Int, Map[Int, Long]) = _
 
-  private def poll(): (Int, Map[Int, Long]) = {
+  private def pollChain(): Seq[graft.engine.Generation] = {
     // another store instance owns the writes: drop the read-side caches
-    // so the poll observes its advanced watermarks (and generation).
-    // A rescale's generation-pointer overwrite has a transient
-    // no-visible-file window — retry through it so the stream surfaces
-    // the MEANINGFUL generation-mismatch error, not the race's artifact.
+    // so the poll observes its advanced watermarks (and chain). A
+    // rescale's chain-pointer overwrite has a transient no-visible-file
+    // window — retry through it.
     var attempt = 0
     while (true) {
       try {
         store.refreshOffsets(topic)
-        val got = (store.generation(topic).version, store.persistedProducerOffsets(topic))
-        lastPoll = got
-        return got
+        return store.generations(topic)
       } catch {
-        case e: Exception if attempt < 5 =>
+        case _: Exception if attempt < 5 =>
           attempt += 1
           Thread.sleep(100)
       }
@@ -325,13 +331,8 @@ class GraftMicroBatchStream(
     throw new IllegalStateException("unreachable")
   }
 
-  private def requireGen(o: GraftOffset, current: Int): Unit =
-    if (o.parts.nonEmpty && o.gen != current)
-      throw new IllegalStateException(
-        s"topic '$topic' rescaled: checkpointed offsets are for generation " +
-          s"${o.gen} but the store is at generation $current, and offsets " +
-          "restart per generation — restart the stream with a fresh " +
-          "checkpoint (reference consumers re-register on a generation change)")
+  private def highFor(version: Int): Map[Int, Long] =
+    store.persistedProducerOffsets(topic, version)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -340,15 +341,42 @@ class GraftMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
-  /** Rate-limited endpoint (maxRecordsPerTrigger): advance partitions in
-    * ascending order, each taking what remains of the record budget —
+  /** Rate-limited endpoint (maxRecordsPerTrigger) with GENERATION
+    * CONTINUATION: the stream drains its positioned generation to that
+    * generation's frozen watermarks, then advances to the next live
+    * generation from offset 0 (one generation step per micro-batch) —
+    * the reference consumer's ride-through of a split/join (R6 offset
+    * projection, `offset_state.go:492-611`). Offsets restart per
+    * generation, so positions are only ever compared within the
+    * generation they were read under. A positioned generation that was
+    * SWEPT from under a mid-stream checkpoint fails loudly (its records
+    * are gone — at-least-once cannot be silently faked); a checkpoint
+    * that consumed NOTHING yet re-anchors at the earliest live
+    * generation. Within a generation, partitions advance in ascending
+    * order, each taking what remains of the record budget —
     * deterministic, so a replayed batch plans the identical range.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val (gen, high) = poll()
     val so = start.asInstanceOf[GraftOffset]
-    requireGen(so, gen)
-    val from = so.parts
+    val chain = pollChain()
+    val idx = chain.indexWhere(_.version == so.gen)
+    val (serveGen, from) =
+      if (idx >= 0) {
+        val high = highFor(so.gen)
+        val drained = high.forall { case (p, hi) => so.parts.getOrElse(p, 0L) >= hi }
+        if (drained && idx < chain.size - 1) (chain(idx + 1).version, Map.empty[Int, Long])
+        else (so.gen, so.parts)
+      } else if (so.parts.isEmpty && chain.forall(_.version > so.gen))
+        // nothing consumed yet and the positioned generation precedes
+        // the live chain (swept before the first batch): re-anchor at
+        // the earliest live generation — a fresh start, nothing is lost
+        (chain.head.version, Map.empty[Int, Long])
+      else throw new IllegalStateException(
+        s"topic '$topic': checkpointed offsets are for generation ${so.gen}, " +
+          s"which is no longer live (chain: ${chain.map(_.version).mkString(",")}) — " +
+          "its records were swept mid-stream; restart with a fresh checkpoint")
+    val high = highFor(serveGen)
+    lastPoll = (serveGen, high)
     limit match {
       case r: ReadMaxRows =>
         var budget = r.maxRows()
@@ -358,29 +386,35 @@ class GraftMicroBatchStream(
           budget -= take
           p -> (lo + take)
         }.toMap
-        GraftOffset(gen, capped)
-      case _ => GraftOffset(gen, high)
+        GraftOffset(serveGen, capped)
+      case _ => GraftOffset(serveGen, high)
     }
   }
 
   override def reportLatestOffset(): Offset = {
-    val (gen, high) = if (lastPoll != null) lastPoll else poll()
+    val (gen, high) =
+      if (lastPoll != null) lastPoll
+      else { val c = pollChain(); (c.last.version, highFor(c.last.version)) }
     GraftOffset(gen, high)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[GraftOffset]
     val eo = end.asInstanceOf[GraftOffset]
-    val from = so.parts
+    // a cross-generation batch starts the new generation at 0 — the old
+    // generation's positions are meaningless in the new numbering
+    val from = if (so.gen == eo.gen) so.parts else Map.empty[Int, Long]
     val until = eo.parts
     if (until.forall { case (p, hi) => from.getOrElse(p, 0L) >= hi }) return Array.empty
     // same read-lock discipline as the batch scan: the listing must not
     // observe a maintenance swap mid-flight (see GraftScan.toBatch)
     store.withTopicReads(topic) {
-      val gen = store.generation(topic).version
-      requireGen(so, gen)
-      requireGen(eo, gen)
-      GraftSource.listFiles(spark, root, topic, gen).map { f =>
+      val live = store.generations(topic).map(_.version).toSet
+      if (!live.contains(eo.gen)) throw new IllegalStateException(
+        s"topic '$topic': batch targets generation ${eo.gen}, which is no " +
+          s"longer live (chain: ${live.toSeq.sorted.mkString(",")}) — its records " +
+          "were swept mid-stream; restart with a fresh checkpoint")
+      GraftSource.listFiles(spark, root, topic, Set(eo.gen)).map { f =>
         GraftInputPartition(f, topic, from, until, conf): InputPartition
       }.toArray
     }

@@ -83,13 +83,14 @@ object EngineDemo {
     assert(replaced >= 2, s"expected a merge, replaced=$replaced")
     println(s"compaction replaced $replaced files")
 
-    // elasticity: open generation v2 in place on a 6-broker ring
+    // elasticity: open generation v2 on a 6-broker ring — metadata-only
+    // (no data moves; ancestors serve through the lineage)
     val gen2 = store.rescale("events", 6)
     assert(gen2.version == 2 && gen2.clusterSize == 6, s"unexpected generation $gen2")
     store.registry.register("g2", "c", Seq("events"), store.StartFrom.Earliest)
     val rescaled = store.poll("g2", "events", "c").count()
     assert(rescaled == n + 1, s"rescale lost records: $rescaled != ${n + 1}")
-    println(s"rescaled in place to 6 brokers (gen ${gen2.version}): $rescaled records")
+    println(s"rescaled (zero-copy) to 6 brokers (gen ${gen2.version}): $rescaled records")
 
     println("ENGINE DEMO OK")
     spark.stop()

@@ -82,13 +82,17 @@ object TopicListTable {
 }
 
 /** `SELECT * FROM topic_lag('<store root>', '<group>')` — the
-  * operational lag table: one row per (topic, partition) with the
-  * produce watermark, the group's committed next-read position, and the
-  * lag (watermark − committed; an uncommitted partition reports the
-  * full watermark). The SQL face of the R8 max-produced-offset /
-  * consumer-lag metric the reference exposes through Prometheus
-  * (`EngineMetrics` carries the push-side twin); metadata-sized, one
-  * row per ring partition, evaluated plan-time like `topic_list`.
+  * operational lag table: one row per (topic, LIVE generation,
+  * partition) with the produce watermark, the group's committed
+  * next-read position, and the lag (watermark − committed; an
+  * uncommitted partition reports the full watermark). The lineage
+  * dimension matters after a metadata-only rescale: the group's real
+  * backlog lives in ancestor generations, which a current-generation-
+  * only readout would report as zero lag. The SQL face of the R8
+  * max-produced-offset / consumer-lag metric the reference exposes
+  * through Prometheus (`EngineMetrics` carries the push-side twin);
+  * metadata-sized, one row per (generation, ring partition), evaluated
+  * plan-time like `topic_list`.
   */
 object TopicLagTable {
   def plan(exprs: Seq[Expression]): LogicalPlan = {
@@ -108,18 +112,20 @@ object TopicLagTable {
     // is a sparse map, and the doc promises one row per ring partition
     // with uncommitted partitions reporting the full watermark as lag
     val rows = store.listTopics().flatMap { case (t, _, _) =>
-      val g = store.generation(t)
-      val hw = store.producerOffsets(t)
-      val committed = store.groupOffsets(group, t)
-      (0 until g.clusterSize * store.rangesPerToken).map { p =>
-        val w = hw.getOrElse(p, 0L)
-        val c = committed.getOrElse(p, 0L)
-        InternalRow(UTF8String.fromString(t), p, w, c, math.max(0L, w - c))
+      store.generations(t).flatMap { g =>
+        val hw = store.producerOffsets(t, g.version)
+        val committed = store.groupOffsets(group, t, g.version)
+        (0 until g.clusterSize * store.rangesPerToken).map { p =>
+          val w = hw.getOrElse(p, 0L)
+          val c = committed.getOrElse(p, 0L)
+          InternalRow(UTF8String.fromString(t), g.version, p, w, c, math.max(0L, w - c))
+        }
       }
     }
     LocalRelation(
       Seq(
         AttributeReference("topic", StringType, nullable = false)(),
+        AttributeReference("version", IntegerType, nullable = false)(),
         AttributeReference("part", IntegerType, nullable = false)(),
         AttributeReference("watermark", LongType, nullable = false)(),
         AttributeReference("committed", LongType, nullable = false)(),

@@ -151,24 +151,28 @@ class ChaosSpec extends AnyFunSuite {
     val rows = store.withTopicReads(topic) {
       store.poll("audit", topic, "a").collect()
     }
-    val byPart = rows.groupBy(_.getAs[Int]("part"))
-    byPart.foreach { case (p, rs) =>
-      val offs = rs.map(_.getAs[Long]("offset"))
-      assert(offs.distinct.length == offs.length,
-        s"partition $p double-delivered at identical offsets")
+    // offsets are distinct PER (generation, partition): with the
+    // metadata-only rescale each record stays in its birth generation,
+    // and offset spaces restart per generation
+    rows.groupBy(r => (r.getAs[Int]("version"), r.getAs[Int]("part"))).foreach {
+      case ((v, p), rs) =>
+        val offs = rs.map(_.getAs[Long]("offset"))
+        assert(offs.distinct.length == offs.length,
+          s"gen $v partition $p double-delivered at identical offsets")
     }
     val delivered = rows.map(r =>
       (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
-        r.getAs[Long]("offset")))
+        (r.getAs[Int]("version"), r.getAs[Int]("part"), r.getAs[Long]("offset"))))
     assert(!delivered.exists(_._1 == PurgeKey), "purged key leaked into the audit read")
     val expected = acked.toMap - PurgeKey
     val deliveredByKey = delivered.groupBy(_._1)
     assert(deliveredByKey.keySet == expected.keySet,
       s"key sets differ: missing=${expected.keySet -- deliveredByKey.keySet} " +
         s"extra=${deliveredByKey.keySet -- expected.keySet}")
-    // exactly once + per-key produce order == offset order: a key maps to
-    // one partition within the final generation, so its records are
-    // totally ordered by offset (§2.6.1)
+    // exactly once + per-key produce order == lineage order: a key maps
+    // to one partition per generation, so its records are totally
+    // ordered by (version, part, offset) — the delivery contract across
+    // rescales (§2.6.1 + lineage)
     deliveredByKey.foreach { case (k, vs) =>
       assert(vs.sortBy(_._3).map(_._2).toVector == expected(k),
         s"key $k: delivered ${vs.length} records, order/body mismatch vs produce order")
@@ -225,7 +229,7 @@ class ChaosSpec extends AnyFunSuite {
     }
     val delivered = rows.map(r =>
       (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value"), "UTF-8"),
-        r.getAs[Long]("offset")))
+        (r.getAs[Int]("version"), r.getAs[Int]("part"), r.getAs[Long]("offset"))))
       .filter(_._1 != "seed")
     val byKey = delivered.groupBy(_._1)
     assert(byKey.keySet == acked.keySet)

@@ -310,7 +310,7 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("rescale 3 -> 6 brokers opens generation v2 in place, keeps order") {
+  test("rescale 3 -> 6 brokers is metadata-only: zero data files move, order keeps") {
     val store = freshStore()
     val keys = Seq("123", "567", "234", "89", "alpha")
     val rows = (0 until 40).map(i => (keys(i % keys.size), s"m$i", ts(i)))
@@ -319,23 +319,41 @@ class EngineSpec extends AnyFunSuite {
     // an untouched second topic stays on generation 1
     store.produceStrings("t2", Seq(("x", "other-topic", ts(0))))
 
+    def dataFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store.dataDir))
+        .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles()
+
     val gen2 = store.rescale("t", 6)
     assert(gen2 == graft.engine.Generation(2, 6))
     assert(store.generation("t").version == 2)
+    assert(store.generations("t") ==
+      Seq(graft.engine.Generation(1, 3), graft.engine.Generation(2, 6)))
     assert(store.generation("t2") == graft.engine.Generation(1, 3))
+
+    // THE zero-copy property: a ring change moves no data — the exact
+    // same parquet files exist after the flip (the old implementation
+    // rewrote the topic's full history; at 100 TB that was a full-topic
+    // shuffle + rewrite per ring change)
+    assert(dataFiles() == before, "rescale must not create or move data files")
+
     store.registry.register("g2", "c2", Seq("t2"), store.StartFrom.Earliest)
     assert(store.poll("g2", "t2", "c2").count() == 1L)
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
     val polled = store.poll("g", "t", "c").collect()
     assert(polled.length == 40)
 
-    // every delivered record carries the new generation version, and the
-    // new ring's 6 broker tokens redistribute the records
-    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(2))
-    val tokens = polled.map(_.getAs[Long]("token")).distinct
-    assert(tokens.length > 1)
+    // the history is served from its BIRTH generation (v1, old ring)...
+    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(1))
+    // ...while a new produce lands in generation 2 under the 6-broker ring
+    store.produceStrings("t", Seq(("123", "m40", ts(100))))
+    val fresh = store.poll("g", "t", "c").collect()
+    assert(fresh.length == 1 && fresh.head.getAs[Int]("version") == 2)
+    assert(fresh.head.getAs[Long]("offset") == 0L, "offsets restart per generation")
 
-    // per-key order still equals produce order after the move
+    // per-key order equals produce order within the ancestor generation
     polled.map(r => (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value")),
         r.getAs[Long]("offset"), r.getAs[Int]("part")))
       .groupBy(_._1).foreach { case (key, msgs) =>
@@ -346,7 +364,7 @@ class EngineSpec extends AnyFunSuite {
         assert(msgs.map(_._4).distinct.length == 1) // one partition per key
       }
 
-    // offsets restart per partition (new generation), contiguous from 0
+    // offsets contiguous from 0 per (generation, partition)
     polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
       val offs = rs.map(_.getAs[Long]("offset")).sorted
       assert(offs.toSeq == (0L until offs.length.toLong), s"part $p offsets: ${offs.toSeq}")
@@ -414,10 +432,12 @@ class EngineSpec extends AnyFunSuite {
     store.rescale("t", 6)
     store.rescale("t", 3)
     assert(store.generation("t") == graft.engine.Generation(3, 3))
+    assert(store.generations("t").map(_.version) == Seq(1, 2, 3))
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
     val polled = store.poll("g", "t", "c").collect()
     assert(polled.length == 24)
-    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(3))
+    // the records stayed where they were born (metadata-only rescale)
+    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(1))
     polled.map(r => (r.getAs[String]("key"), new String(r.getAs[Array[Byte]]("value")),
         r.getAs[Long]("offset"), r.getAs[Int]("part")))
       .groupBy(_._1).foreach { case (key, msgs) =>
@@ -425,7 +445,7 @@ class EngineSpec extends AnyFunSuite {
         val want = (0 until 24).filter(i => keys(i % keys.size) == key).map(i => s"m$i")
         assert(got.toSeq == want, s"key $key order broken after double rescale")
       }
-    // Graft.topic sees the same current-generation records
+    // Graft.topic spans the live lineage: all records, exactly once
     assert(Graft.topic(spark, store.root, "t").count() == 24L)
   }
 
@@ -592,15 +612,21 @@ class EngineSpec extends AnyFunSuite {
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
     val polled = store.poll("g", "t", "c").collect()
     assert(polled.length == 30, s"expected all 3 generations' records, got ${polled.length}")
-    // offsets contiguous from 0 per partition (single current generation
-    // holds the whole rewritten history)
-    polled.groupBy(_.getAs[Int]("part")).foreach { case (p, rs) =>
-      val offs = rs.map(_.getAs[Long]("offset")).sorted
-      assert(offs.toSeq == (0L until offs.length.toLong), s"part $p offsets: ${offs.toSeq}")
+    // each record is served from its birth generation, offsets contiguous
+    // from 0 per (generation, partition)
+    assert(polled.map(_.getAs[Int]("version")).distinct.sorted.toSeq == Seq(1, 2, 3))
+    polled.groupBy(r => (r.getAs[Int]("version"), r.getAs[Int]("part"))).foreach {
+      case ((v, p), rs) =>
+        val offs = rs.map(_.getAs[Long]("offset")).sorted
+        assert(offs.toSeq == (0L until offs.length.toLong),
+          s"gen $v part $p offsets: ${offs.toSeq}")
     }
-    // per-key order across the generation boundaries follows produce order
+    // per-key order across the generation boundaries follows produce
+    // order when consumed in (version, part, offset) order — the
+    // lineage delivery contract
     polled.groupBy(_.getAs[String]("key")).foreach { case (key, msgs) =>
-      val got = msgs.sortBy(r => (r.getAs[Int]("part"), r.getAs[Long]("offset")))
+      val got = msgs
+        .sortBy(r => (r.getAs[Int]("version"), r.getAs[Int]("part"), r.getAs[Long]("offset")))
         .map(r => new String(r.getAs[Array[Byte]]("value"))).toSeq
       val want = (for (g <- 1 to 3; i <- 0 until 10 if s"k${i % 3}" == key) yield s"g$g-$i").toSeq
       assert(got == want, s"key $key order across generations: $got")
@@ -683,14 +709,16 @@ class EngineSpec extends AnyFunSuite {
     // gu never polls before the rescale -> undrained
 
     store.rescale("t", 6)
-    // drained group: nothing re-delivered from the rewritten generation
+    // drained group: nothing re-delivered — its ancestor positions sit
+    // at the frozen watermarks and the new generation opens empty
     assert(store.poll("gd", "t", "c1").collect().isEmpty)
     // but new-generation produce flows to it
     store.produceStrings("t", Seq(("k0", "fresh", ts(100))))
     val out = store.poll("gd", "t", "c1").collect()
       .map(r => new String(r.getAs[Array[Byte]]("value")))
     assert(out.toSeq == Seq("fresh"))
-    // undrained group re-reads everything under its Earliest policy
+    // the group that never started reads the whole lineage from 0 under
+    // its Earliest policy: all 20 ancestor records + the fresh one
     assert(store.poll("gu", "t", "c2").collect().length == 21)
   }
 
@@ -894,7 +922,7 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("a commit stamped with a superseded generation is rejected") {
+  test("a version-stamped commit lands in ITS generation's scope; swept generations reject") {
     val store = freshStore()
     store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
     store.registry.register("g", "c1", Seq("t"), store.StartFrom.Earliest)
@@ -905,15 +933,23 @@ class EngineSpec extends AnyFunSuite {
     val staged = rows.groupBy(_.getAs[Int]("part")).view
       .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
     store.rescale("t", 6)
-    // the flush arrives after the rescale: v1 positions are meaningless in
-    // v2's numbering — the whole commit must be rejected, not applied
+    // the flush arrives after the rescale: v1 stays LIVE (metadata-only
+    // rescale), so its staged positions apply to v1's OWN scope — the
+    // drain keeps advancing; the current generation's scope is untouched
+    // (v1 positions are meaningless in v2's numbering)
     val accepted = store.commit("g", "t", staged, origin = "c1", version = v1)
-    assert(accepted.isEmpty)
-    assert(store.groupOffsets("g", "t").values.forall(_ == 0L))
-    // an equally-stamped commit under the CURRENT generation still lands
+    assert(accepted == staged)
+    assert(store.groupOffsets("g", "t", v1) == staged)
+    assert(store.groupOffsets("g", "t").values.forall(_ == 0L),
+      "an ancestor-stamped commit must not leak into the current scope")
+    // a commit stamped with the CURRENT generation lands in its scope
     val v2 = store.generation("t").version
     val ok = store.commit("g", "t", Map(0 -> 1L), version = v2)
     assert(ok == Map(0 -> 1L))
+    // ...and one stamped with a generation that is NOT live (never
+    // opened / already swept) is rejected outright: there is no scope
+    // its numbering is valid for
+    assert(store.commit("g", "t", Map(0 -> 5L), version = 99).isEmpty)
   }
 
   test("retention + compaction address topics with escaped characters") {
@@ -1030,17 +1066,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("sweepStaleGenerations reclaims superseded version dirs only") {
+  test("sweepStaleGenerations reclaims only ancestor generations every group drained") {
     val store = freshStore()
-    store.produceStrings("t", (0 until 12).map(i => (s"k$i", s"m$i", ts(i))))
-    store.rescale("t", 6)
-    val deleted = store.sweepStaleGenerations("t")
-    assert(deleted > 0, "no stale-generation files reclaimed")
-    // the current generation still serves every record
+    // one key -> one partition, so the bounded poll below is guaranteed
+    // to leave lag (maxRecords bounds are PER PARTITION)
+    store.produceStrings("t", (0 until 12).map(i => ("k", s"m$i", ts(i))))
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    // consume PART of generation 1, so the group has committed state and
+    // lag under it
+    store.poll("g", "t", "c", maxRecords = 1L).collect()
+    store.rescale("t", 6)
+    // the undrained ancestor is FENCED: nothing may be reclaimed while a
+    // known group still owes reads from it
+    assert(store.sweepStaleGenerations("t") == 0,
+      "sweep must not reclaim an ancestor a group has not drained")
+    assert(store.generations("t").map(_.version) == Seq(1, 2))
+    // drain generation 1 fully, then the sweep reclaims it
     val polled = store.poll("g", "t", "c").collect()
-    assert(polled.length == 12)
-    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(2))
+    assert(polled.length == 11 && polled.forall(_.getAs[Int]("version") == 1))
+    val deleted = store.sweepStaleGenerations("t")
+    assert(deleted > 0, "no drained-ancestor files reclaimed")
+    assert(store.generations("t") == Seq(graft.engine.Generation(2, 6)),
+      "the chain must truncate to the surviving generations")
+    // the drained group sees nothing twice; a FRESH Earliest group sees
+    // only what still exists (the empty current generation)
+    assert(store.poll("g", "t", "c").count() == 0L)
+    store.registry.register("g2", "c2", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g2", "t", "c2").count() == 0L)
     // idempotent: nothing left to reclaim
     assert(store.sweepStaleGenerations("t") == 0)
   }

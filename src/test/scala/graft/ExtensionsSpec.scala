@@ -73,31 +73,6 @@ class ExtensionsSpec extends AnyFunSuite {
         s"SELECT topic, version, cluster_size FROM topic_list('$root')").collect()
       assert(listed.map(_.getString(0)).toSeq == Seq("t"))
       assert(listed.head.getInt(1) == 1)
-      store.rescale("t", 6)
-      val after = spark.sql(
-        s"SELECT version, cluster_size FROM topic_list('$root')").head()
-      assert(after.getInt(0) == 2 && after.getInt(1) == 6)
-
-      // topic_lag TVF: the operational watermark/committed/lag table.
-      // Before any consumption every produced record is lag; after a
-      // full poll + auto-commit the group is caught up everywhere.
-      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
-      val pre = spark.sql(
-        s"SELECT part, watermark, committed, lag FROM topic_lag('$root', 'g')").collect()
-      // one row per ring partition (clusterSize 6 after the rescale ×
-      // rangesPerToken 4), INCLUDING never-produced partitions — the
-      // producerOffsets map is sparse (r7 fix)
-      assert(pre.length == 6 * store.rangesPerToken,
-        s"topic_lag must enumerate the full ring, got ${pre.length} rows")
-      assert(pre.map(_.getLong(1)).sum == 6L, "watermarks must cover all 6 records")
-      assert(pre.forall(r => r.getLong(3) == r.getLong(1) - r.getLong(2)),
-        "lag must equal watermark - committed on every row")
-      assert(pre.map(_.getLong(3)).sum == 6L, "everything is lag before consumption")
-      store.poll("g", "t", "c").collect()
-      val post = spark.sql(
-        s"SELECT sum(lag), sum(watermark) FROM topic_lag('$root', 'g')").head()
-      assert(post.getLong(0) == 0L && post.getLong(1) == 6L,
-        s"a fully polled+committed group must show zero lag, got $post")
 
       // topic_offsets_for_time TVF: the time cut on the SQL surface. A
       // timestamp before every record cuts at offset 0 on produced
@@ -144,6 +119,39 @@ class ExtensionsSpec extends AnyFunSuite {
       }, s"files/bytes must track the watermark: ${stats.toSeq}")
       val apiStats = store.topicStats("t").map(t => (t._1, t._2, t._3, t._4))
       assert(stats.toSeq == apiStats, s"SQL stats ${stats.toSeq} != API $apiStats")
+
+      // a metadata-only rescale opens generation 2; topic_list reports it
+      store.rescale("t", 6)
+      val after = spark.sql(
+        s"SELECT version, cluster_size FROM topic_list('$root')").head()
+      assert(after.getInt(0) == 2 && after.getInt(1) == 6)
+
+      // topic_lag TVF: the operational watermark/committed/lag table,
+      // one row per (LIVE generation, ring partition) — after the
+      // metadata-only rescale the group's whole backlog is ancestor
+      // (generation-1) lag, which a current-generation-only readout
+      // would hide. Before any consumption every produced record is
+      // lag; after a full poll + auto-commit the group is caught up
+      // everywhere in the lineage.
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      val pre = spark.sql(
+        s"SELECT version, part, watermark, committed, lag FROM topic_lag('$root', 'g')")
+        .collect()
+      // gen 1 ring (3×4) + gen 2 ring (6×4), INCLUDING never-produced
+      // partitions — the producerOffsets map is sparse (r7 fix)
+      assert(pre.length == (3 + 6) * store.rangesPerToken,
+        s"topic_lag must enumerate every live generation's ring, got ${pre.length} rows")
+      assert(pre.map(_.getInt(0)).distinct.sorted.toSeq == Seq(1, 2))
+      assert(pre.map(_.getLong(2)).sum == 6L, "watermarks must cover all 6 records")
+      assert(pre.filter(_.getInt(0) == 1).map(_.getLong(4)).sum == 6L,
+        "the whole backlog is generation-1 lag")
+      assert(pre.forall(r => r.getLong(4) == r.getLong(2) - r.getLong(3)),
+        "lag must equal watermark - committed on every row")
+      store.poll("g", "t", "c").collect()
+      val post = spark.sql(
+        s"SELECT sum(lag), sum(watermark) FROM topic_lag('$root', 'g')").head()
+      assert(post.getLong(0) == 0L && post.getLong(1) == 6L,
+        s"a fully polled+committed group must show zero lineage lag, got $post")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -111,6 +111,26 @@ class RestServerSpec extends AnyFunSuite {
       assert(m.body().contains("graft_active_consumers 1"))
       assert("graft_polls_served_total (\\d+)".r.findFirstMatchIn(m.body())
         .exists(_.group(1).toLong >= 3L))
+      // the two reference histograms (`metrics.go:28,54`): proper
+      // Prometheus histogram exposition — TYPE line, cumulative buckets
+      // with le labels incl. +Inf, _sum and _count agreeing with the
+      // counter traffic
+      assert(m.body().contains("# TYPE graft_coalescer_messages_per_group histogram"))
+      assert(m.body().contains("# TYPE graft_produce_flush_bytes histogram"))
+      assert(m.body().contains("""graft_coalescer_messages_per_group_bucket{le="1"}"""))
+      assert(m.body().contains("""graft_produce_flush_bytes_bucket{le="+Inf"}"""))
+      val hCount = "graft_coalescer_messages_per_group_count (\\d+)".r
+        .findFirstMatchIn(m.body()).map(_.group(1).toLong)
+      val hSum = "graft_coalescer_messages_per_group_sum (\\d+)".r
+        .findFirstMatchIn(m.body()).map(_.group(1).toLong)
+      val groups = "graft_coalescer_groups_total (\\d+)".r
+        .findFirstMatchIn(m.body()).map(_.group(1).toLong)
+      assert(hCount == groups, s"histogram count $hCount != groups counter $groups")
+      assert(hSum.exists(_ >= 6L), s"histogram sum must cover the messages: $hSum")
+      // cumulative: the +Inf bucket equals _count
+      val inf = """graft_coalescer_messages_per_group_bucket\{le="\+Inf"\} (\d+)""".r
+        .findFirstMatchIn(m.body()).map(_.group(1).toLong)
+      assert(inf == hCount, s"+Inf bucket $inf != count $hCount")
 
       // manual commit -> 204; goodbye -> 200; post-goodbye poll -> 409
       assert(send(base, "POST", "/v1/consumer/commit?consumerId=c1").statusCode() == 204)

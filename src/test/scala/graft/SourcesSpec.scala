@@ -213,25 +213,41 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("a rescale mid-stream fails loudly instead of reinterpreting offsets") {
+  test("a stream rides through a mid-stream rescale: exactly once across the flip") {
+    // the reference consumer's R6 split/join continuity
+    // (`offset_state.go:492-611`): a running stream drains its
+    // generation to the frozen watermarks, then continues at the next
+    // generation's offset 0 — every record exactly once, no restart
     val root = Files.createTempDirectory("graft-src").toString
     val chk = Files.createTempDirectory("graft-src-chk").toString
     val store = new TopicStore(spark, root)
     produceN(store, "g", 100, 11, "pre")
     val q = spark.readStream.format("graft")
-      .option("root", root).option("topic", "g").load()
+      .option("root", root).option("topic", "g")
+      // small trigger budget so the drain + flip spans several
+      // micro-batches — the boundary is crossed mid-stream, not in one
+      // catch-all batch
+      .option("maxRecordsPerTrigger", "40").load()
       .writeStream.format("memory").queryName("graft_src_gen")
       .option("checkpointLocation", chk)
       .start()
     try {
       q.processAllAvailable()
       assert(spark.table("graft_src_gen").count() == 100)
-      store.rescale("g", 6) // generation v2: offsets restart per partition
+      store.rescale("g", 6) // generation v2 opens empty; v1 stays live
       produceN(store, "g", 50, 11, "post")
-      val ex = intercept[Exception] { q.processAllAvailable() }
-      assert(ex.getMessage.contains("rescaled") ||
-        Option(q.exception.orNull).exists(_.getMessage.contains("rescaled")),
-        s"expected the generation-mismatch error, got: ${ex.getMessage}")
+      store.rescale("g", 3) // a second flip mid-stream: v3, chain 1,2,3
+      produceN(store, "g", 30, 11, "post2")
+      q.processAllAvailable()
+      val rows = spark.table("graft_src_gen")
+        .select(col("version"), decode(col("value"), "UTF-8").as("v")).collect()
+      assert(rows.length == 180, s"expected 180 rows across 3 generations, got ${rows.length}")
+      // exactly once: no body delivered twice, and each generation
+      // carries exactly its own produces
+      assert(rows.map(r => (r.getInt(0), r.getString(1))).distinct.length == 180)
+      val byGen = rows.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+      assert(byGen == Map(1 -> 100, 2 -> 50, 3 -> 30),
+        s"per-generation delivery mismatch: $byGen")
     } finally {
       try q.stop() catch { case _: Exception => () }
       spark.sql("DROP VIEW IF EXISTS graft_src_gen")

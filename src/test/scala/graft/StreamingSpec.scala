@@ -95,11 +95,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("k1", "k2"))
   }
 
-  test("topic readStream pins the current generation after a rescale") {
-    import spark.implicits._
+  test("topic readStream spans the live lineage after a rescale, exactly once") {
     val store = new TopicStore(spark, Files.createTempDirectory("graft-stream3").toString)
     store.produceStrings("t", (0 until 6).map(i => (s"k$i", s"m$i", ts(i))))
-    store.rescale("t", 6) // v1 files remain on disk until retention
+    store.rescale("t", 6) // metadata-only: the 6 records stay in v1, which stays live
 
     val streaming = new StreamingTopic(store)
     val q = streaming.stream("t")
@@ -107,11 +106,13 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    // only the 6 generation-2 records — the stale v1 dirs are pruned, so
-    // the same data is not delivered twice
+    // all 6 records exactly once, served from their birth generation —
+    // the stream anchors at the earliest live generation and walks the
+    // chain; nothing is delivered twice
     val got = spark.sql("SELECT version, key FROM topic_gen_out").collect()
-    assert(got.length == 6, s"stale generation leaked: ${got.length} rows")
-    assert(got.map(_.getInt(0)).distinct.toSeq == Seq(2))
+    assert(got.length == 6, s"lineage mis-served: ${got.length} rows")
+    assert(got.map(_.getInt(0)).distinct.toSeq == Seq(1))
+    assert(got.map(_.getString(1)).sorted.toSeq == (0 until 6).map(i => s"k$i"))
   }
 
   test("topic-to-topic mirror: stream() composed into ingest()") {
