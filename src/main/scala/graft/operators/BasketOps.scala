@@ -136,11 +136,18 @@ object BasketOps {
       val nb = edges
         .join(lab.select(col("p").as("v2"), col("lb")), col("v") === col("v2"))
         .groupBy(col("u"), col("lb")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("lb"))
+      // majority vote as a PURE AGGREGATE instead of a row_number window:
+      // max(struct(c, -lb)) picks the same (count desc, label asc) winner
+      // — labels are integral part keys, so -lb inverts the order exactly
+      // — but map-side combines and skips the per-iteration whole-row
+      // sort the window needed (5 sorts dropped from the plan; r8 quiet-
+      // host measurement 6.5 s -> see PLANS.md q235 row)
       // no per-iteration checkpoint: 5 iterations grow the plan linearly
       // (unlike q50's doubling star rounds) and one final action runs it
-      lab = nb.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("u").as("p"), col("lb"))
+      lab = nb
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lb")).as("nl"))).as("w"))
+        .select(col("u").as("p"), (-col("w.nl")).as("lb"))
     }
     lab.groupBy(col("lb")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("lb"))
