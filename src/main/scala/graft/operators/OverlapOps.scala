@@ -41,7 +41,7 @@ object OverlapOps {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private[operators] def meetingPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def meetingPairs(s: SparkSession, d: String): DataFrame =
     DocOps.Memo.get(memo, s, d) {
       val g = SessionOps.sessionTable(s, d)
       def side(p: String) = g.select(

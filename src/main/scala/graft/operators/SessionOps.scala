@@ -59,7 +59,7 @@ object SessionOps {
     * session; the gap rule makes one user's sessions disjoint with
     * ≥ 6 h between them. Shared with `OverlapOps`.
     */
-  private[operators] def sessionTable(s: SparkSession, d: String): DataFrame =
+  private[graft] def sessionTable(s: SparkSession, d: String): DataFrame =
     sessionized(s, d)
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))

@@ -450,6 +450,85 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  // ------------------------------------------------- overlap matcher
+
+  case class ClosedInterval(user: Long, sid: Long, startUs: Long, endUs: Long)
+  case class BucketInterval(h: Long, user: Long, sid: Long, startUs: Long, endUs: Long)
+  case class MeetingPair(ua: Long, sa: Long, ub: Long, sb: Long, ovlUs: Long, hod: Long)
+
+  private val HourUs = 3600000000L
+
+  /** Streaming interval self-overlap matcher — the stateful twin of
+    * `OverlapOps.meetingPairs` (q259–q262's hour-blocked co-presence
+    * join): closed sessions arrive as a stream (`sessionizeStream`'s
+    * output plus absolute bounds), each explodes to the epoch hours it
+    * covers, and per hour-bucket state holds the intervals seen so far.
+    * An arriving interval emits one pair per strictly-overlapping
+    * stored interval of ANOTHER user whose overlap STARTS in this
+    * bucket — the batch join's count-once discipline: both sides of an
+    * overlap cover its start hour, so the pair is found exactly once,
+    * when the later of the two arrives, in whichever order they arrive.
+    * State per bucket is that hour's live-interval set — the identical
+    * bound the batch blocking gives each join task; at 100 TB the
+    * bucket key shards state across executors and a watermark TTL
+    * reclaims past hours (session closes are near-monotone in event
+    * time). With an exactly-once feed (the engine's DSv2 source /
+    * `produceOnce` ledger) the emitted pairs equal the batch join's
+    * set — proven in StreamingSpec against `meetingPairs` over the real
+    * events table, split across arbitrary micro-batches.
+    */
+  class OverlapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BucketInterval, MeetingPair] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var seen: ListState[BucketInterval] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[BucketInterval](
+        "seen", org.apache.spark.sql.Encoders.product[BucketInterval], TTLConfig.NONE)
+
+    override def handleInputRows(
+        h: Long,
+        rows: Iterator[BucketInterval],
+        timers: TimerValues): Iterator[MeetingPair] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[MeetingPair]
+      val live = scala.collection.mutable.ArrayBuffer.empty[BucketInterval]
+      val it = seen.get()
+      while (it.hasNext) live += it.next()
+      rows.foreach { r =>
+        live.foreach { o =>
+          if (o.user != r.user) {
+            val s = math.max(o.startUs, r.startUs)
+            val e = math.min(o.endUs, r.endUs)
+            if (e - s > 0L && s / HourUs == h) {
+              val (x, y) = if (o.user < r.user) (o, r) else (r, o)
+              out += MeetingPair(x.user, x.sid, y.user, y.sid, e - s, (s / HourUs) % 24L)
+            }
+          }
+        }
+        live += r
+        seen.appendValue(r)
+      }
+      out.iterator
+    }
+  }
+
+  /** Co-presence pair stream (see `OverlapProcessor`). Requires the
+    * RocksDB state store provider, like the other transformWithState
+    * operators.
+    */
+  def overlapStream(sessions: Dataset[ClosedInterval]): Dataset[MeetingPair] = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    sessions
+      .flatMap(ci => (ci.startUs / HourUs to ci.endUs / HourUs)
+        .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs)))
+      .groupByKey(_.h)
+      .transformWithState(
+        new OverlapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Custom per-key streaming state via flatMapGroupsWithState: running
     * session accumulator emitting an update per batch (the §2.4 offset
     * state-machine's Spark-native analog for user state).

@@ -259,6 +259,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming overlap matcher equals the batch hour-blocked pair set on real sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the REAL 6 h-gap session table, streamed in three arbitrary
+      // micro-batches (the matcher's emission is arrival-order
+      // independent: a pair fires when the later of its two intervals
+      // lands in the overlap-start bucket)
+      val d = "/root/testdata/sf0.001"
+      val sess = graft.operators.SessionOps.sessionTable(spark, d)
+        .select(col("user_id").as("user"), col("sid"),
+          col("start_us").as("startUs"), col("end_us").as("endUs"))
+        .as[StreamOps.ClosedInterval].collect().toSeq
+        .sortBy(ci => (ci.endUs, ci.user, ci.sid))
+      assert(sess.nonEmpty)
+      val mem = MemoryStream[StreamOps.ClosedInterval]
+      val q = StreamOps.overlapStream(mem.toDS())
+        .writeStream.format("memory").queryName("ovl_out")
+        .outputMode("update").start()
+      val third = math.max(1, sess.size / 3)
+      sess.grouped(third).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.sql("SELECT ua, sa, ub, sb, ovlUs, hod FROM ovl_out")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      // exactly once: no pair emitted twice across batch boundaries
+      assert(got.distinct.length == got.length, "a pair was emitted twice")
+      val want = graft.operators.OverlapOps.meetingPairs(spark, d)
+        .select(col("ua"), col("sa"), col("ub"), col("sb"), col("ovl_us"), col("hod"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "degenerate fixture: no overlapping sessions at sf0.001")
+      assert(got.toSet == want,
+        s"stream pairs (${got.length}) diverge from the batch join (${want.size})")
+      spark.sql("DROP VIEW IF EXISTS ovl_out")
+      ()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState sessionizer emits closed sessions equal to the batch fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
