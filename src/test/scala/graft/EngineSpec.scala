@@ -1186,6 +1186,57 @@ class EngineSpec extends AnyFunSuite {
       "backward seek must not rewind a consumed group")
   }
 
+  test("a bounded poll advances past a fully purged window instead of stalling") {
+    // purgeKeys leaves offset gaps; a bounded window that lands entirely
+    // inside a purged range delivers nothing and, before r8, committed
+    // nothing — the consumer re-polled the same empty range forever (and
+    // under lineage serving, an ancestor with a purged tail would block
+    // the group's advance to the next generation permanently)
+    val store = freshStore()
+    // one key -> one partition; all 20 records live at offsets 0..19
+    store.produceStrings("t", (0 until 20).map(i => ("k", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val first = store.poll("g", "t", "c", maxRecords = 5L).collect()
+    assert(first.length == 5)
+    // erase the key entirely (all 20 records): offsets 5..19 — the
+    // group's unread range — are now gaps
+    assert(store.purgeKeys("t", Seq("k")) == 20L)
+    // a fresh record lands at offset 20 (watermark never rewinds)
+    store.produceStrings("t", Seq(("k", "fresh", ts(100))))
+    // each empty-window poll commits past its window; the record arrives
+    // within ceil(15/5) + 1 polls, exactly once
+    val got = (0 until 5).flatMap { _ =>
+      store.poll("g", "t", "c", maxRecords = 5L).collect()
+        .map(r => new String(r.getAs[Array[Byte]]("value")))
+    }
+    assert(got == Seq("fresh"), s"gap skip failed: $got")
+  }
+
+  test("skipPurgedPage advances a deferred-commit group over a purged window") {
+    // the REST staging path cannot auto-commit; its gap skip is the
+    // explicit skipPurgedPage call (re-verifies emptiness, then commits
+    // the window end)
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => ("k", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    // a window with records present must NOT be skipped over
+    assert(store.skipPurgedPage("g", "t", "c", maxRecords = 4L).isEmpty)
+    // REST staging shape: deferred manual commit of a delivered page
+    val rows = store.poll("g", "t", "c", maxRecords = 4L, autoCommit = false).collect()
+    assert(rows.length == 4)
+    val staged = rows.groupBy(_.getAs[Int]("part")).view
+      .mapValues(_.map(_.getAs[Long]("offset")).max + 1L).toMap
+    assert(store.commit("g", "t", staged, origin = "c",
+      version = store.generation("t").version) == staged)
+    // erase everything; the group now sits below a record-free range
+    store.purgeKeys("t", Seq("k"))
+    // window-by-window advance: [4,8) then [8,12), then no lag remains
+    assert(store.skipPurgedPage("g", "t", "c", maxRecords = 4L).values.toSeq == Seq(8L))
+    assert(store.skipPurgedPage("g", "t", "c", maxRecords = 4L).values.toSeq == Seq(12L))
+    assert(store.skipPurgedPage("g", "t", "c", maxRecords = 4L).isEmpty)
+    assert(store.lag("g", "t").values.sum == 0L)
+  }
+
   test("purgeKeys erases a key everywhere, preserving survivors' offsets and the watermark") {
     import org.apache.spark.sql.functions.col
     val store = freshStore()

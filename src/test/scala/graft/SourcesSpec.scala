@@ -213,6 +213,41 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("sweeping a stream's positioned generation mid-stream fails loudly") {
+    // sweepStaleGenerations only sees consumer GROUPS with committed
+    // state; a streaming checkpoint is invisible to it. If an admin
+    // sweeps the generation a stream is positioned in, the frozen
+    // watermarks that would prove the stream drained it are gone too —
+    // the stream must fail loudly (its at-least-once claim can no longer
+    // be verified), not silently re-anchor
+    val root = Files.createTempDirectory("graft-src").toString
+    val chk = Files.createTempDirectory("graft-src-chk").toString
+    val store = new TopicStore(spark, root)
+    produceN(store, "g", 30, 5, "pre")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("topic", "g").load()
+      .writeStream.format("memory").queryName("graft_src_swept")
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_swept").count() == 30)
+      store.rescale("g", 6)
+      // no consumer group has state -> the sweep reclaims generation 1
+      assert(store.sweepStaleGenerations("g") > 0)
+      produceN(store, "g", 10, 5, "post")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def swept(m: String) = m != null && m.contains("no longer live")
+      assert(swept(ex.getMessage) ||
+        Option(q.exception.orNull).exists(e => swept(e.getMessage)),
+        s"expected the swept-generation error, got: ${ex.getMessage}")
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      spark.sql("DROP VIEW IF EXISTS graft_src_swept")
+      ()
+    }
+  }
+
   test("a stream rides through a mid-stream rescale: exactly once across the flip") {
     // the reference consumer's R6 split/join continuity
     // (`offset_state.go:492-611`): a running stream drains its
