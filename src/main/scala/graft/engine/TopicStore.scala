@@ -1312,10 +1312,23 @@ class TopicStore(
     // copying rescale may have left partial v+1 dirs behind — serving
     // them as live data would duplicate records)
     clearGenerationData(topic, next)
-    // the flip IS the rescale: one durable chain append. A crash before
+    // chain hygiene: a generation that never received a record and has
+    // no group-offset state is indistinguishable from never having
+    // existed — drop it at the flip instead of letting a flapping
+    // topology feed grow the chain (and every poll's lineage walk)
+    // without bound. Version numbers stay monotone (`next` still bumps
+    // past the dropped entries), so stream checkpoints never see a
+    // version reused with different contents; a stream positioned in a
+    // dropped-empty generation re-anchors forward (it had nothing to
+    // read there). Only metadata is touched — the dropped generations
+    // have no data dirs by definition.
+    val kept = chain.filter { g =>
+      producerOffsetsFor(topic, g).nonEmpty || knownGroups(topic, Seq(g)).nonEmpty
+    }
+    // the flip IS the rescale: one durable chain write. A crash before
     // it leaves the old chain current and every poll correct; after it,
     // the new generation is open and empty.
-    setGenerations(topic, chain :+ next)
+    setGenerations(topic, kept :+ next)
     next
   } }
 

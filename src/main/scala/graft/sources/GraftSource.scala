@@ -366,11 +366,14 @@ class GraftMicroBatchStream(
         val drained = high.forall { case (p, hi) => so.parts.getOrElse(p, 0L) >= hi }
         if (drained && idx < chain.size - 1) (chain(idx + 1).version, Map.empty[Int, Long])
         else (so.gen, so.parts)
-      } else if (so.parts.isEmpty && chain.forall(_.version > so.gen))
-        // nothing consumed yet and the positioned generation precedes
-        // the live chain (swept before the first batch): re-anchor at
-        // the earliest live generation — a fresh start, nothing is lost
-        (chain.head.version, Map.empty[Int, Long])
+      } else if (so.parts.isEmpty && chain.exists(_.version >= so.gen))
+        // nothing consumed from the positioned generation and it is no
+        // longer live: it was either swept before the first batch or
+        // dropped at a rescale as record-free (chain hygiene). Nothing
+        // was lost in either case — re-anchor at the earliest live
+        // generation at or after it. (Generations BEFORE so.gen, if any,
+        // were already absent or drained when this stream anchored.)
+        (chain.find(_.version >= so.gen).get.version, Map.empty[Int, Long])
       else throw new IllegalStateException(
         s"topic '$topic': checkpointed offsets are for generation ${so.gen}, " +
           s"which is no longer live (chain: ${chain.map(_.version).mkString(",")}) — " +

@@ -26,10 +26,12 @@ import graft.engine.TopicStore
   *
   * Invariants audited at quiescence (a fresh group reading everything):
   *  1. liveness — no thread wedges, no op throws;
-  *  2. per-partition offsets are distinct (a half-swapped purge or
-  *     compaction listing double-delivers at identical offsets; purge
-  *     legitimately leaves GAPS — survivors keep byte-identical offsets
-  *     — so contiguity is not asserted, loss is caught by 3);
+  *  2. offsets are distinct per (generation, partition) (a half-swapped
+  *     purge or compaction listing double-delivers at identical offsets;
+  *     offset spaces restart per generation under the metadata-only
+  *     rescale; purge legitimately leaves GAPS — survivors keep
+  *     byte-identical offsets — so contiguity is not asserted, loss is
+  *     caught by 3);
   *  3. exactly the acked, never-purged values are delivered, once each;
   *  4. per-key produce order survives as offset order (§2.6.1).
   */

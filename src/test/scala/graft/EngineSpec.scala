@@ -432,7 +432,9 @@ class EngineSpec extends AnyFunSuite {
     store.rescale("t", 6)
     store.rescale("t", 3)
     assert(store.generation("t") == graft.engine.Generation(3, 3))
-    assert(store.generations("t").map(_.version) == Seq(1, 2, 3))
+    // generation 2 never received a record — chain hygiene drops it at
+    // the second flip (versions stay monotone: 1 then 3)
+    assert(store.generations("t").map(_.version) == Seq(1, 3))
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
     val polled = store.poll("g", "t", "c").collect()
     assert(polled.length == 24)
@@ -631,6 +633,41 @@ class EngineSpec extends AnyFunSuite {
       val want = (for (g <- 1 to 3; i <- 0 until 10 if s"k${i % 3}" == key) yield s"g$g-$i").toSeq
       assert(got == want, s"key $key order across generations: $got")
     }
+  }
+
+  test("flapping rescales do not grow the chain: empty stateless generations drop") {
+    // a flapping topology feed rescales repeatedly with no produce in
+    // between; without chain hygiene every flip would append another
+    // empty generation and each poll's lineage walk would grow without
+    // bound. Record-free, state-free generations drop at the flip;
+    // version numbers stay monotone.
+    val store = freshStore()
+    store.produceStrings("t", (0 until 8).map(i => (s"k$i", s"m$i", ts(i))))
+    store.rescale("t", 6)
+    store.rescale("t", 12)
+    store.rescale("t", 3)
+    store.rescale("t", 6)
+    // only the data-bearing generation and the current one survive
+    assert(store.generations("t") ==
+      Seq(graft.engine.Generation(1, 3), graft.engine.Generation(5, 6)),
+      s"chain grew: ${store.generations("t")}")
+    // nothing lost, everything exactly once
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val polled = store.poll("g", "t", "c").collect()
+    assert(polled.length == 8)
+    assert(polled.map(_.getAs[Int]("version")).distinct.toSeq == Seq(1))
+    // a record-bearing generation is always kept across further flips
+    store.produceStrings("t", Seq(("k0", "g5", ts(100))))
+    assert(store.poll("g", "t", "c").count() == 1L) // commits under v5
+    store.rescale("t", 3)
+    assert(store.generations("t").map(_.version) == Seq(1, 5, 6),
+      s"record-bearing generation dropped: ${store.generations("t")}")
+    // and an ADMIN-committed scope alone (no records) also pins its
+    // generation: a group's committed positions must never dangle
+    store.commit("g", "t", Map(0 -> 0L), origin = "", version = 6)
+    store.rescale("t", 6)
+    assert(store.generations("t").map(_.version) == Seq(1, 5, 6, 7),
+      s"state-bearing generation dropped: ${store.generations("t")}")
   }
 
   test("produce racing a rescale never strands records in the old generation") {

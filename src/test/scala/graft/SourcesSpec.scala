@@ -220,29 +220,46 @@ class SourcesSpec extends AnyFunSuite {
     // watermarks that would prove the stream drained it are gone too —
     // the stream must fail loudly (its at-least-once claim can no longer
     // be verified), not silently re-anchor
+    // the stream must be STOPPED while the sweep runs: a live stream's
+    // continuous triggers would legitimately advance its checkpoint to
+    // generation 2 the moment the rescale lands (the ride-through
+    // feature), and the sweep would then be harmless
     val root = Files.createTempDirectory("graft-src").toString
     val chk = Files.createTempDirectory("graft-src-chk").toString
     val store = new TopicStore(spark, root)
     produceN(store, "g", 30, 5, "pre")
-    val q = spark.readStream.format("graft")
+    def startQ() = spark.readStream.format("graft")
       .option("root", root).option("topic", "g").load()
       .writeStream.format("memory").queryName("graft_src_swept")
       .option("checkpointLocation", chk)
       .start()
+    val q = startQ()
     try {
       q.processAllAvailable()
       assert(spark.table("graft_src_swept").count() == 30)
-      store.rescale("g", 6)
-      // no consumer group has state -> the sweep reclaims generation 1
-      assert(store.sweepStaleGenerations("g") > 0)
-      produceN(store, "g", 10, 5, "post")
-      val ex = intercept[Exception] { q.processAllAvailable() }
+    } finally q.stop()
+    // checkpoint rests at (gen 1, its watermarks); flip + sweep while down
+    store.rescale("g", 6)
+    // no consumer group has state -> the sweep reclaims generation 1
+    // (streams are invisible to the drain check)
+    assert(store.sweepStaleGenerations("g") > 0)
+    produceN(store, "g", 10, 5, "post")
+    // the memory sink cannot recover a checkpoint; the restart uses
+    // foreachBatch over the SAME offset log — the failure lives in the
+    // source's latestOffset, not the sink
+    val q2 = spark.readStream.format("graft")
+      .option("root", root).option("topic", "g").load()
+      .writeStream.foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      val ex = intercept[Exception] { q2.processAllAvailable() }
       def swept(m: String) = m != null && m.contains("no longer live")
       assert(swept(ex.getMessage) ||
-        Option(q.exception.orNull).exists(e => swept(e.getMessage)),
+        Option(q2.exception.orNull).exists(e => swept(e.getMessage)),
         s"expected the swept-generation error, got: ${ex.getMessage}")
     } finally {
-      try q.stop() catch { case _: Exception => () }
+      try q2.stop() catch { case _: Exception => () }
       spark.sql("DROP VIEW IF EXISTS graft_src_swept")
       ()
     }
