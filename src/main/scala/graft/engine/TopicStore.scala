@@ -1447,15 +1447,22 @@ class TopicStore(
     // empty dir (no lag) — harmless; the next sweep re-truncates.
     if (reclaimable.nonEmpty) {
       setGenerations(topic, keep)
-      // drop the swept generations' watermark scopes + caches (their
-      // offsets tables are unreachable once the chain no longer lists
-      // them; leaving them would leak one tiny dir per swept generation)
+      // drop the swept generations' watermark scopes + caches AND the
+      // groups' committed scopes under them (all unreachable once the
+      // chain no longer lists the generation; leaving them would leak
+      // one tiny dir per swept generation per group)
       reclaimable.foreach { g =>
         val scope = producerScopeFor(topic, g)
         val metaPath = s"$producerMeta/${scopeDir(scope)}"
         if (pathExists(metaPath)) { hfs(metaPath).delete(hpath(metaPath), true); () }
         offsetCache.remove(metaCacheKey(metaPath))
         reconciled.remove(lockRootKey + "|" + scope)
+        groups.foreach { gr =>
+          val gScope = s"$gr/$topic/v${g.version}"
+          val gPath = s"$groupMeta/${scopeDir(gScope)}"
+          if (pathExists(gPath)) { hfs(gPath).delete(hpath(gPath), true); () }
+          offsetCache.remove(metaCacheKey(gPath))
+        }
         ()
       }
     }
