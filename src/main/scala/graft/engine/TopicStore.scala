@@ -1133,32 +1133,33 @@ class TopicStore(
     }.toMap
   }
 
-  /** Per-partition storage + watermark stats for the CURRENT generation
-    * (the active write path — `compact`/`retentionSweep` cover ancestor
-    * dirs too; lineage-wide lag observability is `lag`/the `topic_lag`
-    * TVF): (part, parquet file count, bytes, high watermark) — the
+  /** Per-(live generation, partition) storage + watermark stats:
+    * (version, part, parquet file count, bytes, high watermark) — the
     * broker admin/observability readout behind the `topic_stats` TVF
     * (file counts feed the compaction decision, bytes the retention
-    * budget).
+    * budget). After a metadata-only rescale the bulk of a topic's
+    * storage sits in ancestor generations, so a current-generation-only
+    * readout would report a near-empty topic.
     * Driver-side FS listing of the partition leaf dirs under the read
-    * lock — metadata-sized, no data scan; one generation read pins the
-    * dir set and the offsets scope.
+    * lock — metadata-sized, no data scan; one chain read pins the dir
+    * set and the offsets scopes.
     */
-  def topicStats(topic: String): Seq[(Int, Long, Long, Long)] =
+  def topicStats(topic: String): Seq[(Int, Int, Long, Long, Long)] =
     withTopicReads(topic) {
-      val g = generation(topic)
-      val toks = tokensOf(g)
-      val hw = producerOffsetsFor(topic, g)
-      (0 until partsOf(g)).map { p =>
-        val dir = s"$dataDir/topic=${escapeDir(topic)}/token=${toks(p / rangesPerToken)}" +
-          s"/range=${p % rangesPerToken}/version=${g.version}"
-        val (files, bytes) =
-          if (pathExists(dir)) {
-            val st = hfs(dir).listStatus(hpath(dir))
-              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            (st.length.toLong, st.map(_.getLen).sum)
-          } else (0L, 0L)
-        (p, files, bytes, hw.getOrElse(p, 0L))
+      generations(topic).flatMap { g =>
+        val toks = tokensOf(g)
+        val hw = producerOffsetsFor(topic, g)
+        (0 until partsOf(g)).map { p =>
+          val dir = s"$dataDir/topic=${escapeDir(topic)}/token=${toks(p / rangesPerToken)}" +
+            s"/range=${p % rangesPerToken}/version=${g.version}"
+          val (files, bytes) =
+            if (pathExists(dir)) {
+              val st = hfs(dir).listStatus(hpath(dir))
+                .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              (st.length.toLong, st.map(_.getLen).sum)
+            } else (0L, 0L)
+          (g.version, p, files, bytes, hw.getOrElse(p, 0L))
+        }
       }
     }
 

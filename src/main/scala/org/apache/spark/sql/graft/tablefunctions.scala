@@ -194,12 +194,14 @@ object TopicOffsetsForTimeTable {
   }
 }
 
-/** `SELECT * FROM topic_stats('<store root>', '<topic>')` — per-ring-
-  * partition storage and watermark stats for the current generation:
-  * parquet file count, bytes on disk, and the produce high watermark.
-  * The SQL face of the broker's admin/observability surface (file
-  * counts feed compaction, bytes the retention budget); metadata-sized
-  * driver-side FS listing, evaluated plan-time like `topic_lag`.
+/** `SELECT * FROM topic_stats('<store root>', '<topic>')` — storage and
+  * watermark stats per (LIVE generation, ring partition): parquet file
+  * count, bytes on disk, and the produce high watermark. The lineage
+  * dimension matters after a metadata-only rescale — the bulk of the
+  * topic's storage sits in ancestor generations. The SQL face of the
+  * broker's admin/observability surface (file counts feed compaction,
+  * bytes the retention budget); metadata-sized driver-side FS listing,
+  * evaluated plan-time like `topic_lag`.
   */
 object TopicStatsTable {
   def plan(exprs: Seq[Expression]): LogicalPlan = {
@@ -212,12 +214,13 @@ object TopicStatsTable {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("topic_stats requires an active SparkSession"))
     val store = new graft.engine.TopicStore(spark, root)
-    val rows = store.topicStats(topic).map { case (p, files, bytes, hw) =>
-      InternalRow(UTF8String.fromString(topic), p, files, bytes, hw)
+    val rows = store.topicStats(topic).map { case (v, p, files, bytes, hw) =>
+      InternalRow(UTF8String.fromString(topic), v, p, files, bytes, hw)
     }
     LocalRelation(
       Seq(
         AttributeReference("topic", StringType, nullable = false)(),
+        AttributeReference("version", IntegerType, nullable = false)(),
         AttributeReference("part", IntegerType, nullable = false)(),
         AttributeReference("files", LongType, nullable = false)(),
         AttributeReference("bytes", LongType, nullable = false)(),

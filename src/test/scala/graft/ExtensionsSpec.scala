@@ -111,17 +111,27 @@ class ExtensionsSpec extends AnyFunSuite {
       // agree with the engine API; produced partitions have files+bytes,
       // never-produced ones report zeros.
       val stats = spark.sql(
-        s"SELECT part, files, bytes, watermark FROM topic_stats('$root', 't')")
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      assert(stats.map(_._4).sum == 6L, s"watermarks must sum to 6: ${stats.toSeq}")
-      assert(stats.forall { case (_, files, bytes, hw) =>
+        s"SELECT version, part, files, bytes, watermark FROM topic_stats('$root', 't')")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(stats.forall(_._1 == 1), "single-generation topic: all rows carry version 1")
+      assert(stats.map(_._5).sum == 6L, s"watermarks must sum to 6: ${stats.toSeq}")
+      assert(stats.forall { case (_, _, files, bytes, hw) =>
         if (hw > 0L) files > 0L && bytes > 0L else files == 0L && bytes == 0L
       }, s"files/bytes must track the watermark: ${stats.toSeq}")
-      val apiStats = store.topicStats("t").map(t => (t._1, t._2, t._3, t._4))
+      val apiStats = store.topicStats("t")
       assert(stats.toSeq == apiStats, s"SQL stats ${stats.toSeq} != API $apiStats")
 
       // a metadata-only rescale opens generation 2; topic_list reports it
       store.rescale("t", 6)
+      // ...and topic_stats now spans the lineage: generation 1 keeps the
+      // bytes, generation 2 is empty
+      val statsAfter = spark.sql(
+        s"SELECT version, sum(watermark), sum(bytes) FROM topic_stats('$root', 't') GROUP BY 1")
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(statsAfter(1)._1 == 6L && statsAfter(1)._2 > 0L,
+        s"ancestor storage vanished from topic_stats: $statsAfter")
+      assert(statsAfter(2) == ((0L, 0L)), s"empty current generation: $statsAfter")
       val after = spark.sql(
         s"SELECT version, cluster_size FROM topic_list('$root')").head()
       assert(after.getInt(0) == 2 && after.getInt(1) == 6)
