@@ -10,25 +10,28 @@ import graft.engine.TopicStore
 
 /** Randomized (seeded, sequential) model test of LINEAGE SERVING — the
   * metadata-only rescale's delivery contract under arbitrary
-  * interleavings of produce batches, ring flips, and bounded polls whose
-  * pages land at random positions relative to generation boundaries:
+  * interleavings of produce batches, ring flips, GDPR key purges, and
+  * bounded polls whose pages land at random positions relative to
+  * generation boundaries and purge gaps:
   *
-  *  1. an Earliest group that polls throughout delivers EVERY produced
-  *     record EXACTLY ONCE, and per key the concatenation of its pages
-  *     (in poll order) equals produce order — generation v+1 records
-  *     never jump ahead of generation v's (the chain barrier);
-  *  2. a Latest group registered mid-sequence delivers exactly the
-  *     records produced AFTER its registration, in the same per-key
-  *     order (pre-snapshot generations are history, the snapshot
-  *     generation starts at its watermarks, later generations read in
-  *     full);
-  *  3. a fresh Earliest group at quiescence re-reads everything exactly
-  *     once (the chain still addresses every record).
+  *  1. an Earliest group that polls throughout delivers, per key, its
+  *     deliveries-before-each-purge plus every post-purge produce,
+  *     exactly once, pages concatenating in produce order — generation
+  *     v+1 records never jump ahead of generation v's (the chain
+  *     barrier), and purged-but-undelivered records vanish without
+  *     stalling the pager (the gap skip);
+  *  2. a Latest group registered mid-sequence obeys the same rule over
+  *     the post-registration suffix (pre-snapshot generations are
+  *     history, the snapshot generation starts at its watermarks, later
+  *     generations read in full);
+  *  3. a fresh Earliest group at quiescence sees exactly the records
+  *     produced since each key's last purge, once each, in order.
   *
   * ChaosSpec stresses the same machinery CONCURRENTLY; this spec pins
   * the sequential semantics tightly enough to catch off-by-one paging
-  * at a generation boundary, a wrong Latest baseline after a flip, or a
-  * chain-hygiene drop of a generation that still owed records.
+  * at a generation boundary, a wrong Latest baseline after a flip, a
+  * chain-hygiene drop of a generation that still owed records, or a
+  * commit advancing over a purge gap that still held data.
   */
 class LineageSpec extends AnyFunSuite {
 
@@ -43,7 +46,7 @@ class LineageSpec extends AnyFunSuite {
 
   private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
 
-  for (seed <- Seq(11, 23, 47)) test(s"random produce/rescale/paged-poll interleave, seed $seed") {
+  for (seed <- Seq(11, 23, 47)) test(s"random produce/rescale/purge/paged-poll interleave, seed $seed") {
     val rnd = new scala.util.Random(seed)
     val store = new TopicStore(spark, Files.createTempDirectory("graft-lineage").toString)
     val topic = "t"
@@ -51,16 +54,22 @@ class LineageSpec extends AnyFunSuite {
     val ringSizes = Seq(1, 3, 6, 12)
 
     var clock = 0
-    val produced = scala.collection.mutable.Map.empty[String, Vector[String]]
+    val counter = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def emptyVecMap() = scala.collection.mutable.Map.empty[String, Vector[String]]
       .withDefaultValue(Vector.empty)
-    // per-key produce position at the moment the Latest group registers
-    var latestBaseline: Map[String, Int] = null
+
+    // expected final deliveries per group (the model): produce appends;
+    // a purge of key k resets the expectation to what that group has
+    // ALREADY been delivered (sunk records survive in the consumer; the
+    // undelivered remainder is erased and must never arrive)
+    val expEarly = emptyVecMap()
+    val expLate = emptyVecMap()
+    val expAudit = emptyVecMap()
+    var lateRegistered = false
 
     store.registry.register("gEarly", "c", Seq(topic), store.StartFrom.Earliest)
-    val deliveredEarly = scala.collection.mutable.Map.empty[String, Vector[String]]
-      .withDefaultValue(Vector.empty)
-    val deliveredLate = scala.collection.mutable.Map.empty[String, Vector[String]]
-      .withDefaultValue(Vector.empty)
+    val deliveredEarly = emptyVecMap()
+    val deliveredLate = emptyVecMap()
 
     def pollInto(
         group: String,
@@ -79,59 +88,79 @@ class LineageSpec extends AnyFunSuite {
       rows.length
     }
 
-    val steps = 28
+    val steps = 30
     for (step <- 0 until steps) {
-      rnd.nextInt(4) match {
-        case 0 | 1 => // produce a small batch
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // produce a small batch
           val rows = (0 until 1 + rnd.nextInt(8)).map { _ =>
             val k = keys(rnd.nextInt(keys.size))
             clock += 1
-            val v = s"$k#${produced(k).size}"
-            produced(k) = produced(k) :+ v
+            val v = s"$k#${counter(k)}"
+            counter(k) += 1
+            expEarly(k) = expEarly(k) :+ v
+            if (lateRegistered) expLate(k) = expLate(k) :+ v
+            expAudit(k) = expAudit(k) :+ v
             (k, v, ts(clock))
           }
           store.produceStrings(topic, rows)
           ()
-        case 2 => // flip the ring
+        case 4 | 5 => // flip the ring
           store.rescale(topic, ringSizes(rnd.nextInt(ringSizes.size)))
           ()
-        case 3 => // bounded poll of the long-lived group
+        case 6 | 7 | 8 => // bounded polls of the live groups
           pollInto("gEarly", "c", deliveredEarly, 1L + rnd.nextInt(5))
+          if (lateRegistered) pollInto("gLate", "c", deliveredLate, 1L + rnd.nextInt(5))
+          ()
+        case 9 => // GDPR purge of one key across the whole live lineage
+          val k = keys(rnd.nextInt(keys.size))
+          store.purgeKeys(topic, Seq(k))
+          expEarly(k) = deliveredEarly(k)
+          if (lateRegistered) expLate(k) = deliveredLate(k)
+          expAudit(k) = Vector.empty
           ()
       }
       // register the Latest group roughly mid-sequence
       if (step == steps / 2) {
         store.registry.register("gLate", "c", Seq(topic))
-        latestBaseline = keys.map(k => k -> produced(k).size).toMap
+        lateRegistered = true
       }
     }
 
-    // drain both groups to quiescence (bounded loop: paged polls make
-    // progress every round while lag remains)
-    var spins = 0
-    while (pollInto("gEarly", "c", deliveredEarly, 7L) > 0 && spins < 200) spins += 1
-    spins = 0
-    while (pollInto("gLate", "c", deliveredLate, 7L) > 0 && spins < 200) spins += 1
+    // drain both groups to quiescence. A poll returning 0 rows may STILL
+    // have advanced state (the gap skip commits past purged windows
+    // without delivering), so "empty" must repeat for more rounds than
+    // the longest possible purged stretch divided by the page size
+    // before it means drained.
+    def drain(group: String, consumer: String,
+        sink: scala.collection.mutable.Map[String, Vector[String]]): Unit = {
+      var spins = 0
+      var idle = 0
+      while (idle < 60 && spins < 600) {
+        if (pollInto(group, consumer, sink, 7L) == 0) idle += 1 else idle = 0
+        spins += 1
+      }
+    }
+    drain("gEarly", "c", deliveredEarly)
+    drain("gLate", "c", deliveredLate)
 
-    // 1. the Earliest group: everything, exactly once, per-key produce order
+    // 1. the Earliest group: pre-purge deliveries + post-purge produces,
+    //    exactly once, per-key produce order
     keys.foreach { k =>
-      assert(deliveredEarly(k) == produced(k),
-        s"seed $seed key $k: early group diverged\n got ${deliveredEarly(k)}\nwant ${produced(k)}")
+      assert(deliveredEarly(k) == expEarly(k),
+        s"seed $seed key $k: early group diverged\n got ${deliveredEarly(k)}\nwant ${expEarly(k)}")
     }
-    // 2. the Latest group: exactly the post-registration suffix, in order
+    // 2. the Latest group: the same over the post-registration suffix
     keys.foreach { k =>
-      val want = produced(k).drop(latestBaseline(k))
-      assert(deliveredLate(k) == want,
-        s"seed $seed key $k: late group diverged\n got ${deliveredLate(k)}\nwant $want " +
-          s"(baseline ${latestBaseline(k)} of ${produced(k).size})")
+      assert(deliveredLate(k) == expLate(k),
+        s"seed $seed key $k: late group diverged\n got ${deliveredLate(k)}\nwant ${expLate(k)}")
     }
-    // 3. a fresh Earliest group re-reads the whole lineage exactly once
+    // 3. a fresh Earliest group re-reads what still exists, exactly once
     store.registry.register("gAudit", "a", Seq(topic), store.StartFrom.Earliest)
-    val audit = scala.collection.mutable.Map.empty[String, Vector[String]]
-      .withDefaultValue(Vector.empty)
+    val audit = emptyVecMap()
     pollInto("gAudit", "a", audit, Long.MaxValue)
     keys.foreach { k =>
-      assert(audit(k) == produced(k), s"seed $seed key $k: audit group diverged")
+      assert(audit(k) == expAudit(k),
+        s"seed $seed key $k: audit group diverged\n got ${audit(k)}\nwant ${expAudit(k)}")
     }
   }
 }
