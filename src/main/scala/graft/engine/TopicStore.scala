@@ -248,6 +248,25 @@ class TopicStore(
   // pinned-generation produce already closes).
   private lazy val produceLock: Object = TopicStore.produceLockFor(lockRootKey)
 
+  // The produce PLANE (horizontal ingest, the reference's N-broker produce
+  // path `internal/discovery/discoverer_client_service.go:30-124`): every
+  // operation that needs the old single-writer view — produce, rescale's
+  // generation flip — holds the plane EXCLUSIVELY (write mode), while
+  // `produceConcurrent` holds it SHARED (read mode) plus per-ring-partition
+  // monitors for exactly the partitions its batch touches. Batches over
+  // disjoint partition sets then run their Spark jobs concurrently — the
+  // scale story of the reference's brokers, each of which owns disjoint
+  // token ranges and assigns offsets for them without coordination.
+  // JVM-global per root, like produceLock. Lock order (JVM-wide):
+  // produceLock -> plane -> part monitors -> watermark-merge scope ->
+  // topic RW lock.
+  private lazy val producePlane = TopicStore.producePlaneFor(lockRootKey)
+
+  private def exclusivePlane[T](body: => T): T = {
+    val w = producePlane.writeLock(); w.lock()
+    try body finally w.unlock()
+  }
+
   // normalized through the root's FileSystem so scheme-variant spellings
   // of one directory ("/x/y", "file:///x/y", trailing slash) share locks
   private lazy val lockRootKey: String =
@@ -290,17 +309,17 @@ class TopicStore(
     * the generation it read (still live in the chain) or wholly under
     * the new one, never in between.
     */
-  private def produceInto(topic: String, records: DataFrame, g: Generation): Long =
-    inServingPool { produceLock.synchronized {
-    val bases: Map[Int, Long] = producerOffsetsFor(topic, g)
-
+  /** Ring assignment shared by both produce planes: __seq normalization,
+    * token hash (murmur3 for keyed records, value xxhash64 spread for
+    * keyless), ring partition ordinal, (token, range) addressing.
+    */
+  private def ringAssigned(records: DataFrame, g: Generation): DataFrame = {
     // optional __seq column: produce-order tiebreak within one request
     // (NDJSON line order, binary-producer stream order)
     val seqed =
       if (records.columns.contains("__seq")) records
       else records.withColumn("__seq", lit(0L))
-
-    val keyed = seqed
+    seqed
       .withColumn("__token_hash",
         when(col("key").isNotNull && col("key") =!= "", murmur3_token(col("key")))
           .otherwise(xxhash64(col("value"))))
@@ -308,19 +327,23 @@ class TopicStore(
       .withColumn("token",
         element_at(typedlit(tokensOf(g)), (col("part") / rangesPerToken).cast("int") + 1))
       .withColumn("range", pmod(col("part"), lit(rangesPerToken)).cast("int"))
+  }
 
-    // contiguous offsets: base(part) + rank within this batch's partition.
-    // The explicit repartition to partsOf(g) (one ring partition per task)
-    // is the coalescer's per-range serialization point. The window
-    // partitions/orders on (token, range) — the same grouping as `part`
-    // (bijection) — so its SortExec leaves every task ordered by the
-    // dynamic-partition write's required (token, range) prefix and the
-    // writer's own sort is ELIDED: exactly ONE shuffle and ONE full-row
-    // sort per produce (the second writer-side sort of the full 1 KiB
-    // rows was ~1/3 of produce cost on a bandwidth-constrained host).
+  /** Contiguous offsets: base(part) + rank within this batch's partition.
+    * The explicit repartition to partsOf(g) (one ring partition per task)
+    * is the coalescer's per-range serialization point. The window
+    * partitions/orders on (token, range) — the same grouping as `part`
+    * (bijection) — so its SortExec leaves every task ordered by the
+    * dynamic-partition write's required (token, range) prefix and the
+    * writer's own sort is ELIDED: exactly ONE shuffle and ONE full-row
+    * sort per produce (the second writer-side sort of the full 1 KiB
+    * rows was ~1/3 of produce cost on a bandwidth-constrained host).
+    */
+  private def offsetsAssigned(
+      keyed: DataFrame, topic: String, g: Generation, bases: Map[Int, Long]): DataFrame = {
     val w = Window.partitionBy(col("token"), col("range"))
       .orderBy(col("timestamp"), col("key"), col("__seq"), xxhash64(col("value")))
-    val withOffsets = keyed
+    keyed
       .repartition(partsOf(g), col("token"), col("range"))
       .withColumn("__rank", row_number().over(w).cast("long"))
       .withColumn("offset",
@@ -328,6 +351,28 @@ class TopicStore(
       .withColumn("topic", lit(topic))
       .withColumn("version", lit(g.version))
       .select("key", "value", "timestamp", "part", "offset", "topic", "token", "range", "version")
+  }
+
+  /** True when the plan can be counted and then re-executed for the write
+    * with identical rows — see the counting discussion in `produceInto`.
+    * Nondeterminism hides in OPERATORS as well as expressions: Sample /
+    * Limit / Deduplicate pick a subset that depends on execution order
+    * (shuffle fetch order varies between jobs), with no nondeterministic
+    * expression in sight.
+    */
+  private def deterministicPlan(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.find { p =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, GlobalLimit, LocalLimit, Sample}
+      p.isInstanceOf[Sample] || p.isInstanceOf[GlobalLimit] ||
+        p.isInstanceOf[LocalLimit] || p.isInstanceOf[Deduplicate] ||
+        p.expressions.exists(e => !e.deterministic)
+    }.isEmpty
+
+  private def produceInto(topic: String, records: DataFrame, g: Generation): Long =
+    inServingPool { produceLock.synchronized { exclusivePlane {
+    val bases: Map[Int, Long] = producerOffsetsFor(topic, g)
+    val keyed = ringAssigned(records, g)
+    val withOffsets = offsetsAssigned(keyed, topic, g, bases)
 
     // New high watermarks must derive from the rows the write itself wrote
     // (max(offset)+1 == base + count per partition): a separate count job
@@ -361,16 +406,7 @@ class TopicStore(
     // metrics halve produce throughput — the metrics node splits the
     // write's codegen span; unconditional persist is worse still — the
     // columnar cache build costs more than the recompute it saves.)
-    val deterministic = withOffsets.queryExecution.analyzed.find { p =>
-      // nondeterminism hides in OPERATORS as well as expressions: Sample /
-      // Limit / Deduplicate pick a subset that depends on execution order
-      // (shuffle fetch order varies between jobs), with no nondeterministic
-      // expression in sight
-      import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, GlobalLimit, LocalLimit, Sample}
-      p.isInstanceOf[Sample] || p.isInstanceOf[GlobalLimit] ||
-        p.isInstanceOf[LocalLimit] || p.isInstanceOf[Deduplicate] ||
-        p.expressions.exists(e => !e.deterministic)
-    }.isEmpty
+    val deterministic = deterministicPlan(withOffsets)
     // count BEFORE write in both branches: an empty batch (streaming
     // recovery replay, fully-filtered source) then skips the shuffle +
     // dynamic-partition write job entirely — one cheap map-side-combined
@@ -396,7 +432,141 @@ class TopicStore(
     // offsets rewrite (streaming ingest may deliver empty micro-batches)
     if (counts.nonEmpty) writeOffsets(producerMeta, producerScopeFor(topic, g), merged)
     merged.values.sum
-  } }
+  } } }
+
+  /** Horizontal-plane produce: the same contract as [[produce]] (per-key
+    * total order, contiguous per-partition offsets, durable before
+    * return), but concurrent calls whose batches touch DISJOINT ring
+    * partitions run their Spark jobs in parallel instead of serializing
+    * on the root-wide produce lock. This is the ingest-scale analog of
+    * the reference's N-broker produce plane: each broker owns disjoint
+    * token ranges and assigns their offsets without coordination
+    * (`internal/discovery/discoverer_client_service.go:30-124`, one
+    * binary/HTTP server per broker), so produce throughput scales with
+    * brokers. [[graft.serving.BrokerGroup]] is the serving front that
+    * routes requests so concurrent flushes are partition-disjoint.
+    *
+    * Correctness never depends on the caller's routing: the lock set is
+    * derived from the partitions the batch ACTUALLY hashes to (under the
+    * plane's shared lock, so the generation cannot flip mid-produce), and
+    * per-partition monitors are acquired in ascending order. A router
+    * misprediction — e.g. racing a rescale — only widens the lock set and
+    * costs concurrency, never duplicates an offset. Exclusive-plane
+    * operations (plain [[produce]], the DSv2 writer, rescale's flip) are
+    * fully excluded while any concurrent produce is in flight, and vice
+    * versa.
+    *
+    * The data write lands in a private staging directory and is then
+    * renamed file-by-file into the log — concurrent direct appends to one
+    * directory would collide in the Hadoop committer's shared
+    * `_temporary` staging (one job's cleanup deletes the other's task
+    * files). Each produce writes at most ONE file per ring partition, so
+    * per-partition visibility stays atomic, exactly like the direct
+    * append. Watermarks merge per-partition under a scoped lock; the
+    * crash window between data-in-place and watermark-advance is the same
+    * at-least-once window the exclusive path documents (healed by the
+    * reconcile scan on the next cold start).
+    *
+    * Plans that cannot be counted and re-executed identically
+    * (nondeterministic sources — never the case for the serving
+    * coalescers' driver-staged batches) fall back to the exclusive path.
+    * Returns the number of records written by THIS batch.
+    */
+  def produceConcurrent(topic: String, records: DataFrame): Long = {
+    if (!deterministicPlan(records)) return produce(topic, records)
+    val rl = producePlane.readLock()
+    rl.lock()
+    try inServingPool {
+      // stable under the shared plane: the flip (rescale) needs the
+      // exclusive plane, so every concurrent producer in flight sees one
+      // consistent generation
+      val g = generation(topic)
+      val keyed = ringAssigned(records, g)
+      val counts = keyed.groupBy(col("part")).agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().toMap
+      if (counts.isEmpty) 0L
+      else {
+        val monitors = counts.keys.toList.sorted.map(p =>
+          TopicStore.scopedLockFor(s"$lockRootKey|ppart|${scopeDir(topic)}|v${g.version}|$p"))
+        withMonitors(monitors) {
+          // bases for THIS batch's partitions are stable: only a holder
+          // of these part monitors writes them, and exclusive-plane
+          // writers are excluded by the shared plane lock
+          val bases = producerOffsetsFor(topic, g)
+          stageCommit(offsetsAssigned(keyed, topic, g, bases))
+          val scope = producerScopeFor(topic, g)
+          val myNext = counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
+          // merge RMW on the shared watermark table: concurrent producers
+          // of OTHER partitions interleave here, so re-read and overlay
+          // only this batch's partitions under the scope's merge lock
+          TopicStore.scopedLockFor(s"$lockRootKey|pwm|$scope").synchronized {
+            writeOffsets(producerMeta, scope, readOffsets(producerMeta, scope) ++ myNext)
+          }
+          counts.values.sum
+        }
+      }
+    } finally rl.unlock()
+  }
+
+  /** Hold a list of monitors (pre-sorted by the caller — ascending
+    * acquisition order is the deadlock discipline) around `body`.
+    */
+  private def withMonitors[T](ms: List[Object])(body: => T): T = ms match {
+    case Nil => body
+    case h :: t => h.synchronized(withMonitors(t)(body))
+  }
+
+  /** Stage-then-rename commit for the concurrent plane: write the batch
+    * to a private directory (its own Hadoop committer staging — no
+    * `_temporary` collision between concurrent jobs), then rename each
+    * data file into the partitioned log. File names carry the write
+    * job's UUID, so renames never collide; per ring partition a produce
+    * stages exactly one file, so partition visibility is atomic. A crash
+    * mid-commit leaves unharvested stage files (invisible — swept by
+    * [[sweepStages]]) or moved-but-unwatermarked files (the documented
+    * at-least-once window, healed by the reconcile scan).
+    */
+  private def stageCommit(withOffsets: DataFrame): Unit = {
+    val stage = s"$root/_stage/produce-${java.util.UUID.randomUUID()}"
+    val fs = hfs(stage)
+    try {
+      withOffsets.write.mode(SaveMode.Overwrite)
+        .partitionBy("topic", "token", "range", "version").parquet(stage)
+      val stagePath = fs.makeQualified(hpath(stage))
+      val it = fs.listFiles(stagePath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")) {
+          val rel = stagePath.toUri.relativize(f.getPath.toUri).getPath
+          val target = hpath(s"$dataDir/$rel")
+          fs.mkdirs(target.getParent)
+          if (!fs.rename(f.getPath, target))
+            throw new java.io.IOException(
+              s"produce stage commit: rename ${f.getPath} -> $target failed")
+        }
+      }
+    } finally { fs.delete(hpath(stage), true); () }
+  }
+
+  /** Reclaim orphaned produce staging directories (a concurrent produce
+    * that crashed between its stage write and the rename-in). Age-gated
+    * so an in-flight produce's live staging is never touched; the
+    * retention sweeper calls this each tick. Returns directories removed.
+    */
+  def sweepStages(maxAgeMs: Long = 60L * 60 * 1000): Int = {
+    val stageRoot = s"$root/_stage"
+    if (!pathExists(stageRoot)) return 0
+    val fs = hfs(stageRoot)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    var n = 0
+    fs.listStatus(hpath(stageRoot)).foreach { st =>
+      if (st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, true)) n += 1
+      }
+    }
+    n
+  }
 
   /** Convenience: string-valued records. */
   def produceStrings(topic: String, rows: Seq[(String, String, java.sql.Timestamp)]): Long = {
@@ -1290,7 +1460,7 @@ class TopicStore(
       topic: String,
       newClusterSize: Int,
       requireDrained: Boolean = false): Generation =
-    produceLock.synchronized { withTopicMaintenance(topic) {
+    produceLock.synchronized { exclusivePlane { withTopicMaintenance(topic) {
     val chain = generations(topic)
     // mechanical drain-before-rescale (the reference waits for sibling
     // OffsetCompleted before joining ranges, `offset_state.go:690-714`):
@@ -1331,7 +1501,7 @@ class TopicStore(
     // the new generation is open and empty.
     setGenerations(topic, kept :+ next)
     next
-  } }
+  } } }
 
   /** True when `group` has unconsumed records anywhere in the live
     * lineage (committed-or-start-policy position below the watermark in
@@ -1507,6 +1677,7 @@ class TopicStore(
     })
     exec.scheduleWithFixedDelay(() => {
       try {
+        sweepStages() // orphaned concurrent-produce staging (age-gated)
         if (pathExists(dataDir)) {
           hfs(dataDir).listStatus(hpath(dataDir)).filter(_.isDirectory).foreach { dir =>
             val name = dir.getPath.getName
@@ -1692,6 +1863,11 @@ object TopicStore {
     (String, String), java.util.concurrent.locks.ReentrantReadWriteLock]()
   private val globalProduceLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // the horizontal produce plane (see the class-side producePlane
+  // comment): shared by produceConcurrent, exclusive for everything that
+  // needs the single-writer view — strongly held like the produce locks
+  private val globalProducePlanes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
   // fine-grained RMW locks (commit read-modify-write, reconcile heal),
   // keyed by qualified root + operation scope: group-offset state and the
   // reconcile ledger are JVM-global per root, so their serialization must
@@ -1754,6 +1930,11 @@ object TopicStore {
 
   private[graft] def produceLockFor(rootKey: String): Object =
     globalProduceLocks.computeIfAbsent(rootKey, _ => new Object)
+
+  private[graft] def producePlaneFor(
+      rootKey: String): java.util.concurrent.locks.ReentrantReadWriteLock =
+    globalProducePlanes.computeIfAbsent(
+      rootKey, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
   // _meta write-through caches + the reconcile ledger, shared across all
   // instances over one root (keys carry the normalized root prefix) —

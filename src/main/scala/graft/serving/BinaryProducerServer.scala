@@ -29,7 +29,7 @@ import scala.collection.mutable
   * the reference reads and discards it too.
   */
 class BinaryProducerServer(
-    coalescer: ProduceCoalescer,
+    coalescer: ProduceChannel,
     port: Int = 0,
     maxBodyBytes: Int = 16 * 1024 * 1024) {
 

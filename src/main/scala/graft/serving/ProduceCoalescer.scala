@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.TopicStore
 
+/** A produce submission front: the REST and binary servers hand requests
+  * to whatever channel they were built over — a [[ProduceCoalescer]]
+  * directly (single-broker), or a [[ShardRouter]] that fans requests out
+  * over a [[BrokerGroup]]'s per-broker coalescers by ring partition.
+  */
+trait ProduceChannel {
+  /** Enqueue one request (N records sharing key+timestamp); the future
+    * completes after the durable write (ack-after-durable).
+    */
+  def submit(
+      topic: String,
+      key: String,
+      tsMicros: Long,
+      lines: Seq[Array[Byte]]): CompletableFuture[java.lang.Boolean]
+}
+
 /** W1-analog micro-batcher shared by the HTTP and binary produce fronts
   * (`internal/producing/coalescer.go:81-172`): callers enqueue and block
   * on an ack future; one drain loop groups up to `maxGroupBytes` or one
@@ -23,7 +39,13 @@ class ProduceCoalescer(
     coalesceMs: Long = 50L,
     maxGroupBytes: Long = 2L * 1024 * 1024,
     queueCapacity: Int = 8192,
-    metrics: EngineMetrics = new EngineMetrics) {
+    metrics: EngineMetrics = new EngineMetrics,
+    // flush through the store's horizontal plane (TopicStore
+    // .produceConcurrent): a BrokerGroup's coalescers flush concurrently
+    // over disjoint ring partitions instead of serializing on the
+    // root-wide produce lock. Default off — a single coalescer gains
+    // nothing from the plane and keeps the proven exclusive path.
+    concurrentPlane: Boolean = false) extends ProduceChannel {
 
   private case class Pending(
       topic: String,
@@ -60,7 +82,7 @@ class ProduceCoalescer(
   /** Enqueue one request (N records sharing key+timestamp); blocks when
     * the queue is full; the future completes after the durable write.
     */
-  def submit(
+  override def submit(
       topic: String,
       key: String,
       tsMicros: Long,
@@ -116,7 +138,8 @@ class ProduceCoalescer(
         val df = rows.toDF("key", "value", "tsMicros", "__seq")
           .withColumn("timestamp", timestamp_micros(col("tsMicros")))
           .select("key", "value", "timestamp", "__seq")
-        store.produce(topic, df)
+        if (concurrentPlane) store.produceConcurrent(topic, df)
+        else store.produce(topic, df)
         metrics.messagesReceived.addAndGet(rows.size.toLong)
         metrics.groupsFlushed.incrementAndGet()
         // the two reference histograms (`metrics.go:28,54`): distribution

@@ -60,7 +60,11 @@ class RestServer(
     // advertised alongside the consumer/producer HTTP port when the binary
     // producer server runs (discovery parity: the reference returns
     // `producerBinaryPort`, `discoverer_client_service.go:30-124`)
-    producerBinaryPort: Int = 0) {
+    producerBinaryPort: Int = 0,
+    // flush this server's coalescer through the store's horizontal
+    // produce plane (BrokerGroup members set this; a standalone server
+    // keeps the exclusive path)
+    concurrentPlane: Boolean = false) {
 
   // ------------------------------------------------------ produce pipeline
 
@@ -74,7 +78,22 @@ class RestServer(
     * full job and queue on the store's lock.)
     */
   val coalescer = new ProduceCoalescer(
-    store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics)
+    store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics,
+    concurrentPlane = concurrentPlane)
+
+  // where handleProduce submits: the local coalescer by default; a
+  // BrokerGroup re-points it at the group's ShardRouter so any broker
+  // accepts any produce and in-process routing replaces the reference's
+  // broker-to-broker forward (S4)
+  @volatile private var produceChannel: ProduceChannel = coalescer
+
+  def routeProduceVia(c: ProduceChannel): Unit = produceChannel = c
+
+  // cluster discovery listing override (BrokerGroup advertises the whole
+  // group through every member); None keeps the single-engine response
+  @volatile private var clusterListing: Option[String] = None
+
+  def advertiseCluster(json: String): Unit = clusterListing = Some(json)
 
   // settable after construction: the binary server usually binds after the
   // REST server exists (it needs the shared coalescer above)
@@ -205,10 +224,11 @@ class RestServer(
         respond(ex, 200, metrics.render,
           Map("Content-Type" -> "text/plain; version=0.0.4"))
       case ("GET", "/v1/brokers") =>
-        // single engine address: Spark schedules internally (C6 mapping)
-        respond(ex, 200,
+        // single engine address by default (Spark schedules internally,
+        // C6 mapping); a BrokerGroup advertises the whole group
+        respond(ex, 200, clusterListing.getOrElse(
           s"""{"length":1,"names":["localhost"],"producerPort":$boundPort""" +
-            s""","producerBinaryPort":$advertisedBinaryPort,"consumerPort":$boundPort}""",
+            s""","producerBinaryPort":$advertisedBinaryPort,"consumerPort":$boundPort}"""),
           Map("Content-Type" -> "application/json"))
       case ("POST", TopicPath(topic)) => handleProduce(ex, topic)
       // beyond parity (no reference analog): GDPR key erasure —
@@ -270,7 +290,7 @@ class RestServer(
           .filter(_.trim.nonEmpty).map(_.getBytes(UTF_8))
       else Seq(body)
 
-    val ack = coalescer.submit(topic, key, tsMicros, lines)
+    val ack = produceChannel.submit(topic, key, tsMicros, lines)
     try { ack.get(120, TimeUnit.SECONDS); respond(ex, 200, "OK") }
     catch {
       case e: java.util.concurrent.ExecutionException =>
