@@ -39,14 +39,14 @@ object Bench {
     // honest twin of the store-path number — BASELINE's 250K msgs/s
     // includes HTTP/binary framing and the ack round-trip, which the
     // store-path produce ("bytes in hand") does not
-    val (restRate, binRate) =
+    val (restRate, binRate, groupRate) =
       if (only.forall(_.contains("ingest")))
         try wireIngestBench(spark)
         catch { case e: Throwable =>
           System.err.println(s"[bench] wire-path phase failed: ${e.getMessage}")
-          (0.0, 0.0)
+          (0.0, 0.0, 0.0)
         }
-      else (0.0, 0.0)
+      else (0.0, 0.0, 0.0)
 
     // warmup: run EVERY query once at sf0.001 (seconds of work), untimed —
     // compiles each plan's whole-stage codegen and JITs the join/window/
@@ -141,6 +141,7 @@ object Bench {
         s""""stream_produce_msgs_per_sec":${f"$streamRate%.0f"},""" +
         s""""rest_produce_msgs_per_sec":${f"$restRate%.0f"},""" +
         s""""binary_produce_msgs_per_sec":${f"$binRate%.0f"},""" +
+        s""""rest_group4_produce_msgs_per_sec":${f"$groupRate%.0f"},""" +
         s""""msg_bytes":1024,"sf":"$sfDir","queries":$qs}"""
     val fullNames = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -347,12 +348,20 @@ object Bench {
     * 64-frame window each. The server's group cap is raised to 64 MiB
     * for the same reason (the reference's MaxGroupSize is a deployment
     * knob too).
+    *
+    * The third number is the HORIZONTAL plane: the same REST client
+    * shape against a 4-broker [[graft.serving.BrokerGroup]], whose
+    * per-broker coalescers flush concurrently over disjoint ring
+    * partitions (TopicStore.produceConcurrent) — the reference scales
+    * produce linearly with brokers, and this is the repo's analog of
+    * adding brokers. Returns (rest msgs/s, binary msgs/s,
+    * 4-broker-group rest msgs/s).
     */
   private def wireIngestBench(
       spark: SparkSession,
       requestsPerThread: Int = 8,
       threads: Int = 32,
-      recordsPerBatch: Int = 1000): (Double, Double) = {
+      recordsPerBatch: Int = 1000): (Double, Double, Double) = {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest}
     import java.net.http.HttpResponse.BodyHandlers
@@ -459,7 +468,38 @@ object Bench {
       }
       val binRate = total / binSecs
       System.err.println(f"[bench] binary wire produce: $binRate%.0f msgs/s")
-      (restRate, binRate)
+
+      // horizontal plane: 4 brokers over the SAME store, clients sprayed
+      // over all broker ports; the router re-homes every request to its
+      // key's owning coalescer, so the 4 flush loops stay
+      // partition-disjoint and their produce jobs overlap
+      val grp = new serving.BrokerGroup(store, brokers = 4, coalesceMs = 20L,
+        maxGroupBytes = 64L * 1024 * 1024).start()
+      val groupRate =
+        try {
+          def postGrp(client: HttpClient, port: Int, topic: String, key: String): Unit = {
+            val r = client.send(
+              HttpRequest.newBuilder(URI.create(
+                s"http://localhost:$port/v1/topic/$topic/messages?partitionKey=$key"))
+                .POST(HttpRequest.BodyPublishers.ofString(ndBody))
+                .header("Content-Type", "application/x-ndjson").build(),
+              BodyHandlers.ofString())
+            if (r.statusCode() != 200)
+              throw new IllegalStateException(s"group wire produce: HTTP ${r.statusCode()}")
+          }
+          runThreads { tid =>
+            postGrp(HttpClient.newHttpClient(),
+              grp.servers(tid % 4).boundPort, "wire_gwarm", s"w$tid")
+          }
+          val grpSecs = runThreads { tid =>
+            val client = HttpClient.newHttpClient()
+            for (i <- 0 until requestsPerThread)
+              postGrp(client, grp.servers(tid % 4).boundPort, "wire_group", s"k$tid-${i % 64}")
+          }
+          total / grpSecs
+        } finally grp.stop()
+      System.err.println(f"[bench] rest wire produce via 4-broker group: $groupRate%.0f msgs/s")
+      (restRate, binRate, groupRate)
     } finally {
       bin.stop(); rest.stop(); deleteRec(root)
     }

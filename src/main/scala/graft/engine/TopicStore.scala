@@ -549,6 +549,175 @@ class TopicStore(
     } finally { fs.delete(hpath(stage), true); () }
   }
 
+  /** Broker-local produce for driver-resident batches — the hot ingest
+    * path. The reference's coalescer writes segment files directly on
+    * the broker (`internal/data/segment_writer.go:243-266` — no
+    * distributed job between socket and fsync), and this is its Spark
+    * twin: the serving coalescers already hold the rows on the driver,
+    * so routing, ordering, offset assignment, and the one-zstd-parquet-
+    * file-per-touched-partition write all happen driver-side under the
+    * SAME shared-plane + per-partition-monitor locking as
+    * [[produceConcurrent]]. No Spark job runs at all (measured: the job
+    * machinery costs ~1 s per flush REGARDLESS of size — the entire
+    * wire-path throughput ceiling), and a [[graft.serving.BrokerGroup]]'s
+    * coalescers write concurrently over disjoint partitions, so ingest
+    * scales with brokers exactly as the reference's does.
+    *
+    * Byte-equivalence with the Spark plan is the contract (proven by
+    * LocalProduceSpec against [[produce]] on identical input):
+    * murmur3/xxhash64 routing uses the same driver-side functions the
+    * codegen'd expressions evaluate; in-batch order replicates the
+    * offset window's (timestamp, key, __seq, xxhash64(value)) ascending
+    * with nulls first and Spark's UTF8String semantics (unsigned UTF-8
+    * byte comparison — NOT Java's UTF-16 order); the parquet schema
+    * (zstd, int64-micros timestamps, row-group stats for the poll's
+    * offset pruning) reads back through the same vectorized scan,
+    * compaction, purge, and reconcile paths as Spark-written files.
+    * Visibility is atomic per file (dot-prefixed write, then rename).
+    * Returns the number of records written.
+    *
+    * Bulk produce (DataFrame sources: staged tables, streaming
+    * micro-batches, the DSv2 writer) stays on the Spark planes — data
+    * that is not in driver memory should never pass through it.
+    */
+  def produceLocal(topic: String, rows: Seq[TopicStore.LocalRecord]): Long = {
+    if (rows.isEmpty) return 0L
+    val rl = producePlane.readLock()
+    rl.lock()
+    try inServingPool {
+      val g = generation(topic) // stable: the flip needs the exclusive plane
+      val toks = tokensOf(g)
+      val byPart = rows.groupBy(r =>
+        TokenRing.partitionOrdinal(localHash(r), g.clusterSize, rangesPerToken))
+      val monitors = byPart.keys.toList.sorted.map(p =>
+        TopicStore.scopedLockFor(s"$lockRootKey|ppart|${scopeDir(topic)}|v${g.version}|$p"))
+      withMonitors(monitors) {
+        // may run the one-time reconcile heal (a Spark scan) on first
+        // touch of this (topic, generation) — serialized by its own
+        // scoped lock, like every other produce plane
+        val bases = producerOffsetsFor(topic, g)
+        // per-partition files are independent (disjoint dirs, disjoint
+        // offset ranges) — write them in parallel on the shared local-
+        // produce pool: a ring of 48 partitions otherwise pays 48
+        // sequential parquet-writer inits per flush, the dominant fixed
+        // cost of a small flush. Any failure fails the whole produce
+        // (the ack fails, the client retries — the same at-least-once
+        // window as a partial Spark write).
+        val futs = byPart.toSeq.sortBy(_._1).map { case (p, rs) =>
+          TopicStore.localWritePool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              writeLocalPartFile(topic, toks(p / rangesPerToken), p % rangesPerToken,
+                g.version, p, bases.getOrElse(p, 0L), rs.sortWith(localLess).toIndexedSeq)
+          })
+        }
+        futs.foreach(_.get())
+        val scope = producerScopeFor(topic, g)
+        val myNext = byPart.map { case (p, rs) => p -> (bases.getOrElse(p, 0L) + rs.size) }
+        TopicStore.scopedLockFor(s"$lockRootKey|pwm|$scope").synchronized {
+          writeOffsets(producerMeta, scope, readOffsets(producerMeta, scope) ++ myNext)
+        }
+        rows.size.toLong
+      }
+    } finally rl.unlock()
+  }
+
+  /** The produce plan's token hash, evaluated driver-side: murmur3 of
+    * the key for keyed records; Spark's xxhash64 (seed 42) of the value
+    * bytes for keyless — `XxHash64Function` IS the interpreter behind
+    * the `xxhash64` expression, so the spread is bit-identical.
+    */
+  private def localHash(r: TopicStore.LocalRecord): Long =
+    if (r.key != null && r.key.nonEmpty) graft.core.Murmur3x64.hashString(r.key)
+    else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(r.value, org.apache.spark.sql.types.BinaryType, 42L)
+
+  /** The offset window's order, driver-side: (timestamp, key, __seq,
+    * xxhash64(value)) ascending, nulls first. Key comparison is Spark's
+    * UTF8String.compareTo — unsigned byte-wise over the UTF-8 encoding —
+    * which DIVERGES from Java's UTF-16 String order beyond the BMP
+    * (supplementary characters sort above U+E000..U+FFFF in UTF-8, below
+    * in UTF-16), so the bytes are compared, never the Strings.
+    */
+  private def localLess(a: TopicStore.LocalRecord, b: TopicStore.LocalRecord): Boolean = {
+    if (a.tsMicros != b.tsMicros) return a.tsMicros < b.tsMicros
+    val kc =
+      if (a.key == null && b.key == null) 0
+      else if (a.key == null) -1
+      else if (b.key == null) 1
+      else java.util.Arrays.compareUnsigned(
+        a.key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (kc != 0) return kc < 0
+    if (a.seq != b.seq) return a.seq < b.seq
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(a.value, org.apache.spark.sql.types.BinaryType, 42L) <
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(b.value, org.apache.spark.sql.types.BinaryType, 42L)
+  }
+
+  // the data-file schema Spark's dynamic-partition write produces for the
+  // record envelope minus the partition-dir columns: key/value/timestamp
+  // payload plus (part, offset) — timestamps as int64 micros (UTC-
+  // adjusted), the layout the session writes and the vectorized reader
+  // scans
+  private val localFileSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("key"))
+      .addField(Types.optional(BINARY).named("value"))
+      .addField(Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        .named("timestamp"))
+      .addField(Types.required(INT32).named("part"))
+      .addField(Types.required(INT64).named("offset"))
+      .named("record")
+  }
+
+  /** Write one partition's sorted slice of a local produce as a single
+    * zstd parquet file in its leaf dir: offsets `base..base+n-1` in slice
+    * order, dot-prefixed while being written, renamed into visibility
+    * (readers skip hidden files, so partition visibility is atomic —
+    * the same guarantee the Spark write's committer rename gives).
+    */
+  private def writeLocalPartFile(
+      topic: String, token: Long, range: Int, version: Int, part: Int,
+      base: Long, sorted: IndexedSeq[TopicStore.LocalRecord]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.io.api.Binary
+    val dir = s"$dataDir/topic=${escapeDir(topic)}/token=$token/range=$range/version=$version"
+    val fs = hfs(dir)
+    fs.mkdirs(hpath(dir))
+    val fin = new org.apache.hadoop.fs.Path(
+      hpath(dir), s"part-local-${java.util.UUID.randomUUID()}.zstd.parquet")
+    val tmp = new org.apache.hadoop.fs.Path(hpath(dir), s".${fin.getName}.tmp")
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    val gf = new SimpleGroupFactory(localFileSchema)
+    val w = ExampleParquetWriter.builder(tmp).withConf(conf)
+      .withType(localFileSchema)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .build()
+    try {
+      var i = 0
+      while (i < sorted.length) {
+        val r = sorted(i)
+        val grp = gf.newGroup()
+        if (r.key != null) grp.append("key", r.key)
+        grp.append("value", Binary.fromConstantByteArray(r.value))
+          .append("timestamp", r.tsMicros)
+          .append("part", part)
+          .append("offset", base + i)
+        w.write(grp)
+        i += 1
+      }
+    } finally w.close()
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"produceLocal: rename $tmp -> $fin failed")
+  }
+
   /** Reclaim orphaned produce staging directories (a concurrent produce
     * that crashed between its stage write and the rename-in). Age-gated
     * so an in-flight produce's live staging is never touched; the
@@ -1846,6 +2015,12 @@ class TopicStore(
 }
 
 object TopicStore {
+  /** One driver-resident record for [[TopicStore.produceLocal]]: the
+    * envelope a serving coalescer holds in hand — `key` null for keyless,
+    * `seq` the request-order tiebreak (the `__seq` column's twin).
+    */
+  final case class LocalRecord(key: String, value: Array[Byte], tsMicros: Long, seq: Long)
+
   // JVM-global maintenance/read and produce locks, keyed by normalized
   // root (+ topic for the RW lock): every TopicStore instance over the
   // same root — the serving store, the DSv2 observer's/writer's private
@@ -1935,6 +2110,17 @@ object TopicStore {
       rootKey: String): java.util.concurrent.locks.ReentrantReadWriteLock =
     globalProducePlanes.computeIfAbsent(
       rootKey, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  // shared pool for produceLocal's per-partition file writes (bounded,
+  // daemon): flushes from every broker's coalescer multiplex over it —
+  // the writes are IO/compression-bound, so a fixed fan-out is the right
+  // shape regardless of broker count
+  private[engine] val localWritePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-local-produce")
+      t.setDaemon(true)
+      t
+    })
 
   // _meta write-through caches + the reconcile ledger, shared across all
   // instances over one root (keys carry the normalized root prefix) —

@@ -89,7 +89,7 @@ class BrokerGroup(
 
   val servers: IndexedSeq[RestServer] = (0 until brokers).map { _ =>
     new RestServer(store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes,
-      readTimeoutMs = readTimeoutMs, concurrentPlane = true)
+      readTimeoutMs = readTimeoutMs)
   }
 
   val router = new ShardRouter(store, servers.map(_.coalescer))

@@ -28,24 +28,22 @@ trait ProduceChannel {
 /** W1-analog micro-batcher shared by the HTTP and binary produce fronts
   * (`internal/producing/coalescer.go:81-172`): callers enqueue and block
   * on an ack future; one drain loop groups up to `maxGroupBytes` or one
-  * `coalesceMs` window into a single `TopicStore.produce` per topic and
-  * acks only after the durable write returns. Request order is threaded
-  * through as the `__seq` window tiebreak, so same-key records keep
-  * arrival order. The bounded queue is the producer buffer-pool
-  * backpressure analog (W7).
+  * `coalesceMs` window into a single broker-local segment write per
+  * topic (`TopicStore.produceLocal` — the reference coalescer's own
+  * shape, `segment_writer.go:243-266`: no distributed job between
+  * socket and durable file) and acks only after the durable write
+  * returns. Request order is threaded through as the seq tiebreak, so
+  * same-key records keep arrival order. The bounded queue is the
+  * producer buffer-pool backpressure analog (W7). produceLocal runs on
+  * the store's shared produce plane, so a BrokerGroup's coalescers
+  * flush concurrently over disjoint ring partitions.
   */
 class ProduceCoalescer(
     store: TopicStore,
     coalesceMs: Long = 50L,
     maxGroupBytes: Long = 2L * 1024 * 1024,
     queueCapacity: Int = 8192,
-    metrics: EngineMetrics = new EngineMetrics,
-    // flush through the store's horizontal plane (TopicStore
-    // .produceConcurrent): a BrokerGroup's coalescers flush concurrently
-    // over disjoint ring partitions instead of serializing on the
-    // root-wide produce lock. Default off — a single coalescer gains
-    // nothing from the plane and keeps the proven exclusive path.
-    concurrentPlane: Boolean = false) extends ProduceChannel {
+    metrics: EngineMetrics = new EngineMetrics) extends ProduceChannel {
 
   private case class Pending(
       topic: String,
@@ -127,19 +125,14 @@ class ProduceCoalescer(
     }
     batch.groupBy(_.topic).foreach { case (topic, reqs) =>
       try {
-        import store.spark.implicits._
         var seq = 0L
         val rows = reqs.iterator.flatMap { r =>
           r.lines.iterator.map { line =>
             seq += 1
-            (r.key, line, r.tsMicros, seq)
+            TopicStore.LocalRecord(r.key, line, r.tsMicros, seq)
           }
-        }.toSeq
-        val df = rows.toDF("key", "value", "tsMicros", "__seq")
-          .withColumn("timestamp", timestamp_micros(col("tsMicros")))
-          .select("key", "value", "timestamp", "__seq")
-        if (concurrentPlane) store.produceConcurrent(topic, df)
-        else store.produce(topic, df)
+        }.toVector
+        store.produceLocal(topic, rows)
         metrics.messagesReceived.addAndGet(rows.size.toLong)
         metrics.groupsFlushed.incrementAndGet()
         // the two reference histograms (`metrics.go:28,54`): distribution

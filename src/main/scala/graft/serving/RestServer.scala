@@ -60,11 +60,7 @@ class RestServer(
     // advertised alongside the consumer/producer HTTP port when the binary
     // producer server runs (discovery parity: the reference returns
     // `producerBinaryPort`, `discoverer_client_service.go:30-124`)
-    producerBinaryPort: Int = 0,
-    // flush this server's coalescer through the store's horizontal
-    // produce plane (BrokerGroup members set this; a standalone server
-    // keeps the exclusive path)
-    concurrentPlane: Boolean = false) {
+    producerBinaryPort: Int = 0) {
 
   // ------------------------------------------------------ produce pipeline
 
@@ -78,8 +74,7 @@ class RestServer(
     * full job and queue on the store's lock.)
     */
   val coalescer = new ProduceCoalescer(
-    store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics,
-    concurrentPlane = concurrentPlane)
+    store, coalesceMs = coalesceMs, maxGroupBytes = maxGroupBytes, metrics = metrics)
 
   // where handleProduce submits: the local coalescer by default; a
   // BrokerGroup re-points it at the group's ShardRouter so any broker
@@ -147,7 +142,10 @@ class RestServer(
   // --------------------------------------------------------- http plumbing
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
-  private val pool = Executors.newFixedThreadPool(16)
+  // produce handlers BLOCK on the flush ack (ack-after-durable), so the
+  // pool size is the server's concurrent-producer ceiling — 16 threads
+  // capped the wire bench at ~145K msgs/s with the flush itself idle
+  private val pool = Executors.newFixedThreadPool(32)
   http.setExecutor(pool)
 
   def boundPort: Int = http.getAddress.getPort

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Latency attribution of ONE coalescer-shaped flush (driver-staged
+  * toDF batch -> TopicStore.produce/produceConcurrent): the wire-path
+  * throughput ceiling is (bytes per flush) / (flush latency), so the
+  * fixed cost of a small flush is the number that decides whether more
+  * brokers help. Prints per-size hot medians for both planes and, with
+  * SPARK_GRAFT_STAGES=1, the per-stage breakdown of the last flush.
+  */
+object FlushProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session("flush-profile")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          println(f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%3d " +
+            f"run=${m.executorRunTime}%6dms cpu=${m.executorCpuTime / 1000000}%6dms ${i.name.take(60)}")
+        }
+      })
+    val root = java.nio.file.Files.createTempDirectory("flush-profile").toString
+    val store = new graft.engine.TopicStore(spark, root, clusterSize = 12)
+    val line = "x" * 1024
+    def batch(n: Int) = (0 until n).map { i =>
+      (s"k${i % 64}", line, new java.sql.Timestamp(1700000000000L + i))
+    }
+    def df(n: Int) = batch(n).toDF("key", "svalue", "timestamp")
+      .withColumn("value", encode(col("svalue"), "UTF-8"))
+      .select("key", "value", "timestamp")
+    def local(n: Int) = {
+      val bytes = line.getBytes("UTF-8")
+      (0 until n).map(i => graft.engine.TopicStore.LocalRecord(
+        s"k${i % 64}", bytes, 1700000000000000L + i, i.toLong))
+    }
+    // warmup all planes
+    store.produce("warm", df(1000))
+    store.produceConcurrent("warm", df(1000))
+    store.produceLocal("warm", local(1000))
+    for (n <- Seq(1000, 8000, 32000)) {
+      val lanes: Seq[(String, () => Unit)] = Seq(
+        "exclusive " -> (() => { store.produce("t", df(n)); () }),
+        "concurrent" -> (() => { store.produceConcurrent("t", df(n)); () }),
+        "local     " -> (() => { store.produceLocal("t", local(n)); () }))
+      for ((name, fn) <- lanes) {
+        val times = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          fn()
+          (System.nanoTime() - t0) / 1e3 // micros
+        }
+        val med = times.sorted.apply(times.size / 2) / 1000.0
+        println(f"[flush] $name n=$n%6d  median=${med}%8.1f ms  -> ${n / med * 1000}%8.0f msgs/s/lane")
+      }
+    }
+    spark.stop()
+  }
+}
