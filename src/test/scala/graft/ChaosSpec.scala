@@ -14,8 +14,9 @@ import graft.engine.TopicStore
 
 /** Chaos composition: every engine mutation class running concurrently
   * against one topic — direct produce, DSv2 writes (a second TopicStore
-  * instance under the hood), group polls, compaction, GDPR purge, and
-  * generation rescales — then a full quiescent audit of the delivery
+  * instance under the hood), broker-local segment writes (produceLocal,
+  * the serving coalescers' plane), group polls, compaction, GDPR purge,
+  * and generation rescales — then a full quiescent audit of the delivery
   * contract. The piecewise race specs (produce-vs-rescale,
   * purge-vs-poll, commit-vs-rescale) each found a real bug when added;
   * this spec locks their COMPOSITION: the pairwise serialization
@@ -103,6 +104,27 @@ class ChaosSpec extends AnyFunSuite {
       }
     }
 
+    // ---- broker-local producer: the serving coalescers' segment-write
+    // path (produceLocal — shared plane + per-partition monitors + direct
+    // parquet write), racing the exclusive-plane producers, maintenance
+    // swaps, and rescale flips above. Its records join the same audit.
+    val localProducer = guard("local-producer") {
+      for (b <- 0 until 15) {
+        val rows = (0 until 12).map { i =>
+          val key = s"l${(b * 12 + i) % 9}"
+          val n = seqOf.getOrElseUpdate(key, new AtomicInteger).getAndIncrement()
+          TopicStore.LocalRecord(key, s"$key#$n".getBytes("UTF-8"),
+            ts(2000 + b * 12 + i).getTime * 1000L, i.toLong)
+        }
+        store.produceLocal(topic, rows)
+        rows.foreach { r =>
+          acked.updateWith(r.key)(old =>
+            Some(old.getOrElse(Vector.empty) :+ new String(r.value, "UTF-8")))
+          ()
+        }
+      }
+    }
+
     // ---- consumer group: polls with auto-commit the whole run (its
     // deliveries are at-least-once across rescales by contract, so the
     // audit below uses a FRESH group; this thread exists to keep commit
@@ -135,9 +157,9 @@ class ChaosSpec extends AnyFunSuite {
       }
     }
 
-    val threads = Seq(producer, writer, consumer, maintenance, rescaler)
+    val threads = Seq(producer, writer, localProducer, consumer, maintenance, rescaler)
     threads.foreach(_.start())
-    Seq(producer, writer, maintenance, rescaler).foreach(_.join(300000))
+    Seq(producer, writer, localProducer, maintenance, rescaler).foreach(_.join(300000))
     stop = true
     consumer.join(300000)
     assert(threads.forall(!_.isAlive), "a chaos thread wedged")
