@@ -39,14 +39,14 @@ object Bench {
     // honest twin of the store-path number — BASELINE's 250K msgs/s
     // includes HTTP/binary framing and the ack round-trip, which the
     // store-path produce ("bytes in hand") does not
-    val (restRate, binRate, groupRate) =
+    val (restRate, binRate, groupRate, pageRate) =
       if (only.forall(_.contains("ingest")))
         try wireIngestBench(spark)
         catch { case e: Throwable =>
           System.err.println(s"[bench] wire-path phase failed: ${e.getMessage}")
-          (0.0, 0.0, 0.0)
+          (0.0, 0.0, 0.0, 0.0)
         }
-      else (0.0, 0.0, 0.0)
+      else (0.0, 0.0, 0.0, 0.0)
 
     // warmup: run EVERY query once at sf0.001 (seconds of work), untimed —
     // compiles each plan's whole-stage codegen and JITs the join/window/
@@ -142,6 +142,7 @@ object Bench {
         s""""rest_produce_msgs_per_sec":${f"$restRate%.0f"},""" +
         s""""binary_produce_msgs_per_sec":${f"$binRate%.0f"},""" +
         s""""rest_group4_produce_msgs_per_sec":${f"$groupRate%.0f"},""" +
+        s""""poll_page_msgs_per_sec":${f"$pageRate%.0f"},""" +
         s""""msg_bytes":1024,"sf":"$sfDir","queries":$qs}"""
     val fullNames = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -355,13 +356,13 @@ object Bench {
     * partitions (TopicStore.produceConcurrent) — the reference scales
     * produce linearly with brokers, and this is the repo's analog of
     * adding brokers. Returns (rest msgs/s, binary msgs/s,
-    * 4-broker-group rest msgs/s).
+    * 4-broker-group rest msgs/s, bounded-page poll-drain msgs/s).
     */
   private def wireIngestBench(
       spark: SparkSession,
       requestsPerThread: Int = 8,
       threads: Int = 32,
-      recordsPerBatch: Int = 1000): (Double, Double, Double) = {
+      recordsPerBatch: Int = 1000): (Double, Double, Double, Double) = {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest}
     import java.net.http.HttpResponse.BodyHandlers
@@ -499,7 +500,24 @@ object Bench {
           total / grpSecs
         } finally grp.stop()
       System.err.println(f"[bench] rest wire produce via 4-broker group: $groupRate%.0f msgs/s")
-      (restRate, binRate, groupRate)
+
+      // serving-consume rate: drain the binary-produced topic with
+      // BOUNDED pages — the driver-side segment-read path a real
+      // consumer's poll loop rides (scanPageLocal; no Spark job per
+      // page). Page shape: 512 records / 512 KiB per partition.
+      store.registry.register("wirec", "c", Seq("wire_bin"), store.StartFrom.Earliest)
+      val t0 = System.nanoTime()
+      var drained = 0L
+      var idle = 0
+      while (idle < 3) {
+        val n = store.poll("wirec", "wire_bin", "c",
+          maxRecords = 512L, maxBytes = 512L * 1024).collect().length
+        drained += n
+        if (n == 0) idle += 1 else idle = 0
+      }
+      val pageRate = drained / ((System.nanoTime() - t0) / 1e9)
+      System.err.println(f"[bench] bounded-page poll drain: $pageRate%.0f msgs/s ($drained msgs)")
+      (restRate, binRate, groupRate, pageRate)
     } finally {
       bin.stop(); rest.stop(); deleteRec(root)
     }

@@ -857,6 +857,30 @@ class TopicStore(
     served.foreach(pg => pg.assigned.foreach(p =>
       lastReaders.put((group, topic, pg.g.version, p), consumerId)))
 
+    // BOUNDED pages are served DRIVER-SIDE (scanPageLocal): a 2 MiB page
+    // should cost a few footer-pruned file reads, not a Spark job — the
+    // reference serves poll pages straight from local segment files, and
+    // the job-per-page shape was the serving-path latency floor. The
+    // result is an eager LocalRelation (collect() runs no job), byte-
+    // equivalent to the Spark scan by construction and by the paging
+    // suites that drain bounded pages against unbounded reads. Unbounded
+    // polls stay on the distributed scan — reading a topic's full
+    // backlog belongs on executors.
+    val bounded = maxRecords != Long.MaxValue || maxBytes != Long.MaxValue
+    if (bounded) {
+      val pages = served.map(pg => pg -> scanPageLocal(topic, pg, maxRecords, maxBytes))
+      if (autoCommit) {
+        val delivered: Map[Int, Map[Int, Long]] = pages
+          .map { case (pg, rows) =>
+            pg.g.version -> rows.groupBy(_.getAs[Int]("part")).view
+              .mapValues(_.iterator.map(_.getAs[Long]("offset")).max + 1L).toMap
+          }.toMap
+        autoCommitPages(group, topic, consumerId, served, delivered, maxRecords)
+      }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(pages.flatMap(_._2).asJava, recordSchema)
+    }
+
     val out = served.map(pg => scanPage(topic, pg, maxRecords, maxBytes)).reduce(_.union(_))
 
     if (autoCommit) {
@@ -864,34 +888,45 @@ class TopicStore(
         .groupBy(col("version"), col("part")).agg((max(col("offset")) + 1L).as("next"))
         .as[(Int, Int, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
-      served.foreach { pg =>
-        val got = delivered.getOrElse(pg.g.version, Map.empty)
-        val next = pg.assigned.flatMap { p =>
-          got.get(p).map(p -> _).orElse {
-            // gap skip: an assigned partition with lag that delivered
-            // NOTHING means the whole bounded window [from, from+max)
-            // was erased by purgeKeys (the byte trim always ships the
-            // first present record, so it cannot empty a non-empty
-            // window). Advance past the window, or the consumer would
-            // re-poll the same empty range forever — for an ancestor
-            // generation that would also permanently block the group's
-            // advance to the next generation.
-            val from = pg.from(p)
-            val hi = pg.high.getOrElse(p, 0L)
-            val windowEnd =
-              if (maxRecords > Long.MaxValue - from) hi
-              else math.min(from + maxRecords, hi)
-            if (from < hi) Some(p -> windowEnd) else None
-          }
-        }.toMap
-        if (next.nonEmpty) {
-          commit(group, topic, next, origin = consumerId, version = pg.g.version)
-          ()
-        }
-      }
+      autoCommitPages(group, topic, consumerId, served, delivered, maxRecords)
     }
     out
   }
+
+  /** poll's auto-commit: advance each served generation to what it
+    * delivered, with the purge GAP SKIP — an assigned partition with lag
+    * that delivered NOTHING means the whole bounded window
+    * [from, from+max) was erased by purgeKeys (the byte trim always
+    * ships the first present record, so it cannot empty a non-empty
+    * window). Advance past the window, or the consumer would re-poll
+    * the same empty range forever — for an ancestor generation that
+    * would also permanently block the group's advance to the next
+    * generation.
+    */
+  private def autoCommitPages(
+      group: String,
+      topic: String,
+      consumerId: String,
+      served: Seq[GenPage],
+      delivered: Map[Int, Map[Int, Long]],
+      maxRecords: Long): Unit =
+    served.foreach { pg =>
+      val got = delivered.getOrElse(pg.g.version, Map.empty[Int, Long])
+      val next = pg.assigned.flatMap { p =>
+        got.get(p).map(p -> _).orElse {
+          val from = pg.from(p)
+          val hi = pg.high.getOrElse(p, 0L)
+          val windowEnd =
+            if (maxRecords > Long.MaxValue - from) hi
+            else math.min(from + maxRecords, hi)
+          if (from < hi) Some(p -> windowEnd) else None
+        }
+      }.toMap
+      if (next.nonEmpty) {
+        commit(group, topic, next, origin = consumerId, version = pg.g.version)
+        ()
+      }
+    }
 
   /** Deferred-commit companion to poll's gap skip (the REST path): a
     * poll with `autoCommit = false` whose page came back EMPTY while the
@@ -920,9 +955,13 @@ class TopicStore(
     chain.map(g => pageFor(group, topic, consumerId, g)).find(_.hasLag) match {
       case None => Map.empty
       case Some(pg) =>
-        val present = scanPage(topic, pg, maxRecords, Long.MaxValue)
-          .groupBy(col("part")).agg(count(lit(1)).as("n"))
-          .as[(Int, Long)].collect().toMap
+        val present: Map[Int, Long] =
+          if (maxRecords != Long.MaxValue)
+            scanPageLocal(topic, pg, maxRecords, Long.MaxValue)
+              .groupBy(_.getAs[Int]("part")).view.mapValues(_.size.toLong).toMap
+          else scanPage(topic, pg, maxRecords, Long.MaxValue)
+            .groupBy(col("part")).agg(count(lit(1)).as("n"))
+            .as[(Int, Long)].collect().toMap
         val next = pg.assigned.flatMap { p =>
           val from = pg.from(p)
           val hi = pg.high.getOrElse(p, 0L)
@@ -987,6 +1026,136 @@ class TopicStore(
           .drop("__before")
       }
     paged.sortWithinPartitions(col("part"), col("offset"))
+  }
+
+  /** Driver-side twin of [[scanPage]] for BOUNDED pages — the reference
+    * broker's consumer read path (chunks served from local segment
+    * files, `internal/data/segment_reader.go`): per assigned partition,
+    * list ONE leaf dir, skip files whose cached footer offset-stats miss
+    * the [from, from+maxRecords) window, read the survivors with a
+    * parquet offset filter (row-group + record level — the same pruning
+    * the distributed scan gets from row-group stats), merge-sort by
+    * offset, apply the byte trim. Identical filter semantics to
+    * scanPage: the offset window (never the watermark) bounds the read,
+    * rows whose `part` column disagrees with the dir are dropped, a
+    * file deleted between list and read is skipped
+    * (ignoreMissingFiles), and the byte trim ships the record that
+    * straddles the boundary. Footer stats are cached per immutable file
+    * (maintenance never rewrites in place — replacements get new
+    * names), so a hot poll loop reads only data pages that overlap its
+    * window.
+    */
+  private def scanPageLocal(
+      topic: String, pg: GenPage, maxRecords: Long, maxBytes: Long)
+      : IndexedSeq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    if (pg.assigned.isEmpty || !dataDirExists) return IndexedSeq.empty
+    val tokens = tokensOf(pg.g)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // per-partition reads are independent (disjoint dirs) — fan them out
+    // over the shared local-IO pool: the per-file open cost (~10 ms:
+    // footer parse + decompressor init) otherwise serializes across
+    // every (partition × file) of the page
+    val perPart: Seq[(Int, IndexedSeq[Row])] =
+      pg.assigned.sorted.map { p =>
+        p -> TopicStore.localWritePool.submit(
+          new java.util.concurrent.Callable[IndexedSeq[Row]] {
+            override def call(): IndexedSeq[Row] =
+              scanPartLocal(topic, pg, p, tokens, conf, maxRecords, maxBytes)
+          })
+      }.map { case (p, f) => p -> f.get() }
+    perPart.iterator.flatMap(_._2).toIndexedSeq
+  }
+
+  /** One partition's slice of a driver-side bounded page. */
+  private def scanPartLocal(
+      topic: String, pg: GenPage, p: Int, tokens: Seq[Long],
+      conf: org.apache.hadoop.conf.Configuration,
+      maxRecords: Long, maxBytes: Long): IndexedSeq[org.apache.spark.sql.Row] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.spark.sql.Row
+    val out = IndexedSeq.newBuilder[Row]
+    locally {
+      val from = pg.from(p)
+      val hasUpper = maxRecords <= Long.MaxValue - from
+      val upper = if (hasUpper) from + maxRecords else Long.MaxValue
+      val token = tokens(p / rangesPerToken)
+      val range = p % rangesPerToken
+      val dir = s"$dataDir/topic=${escapeDir(topic)}/token=$token/range=$range" +
+        s"/version=${pg.g.version}"
+      if (pathExists(dir)) {
+        val fs = hfs(dir)
+        val files = fs.listStatus(hpath(dir)).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        val recs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Array[Byte], java.sql.Timestamp)]
+        files.foreach { st =>
+          val overlaps = TopicStore.offsetRangeOf(st, conf)
+            .forall { case (mn, mx) => mx >= from && (!hasUpper || mn < upper) }
+          if (overlaps) try {
+            val offCol = FilterApi.longColumn("offset")
+            val pred =
+              if (hasUpper) FilterApi.and(FilterApi.gtEq(offCol, Long.box(from)),
+                FilterApi.lt(offCol, Long.box(upper)))
+              else FilterApi.gtEq(offCol, Long.box(from))
+            val r = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+              .withConf(conf).withFilter(FilterCompat.get(pred)).build()
+            try {
+              var g = r.read()
+              while (g != null) {
+                // the record filter already enforced the offset window;
+                // re-check offset AND part here so semantics cannot
+                // drift from scanPage's predicate
+                val off = g.getLong("offset", 0)
+                val filePart =
+                  if (g.getFieldRepetitionCount("part") == 0) p
+                  else g.getInteger("part", 0)
+                if (off >= from && off < upper && filePart == p) {
+                  val key =
+                    if (g.getFieldRepetitionCount("key") == 0) null
+                    else g.getString("key", 0)
+                  val value =
+                    if (g.getFieldRepetitionCount("value") == 0) null
+                    else g.getBinary("value", 0).getBytes
+                  val ts =
+                    if (g.getFieldRepetitionCount("timestamp") == 0) null
+                    else {
+                      val us = g.getLong("timestamp", 0)
+                      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+                      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+                      t
+                    }
+                  recs += ((off, key, value, ts))
+                }
+                g = r.read()
+              }
+            } finally r.close()
+          } catch { case _: java.io.FileNotFoundException => () }
+        }
+        // (offset, ...) merge across files + the byte trim: bytes BEFORE
+        // this record < maxBytes -> the first record always ships, the
+        // boundary record ships once; null bodies count 0
+        val sorted = recs.sortBy(_._1)
+        var before = 0L
+        sorted.foreach { case (off, key, value, ts) =>
+          val len = if (value == null) 0L else value.length.toLong
+          if (before < maxBytes) {
+            // schema-carrying rows: poll's commit math and every caller
+            // address columns by name, exactly as on collected scan rows
+            out += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](key, value, ts, p, off, topic, token, range, pg.g.version),
+              recordSchema)
+          }
+          before += len
+        }
+      }
+    }
+    out.result()
   }
 
   // last registered reader per (group, topic, generation version, part) —
@@ -2111,10 +2280,55 @@ object TopicStore {
     globalProducePlanes.computeIfAbsent(
       rootKey, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
-  // shared pool for produceLocal's per-partition file writes (bounded,
-  // daemon): flushes from every broker's coalescer multiplex over it —
-  // the writes are IO/compression-bound, so a fixed fan-out is the right
-  // shape regardless of broker count
+  // per-file offset-stat cache for the driver-side bounded poll
+  // (scanPageLocal): (min, max) of the `offset` column across a file's
+  // row groups, keyed by path and guarded by length — data files are
+  // immutable once visible (compact/purge REPLACE files under fresh
+  // names), so one footer read serves every subsequent poll
+  private val offsetStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** Cached [min, max] of a data file's `offset` column; None when any
+    * row group lacks stats (the caller then reads the file — never
+    * skips it).
+    */
+  private[engine] def offsetRangeOf(
+      st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+    val key = st.getPath.toString
+    val cached = offsetStatsCache.get(key)
+    if (cached != null && cached._1 == st.getLen) return Some((cached._2, cached._3))
+    val computed =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var ok = true
+          rd.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
+              case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue =>
+                val s: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+                mn = math.min(mn, s.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+                mx = math.max(mx, s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              case _ => ok = false
+            }
+          }
+          if (ok && mn <= mx) Some((mn, mx)) else None
+        } finally rd.close()
+      } catch { case _: Exception => None }
+    computed.foreach { case (mn, mx) => offsetStatsCache.put(key, (st.getLen, mn, mx)) }
+    computed
+  }
+
+  // shared pool for the local planes' per-partition file IO (bounded,
+  // daemon): produceLocal's segment writes and scanPageLocal's page
+  // reads multiplex over it — both are IO/compression-bound, so a fixed
+  // fan-out is the right shape regardless of broker/consumer count.
+  // Pool tasks never resubmit to the pool (callers block, tasks don't),
+  // so the fixed size cannot deadlock.
   private[engine] val localWritePool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(16, r => {
       val t = new Thread(r, "graft-local-produce")

@@ -44,6 +44,31 @@ object FlushProfile {
     store.produce("warm", df(1000))
     store.produceConcurrent("warm", df(1000))
     store.produceLocal("warm", local(1000))
+    // bounded-page poll drain attribution: per-poll wall over a topic
+    // shaped like the wire bench's (many produceLocal files per part)
+    if (sys.env.contains("SPARK_GRAFT_POLL")) {
+      for (b <- 0 until 20) {
+        val bytes = line.getBytes("UTF-8")
+        store.produceLocal("pt", (0 until 12800).map(i =>
+          graft.engine.TopicStore.LocalRecord(s"k${i % 64}", bytes,
+            1700000000000000L + b * 100000L + i, i.toLong)))
+      }
+      store.registry.register("pg", "c", Seq("pt"), store.StartFrom.Earliest)
+      var drained = 0
+      var idle = 0
+      val t00 = System.nanoTime()
+      while (idle < 3) {
+        val t0 = System.nanoTime()
+        val n = store.poll("pg", "pt", "c",
+          maxRecords = 512L, maxBytes = 512L * 1024).collect().length
+        println(f"[poll] n=$n%6d wall=${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+        drained += n
+        if (n == 0) idle += 1 else idle = 0
+      }
+      println(f"[poll] drained $drained in ${(System.nanoTime() - t00) / 1e9}%.1f s")
+      spark.stop()
+      return
+    }
     for (n <- Seq(1000, 8000, 32000)) {
       val lanes: Seq[(String, () => Unit)] = Seq(
         "exclusive " -> (() => { store.produce("t", df(n)); () }),
