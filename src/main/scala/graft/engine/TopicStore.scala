@@ -863,10 +863,13 @@ class TopicStore(
     // the job-per-page shape was the serving-path latency floor. The
     // result is an eager LocalRelation (collect() runs no job), byte-
     // equivalent to the Spark scan by construction and by the paging
-    // suites that drain bounded pages against unbounded reads. Unbounded
-    // polls stay on the distributed scan — reading a topic's full
-    // backlog belongs on executors.
-    val bounded = maxRecords != Long.MaxValue || maxBytes != Long.MaxValue
+    // suites that drain bounded pages against unbounded reads. The gate
+    // is maxRecords — it bounds the OFFSET WINDOW and with it the
+    // driver-side read per partition; a byte-cap alone trims the output
+    // but not the scan, so byte-only and unbounded polls stay on the
+    // distributed scan — reading a topic's full backlog belongs on
+    // executors.
+    val bounded = maxRecords != Long.MaxValue
     if (bounded) {
       val pages = served.map(pg => pg -> scanPageLocal(topic, pg, maxRecords, maxBytes))
       if (autoCommit) {
@@ -1557,44 +1560,92 @@ class TopicStore(
     val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0
-    var replaced = 0
-    // leaf dirs are topic=/token=/range=/version=
+    // leaf dirs are topic=/token=/range=/version=; dirs compact in
+    // parallel on the local-IO pool — each merge is a DRIVER-SIDE k-way
+    // merge by offset over the small files (every topic data file is
+    // internally offset-sorted by both produce planes), O(k) memory, no
+    // Spark job: the old coalesce(1)-read-write paid a ~1 s job PER
+    // LEAF DIR, which made a routine compaction of a 48-partition topic
+    // cost ~48 jobs of scheduling floor
     val rangeDirs = fs.listStatus(topicPath).filter(_.isDirectory)
       .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
       .flatMap(r => fs.listStatus(r.getPath).filter(_.isDirectory))
-    rangeDirs.foreach { dir =>
-      val small = fs.listStatus(dir.getPath).filter { f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen < smallFileBytes
-      }
-      if (small.length >= 2) {
-        // tmp lives OUTSIDE dataDir so concurrent partition discovery
-        // never sees a half-written directory
-        val tmp = new Path(s"$root/_tmp/compact-${dir.getPath.getName}-${System.nanoTime()}")
-        spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
-          .coalesce(1)
-          .sortWithinPartitions("offset")
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val outs = fs.listStatus(tmp).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-        // loud failure discipline (same as the writeOffsets swap): a
-        // silently-false rename would let the small-file delete below
-        // destroy the only remaining copy of those records, and a
-        // silently-false delete would double-deliver them. Renames go
-        // FIRST, so any failure aborts before an original is touched.
-        outs.zipWithIndex.foreach { case (p, i) =>
-          val target = new Path(dir.getPath, s"compacted-${System.nanoTime()}-$i.parquet")
-          if (!fs.rename(p, target))
-            throw new java.io.IOException(s"compact: rename $p -> $target failed")
-        }
-        small.foreach { f =>
-          if (!fs.delete(f.getPath, false))
-            throw new java.io.IOException(s"compact: could not delete ${f.getPath}")
-        }
-        fs.delete(tmp, true)
-        replaced += small.length
-      }
+    val futs = rangeDirs.toSeq.map { dir =>
+      TopicStore.localWritePool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = compactDir(dir.getPath, smallFileBytes)
+      })
     }
-    replaced
+    futs.map(_.get()).sum
+  }
+
+  /** Merge one leaf dir's small files into a single offset-sorted zstd
+    * file, driver-side. Loud-failure swap discipline (same as the
+    * writeOffsets swap): the merged file is written dot-prefixed
+    * (hidden from readers), renamed visible FIRST, and only then are
+    * the originals deleted — a silently-false rename would let the
+    * delete destroy the only copy, a silently-false delete would
+    * double-deliver. Runs under the topic's maintenance write lock
+    * (the caller), so no reader observes the double-visible window.
+    */
+  private def compactDir(dirPath: org.apache.hadoop.fs.Path, smallFileBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.io.api.Binary
+    val fs = hfs(dirPath.toString)
+    val small = fs.listStatus(dirPath).filter { f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen < smallFileBytes
+    }
+    if (small.length < 2) return 0
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    val fin = new Path(dirPath, s"compacted-${System.nanoTime()}-0.parquet")
+    val tmp = new Path(dirPath, s".${fin.getName}.tmp")
+    val gf = new SimpleGroupFactory(localFileSchema)
+    val readers = small.map(f =>
+      ParquetReader.builder(new GroupReadSupport(), f.getPath).withConf(conf).build())
+    try {
+      val w = ExampleParquetWriter.builder(tmp).withConf(conf)
+        .withType(localFileSchema)
+        .withCompressionCodec(CompressionCodecName.ZSTD)
+        .build()
+      try {
+        // k-way merge on (offset): heads ordered in a priority queue
+        val heads = new java.util.PriorityQueue[(Long, Int)](
+          math.max(1, readers.length),
+          (a: (Long, Int), b: (Long, Int)) => java.lang.Long.compare(a._1, b._1))
+        val current = new Array[org.apache.parquet.example.data.Group](readers.length)
+        def advance(i: Int): Unit = {
+          val g = readers(i).read()
+          current(i) = g
+          if (g != null) { heads.add((g.getLong("offset", 0), i)); () }
+        }
+        readers.indices.foreach(advance)
+        while (!heads.isEmpty) {
+          val (_, i) = heads.poll()
+          val g = current(i)
+          val out = gf.newGroup()
+          if (g.getFieldRepetitionCount("key") > 0)
+            out.append("key", g.getString("key", 0))
+          if (g.getFieldRepetitionCount("value") > 0)
+            out.append("value", Binary.fromConstantByteArray(g.getBinary("value", 0).getBytes))
+          if (g.getFieldRepetitionCount("timestamp") > 0)
+            out.append("timestamp", g.getLong("timestamp", 0))
+          out.append("part", g.getInteger("part", 0))
+            .append("offset", g.getLong("offset", 0))
+          w.write(out)
+          advance(i)
+        }
+      } finally w.close()
+    } finally readers.foreach(r => try r.close() catch { case _: Exception => () })
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"compact: rename $tmp -> $fin failed")
+    small.foreach { f =>
+      if (!fs.delete(f.getPath, false))
+        throw new java.io.IOException(s"compact: could not delete ${f.getPath}")
+    }
+    small.length
   }
 
   /** Time-based offset lookup (Kafka's `offsetsForTimes` analog — the
