@@ -2071,8 +2071,16 @@ class TopicStore(
           hfs(dataDir).listStatus(hpath(dataDir)).filter(_.isDirectory).foreach { dir =>
             val name = dir.getPath.getName
             if (name.startsWith("topic=")) {
+              val topic = unescapeDir(name.stripPrefix("topic="))
               val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
-              retentionSweep(unescapeDir(name.stripPrefix("topic=")), cutoff)
+              retentionSweep(topic, cutoff)
+              // fold small segment files on the same cadence: the
+              // serving coalescers write one file per touched partition
+              // per flush (the reference rotates 1 GiB segments in
+              // place — parquet cannot append), so without background
+              // compaction the FILE COUNT, not the byte count, becomes
+              // the scan bottleneck. Driver-side k-way merge — cheap.
+              compact(topic)
               ()
             }
           }
@@ -2349,6 +2357,11 @@ object TopicStore {
     val key = st.getPath.toString
     val cached = offsetStatsCache.get(key)
     if (cached != null && cached._1 == st.getLen) return Some((cached._2, cached._3))
+    // bound the table: file churn (compaction/purge replacing files,
+    // short-lived test stores) strands entries for deleted paths that no
+    // listing will ever consult again — reset past any plausible live
+    // file count rather than leak; misses just re-read a footer
+    if (offsetStatsCache.size() > 65536) offsetStatsCache.clear()
     val computed =
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
