@@ -66,13 +66,17 @@ class ShardRouter(store: TopicStore, shards: IndexedSeq[ProduceChannel])
   * ranges; `GET /v1/brokers` lists them all,
   * `internal/discovery/discoverer_client_service.go:30-124`). Each broker
   * is a full [[RestServer]] + [[BinaryProducerServer]] pair with its OWN
-  * coalescer flushing through `TopicStore.produceConcurrent`, and every
-  * produce front routes through one [[ShardRouter]] so concurrent flushes
-  * touch disjoint ring partitions. Clients may produce to ANY broker
+  * coalescer, and every produce front routes through one [[ShardRouter]]
+  * so concurrent flushes touch disjoint ring partitions. Clients may produce to ANY broker
   * (in-process re-routing replaces the reference's broker-to-broker
-  * forward); consumers likewise register/poll against any broker — the
-  * single driver replaces the reference's per-broker consumer state +
-  * gossip.
+  * forward); consumers register/poll against any ONE broker — group
+  * offsets are store-level, but the deferred-commit session lives on
+  * the broker that served the page, so a consumer that switches brokers
+  * mid-stream re-reads from its last durable commit (the at-least-once
+  * failover the reference's consumer reconnect also gives). The
+  * coalescers flush via `produceLocal` (broker-local segment writes),
+  * with `produceConcurrent` the DataFrame twin on the same shared
+  * plane.
   *
   * On a real cluster the brokers would be separate JVMs over shared
   * storage — the store's produce plane (JVM-global locks per root) is the

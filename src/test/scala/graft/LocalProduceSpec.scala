@@ -119,6 +119,36 @@ class LocalProduceSpec extends AnyFunSuite {
     assert(store.producerOffsets("t").values.sum == 80L)
   }
 
+  test("crash between local data-in-place and watermark-advance heals on restart") {
+    val store = newStore()
+    def rows(tag: String, n: Int, t0: Long) = (0 until n).map(i =>
+      LocalRecord(s"k${i % 3}", s"$tag#$i".getBytes("UTF-8"), t0 + i, i.toLong))
+    assert(store.produceLocal("t", rows("a", 12, 1700000000000000L)) == 12L)
+    // simulate the documented crash window: segment files are durably in
+    // place but the watermark merge never ran — delete the watermark
+    // table and every shared cache, the state a fresh JVM would recover
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"${store.root}/_meta/producer_offsets/t/v1"))
+    TopicStore.dropCachesForTests(store.root, spark.sparkContext.hadoopConfiguration)
+    // the next produce's reconcile must heal the watermark FROM THE
+    // FILES, or it would reissue the orphaned offsets
+    val fresh = new TopicStore(spark, store.root, clusterSize = 3)
+    assert(fresh.produceLocal("t", rows("b", 12, 1700000001000000L)) == 12L)
+    val env = dump(fresh, "t", "g")
+    assert(env.size == 24)
+    assert(env.map(t => (t._1, t._2, t._3)).distinct.size == 24,
+      "healed produce reissued an orphaned offset")
+    val byKey = env.sortBy(t => (t._1, t._2, t._3))
+      .groupBy(_._4).view.mapValues(_.map(t => new String(t._5.toArray, "UTF-8"))).toMap
+    for (k <- 0 until 3) {
+      val want = Seq("a", "b").flatMap(tag => (0 until 12).filter(_ % 3 == k).map(i => s"$tag#$i"))
+      assert(byKey(s"k$k") == want, s"k$k: ${byKey(s"k$k")}")
+    }
+  }
+
   test("local files ride compact, purge, bounded paging, and rescale lineage") {
     val store = newStore()
     def rows(tag: String, n: Int, t0: Long) = (0 until n).map(i =>

@@ -194,9 +194,16 @@ class ShardedIngestSpec extends AnyFunSuite {
         (0 until 16).map(j => s"""{"keyless":$j}""").mkString("\n"),
         "application/x-ndjson").statusCode() == 200)
 
+      // binary framed produce through a GROUP member's binary server —
+      // its channel is the ShardRouter, so the frame's key re-homes to
+      // the owning broker's coalescer like every HTTP produce
+      binaryProduce(group.binaryServers(1).boundPort,
+        1700000099500000L, "kbin", "orders", """{"bin":1}""")
+
       // consume via ONE broker: everything, exactly once, per-key order
       val byKey = drainByKey(store, "orders", "gw")
-      assert(byKey.valuesIterator.map(_.size).sum == 6 * 4 * 10 + 16)
+      assert(byKey.valuesIterator.map(_.size).sum == 6 * 4 * 10 + 16 + 1)
+      assert(byKey("kbin") == Vector("""{"bin":1}"""))
       for (tid <- 0 until 6) {
         val vs = byKey(s"k$tid")
         val want = (0 until 4).flatMap(i => (0 until 10).map(j =>
@@ -204,6 +211,50 @@ class ShardedIngestSpec extends AnyFunSuite {
         assert(vs == want, s"k$tid diverged:\n got $vs\nwant $want")
       }
     } finally group.stop()
+  }
+
+  /** Minimal binary-protocol client: startup handshake + one framed
+    * produce (withTimestamp), blocking on the produceResponse ack.
+    */
+  private def binaryProduce(
+      port: Int, tsMicros: Long, key: String, topic: String, msg: String): Unit = {
+    import java.io.{DataInputStream, DataOutputStream}
+    def frame(streamId: Int, op: Int, flags: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](13 + body.length)
+      out(0) = 1; out(1) = flags.toByte
+      out(2) = ((streamId >> 8) & 0xff).toByte; out(3) = (streamId & 0xff).toByte
+      out(4) = op.toByte
+      out(5) = ((body.length >> 24) & 0xff).toByte; out(6) = ((body.length >> 16) & 0xff).toByte
+      out(7) = ((body.length >> 8) & 0xff).toByte; out(8) = (body.length & 0xff).toByte
+      val crc = new java.util.zip.CRC32
+      crc.update(out, 0, 9)
+      val c = crc.getValue
+      out(9) = ((c >> 24) & 0xff).toByte; out(10) = ((c >> 16) & 0xff).toByte
+      out(11) = ((c >> 8) & 0xff).toByte; out(12) = (c & 0xff).toByte
+      System.arraycopy(body, 0, out, 13, body.length)
+      out
+    }
+    val sock = new java.net.Socket("localhost", port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      def readOp(): Int = {
+        val h = new Array[Byte](13); in.readFully(h)
+        val len = ((h(5) & 0xff) << 24) | ((h(6) & 0xff) << 16) |
+          ((h(7) & 0xff) << 8) | (h(8) & 0xff)
+        in.skipBytes(len); h(4) & 0xff
+      }
+      out.write(frame(1, 1, 0, Array.emptyByteArray)); out.flush()
+      assert(readOp() == 2, "expected ready")
+      val buf = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(buf)
+      d.writeLong(tsMicros)
+      val k = key.getBytes("UTF-8"); d.writeByte(k.length); d.write(k)
+      val t = topic.getBytes("UTF-8"); d.writeByte(t.length); d.write(t)
+      val m = msg.getBytes("UTF-8"); d.writeInt(m.length); d.write(m)
+      out.write(frame(2, 4, 1, buf.toByteArray)); out.flush()
+      assert(readOp() == 5, "expected produceResponse")
+    } finally sock.close()
   }
 
   test("sweepStages reclaims aged orphans and produceConcurrent cleans up") {
