@@ -1098,7 +1098,7 @@ class TopicStore(
         val recs = scala.collection.mutable.ArrayBuffer
           .empty[(Long, String, Array[Byte], java.sql.Timestamp)]
         files.foreach { st =>
-          val overlaps = TopicStore.offsetRangeOf(st, conf)
+          val overlaps = TopicStore.int64StatsOf(st, conf, "offset")
             .forall { case (mn, mx) => mx >= from && (!hasUpper || mn < upper) }
           if (overlaps) try {
             val offCol = FilterApi.longColumn("offset")
@@ -1524,24 +1524,43 @@ class TopicStore(
   /** Retention sweep (S10): delete whole data files whose newest record is
     * older than the cutoff — the analog of segment-file deletion
     * (`datalog_cleaner.go`), file-granular so it never rewrites live data.
+    *
+    * The expiry decision comes from the parquet FOOTER timestamp stats
+    * (max per row group), cached per immutable file — a metadata-only
+    * walk. The old implementation ran `groupBy(input_file_name)
+    * .max(timestamp)` over the topic's FULL DATA on every sweeper tick,
+    * which at 100 TB re-reads the entire topic every 5 minutes to learn
+    * numbers the footers already hold. A file without timestamp stats is
+    * conservatively kept.
     */
   def retentionSweep(topic: String, cutoff: java.sql.Timestamp): Int = withTopicMaintenance(topic) {
-    if (!pathExists(dataDir)) return 0
-    val files = spark.read.schema(recordSchema).parquet(dataDir)
-      .where(col("topic") === topic)
-      .groupBy(input_file_name().as("f"))
-      .agg(max(col("timestamp")).as("newest"))
-      .where(col("newest") < lit(cutoff))
-      .select("f").as[String].collect()
-    files.foreach { f =>
-      // input_file_name is a URL-encoded URI; Path(String) would keep the
-      // %-escapes literal and miss dirs whose names partitionBy escaped,
-      // so build the Path from the decoded URI
-      val fp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      hfs(f).delete(fp, false)
-      ()
+    val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
+    val fs = hfs(topicPath.toString)
+    if (!fs.exists(topicPath)) return 0
+    val cutoffMicros = cutoff.getTime * 1000L + (cutoff.getNanos % 1000000) / 1000L
+    val conf = spark.sparkContext.hadoopConfiguration
+    val leafDirs = fs.listStatus(topicPath).filter(_.isDirectory)
+      .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
+      .flatMap(r => fs.listStatus(r.getPath).filter(_.isDirectory))
+    val futs = leafDirs.toSeq.map { dir =>
+      TopicStore.localWritePool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = {
+          var deleted = 0
+          fs.listStatus(dir.getPath).foreach { f =>
+            val n = f.getPath.getName
+            if (f.isFile && n.endsWith(".parquet") && !n.startsWith(".")) {
+              TopicStore.int64StatsOf(f, conf, "timestamp") match {
+                case Some((_, mx)) if mx < cutoffMicros =>
+                  if (fs.delete(f.getPath, false)) deleted += 1
+                case _ => () // no stats -> keep (never expire blind)
+              }
+            }
+          }
+          deleted
+        }
+      })
     }
-    files.length
+    futs.map(_.get()).sum
   }
 
   /** Compaction sweep: per (token, range) partition dir, rewrite parquet
@@ -1624,17 +1643,7 @@ class TopicStore(
         readers.indices.foreach(advance)
         while (!heads.isEmpty) {
           val (_, i) = heads.poll()
-          val g = current(i)
-          val out = gf.newGroup()
-          if (g.getFieldRepetitionCount("key") > 0)
-            out.append("key", g.getString("key", 0))
-          if (g.getFieldRepetitionCount("value") > 0)
-            out.append("value", Binary.fromConstantByteArray(g.getBinary("value", 0).getBytes))
-          if (g.getFieldRepetitionCount("timestamp") > 0)
-            out.append("timestamp", g.getLong("timestamp", 0))
-          out.append("part", g.getInteger("part", 0))
-            .append("offset", g.getLong("offset", 0))
-          w.write(out)
+          w.write(copyRecordGroup(gf, current(i)))
           advance(i)
         }
       } finally w.close()
@@ -1766,14 +1775,12 @@ class TopicStore(
     * Returns the number of records purged.
     */
   def purgeKeys(topic: String, keys: Seq[String]): Long = withTopicMaintenance(topic) {
-    import org.apache.hadoop.fs.Path
     require(keys.nonEmpty, "purgeKeys: empty forget list")
     val live = generations(topic).map(g => s"version=${g.version}").toSet
     val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
     val fs = hfs(topicPath.toString)
     if (!fs.exists(topicPath)) return 0L
     val keySet = keys.toSet
-    var purged = 0L
     val leafDirs = fs.listStatus(topicPath).filter(_.isDirectory)
       .flatMap(t => fs.listStatus(t.getPath).filter(_.isDirectory))
       .flatMap(r => fs.listStatus(r.getPath).filter(_.isDirectory))
@@ -1783,35 +1790,117 @@ class TopicStore(
       // Non-live version dirs are reclaimed wholesale by
       // sweepStaleGenerations, not rewritten record-by-record.
       .filter(d => live.contains(d.getPath.getName))
-    leafDirs.foreach { dir =>
-      val files = fs.listStatus(dir.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.nonEmpty) {
-        val df = spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
-        val hit = df.filter(col("key").isInCollection(keySet)).count()
-        if (hit > 0L) {
-          val tmp = new Path(s"$root/_tmp/purge-${dir.getPath.getName}-${System.nanoTime()}")
-          df.filter(!col("key").isInCollection(keySet) || col("key").isNull)
-            .coalesce(1)
-            .sortWithinPartitions("offset")
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          val outs = fs.listStatus(tmp).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-          outs.zipWithIndex.foreach { case (p, i) =>
-            val target = new Path(dir.getPath, s"purged-${System.nanoTime()}-$i.parquet")
-            if (!fs.rename(p, target))
-              throw new java.io.IOException(s"purgeKeys: rename $p -> $target failed")
+    // FILE-granular, driver-side, dirs in parallel on the local-IO pool:
+    // a cheap key-projection pass finds the files that actually contain
+    // a forget key (only the key column's pages are read), and only
+    // those are rewritten — the old implementation ran two Spark jobs
+    // per leaf dir (count + coalesce(1) rewrite of the WHOLE dir),
+    // ~100 s of job-scheduling floor for one key on a 48-partition
+    // topic, and rewrote untouched files alongside the guilty ones.
+    val futs = leafDirs.toSeq.map { dir =>
+      TopicStore.localWritePool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = purgeDir(dir.getPath, keySet)
+      })
+    }
+    futs.map(_.get()).sum
+  }
+
+  /** Erase `keySet`'s records from one leaf dir, file-granular: probe
+    * each file with a key-only projection read; rewrite only files with
+    * hits (survivors keep byte-identical offsets and file order, which
+    * is offset order). Swap discipline per file: survivor written
+    * dot-prefixed, renamed visible FIRST, then the original deleted —
+    * under the topic write lock no reader observes the double-visible
+    * instant, and a crash between the two re-reads duplicates
+    * (at-least-once direction) rather than losing survivors. A file
+    * whose every record is purged is simply deleted.
+    */
+  private def purgeDir(dirPath: org.apache.hadoop.fs.Path, keySet: Set[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val fs = hfs(dirPath.toString)
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    // key-only projection for the probe pass: only the key column's
+    // pages are decoded
+    val probeConf = new org.apache.hadoop.conf.Configuration(conf)
+    probeConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      "message probe { optional binary key (UTF8); }")
+    val files = fs.listStatus(dirPath).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && n.endsWith(".parquet") && !n.startsWith(".")
+    }
+    var purged = 0L
+    files.foreach { f =>
+      var hits = 0L
+      var survivors = 0L
+      locally {
+        val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
+          .withConf(probeConf).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            val isHit = g.getFieldRepetitionCount("key") > 0 &&
+              keySet.contains(g.getString("key", 0))
+            if (isHit) hits += 1 else survivors += 1
+            g = r.read()
           }
-          files.foreach { f =>
-            if (!fs.delete(f.getPath, false))
-              throw new java.io.IOException(s"purgeKeys: could not delete ${f.getPath}")
-          }
-          fs.delete(tmp, true)
-          purged += hit
-        }
+        } finally r.close()
+      }
+      if (hits > 0 && survivors == 0) {
+        if (!fs.delete(f.getPath, false))
+          throw new java.io.IOException(s"purgeKeys: could not delete ${f.getPath}")
+        purged += hits
+      } else if (hits > 0) {
+        val fin = new Path(dirPath, s"purged-${System.nanoTime()}-0.parquet")
+        val tmp = new Path(dirPath, s".${fin.getName}.tmp")
+        val gf = new SimpleGroupFactory(localFileSchema)
+        val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
+          .withConf(conf).build()
+        try {
+          val w = ExampleParquetWriter.builder(tmp).withConf(conf)
+            .withType(localFileSchema)
+            .withCompressionCodec(CompressionCodecName.ZSTD)
+            .build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val isHit = g.getFieldRepetitionCount("key") > 0 &&
+                keySet.contains(g.getString("key", 0))
+              if (!isHit) w.write(copyRecordGroup(gf, g))
+              g = r.read()
+            }
+          } finally w.close()
+        } finally r.close()
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(s"purgeKeys: rename $tmp -> $fin failed")
+        if (!fs.delete(f.getPath, false))
+          throw new java.io.IOException(s"purgeKeys: could not delete ${f.getPath}")
+        purged += hits
       }
     }
     purged
+  }
+
+  /** Copy one record-envelope Group (either file flavor) into the local
+    * writer schema, field presence preserved.
+    */
+  private def copyRecordGroup(
+      gf: org.apache.parquet.example.data.simple.SimpleGroupFactory,
+      g: org.apache.parquet.example.data.Group): org.apache.parquet.example.data.Group = {
+    import org.apache.parquet.io.api.Binary
+    val out = gf.newGroup()
+    if (g.getFieldRepetitionCount("key") > 0)
+      out.append("key", g.getString("key", 0))
+    if (g.getFieldRepetitionCount("value") > 0)
+      out.append("value", Binary.fromConstantByteArray(g.getBinary("value", 0).getBytes))
+    if (g.getFieldRepetitionCount("timestamp") > 0)
+      out.append("timestamp", g.getLong("timestamp", 0))
+    out.append("part", g.getInteger("part", 0))
+      .append("offset", g.getLong("offset", 0))
+    out
   }
 
   /** Elastic rescale (C3 range split / C4 range join): open the topic's
@@ -2339,29 +2428,32 @@ object TopicStore {
     globalProducePlanes.computeIfAbsent(
       rootKey, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
-  // per-file offset-stat cache for the driver-side bounded poll
-  // (scanPageLocal): (min, max) of the `offset` column across a file's
-  // row groups, keyed by path and guarded by length — data files are
+  // per-(file, int64 column) footer-stat cache for the driver-side
+  // maintenance/serving paths: (min, max) across a file's row groups,
+  // keyed by path#column and guarded by length — data files are
   // immutable once visible (compact/purge REPLACE files under fresh
-  // names), so one footer read serves every subsequent poll
-  private val offsetStatsCache =
+  // names), so one footer read serves every subsequent consult. The
+  // bounded poll prunes on `offset`, the retention sweep expires on
+  // `timestamp`.
+  private val colStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
 
-  /** Cached [min, max] of a data file's `offset` column; None when any
-    * row group lacks stats (the caller then reads the file — never
-    * skips it).
+  /** Cached [min, max] of an int64 column of a data file; None when any
+    * row group lacks stats (callers then read the file / keep it —
+    * never skip or expire blind).
     */
-  private[engine] def offsetRangeOf(
+  private[engine] def int64StatsOf(
       st: org.apache.hadoop.fs.FileStatus,
-      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
-    val key = st.getPath.toString
-    val cached = offsetStatsCache.get(key)
+      conf: org.apache.hadoop.conf.Configuration,
+      column: String): Option[(Long, Long)] = {
+    val key = st.getPath.toString + "#" + column
+    val cached = colStatsCache.get(key)
     if (cached != null && cached._1 == st.getLen) return Some((cached._2, cached._3))
     // bound the table: file churn (compaction/purge replacing files,
     // short-lived test stores) strands entries for deleted paths that no
     // listing will ever consult again — reset past any plausible live
     // file count rather than leak; misses just re-read a footer
-    if (offsetStatsCache.size() > 65536) offsetStatsCache.clear()
+    if (colStatsCache.size() > 65536) colStatsCache.clear()
     val computed =
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
@@ -2372,7 +2464,7 @@ object TopicStore {
           var mx = Long.MinValue
           var ok = true
           rd.getFooter.getBlocks.asScala.foreach { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == "offset") match {
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
               case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue =>
                 val s: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
                 mn = math.min(mn, s.genericGetMin.asInstanceOf[java.lang.Long].longValue())
@@ -2383,7 +2475,7 @@ object TopicStore {
           if (ok && mn <= mx) Some((mn, mx)) else None
         } finally rd.close()
       } catch { case _: Exception => None }
-    computed.foreach { case (mn, mx) => offsetStatsCache.put(key, (st.getLen, mn, mx)) }
+    computed.foreach { case (mn, mx) => colStatsCache.put(key, (st.getLen, mn, mx)) }
     computed
   }
 
