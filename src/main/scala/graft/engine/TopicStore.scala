@@ -1266,16 +1266,49 @@ class TopicStore(
         // its write lock for exactly this reason.
         if (pathExists(dataDir)) withTopicReads(topic) {
           val persisted = readOffsets(producerMeta, scope)
-          val pred = (0 until partsOf(g)).map { p =>
-            col("part") === p && col("offset") >= persisted.getOrElse(p, 0L)
-          }.reduce(_ || _)
-          val orphans = spark.read.schema(recordSchema).parquet(dataDir)
-            .where(col("topic") === topic && col("version") === g.version && pred)
-            .groupBy(col("part")).agg((max(col("offset")) + 1L).as("next"))
-            .as[(Int, Long)].collect().toMap
-          val healed = persisted ++ orphans.map { case (p, n) =>
-            p -> math.max(n, persisted.getOrElse(p, 0L))
-          }
+          // footer-stats walk of THIS generation's leaf dirs (one dir =
+          // one ring partition): max file offset per partition from the
+          // cached stats, a driver-side projection read only for a file
+          // without stats. The old Spark scan's offset predicate sat on
+          // the same row-group stats but still paid a full dataDir
+          // listing + one job per first touch.
+          val topicPath = hpath(s"$dataDir/topic=${escapeDir(topic)}")
+          val fs = hfs(topicPath.toString)
+          val healed: Map[Int, Long] =
+            if (!fs.exists(topicPath)) persisted
+            else {
+              val conf = spark.sparkContext.hadoopConfiguration
+              val toks = tokensOf(g)
+              val updates = scala.collection.mutable.Map.empty[Int, Long]
+              fs.listStatus(topicPath).filter(_.isDirectory).foreach { tokenDir =>
+                val idx = tokenDir.getPath.getName.stripPrefix("token=").toLongOption
+                  .map(toks.indexOf(_)).getOrElse(-1)
+                if (idx >= 0) fs.listStatus(tokenDir.getPath).filter(_.isDirectory)
+                  .foreach { rangeDir =>
+                    rangeDir.getPath.getName.stripPrefix("range=").toIntOption.foreach { rg =>
+                      val p = idx * rangesPerToken + rg
+                      val verPath = new org.apache.hadoop.fs.Path(
+                        rangeDir.getPath, s"version=${g.version}")
+                      if (p < partsOf(g) && fs.exists(verPath)) {
+                        var mx = Long.MinValue
+                        fs.listStatus(verPath).foreach { f =>
+                          val n = f.getPath.getName
+                          if (f.isFile && n.endsWith(".parquet") && !n.startsWith(".")) {
+                            mx = math.max(mx,
+                              TopicStore.int64StatsOf(f, conf, "offset")
+                                .map(_._2).getOrElse(maxOffsetByRead(f, conf)))
+                          }
+                        }
+                        if (mx != Long.MinValue && mx >= persisted.getOrElse(p, 0L)) {
+                          updates(p) = mx + 1L
+                          ()
+                        }
+                      }
+                    }
+                  }
+              }
+              persisted ++ updates
+            }
           if (healed != persisted) writeOffsets(producerMeta, scope, healed)
         }
         reconciled.add(rscope)
@@ -1347,6 +1380,22 @@ class TopicStore(
     val Earliest, Latest = Value
   }
 
+  // the durable group-registry row shape (_meta/groups): policy always,
+  // plus one row per Latest-snapshot (topic, part, next, snap_version)
+  private val registrySchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .addField(Types.required(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("policy"))
+      .addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("topic"))
+      .addField(Types.optional(INT32).named("part"))
+      .addField(Types.optional(INT64).named("next"))
+      .addField(Types.optional(INT32).named("snap_version"))
+      .named("group")
+  }
+
   /** Consumer-group registry (R1/R2): deterministic round-robin of the
     * topic generation's ring partitions over sorted consumer ids. Live
     * membership is driver-side (the gossip/anti-entropy layers C7-C9
@@ -1366,25 +1415,63 @@ class TopicStore(
     private def persistedDir(group: String) = s"$registryMeta/${scopeDir(group)}"
 
     /** Recover a group's durable policy + snapshots into the in-memory
-      * maps (no-op when already loaded or never persisted).
+      * maps (no-op when already loaded or never persisted). Driver-side
+      * parquet group read — a consumer registration sits on the REST
+      * serving path and must not pay a Spark job; files written by the
+      * old DataFrame path (and pre-snap_version files without that
+      * column) read identically.
       */
     private def loadIfAbsent(group: String): Unit = {
       if (policies.contains(group)) return
       val p = persistedDir(group)
       if (!pathExists(p)) return
-      val raw = spark.read.parquet(p)
-      // tolerate registries persisted before snapshots carried a version
-      val compat =
-        if (raw.columns.contains("snap_version")) raw
-        else raw.withColumn("snap_version", lit(1))
-      val rows = compat
-        .select("policy", "topic", "part", "next", "snap_version")
-        .as[(String, Option[String], Option[Int], Option[Long], Option[Int])].collect()
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      def readOnce(): Seq[(String, Option[String], Option[Int], Option[Long], Int)] = {
+        val fs = hfs(p)
+        val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        files.flatMap { f =>
+          val out = Seq.newBuilder[(String, Option[String], Option[Int], Option[Long], Int)]
+          val r = ParquetReader.builder(new GroupReadSupport(), f)
+            .withConf(spark.sparkContext.hadoopConfiguration).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              def has(field: String) =
+                g.getType.containsField(field) && g.getFieldRepetitionCount(field) > 0
+              out += ((
+                g.getString("policy", 0),
+                if (has("topic")) Some(g.getString("topic", 0)) else None,
+                if (has("part")) Some(g.getInteger("part", 0)) else None,
+                if (has("next")) Some(g.getLong("next", 0)) else None,
+                // tolerate registries persisted before snapshots carried
+                // a version
+                if (has("snap_version")) g.getInteger("snap_version", 0) else 1))
+              g = r.read()
+            }
+          } finally r.close()
+          out.result()
+        }
+      }
+      // same transient-swap FNF retry as readOffsets: a concurrent
+      // persist's swap can yank a just-listed file from a cross-instance
+      // reader
+      var res: Either[Throwable, Seq[(String, Option[String], Option[Int], Option[Long], Int)]] =
+        try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
+      var i = 0
+      while (res.isLeft && i < 5) {
+        Thread.sleep(50)
+        res = try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
+        i += 1
+      }
+      val rows = res.fold(throw _, identity)
       rows.headOption.foreach { r =>
         policies = policies.updated(group, StartFrom.withName(r._1))
       }
       rows.collect {
-        case (_, Some(t), Some(part), Some(next), v) => (t, part, next, v.getOrElse(1))
+        case (_, Some(t), Some(part), Some(next), v) => (t, part, next, v)
       }.groupBy(_._1).foreach { case (t, snap) =>
         latestSnapshots = latestSnapshots
           .updated((group, t), (snap.head._4, snap.map(s => s._2 -> s._3).toMap))
@@ -1392,6 +1479,7 @@ class TopicStore(
     }
 
     private def persist(group: String): Unit = {
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
       val pol = policies(group).toString
       val snaps = latestSnapshots.collect {
         case ((`group`, t), (v, m)) if m.nonEmpty =>
@@ -1403,8 +1491,16 @@ class TopicStore(
         if (snaps.nonEmpty) snaps
         else Seq((pol, Option.empty[String], Option.empty[Int],
           Option.empty[Long], Option.empty[Int]))
-      rows.toDF("policy", "topic", "part", "next", "snap_version").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(persistedDir(group))
+      val gf = new SimpleGroupFactory(registrySchema)
+      swapWriteGroups(persistedDir(group), registrySchema, rows.map {
+        case (p, t, part, next, v) =>
+          val g = gf.newGroup().append("policy", p)
+          t.foreach { x => g.append("topic", x); () }
+          part.foreach { x => g.append("part", x); () }
+          next.foreach { x => g.append("next", x); () }
+          v.foreach { x => g.append("snap_version", x); () }
+          g
+      })
     }
 
     /** Idempotent register; Latest groups snapshot current watermarks per
@@ -1882,6 +1978,30 @@ class TopicStore(
       }
     }
     purged
+  }
+
+  /** Max `offset` in a data file, by a key-column-free projection read —
+    * the statless-footer fallback of the reconcile heal. Long.MinValue
+    * for an empty file.
+    */
+  private def maxOffsetByRead(
+      st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val pc = new org.apache.hadoop.conf.Configuration(conf)
+    pc.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      "message probe { required int64 offset; }")
+    val r = ParquetReader.builder(new GroupReadSupport(), st.getPath).withConf(pc).build()
+    try {
+      var mx = Long.MinValue
+      var g = r.read()
+      while (g != null) {
+        mx = math.max(mx, g.getLong("offset", 0))
+        g = r.read()
+      }
+      mx
+    } finally r.close()
   }
 
   /** Copy one record-envelope Group (either file flavor) into the local

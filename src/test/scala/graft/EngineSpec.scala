@@ -1103,6 +1103,32 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("group registries written by a Spark job (old layouts) read back driver-side") {
+    // registries persisted before the driver-side parquet-hadoop path
+    // used toDF.coalesce(1).write, and before snapshots carried a
+    // version there was no snap_version column at all — both layouts
+    // must keep loading (policy + Latest snapshot, default version 1)
+    val root = Files.createTempDirectory("graft-engine-regcompat").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", (0 until 4).map(i => (s"k$i", s"m$i", ts(i))))
+    import spark.implicits._
+    // old-format WITH snap_version
+    Seq(("Latest", Option("t"), Option(3), Option(7L), Option(1)))
+      .toDF("policy", "topic", "part", "next", "snap_version").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/_meta/groups/gv")
+    // pre-snap_version format
+    Seq(("Earliest", Option.empty[String], Option.empty[Int], Option.empty[Long]))
+      .toDF("policy", "topic", "part", "next").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/_meta/groups/gold")
+    TopicStore.dropCachesForTests(root, spark.sparkContext.hadoopConfiguration)
+    val store2 = new TopicStore(spark, root)
+    assert(store2.registry.policy("gv") == store2.StartFrom.Latest)
+    assert(store2.registry.latestSnapshot("gv", "t") == ((1, Map(3 -> 7L))))
+    assert(store2.registry.policy("gold") == store2.StartFrom.Earliest)
+  }
+
   test("sweepStaleGenerations reclaims only ancestor generations every group drained") {
     val store = freshStore()
     // one key -> one partition, so the bounded poll below is guaranteed
