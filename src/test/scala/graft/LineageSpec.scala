@@ -10,7 +10,8 @@ import graft.engine.TopicStore
 
 /** Randomized (seeded, sequential) model test of LINEAGE SERVING — the
   * metadata-only rescale's delivery contract under arbitrary
-  * interleavings of produce batches, ring flips, GDPR key purges, and
+  * interleavings of produce batches, ring flips, GDPR key purges,
+  * content-invariant compactions (the driver-side k-way merge), and
   * bounded polls whose pages land at random positions relative to
   * generation boundaries and purge gaps:
   *
@@ -90,7 +91,7 @@ class LineageSpec extends AnyFunSuite {
 
     val steps = 30
     for (step <- 0 until steps) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 | 2 | 3 => // produce a small batch
           val rows = (0 until 1 + rnd.nextInt(8)).map { _ =>
             val k = keys(rnd.nextInt(keys.size))
@@ -117,6 +118,10 @@ class LineageSpec extends AnyFunSuite {
           expEarly(k) = deliveredEarly(k)
           if (lateRegistered) expLate(k) = deliveredLate(k)
           expAudit(k) = Vector.empty
+          ()
+        case 10 => // compaction: content-invariant by contract — the
+          // driver-side k-way merge must change NO expectation
+          store.compact(topic, smallFileBytes = 1L << 20)
           ()
       }
       // register the Latest group roughly mid-sequence
