@@ -78,6 +78,35 @@ class LocalProduceSpec extends AnyFunSuite {
       .select("key", "value", "timestamp", "__seq")
   }
 
+  for (seed <- Seq(3, 19)) test(s"randomized envelope equivalence vs the Spark plane, seed $seed") {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = "ab€😀�é́ßñz-0"
+    def randKey(): String = rnd.nextInt(6) match {
+      case 0 => null
+      case 1 => ""
+      case _ => (0 until 1 + rnd.nextInt(6)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    def randValue(): Array[Byte] = {
+      val b = new Array[Byte](rnd.nextInt(24))
+      rnd.nextBytes(b)
+      b
+    }
+    val recs = (0 until 300).map { i =>
+      LocalRecord(randKey(), randValue(),
+        1700000000000000L + rnd.nextInt(4).toLong, // dense ts ties
+        if (rnd.nextBoolean()) i.toLong else 0L)   // seq ties too
+    }
+    val viaSpark = newStore()
+    val viaLocal = newStore()
+    viaSpark.produce("t", asDf(recs))
+    assert(viaLocal.produceLocal("t", recs) == recs.size.toLong)
+    val a = dump(viaSpark, "t", "g")
+    val b = dump(viaLocal, "t", "g")
+    assert(a.size == recs.size && a == b,
+      s"seed $seed: planes diverged at ${a.zip(b).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("produceLocal is envelope-identical to the Spark produce plane") {
     val recs = adversarialBatch()
     val viaSpark = newStore()
