@@ -871,17 +871,28 @@ class TopicStore(
     // executors.
     val bounded = maxRecords != Long.MaxValue
     if (bounded) {
-      val pages = served.map(pg => pg -> scanPageLocal(topic, pg, maxRecords, maxBytes))
-      if (autoCommit) {
-        val delivered: Map[Int, Map[Int, Long]] = pages
-          .map { case (pg, rows) =>
-            pg.g.version -> rows.groupBy(_.getAs[Int]("part")).view
-              .mapValues(_.iterator.map(_.getAs[Long]("offset")).max + 1L).toMap
-          }.toMap
-        autoCommitPages(group, topic, consumerId, served, delivered, maxRecords)
+      // the page is EAGER, so it can pin the topic's files ITSELF: the
+      // read lock around list+read+commit means a bounded poll is safe
+      // against concurrent compact/purge swaps for EVERY caller — the
+      // lazy Spark page below cannot give that (its files resolve at the
+      // caller's collect), which is why unbounded direct callers keep
+      // the documented wrap-in-withTopicReads discipline. Without the
+      // pin, a swap between the listing and the read turns into an
+      // empty page whose gap skip would advance PAST records that still
+      // exist in the swapped-in file.
+      withTopicReads(topic) {
+        val pages = served.map(pg => pg -> scanPageLocal(topic, pg, maxRecords, maxBytes))
+        if (autoCommit) {
+          val delivered: Map[Int, Map[Int, Long]] = pages
+            .map { case (pg, rows) =>
+              pg.g.version -> rows.groupBy(_.getAs[Int]("part")).view
+                .mapValues(_.iterator.map(_.getAs[Long]("offset")).max + 1L).toMap
+            }.toMap
+          autoCommitPages(group, topic, consumerId, served, delivered, maxRecords)
+        }
+        import scala.jdk.CollectionConverters._
+        return spark.createDataFrame(pages.flatMap(_._2).asJava, recordSchema)
       }
-      import scala.jdk.CollectionConverters._
-      return spark.createDataFrame(pages.flatMap(_._2).asJava, recordSchema)
     }
 
     val out = served.map(pg => scanPage(topic, pg, maxRecords, maxBytes)).reduce(_.union(_))
@@ -958,10 +969,14 @@ class TopicStore(
     chain.map(g => pageFor(group, topic, consumerId, g)).find(_.hasLag) match {
       case None => Map.empty
       case Some(pg) =>
+        // same self-pinning as the bounded poll: the re-verify count and
+        // its commit must see one consistent file set (reentrant under
+        // the REST path's own read lock)
         val present: Map[Int, Long] =
-          if (maxRecords != Long.MaxValue)
+          if (maxRecords != Long.MaxValue) withTopicReads(topic) {
             scanPageLocal(topic, pg, maxRecords, Long.MaxValue)
               .groupBy(_.getAs[Int]("part")).view.mapValues(_.size.toLong).toMap
+          }
           else scanPage(topic, pg, maxRecords, Long.MaxValue)
             .groupBy(col("part")).agg(count(lit(1)).as("n"))
             .as[(Int, Long)].collect().toMap
