@@ -1012,6 +1012,40 @@ class EngineSpec extends AnyFunSuite {
     } finally sweeper.close()
   }
 
+  test("the sweeper tick folds small segment files without changing content") {
+    val store = freshStore()
+    // recent timestamps so retention never fires; several produceLocal
+    // batches -> several small files per touched partition
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { b =>
+      store.produceLocal("t", (0 until 8).map(i => TopicStore.LocalRecord(
+        s"k${i % 2}", s"m$b-$i".getBytes("UTF-8"), (now + b * 100 + i) * 1000L, i.toLong)))
+    }
+    def files(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store.dataDir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+    }
+    val before = files()
+    assert(before >= 8, s"expected several small files, got $before")
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val preFold = store.poll("g", "t", "c").collect()
+      .map(r => (r.getAs[Int]("part"), r.getAs[Long]("offset"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).sortBy(t => (t._1, t._2))
+    val sweeper = store.startRetentionSweeper(intervalMs = 150L, retentionMs = 1000L * 3600)
+    try {
+      var waited = 0
+      // one file per touched partition once the tick's compaction folds
+      while (files() >= before && waited < 20000) { Thread.sleep(250); waited += 250 }
+      assert(files() < before, "sweeper tick never compacted the small files")
+    } finally sweeper.close()
+    store.registry.register("g2", "c", Seq("t"), store.StartFrom.Earliest)
+    val postFold = store.poll("g2", "t", "c").collect()
+      .map(r => (r.getAs[Int]("part"), r.getAs[Long]("offset"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).sortBy(t => (t._1, t._2))
+    assert(postFold.toSeq == preFold.toSeq, "compaction changed delivered content")
+  }
+
   test("concurrent commits never lose updates or rewind") {
     val store = freshStore()
     store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
