@@ -138,7 +138,25 @@ class TopicStore(
     org.apache.parquet.schema.MessageTypeParser.parseMessageType(
       "message generation { required int32 version; required int32 cluster_size; }")
 
-  def generations(topic: String): Seq[Generation] = {
+  def generations(topic: String): Seq[Generation] = genRows(topic).filter(_.clusterSize > 0)
+
+  /** Versions dropped from the chain as record-free-and-state-free
+    * (rescale's chain hygiene, plus `sweepStaleGenerations` reclaiming a
+    * generation whose watermarks say it never held a record) — durable
+    * TOMBSTONES, stored as `cluster_size = 0` rows next to the live
+    * chain. They exist for exactly one consumer: a stream checkpoint
+    * positioned in such a generation can PROVE nothing was lost and
+    * re-anchor forward; a swept generation that held records leaves no
+    * tombstone, so the same checkpoint fails loudly instead of silently
+    * skipping data. Capped to the most recent 64 (one tiny row each) so
+    * a flapping topology feed cannot grow the file without bound — a
+    * pruned tombstone errs LOUD (a parked checkpoint resuming past the
+    * cap gets the swept-generation error), never lossy.
+    */
+  def droppedEmptyVersions(topic: String): Set[Int] =
+    genRows(topic).filter(_.clusterSize == 0).map(_.version).toSet
+
+  private def genRows(topic: String): Seq[Generation] = {
     val dirKey = scopeDir(topic)
     genCache.computeIfAbsent(genCacheKey(topic), _ => {
       val p = s"$genMeta/$dirKey"
@@ -182,10 +200,15 @@ class TopicStore(
     })
   }
 
+  /** Persist the full generation row set: the live chain plus any
+    * dropped-empty tombstones (`cluster_size = 0`), ascending by
+    * version; the LAST row must be live (it is the current generation).
+    */
   private def setGenerations(topic: String, chain: Seq[Generation]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
-    require(chain.nonEmpty && chain.map(_.version) == chain.map(_.version).sorted,
-      s"generation chain must be non-empty ascending: $chain")
+    require(chain.nonEmpty && chain.map(_.version) == chain.map(_.version).sorted &&
+        chain.map(_.version).distinct.size == chain.size && chain.last.clusterSize > 0,
+      s"generation rows must be ascending, unique, live-tailed: $chain")
     val key = scopeDir(topic)
     val gf = new SimpleGroupFactory(generationSchema)
     swapWriteGroups(s"$genMeta/$key", generationSchema,
@@ -728,9 +751,26 @@ class TopicStore(
     if (!pathExists(stageRoot)) return 0
     val fs = hfs(stageRoot)
     val cutoff = System.currentTimeMillis() - maxAgeMs
+    // age = the NEWEST mtime anywhere under the stage dir, not the dir's
+    // own: a still-running flush keeps writing task files under the
+    // Spark job's _temporary subtree without touching the top-level
+    // dir's mtime on most filesystems, so a dir-mtime gate would delete
+    // a LIVE staging out from under a flush that merely runs longer
+    // than maxAgeMs (half-renamed commit -> duplicate records on the
+    // client's retry). Stage dirs are few and shallow; the walk is cheap.
+    def newestMtime(p: org.apache.hadoop.fs.Path, own: Long): Long = {
+      val children =
+        try fs.listStatus(p)
+        catch { case _: java.io.FileNotFoundException => return own } // raced its own commit
+      children.foldLeft(own) { (mx, c) =>
+        val m = math.max(mx, c.getModificationTime)
+        if (c.isDirectory) math.max(m, newestMtime(c.getPath, m)) else m
+      }
+    }
     var n = 0
     fs.listStatus(hpath(stageRoot)).foreach { st =>
-      if (st.getModificationTime < cutoff) {
+      if (st.getModificationTime < cutoff &&
+          newestMtime(st.getPath, st.getModificationTime) < cutoff) {
         if (fs.delete(st.getPath, true)) n += 1
       }
     }
@@ -790,10 +830,22 @@ class TopicStore(
   /** One generation's serving state for a (group, consumer): the ring
     * assignment, the per-partition read positions (committed, else the
     * group's start policy) and the generation's high watermarks.
+    * `groupLag` is the GROUP-WIDE lag set — every partition (assigned to
+    * this consumer or not) whose committed-or-start position is below
+    * the watermark — because the lineage gate is a group property: a
+    * whole-ring rescale can move any key to any new partition, so
+    * generation v+1 records must not reach ANY member while v records
+    * are still undelivered to ANOTHER member.
     */
   private case class GenPage(
-      g: Generation, assigned: Seq[Int], from: Map[Int, Long], high: Map[Int, Long]) {
+      g: Generation, assigned: Seq[Int], from: Map[Int, Long], high: Map[Int, Long],
+      groupLag: Set[Int]) {
     def hasLag: Boolean = assigned.exists(p => from(p) < high.getOrElse(p, 0L))
+    /** All of the generation's remaining group lag sits in THIS
+      * consumer's assignment (so serving it later generations keeps
+      * per-key order inside its own version-ordered result).
+      */
+    def lagIsOwn: Boolean = groupLag.subsetOf(assigned.toSet)
   }
 
   private def pageFor(
@@ -803,7 +855,10 @@ class TopicStore(
     val high = producerOffsetsFor(topic, g)
     val from = assigned
       .map(p => p -> committed.getOrElse(p, startingOffset(group, topic, p, g))).toMap
-    GenPage(g, assigned, from, high)
+    val groupLag = (0 until partsOf(g)).filter { p =>
+      committed.getOrElse(p, startingOffset(group, topic, p, g)) < high.getOrElse(p, 0L)
+    }.toSet
+    GenPage(g, assigned, from, high, groupLag)
   }
 
   /** Records for `consumerId` of `group` from its assigned partitions,
@@ -822,14 +877,25 @@ class TopicStore(
     * `internal/consuming/offset_state.go:260-302,492-611`): after a
     * metadata-only rescale the topic's history stays in ancestor
     * generations, and a group consumes them IN CHAIN ORDER before the
-    * current generation's records. A BOUNDED poll serves the earliest
-    * live generation where the group still has lag — generation v+1
-    * records are never delivered while v has unconsumed records, which
-    * carries per-key total order (§2.6.1) across the ring change. An
-    * UNBOUNDED poll (no maxRecords/maxBytes) returns every remaining
-    * generation at once; consumers processing in (version, part, offset)
-    * order preserve the same total order per key. Each generation's
-    * positions commit under its own versioned scope.
+    * current generation's records. The gate is GROUP-WIDE (a whole-ring
+    * rescale can move any key to any new partition): a BOUNDED poll
+    * serves the earliest live generation where the GROUP still has lag —
+    * a member whose own partitions there are drained gets an EMPTY page
+    * (and re-polls; the reference's wait-for-sibling-`OffsetCompleted`,
+    * `offset_state.go:690-714`) rather than generation v+1 records while
+    * another member still holds undelivered v records. That carries
+    * per-key total order (§2.6.1) across the ring change; a member that
+    * stops polling without deregistering stalls the group's advance
+    * until read-timeout eviction (R11) rebalances it away. An UNBOUNDED
+    * poll (no maxRecords/maxBytes) returns, in one version-ordered
+    * result, every generation through the first whose remaining group
+    * lag includes ANOTHER member's partitions — generations whose lag
+    * is entirely this member's own can't order-invert against anyone
+    * else, so the walk continues past them (for a sole consumer that is
+    * the whole chain at once, as before); consumers processing in
+    * (version, part, offset) order preserve the same total order per
+    * key. Each generation's positions commit under its own versioned
+    * scope.
     */
   def poll(
       group: String,
@@ -847,12 +913,20 @@ class TopicStore(
       return emptyRecords
 
     val ancestors = chain.init.map(g => pageFor(group, topic, consumerId, g))
-    val withLag = ancestors.filter(_.hasLag)
+    val lagging = ancestors.filter(_.groupLag.nonEmpty)
     val unbounded = maxRecords == Long.MaxValue && maxBytes == Long.MaxValue
     val served: Seq[GenPage] =
-      if (withLag.isEmpty) Seq(pageFor(group, topic, consumerId, chain.last))
-      else if (unbounded) withLag :+ pageFor(group, topic, consumerId, chain.last)
-      else Seq(withLag.head)
+      if (lagging.isEmpty) Seq(pageFor(group, topic, consumerId, chain.last))
+      else if (!unbounded) Seq(lagging.head)
+      else {
+        // serve past a lagging ancestor only while its whole remaining
+        // group lag is this consumer's own; the first FOREIGN-lag
+        // generation is still served (it is the earliest remaining),
+        // nothing after it
+        val i = lagging.indexWhere(!_.lagIsOwn)
+        if (i < 0) lagging :+ pageFor(group, topic, consumerId, chain.last)
+        else lagging.take(i + 1)
+      }
 
     served.foreach(pg => pg.assigned.foreach(p =>
       lastReaders.put((group, topic, pg.g.version, p), consumerId)))
@@ -898,11 +972,23 @@ class TopicStore(
     val out = served.map(pg => scanPage(topic, pg, maxRecords, maxBytes)).reduce(_.union(_))
 
     if (autoCommit) {
-      val delivered: Map[Int, Map[Int, Long]] = out
-        .groupBy(col("version"), col("part")).agg((max(col("offset")) + 1L).as("next"))
-        .as[(Int, Int, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
-      autoCommitPages(group, topic, consumerId, served, delivered, maxRecords)
+      // the delivered-offsets collect runs a Spark job over the lazy
+      // scan, and its result DECIDES the commit (including the gap
+      // skip's advance-past-empty-window). It must see one consistent
+      // file set: without the read-lock pin, a concurrent compact/purge
+      // swap between the scan's listing and this collect makes healthy
+      // partitions "deliver nothing" (ignoreMissingFiles), and the gap
+      // skip would commit them to the watermark — silently marking live
+      // records consumed. The returned lazy frame stays the caller's
+      // responsibility (documented wrap-in-withTopicReads discipline);
+      // only the commit decision is pinned here.
+      withTopicReads(topic) {
+        val delivered: Map[Int, Map[Int, Long]] = out
+          .groupBy(col("version"), col("part")).agg((max(col("offset")) + 1L).as("next"))
+          .as[(Int, Int, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+        autoCommitPages(group, topic, consumerId, served, delivered, maxRecords)
+      }
     }
     out
   }
@@ -977,9 +1063,15 @@ class TopicStore(
             scanPageLocal(topic, pg, maxRecords, Long.MaxValue)
               .groupBy(_.getAs[Int]("part")).view.mapValues(_.size.toLong).toMap
           }
-          else scanPage(topic, pg, maxRecords, Long.MaxValue)
-            .groupBy(col("part")).agg(count(lit(1)).as("n"))
-            .as[(Int, Long)].collect().toMap
+          // the unbounded branch needs the same pin: its count COLLECTS
+          // here (not at a caller), and a concurrent compact/purge swap
+          // would read as a false-zero (ignoreMissingFiles) — committing
+          // the window end for partitions that still hold records
+          else withTopicReads(topic) {
+            scanPage(topic, pg, maxRecords, Long.MaxValue)
+              .groupBy(col("part")).agg(count(lit(1)).as("n"))
+              .as[(Int, Long)].collect().toMap
+          }
         val next = pg.assigned.flatMap { p =>
           val from = pg.from(p)
           val hi = pg.high.getOrElse(p, 0L)
@@ -1270,16 +1362,24 @@ class TopicStore(
     // with a per-instance lock, two stores first-touching one scope both
     // pass the contains check and race the heal's delete-then-rename swap
     val rscope = lockRootKey + "|" + scope
-    if (!reconciled.contains(rscope)) TopicStore.scopedLockFor(s"reconcile|$rscope").synchronized {
+    // the heal SCAN reads topic data files and collects eagerly, so the
+    // topic read lock pins its listing against a concurrent maintenance
+    // swap (a compact deleting merged-away files failed the scan; found
+    // by ChaosSpec's DSv2-writer thread, whose fresh store instance
+    // reconciles on first produce). The read lock is taken OUTSIDE the
+    // reconcile monitor: maintenance ops (rescale, sweepStaleGenerations)
+    // call this while HOLDING the topic write lock, so a monitor-then-
+    // read-lock order here would be an ABBA cycle against their
+    // write-lock-then-monitor order — a poll first-touching the scope
+    // would hold the monitor waiting for the read lock while the
+    // maintenance thread holds the write lock waiting for the monitor.
+    // With the read lock first, the JVM-wide order is
+    // produceLock -> topic RW -> scoped monitor everywhere (a write-lock
+    // holder re-entering the read lock is legal on ReentrantReadWriteLock).
+    if (!reconciled.contains(rscope)) withTopicReads(topic) {
+      TopicStore.scopedLockFor(s"reconcile|$rscope").synchronized {
       if (!reconciled.contains(rscope)) {
-        // the heal SCAN reads topic data files and collects eagerly, so
-        // the topic read lock pins its listing against a concurrent
-        // maintenance swap (a compact deleting merged-away files failed
-        // the scan; found by ChaosSpec's DSv2-writer thread, whose fresh
-        // store instance reconciles on first produce). Lock order is
-        // produceLock -> RW everywhere: rescale takes produceLock BEFORE
-        // its write lock for exactly this reason.
-        if (pathExists(dataDir)) withTopicReads(topic) {
+        if (pathExists(dataDir)) {
           val persisted = readOffsets(producerMeta, scope)
           // footer-stats walk of THIS generation's leaf dirs (one dir =
           // one ring partition): max file offset per partition from the
@@ -1328,6 +1428,7 @@ class TopicStore(
         }
         reconciled.add(rscope)
         ()
+      }
       }
     }
     readOffsets(producerMeta, scope)
@@ -2102,17 +2203,22 @@ class TopicStore(
     // topology feed grow the chain (and every poll's lineage walk)
     // without bound. Version numbers stay monotone (`next` still bumps
     // past the dropped entries), so stream checkpoints never see a
-    // version reused with different contents; a stream positioned in a
-    // dropped-empty generation re-anchors forward (it had nothing to
-    // read there). Only metadata is touched — the dropped generations
-    // have no data dirs by definition.
-    val kept = chain.filter { g =>
+    // version reused with different contents; each dropped version
+    // leaves a TOMBSTONE row (`droppedEmptyVersions`) so a stream
+    // positioned there can prove it had nothing to read and re-anchor
+    // forward — without one, absence from the chain is
+    // indistinguishable from a swept-with-data generation, and the
+    // source must fail loudly. Only metadata is touched — the dropped
+    // generations have no data dirs by definition.
+    val (kept, dropped) = chain.partition { g =>
       producerOffsetsFor(topic, g).nonEmpty || knownGroups(topic, Seq(g)).nonEmpty
     }
+    val tombs = (genRows(topic).filter(_.clusterSize == 0) ++
+      dropped.map(g => Generation(g.version, 0))).sortBy(_.version).takeRight(64)
     // the flip IS the rescale: one durable chain write. A crash before
     // it leaves the old chain current and every poll correct; after it,
     // the new generation is open and empty.
-    setGenerations(topic, kept :+ next)
+    setGenerations(topic, ((kept ++ tombs).sortBy(_.version)) :+ next)
     next
   } } }
 
@@ -2204,6 +2310,12 @@ class TopicStore(
       }
     }
     val keep = chain.drop(reclaimable.size)
+    // tombstone swept generations whose watermarks say they never held a
+    // record (see `droppedEmptyVersions`) — decided BEFORE any deletion,
+    // while the watermark meta is still authoritative; a generation that
+    // HAD records is swept without one, so a stream checkpoint parked
+    // there fails loudly instead of silently skipping its data
+    val neverProduced = reclaimable.filter(g => producerOffsetsFor(topic, g).isEmpty)
     val keepNames = keep.map(g => s"version=${g.version}").toSet
     // partitionBy escapes special characters in partition-value dir names,
     // so addressing a topic dir must escape the same way (NOT the _meta
@@ -2230,7 +2342,9 @@ class TopicStore(
     // them leaves a swept generation still chained, whose polls read an
     // empty dir (no lag) — harmless; the next sweep re-truncates.
     if (reclaimable.nonEmpty) {
-      setGenerations(topic, keep)
+      val tombs = (genRows(topic).filter(_.clusterSize == 0) ++
+        neverProduced.map(g => Generation(g.version, 0))).sortBy(_.version).takeRight(64)
+      setGenerations(topic, (tombs ++ keep).sortBy(_.version))
       // drop the swept generations' watermark scopes + caches AND the
       // groups' committed scopes under them (all unreachable once the
       // chain no longer lists the generation; leaving them would leak

@@ -366,18 +366,23 @@ class GraftMicroBatchStream(
         val drained = high.forall { case (p, hi) => so.parts.getOrElse(p, 0L) >= hi }
         if (drained && idx < chain.size - 1) (chain(idx + 1).version, Map.empty[Int, Long])
         else (so.gen, so.parts)
-      } else if (so.parts.isEmpty && chain.exists(_.version >= so.gen))
-        // nothing consumed from the positioned generation and it is no
-        // longer live: it was either swept before the first batch or
-        // dropped at a rescale as record-free (chain hygiene). Nothing
-        // was lost in either case — re-anchor at the earliest live
-        // generation at or after it. (Generations BEFORE so.gen, if any,
-        // were already absent or drained when this stream anchored.)
+      } else if (store.droppedEmptyVersions(topic).contains(so.gen) &&
+          chain.exists(_.version >= so.gen))
+        // the positioned generation is no longer live but left a
+        // dropped-empty TOMBSTONE: it never held a record (rescale's
+        // chain hygiene, or a sweep of a never-produced generation), so
+        // nothing was lost — re-anchor at the earliest live generation
+        // at or after it. A generation swept WITH data leaves no
+        // tombstone and falls through to the loud failure below, even
+        // when this stream had consumed nothing from it (its records
+        // existed and this stream never delivered them — at-least-once
+        // cannot be silently faked).
         (chain.find(_.version >= so.gen).get.version, Map.empty[Int, Long])
       else throw new IllegalStateException(
         s"topic '$topic': checkpointed offsets are for generation ${so.gen}, " +
           s"which is no longer live (chain: ${chain.map(_.version).mkString(",")}) — " +
-          "its records were swept mid-stream; restart with a fresh checkpoint")
+          "its records were swept out from under this stream; restart with a " +
+          "fresh checkpoint")
     val high = highFor(serveGen)
     lastPoll = (serveGen, high)
     limit match {

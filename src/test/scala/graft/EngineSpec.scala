@@ -737,6 +737,62 @@ class EngineSpec extends AnyFunSuite {
     assert(store.rescale("t", 6, requireDrained = true).version == 2)
   }
 
+  test("lineage gate is GROUP-wide: a drained member is fenced from v+1 while a sibling lags") {
+    // a whole-ring rescale can move any key to any new partition, so the
+    // chain-order gate must be a group property: with {A, B} consuming,
+    // B having drained ITS v1 partitions must not be served v2 records
+    // while A still holds undelivered v1 records — a key that was A's in
+    // v1 and B's in v2 would otherwise be observed out of order (§2.6.1)
+    val store = freshStore()
+    store.registry.register("g", "c-a", Seq("t"), store.StartFrom.Earliest)
+    store.registry.register("g", "c-b", Seq("t"), store.StartFrom.Earliest)
+    store.produceStrings("t", (0 until 40).map(i => (s"key-$i", s"v1-$i", ts(i))))
+    val bV1 = store.poll("g", "t", "c-b").collect()
+    assert(bV1.nonEmpty && bV1.forall(_.getAs[Int]("version") == 1))
+
+    store.rescale("t", 6)
+    store.produceStrings("t", (0 until 40).map(i => (s"key-$i", s"v2-$i", ts(100 + i))))
+    // the group still lags in v1 (A's partitions): B gets EMPTY pages,
+    // bounded and unbounded, not v2 records
+    assert(store.poll("g", "t", "c-b").collect().isEmpty,
+      "unbounded poll leaked v+1 records past the group-wide gate")
+    assert(store.poll("g", "t", "c-b", maxRecords = 10).collect().isEmpty,
+      "bounded poll leaked v+1 records past the group-wide gate")
+
+    // A's own backlog is served (its v1 lag is its own, so the walk may
+    // continue into A's v2 partitions inside one version-ordered result)
+    val aBoth = store.poll("g", "t", "c-a").collect()
+    val aV1 = aBoth.filter(_.getAs[Int]("version") == 1)
+    assert(aV1.nonEmpty, "A's v1 backlog must be served")
+    // with A drained, the gate opens: B now gets exactly its v2 records
+    val bV2 = store.poll("g", "t", "c-b").collect()
+    assert(bV2.nonEmpty && bV2.forall(_.getAs[Int]("version") == 2),
+      s"expected only v2 records for B, got versions ${bV2.map(_.getAs[Int]("version")).distinct.toSeq}")
+    // fan-out completeness: every record delivered exactly once
+    val aV2 = aBoth.filter(_.getAs[Int]("version") == 2)
+    assert(bV1.length + aV1.length == 40, "v1 fan-out incomplete")
+    assert(bV2.length + aV2.length == 40, "v2 fan-out incomplete")
+  }
+
+  test("dropped-empty generations leave tombstones; swept data-bearing ones do not") {
+    // the tombstone is what lets a stream checkpoint parked in a dropped
+    // generation PROVE nothing was lost (re-anchor) while a checkpoint
+    // parked in a swept data-bearing generation fails loudly
+    val store = freshStore()
+    store.produceStrings("t", (0 until 6).map(i => (s"k$i", s"m$i", ts(i))))
+    store.rescale("t", 6)  // v1 kept (it has records); v2 opens empty
+    store.rescale("t", 12) // v2 was record-free + state-free -> dropped
+    assert(store.generations("t").map(_.version) == Seq(1, 3))
+    assert(store.droppedEmptyVersions("t") == Set(2))
+    // drain v1 and sweep it: its records EXISTED, so no tombstone
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    store.poll("g", "t", "c").collect()
+    assert(store.sweepStaleGenerations("t") > 0)
+    assert(store.generations("t").map(_.version) == Seq(3))
+    assert(store.droppedEmptyVersions("t") == Set(2),
+      "a swept data-bearing generation must not be tombstoned as empty")
+  }
+
   test("rescale projects offsets for drained groups; undrained re-read") {
     val store = freshStore()
     store.produceStrings("t", (0 until 20).map(i => (s"k$i", s"m$i", ts(i))))

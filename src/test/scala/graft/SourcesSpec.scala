@@ -265,6 +265,79 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("a parked NOTHING-CONSUMED checkpoint fails loudly when its generation is swept with data") {
+    // the dangerous twin of the swept-mid-stream case: the stream's
+    // checkpoint holds (gen 1, EMPTY positions) because the topic was
+    // empty when it first triggered. Records are then produced into
+    // generation 1, a rescale flips to 2, and a sweep reclaims 1 (groups
+    // drained it; streams are invisible to the drain check). Generation
+    // 1's records existed and this stream never delivered them — the
+    // restart must fail loudly, not silently re-anchor past them.
+    val root = Files.createTempDirectory("graft-src").toString
+    val chk = Files.createTempDirectory("graft-src-chk").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("el", Seq(("seed", "x", ts(0)))) // create the store root
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("topic", "e1").load()
+      .writeStream.foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .option("checkpointLocation", chk)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // checkpoint now rests at (gen 1, {}); produce + flip + sweep while down
+    produceN(store, "e1", 30, 5, "missed")
+    store.rescale("e1", 6)
+    assert(store.sweepStaleGenerations("e1") > 0)
+    assert(store.droppedEmptyVersions("e1").isEmpty,
+      "a data-bearing sweep must not leave an empty tombstone")
+    val q2 = spark.readStream.format("graft")
+      .option("root", root).option("topic", "e1").load()
+      .writeStream.foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      def swept(m: String) = m != null && m.contains("no longer live")
+      assert(swept(ex.getMessage) ||
+        Option(q2.exception.orNull).exists(e => swept(e.getMessage)),
+        s"expected the swept-generation error, got: ${ex.getMessage}")
+    } finally {
+      try q2.stop() catch { case _: Exception => () }
+    }
+  }
+
+  test("a parked checkpoint in a DROPPED-EMPTY generation re-anchors via its tombstone") {
+    // the safe twin: the positioned generation was dropped by rescale's
+    // chain hygiene as record-free and state-free. The tombstone proves
+    // nothing existed there, so the restart re-anchors forward and
+    // delivers the new generation's records
+    val root = Files.createTempDirectory("graft-src").toString
+    val chk = Files.createTempDirectory("graft-src-chk").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("el2", Seq(("seed", "x", ts(0)))) // create the store root
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("topic", "e2").load()
+      .writeStream.foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+      .option("checkpointLocation", chk)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // gen 1 never held a record: the rescale drops it with a tombstone
+    store.rescale("e2", 6)
+    assert(store.droppedEmptyVersions("e2") == Set(1))
+    produceN(store, "e2", 20, 5, "post")
+    val got = new java.util.concurrent.atomic.AtomicLong
+    val q2 = spark.readStream.format("graft")
+      .option("root", root).option("topic", "e2").load()
+      .writeStream.foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        got.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(got.get() == 20, s"expected the 20 post-flip records, got ${got.get()}")
+    } finally q2.stop()
+  }
+
   test("a stream rides through a mid-stream rescale: exactly once across the flip") {
     // the reference consumer's R6 split/join continuity
     // (`offset_state.go:492-611`): a running stream drains its
