@@ -453,18 +453,31 @@ object Bench {
         // 256 MiB of pipelined bodies) — deep enough to keep every flush
         // window full without multi-GB client buffers
         val inflight = new java.util.concurrent.Semaphore(8)
+        // a reader that dies on an error frame (or a dropped socket)
+        // must FAIL the bench, not wedge it: without the flood-release
+        // the writer would block forever on inflight.acquire()
+        val readerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
         val reader = new Thread(() => {
-          var acked = 0
-          while (acked < requestsPerThread) { skipFrame(); inflight.release(); acked += 1 }
+          try {
+            var acked = 0
+            while (acked < requestsPerThread) { skipFrame(); inflight.release(); acked += 1 }
+          } catch { case t: Throwable =>
+            readerFailure.set(t)
+            inflight.release(Int.MaxValue / 2)
+          }
         }, s"graft-bench-bin-reader-$tid")
         reader.start()
         for (i <- 0 until requestsPerThread) {
           inflight.acquire()
+          if (readerFailure.get() != null)
+            throw new IllegalStateException("binary wire bench reader failed", readerFailure.get())
           frame(i % 32768, 4, 0, produceBody(s"k$tid-${i % 64}"))
           if (i % 8 == 7) out.flush()
         }
         out.flush()
         reader.join()
+        if (readerFailure.get() != null)
+          throw new IllegalStateException("binary wire bench reader failed", readerFailure.get())
         sock.close()
       }
       val binRate = total / binSecs

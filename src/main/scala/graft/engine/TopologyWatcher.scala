@@ -84,6 +84,10 @@ class TopologyWatcher(
 }
 
 object TopologyWatcher {
+  // one shared daemon watchdog thread for every commandReplicas tick —
+  // a Timer per invocation was a thread create/teardown per poll
+  private lazy val watchdog = new java.util.Timer("graft-k8s-watchdog", true)
+
 
   /** Parse topology-file content: comma/whitespace-separated broker names
     * (the `POLAR_BROKER_NAMES` shape); the broker COUNT is the ring
@@ -171,24 +175,29 @@ object TopologyWatcher {
       // readAllBytes would block forever ahead of any waitFor timeout.
       // Destroying the process closes its pipes, which unblocks the read;
       // the poll loop then degrades to the documented no-signal
-      // warn-and-continue instead of stalling permanently.
-      val watchdog = new java.util.Timer("graft-k8s-watchdog", true)
-      val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
-      watchdog.schedule(new java.util.TimerTask {
-        override def run(): Unit = {
-          killed.set(true)
-          proc.destroyForcibly()
-          ()
-        }
-      }, timeoutMs)
+      // warn-and-continue instead of stalling permanently. The timer is
+      // SHARED (one daemon thread for the JVM, not one per tick), and
+      // the verdict below is exit-status-only: a kill racing a clean
+      // exit is a no-op (SIGKILL on an exited process changes nothing),
+      // so a timer that fires just as kubectl finishes must not turn a
+      // valid replica reading into a skipped topology change.
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      val task = new java.util.TimerTask {
+        override def run(): Unit = { proc.destroyForcibly(); () }
+      }
+      TopologyWatcher.watchdog.schedule(task, timeoutMs)
       try {
         val out = new String(proc.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        val done = proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        // remaining budget, not a fresh window: read + wait together are
+        // bounded by ONE timeoutMs, so a slow-but-alive kubectl cannot
+        // hold the poll thread for twice the intended timeout
+        val leftMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        val done = proc.waitFor(leftMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (!done) { proc.destroyForcibly(); None }
-        else if (killed.get() || proc.exitValue() != 0) None
+        else if (proc.exitValue() != 0) None
         else parseStatefulSetReplicas(out)
-      } finally watchdog.cancel()
+      } finally { task.cancel(); () }
     } catch { case _: Exception => None } // kubectl absent/unreachable: next tick
 
   /** Kubernetes-discovery watcher: polls the StatefulSet named by the
