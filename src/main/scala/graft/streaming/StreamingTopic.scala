@@ -453,7 +453,8 @@ object StreamOps {
   // ------------------------------------------------- overlap matcher
 
   case class ClosedInterval(user: Long, sid: Long, startUs: Long, endUs: Long)
-  case class BucketInterval(h: Long, user: Long, sid: Long, startUs: Long, endUs: Long)
+  case class BucketInterval(h: Long, user: Long, sid: Long, startUs: Long, endUs: Long,
+      ts: java.sql.Timestamp)
   case class MeetingPair(ua: Long, sa: Long, ub: Long, sb: Long, ovlUs: Long, hod: Long)
 
   private val HourUs = 3600000000L
@@ -470,16 +471,29 @@ object StreamOps {
     * when the later of the two arrives, in whichever order they arrive.
     * State per bucket is that hour's live-interval set — the identical
     * bound the batch blocking gives each join task; at 100 TB the
-    * bucket key shards state across executors and a watermark TTL
-    * reclaims past hours (session closes are near-monotone in event
-    * time). With an exactly-once feed (the engine's DSv2 source /
-    * `produceOnce` ledger) the emitted pairs equal the batch join's
-    * set — proven in StreamingSpec against `meetingPairs` over the real
-    * events table, split across arbitrary micro-batches.
+    * bucket key shards state across executors, and RECLAMATION is an
+    * event-time timer per bucket: the watermark rides the interval
+    * CLOSE time, and once it passes `bucket end + maxSessionUs` no
+    * on-time arrival can still cover the bucket (an interval covering
+    * hour h closes by `h_end + maxSessionUs` under the duration
+    * contract), so the timer clears the bucket's list state. The two
+    * explicit contract bounds, both loud-by-construction rather than
+    * silently pair-dropping at random: an interval closing more than
+    * the watermark delay behind the max seen close is LATE (dropped by
+    * the standard watermark filter), and an interval longer than
+    * `maxSessionUs` may reach hour buckets already reclaimed. Both are
+    * caller-tunable; the defaults (1 h lateness, 30 d duration) bound
+    * state at ~`maxSessionUs/1h` live buckets per active stream key
+    * set, independent of stream length. With an exactly-once in-contract
+    * feed (the engine's DSv2 source / `produceOnce` ledger) the emitted
+    * pairs equal the batch join's set — proven in StreamingSpec against
+    * `meetingPairs` over the real events table, split across arbitrary
+    * micro-batches; the reclaim timer is proven there too (a
+    * contract-violating long interval finds the bucket already empty).
     */
-  class OverlapProcessor
+  class OverlapProcessor(maxSessionUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BucketInterval, MeetingPair] {
-    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
     @transient private var seen: ListState[BucketInterval] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -490,6 +504,11 @@ object StreamOps {
         h: Long,
         rows: Iterator[BucketInterval],
         timers: TimerValues): Iterator[MeetingPair] = {
+      // one reclaim timer per bucket, at the last event-time instant an
+      // in-contract interval covering hour h can still close (re-registering
+      // the same (key, expiry) across batches is idempotent in the timer
+      // state store)
+      getHandle.registerTimer(((h + 1L) * HourUs + maxSessionUs) / 1000L)
       val out = scala.collection.mutable.ArrayBuffer.empty[MeetingPair]
       val live = scala.collection.mutable.ArrayBuffer.empty[BucketInterval]
       val it = seen.get()
@@ -510,22 +529,37 @@ object StreamOps {
       }
       out.iterator
     }
+
+    override def handleExpiredTimer(
+        h: Long,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[MeetingPair] = {
+      seen.clear()
+      Iterator.empty
+    }
   }
 
   /** Co-presence pair stream (see `OverlapProcessor`). Requires the
     * RocksDB state store provider, like the other transformWithState
-    * operators.
+    * operators. `lateness` is the watermark delay on interval close
+    * times; `maxSessionUs` is the duration contract that bounds how
+    * long an hour bucket's state must stay live.
     */
-  def overlapStream(sessions: Dataset[ClosedInterval]): Dataset[MeetingPair] = {
+  def overlapStream(
+      sessions: Dataset[ClosedInterval],
+      lateness: String = "1 hour",
+      maxSessionUs: Long = 30L * 24L * HourUs): Dataset[MeetingPair] = {
     val spark = sessions.sparkSession
     import spark.implicits._
     sessions
       .flatMap(ci => (ci.startUs / HourUs to ci.endUs / HourUs)
-        .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs)))
+        .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs,
+          new java.sql.Timestamp(ci.endUs / 1000L))))
+      .withWatermark("ts", lateness)
       .groupByKey(_.h)
       .transformWithState(
-        new OverlapProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new OverlapProcessor(maxSessionUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Update)
   }
 

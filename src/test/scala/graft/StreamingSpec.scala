@@ -278,7 +278,11 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(ci => (ci.endUs, ci.user, ci.sid))
       assert(sess.nonEmpty)
       val mem = MemoryStream[StreamOps.ClosedInterval]
-      val q = StreamOps.overlapStream(mem.toDS())
+      // endUs-sorted batches keep every close on-time under the 1 h
+      // default lateness; the duration contract is pinned wide so no
+      // fixture session can outlive its buckets' reclaim timers
+      val q = StreamOps.overlapStream(mem.toDS(),
+          maxSessionUs = 3650L * 24L * 3600000000L)
         .writeStream.format("memory").queryName("ovl_out")
         .outputMode("update").start()
       val third = math.max(1, sess.size / 3)
@@ -298,6 +302,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSet == want,
         s"stream pairs (${got.length}) diverge from the batch join (${want.size})")
       spark.sql("DROP VIEW IF EXISTS ovl_out")
+      ()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("overlap matcher reclaims past hour buckets via event-time timers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val H = 3600000000L // micros per hour
+      val mem = MemoryStream[StreamOps.ClosedInterval]
+      // 2 h duration contract: bucket h reclaims once the close-time
+      // watermark passes h_end + 2 h
+      val q = StreamOps.overlapStream(mem.toDS(),
+          lateness = "1 second", maxSessionUs = 2L * H)
+        .writeStream.format("memory").queryName("ovl_ttl_out")
+        .outputMode("update").start()
+      // A: resident in bucket 0
+      mem.addData(StreamOps.ClosedInterval(1L, 1L, 0L, H / 2))
+      q.processAllAvailable()
+      // F: far future — advances the close-time watermark way past
+      // bucket 0's reclaim point (1 h bucket end + 2 h contract)
+      mem.addData(StreamOps.ClosedInterval(9L, 1L, 10L * H, 10L * H + H / 2))
+      q.processAllAvailable()
+      // F2 (same user as F: pairs with nothing) runs one more batch
+      // under the advanced watermark, so bucket 0's timer has fired
+      // before L arrives even if the no-data batch didn't run it
+      mem.addData(StreamOps.ClosedInterval(9L, 2L, 10L * H, 10L * H + 60000000L))
+      q.processAllAvailable()
+      // L: a CONTRACT-VIOLATING 11 h interval covering buckets 0..10 —
+      // on-time by close (so it is processed: it pairs with F in bucket
+      // 10), but its bucket-0 twin A was already reclaimed
+      mem.addData(StreamOps.ClosedInterval(2L, 1L, H / 6, 11L * H))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql("SELECT ua, ub FROM ovl_ttl_out").as[(Long, Long)].collect().toSet
+      assert(got.contains((2L, 9L)), s"the in-contract bucket-10 pair must emit, got $got")
+      assert(!got.contains((1L, 2L)),
+        "bucket 0 was not reclaimed: the contract-violating interval still paired there")
+      spark.sql("DROP VIEW IF EXISTS ovl_ttl_out")
       ()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
