@@ -168,4 +168,94 @@ class LineageSpec extends AnyFunSuite {
         s"seed $seed key $k: audit group diverged\n got ${audit(k)}\nwant ${expAudit(k)}")
     }
   }
+
+  /** The two-member twin: the GROUP-WIDE chain gate's contract is that
+    * per-key produce order survives arbitrary produce/rescale/purge/
+    * compact/paged-poll interleavings even when the key's partition
+    * moves between MEMBERS at a ring flip — a v+1 record must never be
+    * delivered (to either member) while its key's v record is still
+    * undelivered at the OTHER member. Deliveries here are a single
+    * wall-clock sequence (the test is sequential), so the per-key
+    * concatenation across both members in poll order must equal the
+    * surviving produce order — any gate leak shows up as a v+1 value
+    * arriving ahead of a v value of the same key. The drain loop
+    * round-robins both members because the gate legitimately serves
+    * EMPTY pages to a drained member while its sibling lags.
+    */
+  for (seed <- Seq(5, 19, 31)) test(
+      s"two-member group lineage: per-key order across members, seed $seed") {
+    val rnd = new scala.util.Random(seed)
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-lineage2").toString)
+    val topic = "t"
+    val keys = (0 until 6).map(i => s"k$i")
+    val ringSizes = Seq(3, 6, 12)
+
+    var clock = 0
+    val counter = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val exp = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
+    val delivered = scala.collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
+
+    store.registry.register("g", "cA", Seq(topic), store.StartFrom.Earliest)
+    store.registry.register("g", "cB", Seq(topic), store.StartFrom.Earliest)
+
+    def pollOne(consumer: String, maxRecords: Long): Int = {
+      val rows = store.poll("g", topic, consumer, maxRecords = maxRecords).collect()
+      rows.sortBy(r => (r.getAs[Int]("version"), r.getAs[Int]("part"),
+          r.getAs[Long]("offset")))
+        .foreach { r =>
+          val k = r.getAs[String]("key")
+          delivered(k) = delivered(k) :+ new String(r.getAs[Array[Byte]]("value"), "UTF-8")
+        }
+      rows.length
+    }
+
+    val steps = 30
+    for (_ <- 0 until steps) {
+      rnd.nextInt(11) match {
+        case 0 | 1 | 2 | 3 => // produce a small batch
+          val rows = (0 until 1 + rnd.nextInt(8)).map { _ =>
+            val k = keys(rnd.nextInt(keys.size))
+            clock += 1
+            val v = s"$k#${counter(k)}"
+            counter(k) += 1
+            exp(k) = exp(k) :+ v
+            (k, v, ts(clock))
+          }
+          store.produceStrings(topic, rows)
+          ()
+        case 4 | 5 => // flip the ring: keys re-home across MEMBERS too
+          store.rescale(topic, ringSizes(rnd.nextInt(ringSizes.size)))
+          ()
+        case 6 | 7 | 8 => // bounded polls, members in random order
+          val order = if (rnd.nextBoolean()) Seq("cA", "cB") else Seq("cB", "cA")
+          order.foreach(c => pollOne(c, 1L + rnd.nextInt(5)))
+          ()
+        case 9 => // GDPR purge: sunk records survive, the rest vanish
+          val k = keys(rnd.nextInt(keys.size))
+          store.purgeKeys(topic, Seq(k))
+          exp(k) = delivered(k)
+          ()
+        case 10 => // compaction: content-invariant by contract
+          store.compact(topic, smallFileBytes = 1L << 20)
+          ()
+      }
+    }
+
+    // drain to quiescence round-robining BOTH members: one member alone
+    // can stall behind the group-wide gate by design
+    var spins = 0
+    var idle = 0
+    while (idle < 60 && spins < 600) {
+      val n = pollOne("cA", 7L) + pollOne("cB", 7L)
+      if (n == 0) idle += 1 else idle = 0
+      spins += 1
+    }
+
+    keys.foreach { k =>
+      assert(delivered(k) == exp(k),
+        s"seed $seed key $k: pair group diverged\n got ${delivered(k)}\nwant ${exp(k)}")
+    }
+  }
 }
