@@ -1896,15 +1896,23 @@ class TopicStore(
       topic: String,
       ts: java.sql.Timestamp,
       chain: Seq[Generation]): Map[Int, Map[Int, Long]] = {
+    // the cut collects eagerly and DECIDES seekToTime's commits, so the
+    // topic read lock pins its file listing against a concurrent
+    // compact/purge swap — the same discipline as the poll commit
+    // decisions: an unpinned swap reads as silently-missing rows
+    // (ignoreMissingFiles) and maps live partitions to their high
+    // watermark, committing a seek PAST undelivered records
     val byGen: Map[Int, Map[Int, Long]] =
       if (!dataDirExists) Map.empty
-      else spark.read.schema(recordSchema).parquet(dataDir)
-        .where(col("topic") === topic &&
-          col("version").isin(chain.map(_.version): _*) &&
-          col("timestamp") >= lit(ts))
-        .groupBy(col("version"), col("part")).agg(min(col("offset")).as("o"))
-        .as[(Int, Int, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      else withTopicReads(topic) {
+        spark.read.schema(recordSchema).parquet(dataDir)
+          .where(col("topic") === topic &&
+            col("version").isin(chain.map(_.version): _*) &&
+            col("timestamp") >= lit(ts))
+          .groupBy(col("version"), col("part")).agg(min(col("offset")).as("o"))
+          .as[(Int, Int, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      }
     chain.map { g =>
       val high = producerOffsetsFor(topic, g)
       val hits = byGen.getOrElse(g.version, Map.empty[Int, Long])

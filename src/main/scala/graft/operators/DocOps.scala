@@ -698,7 +698,12 @@ object DocOps {
   /** Session-scoped DataFrame memo shared by the curation-pipeline
     * operators: entries for stopped sessions are evicted on every access,
     * so checkpoint blocks and session references do not outlive their
-    * SparkContext.
+    * SparkContext. Scope note: the memo is per-JVM (per driver) — the
+    * right bound for Spark's one-driver-per-app execution model. If the
+    * pipeline ever runs under multiple drivers over one corpus, the
+    * durable analog is materializing the memoized intermediate (the
+    * verified near-dup pair set) to a parquet table, which is exactly
+    * what `tools/Curate` does between its stages.
     */
   private[operators] object Memo {
     def get[V <: AnyRef](
