@@ -173,7 +173,10 @@ class TopicStore(
           val fs = hfs(p)
           val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
             .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-          files.headOption.map { f =>
+          // two visible files = a rename-first swap in flight (or a crash
+          // between its rename and delete): the lexically-newest name is
+          // the current table (monotonic stamp in swapWriteGroups)
+          files.sortBy(_.getName).lastOption.map { f =>
             val r = ParquetReader.builder(new GroupReadSupport(), f)
               .withConf(spark.sparkContext.hadoopConfiguration).build()
             val out = Seq.newBuilder[Generation]
@@ -851,7 +854,7 @@ class TopicStore(
   private def pageFor(
       group: String, topic: String, consumerId: String, g: Generation): GenPage = {
     val assigned = registry.assignmentFor(group, consumerId, g)
-    val committed = readOffsets(groupMeta, s"$group/$topic/v${g.version}")
+    val committed = readOffsets(groupMeta, s"${scopeDir(group)}/${scopeDir(topic)}/v${g.version}")
     val high = producerOffsetsFor(topic, g)
     val from = assigned
       .map(p => p -> committed.getOrElse(p, startingOffset(group, topic, p, g))).toMap
@@ -907,9 +910,17 @@ class TopicStore(
     // ONE chain read pins generations, assignments, offsets scopes and
     // the scan filters for the whole poll (same discipline as commit):
     // assignment computed against a newer ring than the captured one
-    // would index past its tokensOf
+    // would index past its tokensOf. The registered-with-nothing-to-do
+    // check spans the WHOLE chain, not just the current generation: a
+    // down-rescale can leave a member with zero current-generation
+    // partitions while it still OWNS lagging ancestor partitions — a
+    // current-gen-only early return would lock it out of draining them,
+    // and the group-wide gate would then stall the whole group forever
+    // (the member keeps polling, so R11 eviction never rebalances it
+    // away either)
     val chain = generations(topic)
-    if (registry.assignmentFor(group, consumerId, chain.last).isEmpty || !dataDirExists)
+    if (!dataDirExists ||
+        chain.forall(g => registry.assignmentFor(group, consumerId, g).isEmpty))
       return emptyRecords
 
     val ancestors = chain.init.map(g => pageFor(group, topic, consumerId, g))
@@ -1050,7 +1061,10 @@ class TopicStore(
       consumerId: String,
       maxRecords: Long = Long.MaxValue): Map[Int, Long] = {
     val chain = generations(topic)
-    if (registry.assignmentFor(group, consumerId, chain.last).isEmpty || !dataDirExists)
+    // whole-chain membership check, like poll's: a member with zero
+    // current-generation partitions may still own lagging ancestors
+    if (!dataDirExists ||
+        chain.forall(g => registry.assignmentFor(group, consumerId, g).isEmpty))
       return Map.empty
     chain.map(g => pageFor(group, topic, consumerId, g)).find(_.hasLag) match {
       case None => Map.empty
@@ -1318,7 +1332,7 @@ class TopicStore(
     val chain = generations(topic)
     val targetVersion = if (version >= 0) version else chain.last.version
     if (version >= 0 && !chain.exists(_.version == version)) return Map.empty
-    val scope = s"$group/$topic/v$targetVersion"
+    val scope = s"${scopeDir(group)}/${scopeDir(topic)}/v$targetVersion"
     val cur = readOffsets(groupMeta, scope)
     val accepted = next.filter { case (p, off) =>
       val reader = lastReaders.get((group, topic, targetVersion, p))
@@ -1334,10 +1348,10 @@ class TopicStore(
     producerScopeFor(topic, generation(topic))
 
   private def producerScopeFor(topic: String, g: Generation): String =
-    s"$topic/v${g.version}"
+    s"${scopeDir(topic)}/v${g.version}"
 
   private def groupScope(group: String, topic: String): String =
-    s"$group/$topic/v${generation(topic).version}"
+    s"${scopeDir(group)}/${scopeDir(topic)}/v${generation(topic).version}"
 
   /** High watermark per partition (R8 max-produced-offset), current
     * generation: offsets restart per genVersion (`coalescer.go:124-135`).
@@ -1464,7 +1478,7 @@ class TopicStore(
     * (lineage observability: lag TVFs, drain checks).
     */
   def groupOffsets(group: String, topic: String, version: Int): Map[Int, Long] =
-    readOffsets(groupMeta, s"$group/$topic/v$version")
+    readOffsets(groupMeta, s"${scopeDir(group)}/${scopeDir(topic)}/v$version")
 
   private def startingOffset(group: String, topic: String, part: Int, g: Generation): Long =
     registry.policy(group) match {
@@ -1548,7 +1562,8 @@ class TopicStore(
         val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") &&
             !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        files.flatMap { f =>
+        // newest file only — see readOffsets' rename-first swap note
+        files.sortBy(_.getName).lastOption.toSeq.flatMap { f =>
           val out = Seq.newBuilder[(String, Option[String], Option[Int], Option[Long], Int)]
           val r = ParquetReader.builder(new GroupReadSupport(), f)
             .withConf(spark.sparkContext.hadoopConfiguration).build()
@@ -1641,19 +1656,38 @@ class TopicStore(
         group: String,
         consumerId: String,
         topics: Seq[String],
-        onNewGroup: StartFrom.Value): Unit = synchronized {
-      loadIfAbsent(group)
-      val isNew = !policies.contains(group)
-      groups = groups.updated(group, groups.getOrElse(group, Set.empty) + consumerId)
-      if (isNew) {
-        policies = policies.updated(group, onNewGroup)
-        if (onNewGroup == StartFrom.Latest) {
-          topics.foreach { t =>
-            latestSnapshots = latestSnapshots
-              .updated((group, t), (generation(t).version, producerOffsets(t)))
+        onNewGroup: StartFrom.Value): Unit = {
+      // Latest snapshots pair ONE captured generation with ITS watermark
+      // (the old generation(t).version + producerOffsets(t) pair
+      // re-resolved the generation inside the second read, so a rescale
+      // flipping between them persisted snapshot version v with v+1's
+      // EMPTY watermark — startingOffset then served the whole v backlog
+      // to a group that asked for Latest). The read happens OUTSIDE the
+      // registry monitor: it takes the topic READ lock, while maintenance
+      // ops under the topic WRITE lock call monitor-taking registry reads
+      // (groupHasLag -> startingOffset -> policy) — holding the monitor
+      // across the read-lock acquisition would be an ABBA cycle. The
+      // registry monitor stays a LEAF lock. A concurrent register of the
+      // same group just discards the loser's snapshot (isNew decides once,
+      // under the monitor).
+      val snaps: Seq[((String, String), (Int, Map[Int, Long]))] =
+        if (onNewGroup == StartFrom.Latest)
+          topics.map { t =>
+            val g = generation(t)
+            ((group, t), (g.version, producerOffsetsFor(t, g)))
           }
+        else Seq.empty
+      synchronized {
+        loadIfAbsent(group)
+        val isNew = !policies.contains(group)
+        groups = groups.updated(group, groups.getOrElse(group, Set.empty) + consumerId)
+        if (isNew) {
+          policies = policies.updated(group, onNewGroup)
+          snaps.foreach { case (k, v) =>
+            latestSnapshots = latestSnapshots.updated(k, v)
+          }
+          persist(group)
         }
-        persist(group)
       }
     }
 
@@ -1758,6 +1792,7 @@ class TopicStore(
       TopicStore.localWritePool.submit(new java.util.concurrent.Callable[Int] {
         override def call(): Int = {
           var deleted = 0
+          val now = System.currentTimeMillis()
           fs.listStatus(dir.getPath).foreach { f =>
             val n = f.getPath.getName
             if (f.isFile && n.endsWith(".parquet") && !n.startsWith(".")) {
@@ -1766,6 +1801,14 @@ class TopicStore(
                   if (fs.delete(f.getPath, false)) deleted += 1
                 case _ => () // no stats -> keep (never expire blind)
               }
+            } else if (f.isFile && n.startsWith(".") && n.endsWith(".tmp") &&
+                f.getModificationTime < now - 3600000L) {
+              // orphaned dot-tmp from a crashed compact/purge/local-produce
+              // writer: invisible to every reader and to the small-file
+              // filters, so nothing else ever reclaims it. The 1 h age
+              // gate keeps a live writer's in-flight tmp safe (its write
+              // completes in seconds; maintenance holds the write lock)
+              if (fs.delete(f.getPath, false)) deleted += 1
             }
           }
           deleted
@@ -2238,7 +2281,7 @@ class TopicStore(
   private def groupHasLag(group: String, topic: String, chain: Seq[Generation]): Boolean =
     chain.exists { g =>
       val high = producerOffsetsFor(topic, g)
-      val committed = readOffsets(groupMeta, s"$group/$topic/v${g.version}")
+      val committed = readOffsets(groupMeta, s"${scopeDir(group)}/${scopeDir(topic)}/v${g.version}")
       (0 until partsOf(g)).exists { p =>
         committed.getOrElse(p, startingOffset(group, topic, p, g)) < high.getOrElse(p, 0L)
       }
@@ -2265,7 +2308,7 @@ class TopicStore(
       }
     }
     val scope = producerScopeFor(topic, g)
-    val metaPath = s"$producerMeta/${scopeDir(scope)}"
+    val metaPath = s"$producerMeta/$scope"
     if (pathExists(metaPath) && !hfs(metaPath).delete(hpath(metaPath), true))
       throw new java.io.IOException(s"rescale: could not clear $metaPath")
     offsetCache.remove(metaCacheKey(metaPath))
@@ -2281,10 +2324,13 @@ class TopicStore(
   private def knownGroups(topic: String, chain: Seq[Generation]): Seq[String] = {
     if (!pathExists(groupMeta)) return Seq.empty
     val fs = hfs(groupMeta)
+    // dir names are scopeDir-encoded; return the DECODED group names so
+    // callers can use them as registry keys and re-encode for paths
     fs.listStatus(hpath(groupMeta)).filter(_.isDirectory).toSeq
       .map(_.getPath.getName)
-      .filter(group => chain.exists(g => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$groupMeta/$group/${scopeDir(topic)}/v${g.version}"))))
+      .filter(enc => chain.exists(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$groupMeta/$enc/${scopeDir(topic)}/v${g.version}"))))
+      .map(unescapeDir)
   }
 
   /** Reclaim DRAINED ancestor generations of a topic: ancestors whose
@@ -2311,7 +2357,7 @@ class TopicStore(
     val reclaimable = chain.init.takeWhile { g =>
       groups.forall { gr =>
         val high = producerOffsetsFor(topic, g)
-        val committed = readOffsets(groupMeta, s"$gr/$topic/v${g.version}")
+        val committed = readOffsets(groupMeta, s"${scopeDir(gr)}/${scopeDir(topic)}/v${g.version}")
         (0 until partsOf(g)).forall { p =>
           committed.getOrElse(p, startingOffset(gr, topic, p, g)) >= high.getOrElse(p, 0L)
         }
@@ -2359,13 +2405,13 @@ class TopicStore(
       // one tiny dir per swept generation per group)
       reclaimable.foreach { g =>
         val scope = producerScopeFor(topic, g)
-        val metaPath = s"$producerMeta/${scopeDir(scope)}"
+        val metaPath = s"$producerMeta/$scope"
         if (pathExists(metaPath)) { hfs(metaPath).delete(hpath(metaPath), true); () }
         offsetCache.remove(metaCacheKey(metaPath))
         reconciled.remove(lockRootKey + "|" + scope)
         groups.foreach { gr =>
-          val gScope = s"$gr/$topic/v${g.version}"
-          val gPath = s"$groupMeta/${scopeDir(gScope)}"
+          val gScope = s"${scopeDir(gr)}/${scopeDir(topic)}/v${g.version}"
+          val gPath = s"$groupMeta/$gScope"
           if (pathExists(gPath)) { hfs(gPath).delete(hpath(gPath), true); () }
           offsetCache.remove(metaCacheKey(gPath))
         }
@@ -2474,7 +2520,7 @@ class TopicStore(
     * source drains ancestors against exactly this map.
     */
   def persistedProducerOffsets(topic: String, version: Int): Map[Int, Long] =
-    readOffsets(producerMeta, s"$topic/v$version")
+    readOffsets(producerMeta, s"${scopeDir(topic)}/v$version")
 
   /** Healing high watermark under an explicit LIVE generation version
     * (owner-side lineage observability: the lag TVF enumerates every
@@ -2502,7 +2548,7 @@ class TopicStore(
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
-    val p = s"$dir/${scopeDir(scope)}"
+    val p = s"$dir/$scope" // scope components are pre-encoded (scopeDir)
     def readOnce(): Map[Int, Long] =
       if (!pathExists(p)) Map.empty
       else {
@@ -2510,7 +2556,10 @@ class TopicStore(
         val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
           .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         val m = Map.newBuilder[Int, Long]
-        files.foreach { f =>
+        // the newest file ONLY: a rename-first swap in flight leaves the
+        // old table visible beside the new one, and merging the two
+        // would resurrect stale positions for parts the new table moved
+        files.sortBy(_.getName).lastOption.foreach { f =>
           val r = ParquetReader.builder(new GroupReadSupport(), f)
             .withConf(spark.sparkContext.hadoopConfiguration).build()
           try {
@@ -2524,11 +2573,11 @@ class TopicStore(
         m.result()
       }
     offsetCache.computeIfAbsent(metaCacheKey(p), _ => {
-      // a concurrent writer's swap (delete old visible file, rename tmp
-      // in) can yank a just-listed file from under a READ-SIDE observer
-      // (the DSv2 source polling another instance's store): retry the
-      // list+read — the swap window is milliseconds and the table is
-      // ring-size rows
+      // a concurrent writer's swap (rename new in, delete old) can still
+      // yank a just-listed OLD file from under a READ-SIDE observer (the
+      // DSv2 source polling another instance's store) between the list
+      // and the open: retry the list+read — the swap window is
+      // milliseconds and the table is ring-size rows
       var res: Either[Throwable, Map[Int, Long]] =
         try Right(readOnce()) catch { case e: java.io.FileNotFoundException => Left(e) }
       var i = 0
@@ -2543,11 +2592,12 @@ class TopicStore(
 
   /** Swap-write a tiny driver-side parquet table: dot-prefixed while
     * being written (Spark and the group readers both skip hidden files),
-    * then swap — delete old visible files, rename. A crash leaves old
-    * state, or an empty dir the caller's recovery handles. Loud failure
-    * on either swap step: proceeding past a failed delete would leave
-    * two visible files (a reader would merge stale rows), past a failed
-    * rename NO visible file.
+    * then swap — rename the new table visible FIRST, then delete the old
+    * files. A crash leaves the old state alone, or both tables visible
+    * (readers take the lexically-newest; the next swap folds the rest).
+    * Loud failure on either swap step: proceeding past a failed rename
+    * would leave the old state silently current after a "successful"
+    * write, past a failed delete an ever-growing dir.
     */
   private def swapWriteGroups(
       p: String,
@@ -2558,23 +2608,38 @@ class TopicStore(
     val fs = hfs(p)
     val dirPath = hpath(p)
     fs.mkdirs(dirPath)
-    val fin = new Path(dirPath, s"part-00000-${java.util.UUID.randomUUID()}.parquet")
+    // RENAME-FIRST swap: the old delete-then-rename order had a window
+    // with NO visible file, which an unlocked cross-instance reader
+    // (refreshed DSv2 observer) read as VALID EMPTY state — a default
+    // generation chain or empty offsets — and cached. With rename first
+    // the window holds TWO visible files instead, and every reader
+    // resolves it by taking the lexically-newest name (the zero-padded
+    // monotonic stamp below); a crash between rename and delete leaves
+    // both files for the NEXT swap's delete pass to fold.
+    val fin = new Path(dirPath,
+      f"part-${System.nanoTime()}%019d-${java.util.UUID.randomUUID()}.parquet")
     val tmp = new Path(dirPath, s".${fin.getName}.tmp")
     val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
     val w = ExampleParquetWriter.builder(tmp).withConf(conf).withType(schema).build()
     try rows.foreach(w.write) finally w.close()
-    fs.listStatus(dirPath).foreach { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(".") && n != tmp.getName && !fs.delete(st.getPath, false))
-        throw new java.io.IOException(s"meta swap: could not delete ${st.getPath}")
-    }
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"meta swap: rename $tmp -> $fin failed")
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(".") && n != fin.getName && !fs.delete(st.getPath, false))
+        throw new java.io.IOException(s"meta swap: could not delete ${st.getPath}")
+      // crashed swaps orphan dot-tmp files nothing reads: per-scope
+      // writes are lock-serialized, so any tmp other than the one just
+      // renamed is dead — reclaim it here (best-effort)
+      if (n.startsWith(".") && n.endsWith(".tmp") && n != tmp.getName) {
+        fs.delete(st.getPath, false); ()
+      }
+    }
   }
 
   private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
-    val p = s"$dir/${scopeDir(scope)}"
+    val p = s"$dir/$scope" // scope components are pre-encoded (scopeDir)
     val gf = new SimpleGroupFactory(offsetsSchema)
     swapWriteGroups(p, offsetsSchema,
       offsets.toSeq.sortBy(_._1).map { case (part, next) =>
@@ -2584,8 +2649,19 @@ class TopicStore(
     ()
   }
 
-  private def scopeDir(scope: String): String =
-    scope.replaceAll("[^A-Za-z0-9_/\\-]", "_")
+  /** Encode ONE raw scope component (a topic, group, or stream id) as a
+    * `_meta` directory segment — the SAME injective Hive path escaping
+    * `partitionBy` applies to the data layout's `topic=` dirs. The old
+    * lossy `[^A-Za-z0-9_/-] -> '_'` sanitizer collided distinct names
+    * ("a.b" and "a_b") onto one shared watermark/offsets/generation
+    * scope while their data dirs stayed distinct — breaking §2.6.3
+    * contiguity for both topics and cross-wiring group commits.
+    * Composite scopes are built from ENCODED components joined by '/'
+    * ('/' itself is escaped inside a component, so a name containing a
+    * slash cannot forge another group's composite scope);
+    * readOffsets/writeOffsets take the composite verbatim.
+    */
+  private def scopeDir(scope: String): String = escapeDir(scope)
 }
 
 object TopicStore {

@@ -774,6 +774,58 @@ class EngineSpec extends AnyFunSuite {
     assert(bV2.length + aV2.length == 40, "v2 fan-out incomplete")
   }
 
+  test("dotted and underscored names keep disjoint meta scopes") {
+    // the old lossy scope sanitizer mapped "a.b" and "a_b" to ONE
+    // watermark/offsets/generation scope while their data dirs stayed
+    // distinct: "a_b" started at "a.b"'s watermark (breaking §2.6.3
+    // contiguity) and a rescale of one flipped the other's chain
+    val store = freshStore()
+    store.produceStrings("a.b", (0 until 8).map(i => (s"k$i", s"dot-$i", ts(i))))
+    store.produceStrings("a_b", (0 until 5).map(i => (s"k$i", s"und-$i", ts(i))))
+    assert(store.producerOffsets("a.b").values.sum == 8)
+    assert(store.producerOffsets("a_b").values.sum == 5)
+    store.rescale("a.b", 6)
+    assert(store.generation("a.b").version == 2)
+    assert(store.generation("a_b").version == 1,
+      "a rescale of 'a.b' flipped 'a_b''s generation chain")
+    // colliding GROUP names must not cross-wire commits either
+    store.registry.register("g.1", "c", Seq("a_b"), store.StartFrom.Earliest)
+    store.registry.register("g_1", "c", Seq("a_b"), store.StartFrom.Latest)
+    assert(store.poll("g.1", "a_b", "c").collect().length == 5)
+    assert(store.poll("g_1", "a_b", "c").collect().isEmpty,
+      "'g_1' (Latest) must not inherit 'g.1''s committed positions or policy")
+  }
+
+  test("a member with zero current-generation partitions still drains its ancestor lag") {
+    // down-rescale lockout: 6 members over a 12-partition generation all
+    // own partitions; after rescale to 4 partitions only the first 4
+    // (sorted) do. A current-generation-only registered check would
+    // early-return empty for c4/c5 forever, their v1 partitions would
+    // never drain, and the group-wide gate would stall the whole group
+    // (no member ever reaches v2) — the permanent-stall shape
+    val store = freshStore()
+    val members = (0 until 6).map(i => s"c$i")
+    members.foreach(c => store.registry.register("g", c, Seq("t"), store.StartFrom.Earliest))
+    store.produceStrings("t", (0 until 96).map(i => (s"key-$i", s"v1-$i", ts(i))))
+    store.rescale("t", 1) // 12 -> 4 partitions
+    store.produceStrings("t", (0 until 24).map(i => (s"key-$i", s"v2-$i", ts(200 + i))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    var idle = 0
+    var spins = 0
+    while (idle < 4 && spins < 200) {
+      var n = 0
+      members.foreach { c =>
+        val rows = store.poll("g", "t", c).collect()
+        n += rows.length
+        rows.foreach(r => got += new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+      }
+      if (n == 0) idle += 1 else idle = 0
+      spins += 1
+    }
+    assert(got.size == 120, s"expected all 120 records across the flip, got ${got.size}")
+    assert(got.distinct.size == 120, "duplicate delivery")
+  }
+
   test("dropped-empty generations leave tombstones; swept data-bearing ones do not") {
     // the tombstone is what lets a stream checkpoint parked in a dropped
     // generation PROVE nothing was lost (re-anchor) while a checkpoint
