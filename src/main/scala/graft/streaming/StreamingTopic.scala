@@ -34,11 +34,12 @@ class StreamingTopic(store: TopicStore) {
     * it already produced instead of appending them twice.
     */
   def ingest(topic: String, stream: DataFrame, checkpoint: String): StreamingQuery = {
-    val streamId = ledgerId(checkpoint)
+    var streamId: String = null // resolved at first batch (see ledgerId)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (streamId == null) streamId = ledgerId(checkpoint)
         // no isEmpty pre-check: produce() counts before writing, so an
         // empty batch costs one map-side count job and skips the shuffle,
         // write, and offsets rewrite — while the pre-check cost a job
@@ -49,12 +50,33 @@ class StreamingTopic(store: TopicStore) {
   }
 
   /** Batch-ledger identity for a stream: batch ids are scoped to a
-    * checkpoint, so the ledger key must be too (two streams into one
-    * topic from different checkpoints must not share a ledger). 64-bit
-    * content hash keeps the scope dir short and collision-safe.
+    * checkpoint INSTANCE, so the ledger key is the checkpoint path PLUS
+    * the query id Structured Streaming wrote into its `metadata` file —
+    * not the path alone. A checkpoint deleted and recreated at the same
+    * path restarts batch ids at 0 under a FRESH query id; a path-keyed
+    * ledger would read its old high batch mark and silently SKIP the new
+    * stream's first batches as "replays" (loss, the opposite of the
+    * at-least-once contract the ledger protects). Resolved lazily at
+    * first batch — the metadata file exists once the query has started —
+    * and cached in the query's foreachBatch closure (a checkpoint cannot
+    * be recreated under a running query). Two streams into one topic
+    * from different checkpoints never share a ledger (64-bit content
+    * hash keeps the scope dir short and collision-safe); an unreadable
+    * metadata file degrades to the path-keyed identity.
     */
-  private def ledgerId(checkpoint: String): String =
-    f"ingest-${graft.core.Murmur3x64.hashString(checkpoint)}%016x"
+  private def ledgerId(checkpoint: String): String = {
+    val qid =
+      try {
+        val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      } catch { case _: Exception => "" }
+    f"ingest-${graft.core.Murmur3x64.hashString(checkpoint + "#" + qid)}%016x"
+  }
 
   /** Near-dup-gated streaming ingest — dedup-on-ingest for a training-data
     * pipeline: every micro-batch of documents is checked against a static
@@ -72,11 +94,12 @@ class StreamingTopic(store: TopicStore) {
       stream: DataFrame,
       index: graft.operators.DocOps.NearDupIndex,
       checkpoint: String): StreamingQuery = {
-    val streamId = ledgerId(checkpoint)
+    var streamId: String = null // resolved at first batch (see ledgerId)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (streamId == null) streamId = ledgerId(checkpoint)
         // persist: produce() runs a count job + a write job over its
         // input; without pinning, each would re-run the gate's joins.
         // (persist, not localCheckpoint: unpersist() releases the blocks
@@ -576,9 +599,7 @@ object StreamOps {
         (key: String, rows: Iterator[Evt], state: GroupState[SessionState]) => {
           var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           rows.foreach { e =>
-            // getTime is millis; the codebase-wide timestamp unit (and
-            // this field's name) is epoch MICROS
-            s = SessionState(s.n + 1, s.sumValue + e.value, math.max(s.lastUs, e.ts.getTime * 1000L))
+            s = SessionState(s.n + 1, s.sumValue + e.value, math.max(s.lastUs, microsOf(e.ts)))
           }
           state.update(s)
           Iterator.single(SessionUpdate(key, s.n, s.sumValue))

@@ -55,6 +55,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(aOffs.last - aOffs.head == aOffs.length - 1L)
   }
 
+  test("a checkpoint recreated at the same path gets a fresh batch ledger") {
+    // the ledger is keyed on (path, query id), not path alone: a deleted
+    // and recreated checkpoint restarts batch ids at 0, and a path-keyed
+    // ledger would silently skip the new stream's first batches as
+    // "replays" of the old one — loss, not dedup
+    import spark.implicits._
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-stream").toString)
+    val streaming = new StreamingTopic(store)
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    def run(msgs: (String, String, Timestamp)*): Unit = {
+      val mem = MemoryStream[(String, String, Timestamp)]
+      val input = mem.toDF().toDF("key", "svalue", "timestamp")
+        .withColumn("value", encode(col("svalue"), "UTF-8"))
+        .select("key", "value", "timestamp")
+      val q = streaming.ingest("relg", input, ckpt)
+      mem.addData(msgs: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(("a", "first-0", ts(0)), ("a", "first-1", ts(1)))
+    // wipe the checkpoint: the next query restarts batch ids at 0
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(ckpt), true))
+    run(("a", "second-0", ts(10)))
+
+    store.registry.register("g", "c", Seq("relg"), store.StartFrom.Earliest)
+    val vals = store.poll("g", "relg", "c").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(vals == Set("first-0", "first-1", "second-0"),
+      s"the recreated checkpoint's batch was ledger-skipped: $vals")
+  }
+
   test("produceOnce skips a replayed micro-batch, even across store restarts") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-once").toString
