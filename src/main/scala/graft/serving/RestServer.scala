@@ -435,6 +435,13 @@ class RestServer(
     * timestamp-micros i64, length u32, body — all big-endian.
     */
   private def marshalBinary(items: Seq[PollItem]): Array[Byte] = {
+    // the wire field is u16: writeShort past 65535 wraps silently and
+    // desynchronizes the client's frame parse — fail the response loudly
+    // instead (reachable only with thousands of subscribed topics in one
+    // unbounded poll; byte-capped pages stay far below it)
+    require(items.length <= 0xFFFF,
+      s"binary poll response has ${items.length} items, past the u16 wire field — " +
+        "page the poll (maxBytes/maxRecords) or split the subscription")
     val buf = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(buf)
     d.writeShort(items.length)
