@@ -43,6 +43,18 @@ object MinHash {
   }
 
   /** Catalyst-codegen entry point over ArrayData (ArrayType(LongType)). */
-  def signatureArrayData(hashes: ArrayData, numPerms: Int, seed: Long): ArrayData =
+  def signatureArrayData(hashes: ArrayData, numPerms: Int, seed: Long): ArrayData = {
+    // explicit null-element check: UnsafeArrayData.toLongArray reads a
+    // null slot's raw bytes as 0L, which would poison every permutation's
+    // minimum with fmix64(0 ^ seed) — silent false near-dup matches
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in a shingle-hash array — minhash input must be dense")
+      i += 1
+    }
     new GenericArrayData(signature(hashes.toLongArray(), numPerms, seed))
+  }
 }

@@ -36,7 +36,18 @@ object TokenRing {
     }
   }
 
-  private def ringFactor(clusterSize: Int): Long = (MaxRingSize / clusterSize).toLong
+  // guard at the single chokepoint: past MaxRingSize the factor truncates
+  // to 0 and every downstream divideUnsigned throws '/ by zero' per row
+  // inside codegen — fail with the actual constraint instead. Sizes that
+  // are not 1 or 3·2ⁿ are accepted (the remainder of the 12288-slot ring
+  // folds into the last broker's slice, consistently on every path);
+  // deployment-facing feeds normalize through validRingLength first.
+  private def ringFactor(clusterSize: Int): Long = {
+    require(clusterSize >= 1 && clusterSize <= MaxRingSize,
+      s"cluster size must be in [1, $MaxRingSize], got $clusterSize " +
+        "(normalize with TokenRing.validRingLength)")
+    (MaxRingSize / clusterSize).toLong
+  }
 
   /** Start token owned by broker `index` in a ring of `clusterSize`
     * (token.go:68-72 `GetTokenAtIndex`; wraps around).

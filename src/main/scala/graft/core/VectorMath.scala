@@ -37,6 +37,10 @@ object VectorMath {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in a float vector — embeddings must be dense " +
+            "(a silent null-as-zero would return a confidently wrong similarity)")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -53,6 +57,10 @@ object VectorMath {
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in a float vector — embeddings must be dense " +
+            "(a silent null-as-zero would return a confidently wrong similarity)")
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -72,6 +80,9 @@ object VectorMath {
       var dot = 0.0
       var j = 0
       while (j < n) {
+        if (v.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"null element at index $j in a float vector — embeddings must be dense")
         dot += v.getFloat(j).toDouble * planeComponent(seed, i, j)
         j += 1
       }
@@ -138,6 +149,10 @@ object VectorMath {
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in a float vector — embeddings must be dense " +
+            "(a silent null-as-zero would return a confidently wrong similarity)")
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       s += d * d
       i += 1

@@ -2224,7 +2224,10 @@ class TopicStore(
   def rescale(
       topic: String,
       newClusterSize: Int,
-      requireDrained: Boolean = false): Generation =
+      requireDrained: Boolean = false): Generation = {
+    require(newClusterSize >= 1 && newClusterSize <= graft.core.TokenRing.MaxRingSize,
+      s"rescale($topic): cluster size must be in [1, ${graft.core.TokenRing.MaxRingSize}], " +
+        s"got $newClusterSize (normalize with TokenRing.validRingLength)")
     produceLock.synchronized { exclusivePlane { withTopicMaintenance(topic) {
     val chain = generations(topic)
     // mechanical drain-before-rescale (the reference waits for sibling
@@ -2271,7 +2274,7 @@ class TopicStore(
     // the new generation is open and empty.
     setGenerations(topic, ((kept ++ tombs).sortBy(_.version)) :+ next)
     next
-  } } }
+  } } } }
 
   /** True when `group` has unconsumed records anywhere in the live
     * lineage (committed-or-start-policy position below the watermark in

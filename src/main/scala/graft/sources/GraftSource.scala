@@ -69,10 +69,13 @@ class GraftSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    def opt(k: String): Option[String] =
-      Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
-    new GraftTable(properties.get("root"), properties.get("topic"),
-      opt("maxRecordsPerTrigger").map(_.toLong))
+    // DSv2 hands getTable the ORIGINAL-cased option keys; the contract
+    // is case-insensitive resolution (inferSchema already gets a
+    // CaseInsensitiveStringMap) — a raw properties.get("root") misses
+    // .option("Root", ...) and silently drops .option("MaxRecordsPerTrigger", ...)
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(opts.get("root"), opts.get("topic"),
+      Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
   }
 }
 
@@ -89,6 +92,12 @@ object GraftSource {
     StructField("range", IntegerType),
     StructField("version", IntegerType)))
 
+  // compiled once: seg() ran three Pattern.compile calls PER FILE on the
+  // per-trigger planning path
+  private val TokenRe = "/token=([^/]+)/".r
+  private val RangeRe = "/range=([^/]+)/".r
+  private val VersionRe = "/version=([^/]+)/".r
+
   /** Driver-side file snapshot of a topic's generation set: (path,
     * token, range, version) parsed from the partition directories.
     */
@@ -104,9 +113,9 @@ object GraftSource {
       val st: FileStatus = it.next()
       val p = st.getPath.toString
       if (st.isFile && p.endsWith(".parquet")) {
-        def seg(name: String): Option[String] =
-          s"/$name=([^/]+)/".r.findFirstMatchIn(p + "/").map(_.group(1))
-        (seg("token"), seg("range"), seg("version")) match {
+        def seg(re: scala.util.matching.Regex): Option[String] =
+          re.findFirstMatchIn(p + "/").map(_.group(1))
+        (seg(TokenRe), seg(RangeRe), seg(VersionRe)) match {
           case (Some(t), Some(r), Some(v)) if versions.contains(v.toInt) =>
             out += GraftFile(p, t.toLong, r.toInt, v.toInt)
           case _ => ()
@@ -221,10 +230,14 @@ object GraftTable {
     val tsCol = named("timestamp").map { c =>
       data.schema(byFolded("timestamp").head).dataType match {
         case TimestampType => c
-        case LongType | IntegerType =>
-          org.apache.spark.sql.functions.timestamp_micros(c.cast(LongType))
+        // LongType ONLY: IntegerType can represent barely ±35 minutes of
+        // epoch micros, so an int column here is certainly epoch SECONDS
+        // (or worse) — accepting it lands every record in Jan 1970, the
+        // silent corruption this whole branch exists to reject
+        case LongType =>
+          org.apache.spark.sql.functions.timestamp_micros(c)
         case other => throw new IllegalArgumentException(
-          s"graft write: timestamp must be TIMESTAMP or an integral epoch-MICROS column, got $other")
+          s"graft write: timestamp must be TIMESTAMP or a LONG epoch-MICROS column, got $other")
       }
     }.getOrElse(current_timestamp())
     data.select(named("key").get.cast(StringType).as("key"),
@@ -241,7 +254,11 @@ class GraftScan(root: String, topic: String, maxRecordsPerTrigger: Option[Long] 
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
       val store = new TopicStore(spark, root)
-      val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
+      // broadcast ONCE: each InputPartition serializes independently, so an
+      // inline conf holder would ship the full ~100KB Hadoop Configuration
+      // with every task — the broadcast handle ships once per executor
+      val conf = spark.sparkContext.broadcast(
+        new GraftConfHolder(spark.sparkContext.hadoopConfiguration))
       // generation read + file listing under the (JVM-global) topic read
       // lock: a maintenance swap (purge/compact/retention) holds the write
       // lock across its whole rename-then-delete, so a listing can never
@@ -296,7 +313,10 @@ class GraftMicroBatchStream(
 
   private val spark = SparkSession.active
   private val store = new TopicStore(spark, root)
-  private val conf = new GraftConfHolder(spark.sparkContext.hadoopConfiguration)
+  // broadcast once per stream (see the batch plan's note): partitions
+  // carry the handle, not the serialized Configuration
+  private val conf = spark.sparkContext.broadcast(
+    new GraftConfHolder(spark.sparkContext.hadoopConfiguration))
 
   /** A fresh stream reads the WHOLE live topic: start at the earliest
     * live generation (after metadata-only rescales the history lives in
@@ -315,15 +335,17 @@ class GraftMicroBatchStream(
   private def pollChain(): Seq[graft.engine.Generation] = {
     // another store instance owns the writes: drop the read-side caches
     // so the poll observes its advanced watermarks (and chain). A
-    // rescale's chain-pointer overwrite has a transient no-visible-file
-    // window — retry through it.
+    // concurrent swap can still yank a just-listed OLD file between the
+    // list and the open — retry through THAT window only (FNF): a broad
+    // Exception retry would sit through 5 sleeps on genuinely fatal
+    // misconfiguration (bad root, permissions) and delay cancellation.
     var attempt = 0
     while (true) {
       try {
         store.refreshOffsets(topic)
         return store.generations(topic)
       } catch {
-        case _: Exception if attempt < 5 =>
+        case _: java.io.FileNotFoundException if attempt < 5 =>
           attempt += 1
           Thread.sleep(100)
       }
@@ -443,7 +465,7 @@ case class GraftInputPartition(
     topic: String,
     from: Map[Int, Long],
     until: Map[Int, Long],
-    conf: GraftConfHolder) extends InputPartition
+    conf: org.apache.spark.broadcast.Broadcast[GraftConfHolder]) extends InputPartition
 
 class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -460,7 +482,7 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
   private val reader = {
     val builder = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.file.path))
-      .withConf(p.conf.value)
+      .withConf(p.conf.value.value)
     // coarse pushdown: the union of all partitions' bounds — row groups
     // wholly outside [min-from, max-until) never decompress. The lower
     // bound must be valid for EVERY partition that may appear in this

@@ -275,7 +275,12 @@ case class SimHashSig(child: Expression)
 case class RingPartition(child: Expression, clusterSize: Int, rangesPerToken: Int)
     extends UnaryExpression
     with ExpectsInputTypes {
-  require(clusterSize >= 1 && rangesPerToken >= 1)
+  // the upper bound matters: past MaxRingSize the ring factor truncates
+  // to 0 and the per-row math divides by zero — reject at plan time
+  require(clusterSize >= 1 && clusterSize <= graft.core.TokenRing.MaxRingSize &&
+    rangesPerToken >= 1,
+    s"ring_partition: clusterSize in [1, ${graft.core.TokenRing.MaxRingSize}] and " +
+      s"rangesPerToken >= 1 required, got ($clusterSize, $rangesPerToken)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = IntegerType

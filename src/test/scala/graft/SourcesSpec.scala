@@ -483,5 +483,25 @@ class SourcesSpec extends AnyFunSuite {
         .mode("append").save()
     }
     assert(e.getMessage.contains("timestamp must be"))
+    // IntegerType too: it can hold ±35 MINUTES of epoch micros, so an int
+    // column is certainly the wrong unit — accepting it would land every
+    // record in Jan 1970
+    val eInt = intercept[Exception] {
+      Seq(("k", "v", 1700000000)).toDF("key", "value", "timestamp")
+        .write.format("graft").option("root", root).option("topic", "m")
+        .mode("append").save()
+    }
+    assert(eInt.getMessage.contains("timestamp must be"))
+  }
+
+  test("DSv2 options resolve case-insensitively") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-src").toString
+    Seq(("k", "v")).toDF("key", "value")
+      .write.format("graft").option("Root", root).option("TOPIC", "ci")
+      .mode("append").save()
+    val got = spark.read.format("graft")
+      .option("ROOT", root).option("Topic", "ci").load()
+    assert(got.count() == 1)
   }
 }
