@@ -140,6 +140,31 @@ class ChaosSpec extends AnyFunSuite {
       }
     }
 
+    // ---- TWO-member group under the group-wide chain gate: both members
+    // poll bounded pages while producers and the rescaler run. The
+    // quiescent drain below proves LIVENESS (no member gate-locks the
+    // group — the down-rescale lockout shape, concurrently) and
+    // COMPLETENESS (the pair's cumulative deliveries cover every
+    // surviving record the fresh audit group sees; at-least-once dupes
+    // across rescales are allowed, loss is not)
+    store.registry.register("pair", "p-a", Seq(topic), store.StartFrom.Earliest)
+    store.registry.register("pair", "p-b", Seq(topic), store.StartFrom.Earliest)
+    val pairSeen = TrieMap.empty[(Int, Int, Long), String]
+    def pairPoll(c: String): Int = {
+      val page = store.withTopicReads(topic) {
+        store.poll("pair", topic, c, maxRecords = 48L).collect()
+      }
+      page.foreach { r =>
+        pairSeen.put(
+          (r.getAs[Int]("version"), r.getAs[Int]("part"), r.getAs[Long]("offset")),
+          new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+        ()
+      }
+      page.length
+    }
+    val pairA = guard("pair-a") { while (!stop) { if (pairPoll("p-a") == 0) Thread.sleep(15) } }
+    val pairB = guard("pair-b") { while (!stop) { if (pairPoll("p-b") == 0) Thread.sleep(15) } }
+
     // ---- maintenance: compaction (merge-everything threshold) and the
     // sacrificial-key purge, alternating
     val maintenance = guard("maintenance") {
@@ -157,11 +182,14 @@ class ChaosSpec extends AnyFunSuite {
       }
     }
 
-    val threads = Seq(producer, writer, localProducer, consumer, maintenance, rescaler)
+    val threads =
+      Seq(producer, writer, localProducer, consumer, pairA, pairB, maintenance, rescaler)
     threads.foreach(_.start())
     Seq(producer, writer, localProducer, maintenance, rescaler).foreach(_.join(300000))
     stop = true
     consumer.join(300000)
+    pairA.join(300000)
+    pairB.join(300000)
     assert(threads.forall(!_.isAlive), "a chaos thread wedged")
     assert(errors.isEmpty,
       s"ops must not throw under composition: ${errors.toMap.view.mapValues(_.toString).toMap}")
@@ -201,6 +229,22 @@ class ChaosSpec extends AnyFunSuite {
       assert(vs.sortBy(_._3).map(_._2).toVector == expected(k),
         s"key $k: delivered ${vs.length} records, order/body mismatch vs produce order")
     }
+
+    // ---- pair-group drain: round-robin BOTH members (the gate serves a
+    // drained member empty pages while its sibling lags — by design), then
+    // require the union to cover every surviving record the audit saw. A
+    // gate lockout (a member fenced out of ancestor lag it still owns)
+    // shows up here as permanently-missing records.
+    var idle = 0
+    var spins = 0
+    while (idle < 6 && spins < 400) {
+      val n = pairPoll("p-a") + pairPoll("p-b")
+      if (n == 0) idle += 1 else idle = 0
+      spins += 1
+    }
+    val missing = delivered.map(_._3).toSet -- pairSeen.keySet
+    assert(missing.isEmpty,
+      s"pair group never delivered ${missing.size} surviving records — gate lockout")
   }
 
   test("topology-watcher-driven rescales compose with live produce") {
