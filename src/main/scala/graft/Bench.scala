@@ -90,8 +90,11 @@ object Bench {
     }
     // touch the bench-scale tables once so the timed loop measures the
     // engine, not the first query's cold page-cache read + footer parse
-    new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
-      .foreach { f =>
+    // listFiles returns NULL (not empty) for a missing/non-dir path: a
+    // typo'd SPARK_GRAFT_SF_DIR would NPE here after the warmup instead
+    // of degrading to the per-query -1.0 sentinels
+    Option(new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet")))
+      .getOrElse(Array.empty).foreach { f =>
         try { spark.read.parquet(f.getPath).count(); () }
         catch { case _: Throwable => () }
       }
@@ -135,17 +138,21 @@ object Bench {
     lazy val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nQ = results.count(_._2 >= 0)
     val nFailed = results.count(_._2 < 0)
+    // Locale.ROOT formatting: the f interpolator follows the JVM default
+    // locale, and a comma-decimal locale would emit INVALID JSON here
+    def jd(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":$nQ,"n_failed":$nFailed,""" +
-        s""""produce_msgs_per_sec":${f"$prodRate%.0f"},"poll_msgs_per_sec":${f"$pollRate%.0f"},""" +
-        s""""stream_produce_msgs_per_sec":${f"$streamRate%.0f"},""" +
-        s""""rest_produce_msgs_per_sec":${f"$restRate%.0f"},""" +
-        s""""binary_produce_msgs_per_sec":${f"$binRate%.0f"},""" +
-        s""""rest_group4_produce_msgs_per_sec":${f"$groupRate%.0f"},""" +
-        s""""poll_page_msgs_per_sec":${f"$pageRate%.0f"},""" +
+      s"""{"metric":"total","value":${jd(total, 3)},"unit":"sec","n_queries":$nQ,"n_failed":$nFailed,""" +
+        s""""produce_msgs_per_sec":${jd(prodRate, 0)},"poll_msgs_per_sec":${jd(pollRate, 0)},""" +
+        s""""stream_produce_msgs_per_sec":${jd(streamRate, 0)},""" +
+        s""""rest_produce_msgs_per_sec":${jd(restRate, 0)},""" +
+        s""""binary_produce_msgs_per_sec":${jd(binRate, 0)},""" +
+        s""""rest_group4_produce_msgs_per_sec":${jd(groupRate, 0)},""" +
+        s""""poll_page_msgs_per_sec":${jd(pageRate, 0)},""" +
         s""""msg_bytes":1024,"sf":"$sfDir","queries":$qs}"""
     val fullNames = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + jd(v, 3) }
       .mkString("{", ",", "}")
     System.err.println(line(fullNames))
     // a SPARK_GRAFT_ONLY subset (or ingest-only) run must not clobber the
@@ -165,7 +172,7 @@ object Bench {
     // slowest-N slots (they are already counted in n_failed)
     val budget = 1900
     val slowestFirst = results.filter(_._2 >= 0).sortBy { case (_, v) => -v }
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + jd(v, 2) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     for (e <- slowestFirst)
       if (line((kept :+ e).mkString("{", ",", "}")).length <= budget) kept += e
@@ -218,14 +225,7 @@ object Bench {
     // same way — "partitions = brokers x consumer_ranges")
     val store = new engine.TopicStore(spark, root, clusterSize = 12)
     // replicate events up to ~2M messages — the reference benchmark's -n
-    val base = Graft.events(spark, sfDir)
-    val mult = math.max(1L, 2000000L / math.max(1L, base.count()))
-    val msgs = base
-      .crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        concat(col("user_id").cast("string"), lit("-"), col("rep")).as("key"),
-        encode(rpad(col("props"), 1024, "x"), "UTF-8").as("value"),
-        col("ts").as("timestamp"))
+    val msgs = tools.BenchData.messages(spark, sfDir)
     // materialize before the timer: the reference benchmark pre-generates
     // messages client-side and holds them in client RAM, so the
     // broker-comparable produce cost starts at "bytes in hand" —
@@ -266,22 +266,28 @@ object Bench {
     // as likely to sample the trough as the crest — the median is the
     // honest sustained figure (the reference tool likewise reports the
     // steady rate over many batches, not one batch's)
-    val produceSecs = (1 to 3).map { i =>
-      val t0 = System.nanoTime()
-      store.produce(s"bench$i", staged)
-      (System.nanoTime() - t0) / 1e9
+    // cleanup in finally: a mid-phase failure must not pin ~8 GB of
+    // RAM-backed tmpfs (topic parquet + stage) through the wire phase and
+    // the analytics loop — the throttling condition this file documents
+    try {
+      val produceSecs = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        store.produce(s"bench$i", staged)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pollRates = (1 to 3).map { i =>
+        store.registry.register(s"g$i", "c", Seq(s"bench$i"), store.StartFrom.Earliest)
+        val t1 = System.nanoTime()
+        val polled = store.poll(s"g$i", s"bench$i", "c").count().toDouble
+        polled / ((System.nanoTime() - t1) / 1e9)
+      }
+      deleteRec(root)
+      val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
+      (n / medianOf(produceSecs), medianOf(pollRates), streamRate)
+    } finally {
+      deleteRec(root)
+      deleteRec(stageRoot)
     }
-    val pollRates = (1 to 3).map { i =>
-      store.registry.register(s"g$i", "c", Seq(s"bench$i"), store.StartFrom.Earliest)
-      val t1 = System.nanoTime()
-      val polled = store.poll(s"g$i", s"bench$i", "c").count().toDouble
-      polled / ((System.nanoTime() - t1) / 1e9)
-    }
-
-    deleteRec(root)
-    val streamRate = streamIngestBench(spark, stage, stageFiles, staged.schema, n)
-    deleteRec(stageRoot)
-    (n / medianOf(produceSecs), medianOf(pollRates), streamRate)
   }
 
   /** Structured Streaming ingest rate: the same staged messages consumed
@@ -312,10 +318,16 @@ object Bench {
       val topic = new streaming.StreamingTopic(store)
       val t0 = System.nanoTime()
       val q = topic.ingest("bench_stream", src, s"$root/_chk")
-      q.processAllAvailable()
-      q.stop()
-      val rate = n / ((System.nanoTime() - t0) / 1e9)
-      deleteRec(root)
+      val rate =
+        try {
+          q.processAllAvailable()
+          n / ((System.nanoTime() - t0) / 1e9)
+        } finally {
+          // stop + delete even on failure: a leaked 2 GB root throttles
+          // the remaining runs on this memory-bandwidth-bound host
+          try q.stop() catch { case _: Exception => () }
+          deleteRec(root)
+        }
       // each run's micro-batch shuffles (~2 GB) sit in spark.local.dir
       // (RAM-backed tmpfs here) until the ShuffleDependency is GC'd and
       // the async ContextCleaner removes the files — without this nudge
@@ -380,8 +392,10 @@ object Bench {
       val futs = (0 until threads).map(tid => pool.submit(new Runnable {
         override def run(): Unit = body(tid)
       }))
-      futs.foreach(_.get())
-      pool.shutdown()
+      // shutdown in finally: a failed request rethrows from get(), and a
+      // skipped shutdown leaks non-daemon pool threads that wedge JVM exit
+      try futs.foreach(_.get())
+      finally { pool.shutdownNow(); () }
       (System.nanoTime() - t0) / 1e9
     }
     try {
@@ -417,23 +431,12 @@ object Bench {
           new java.io.BufferedOutputStream(sock.getOutputStream))
         val in = new java.io.DataInputStream(sock.getInputStream)
         def frame(streamId: Int, op: Int, flags: Int, body: Array[Byte]): Unit = {
-          val h = new Array[Byte](13)
-          h(0) = 1; h(1) = flags.toByte
-          h(2) = ((streamId >> 8) & 0xff).toByte; h(3) = (streamId & 0xff).toByte
-          h(4) = op.toByte
-          h(5) = ((body.length >> 24) & 0xff).toByte; h(6) = ((body.length >> 16) & 0xff).toByte
-          h(7) = ((body.length >> 8) & 0xff).toByte; h(8) = (body.length & 0xff).toByte
-          val crc = new java.util.zip.CRC32; crc.update(h, 0, 9)
-          val c = crc.getValue
-          h(9) = ((c >> 24) & 0xff).toByte; h(10) = ((c >> 16) & 0xff).toByte
-          h(11) = ((c >> 8) & 0xff).toByte; h(12) = (c & 0xff).toByte
-          out.write(h); out.write(body)
+          out.write(tools.BenchData.frameHeader(streamId, op, flags, body.length))
+          out.write(body)
         }
         def skipFrame(): Unit = {
-          val h = new Array[Byte](13); in.readFully(h)
-          val len = ((h(5) & 0xff) << 24) | ((h(6) & 0xff) << 16) |
-            ((h(7) & 0xff) << 8) | (h(8) & 0xff)
-          if ((h(4) & 0xff) == 3) throw new IllegalStateException("binary produce errored")
+          val (op, len) = tools.BenchData.readFrameHeader(in)
+          if (op == 3) throw new IllegalStateException("binary produce errored")
           in.skipNBytes(len.toLong)
         }
         frame(0, 1, 0, Array.emptyByteArray); out.flush() // startup

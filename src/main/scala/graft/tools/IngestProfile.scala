@@ -15,14 +15,7 @@ object IngestProfile {
     import graft.functions.{murmur3_token, ring_partition}
     import org.apache.spark.sql.expressions.Window
 
-    val base = Graft.events(spark, sfDir)
-    val mult = math.max(1L, 2000000L / math.max(1L, base.count()))
-    val msgs = base
-      .crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        concat(col("user_id").cast("string"), lit("-"), col("rep")).as("key"),
-        encode(rpad(col("props"), 1024, "x"), "UTF-8").as("value"),
-        col("ts").as("timestamp"))
+    val msgs = BenchData.messages(spark, sfDir)
 
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -30,12 +30,18 @@ object Profile {
     catch { case _: Throwable => () }
 
     names.foreach { name =>
+      // stage-completed events arrive on the ASYNC listener bus (the
+      // drain API is private[spark]); a short settle keeps a fast query's
+      // trailing events from being dropped by the reset or printed under
+      // the next query's header — triage-grade attribution, not exact
+      Thread.sleep(300)
       log = Nil
       val t0 = System.nanoTime()
       val n =
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
       println(f"$name%-28s $sec%8.2fs  rows=$n")
       log.reverse.foreach(println)
     }

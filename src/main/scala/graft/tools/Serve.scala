@@ -108,29 +108,15 @@ object Serve {
       port: Int, tsMicros: Long, key: String, topic: String, msg: String): Unit = {
     import java.io.{DataInputStream, DataOutputStream}
     import java.nio.charset.StandardCharsets.UTF_8
-    def frame(streamId: Int, op: Int, flags: Int, body: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](13 + body.length)
-      out(0) = 1; out(1) = flags.toByte
-      out(2) = ((streamId >> 8) & 0xff).toByte; out(3) = (streamId & 0xff).toByte
-      out(4) = op.toByte
-      out(5) = ((body.length >> 24) & 0xff).toByte; out(6) = ((body.length >> 16) & 0xff).toByte
-      out(7) = ((body.length >> 8) & 0xff).toByte; out(8) = (body.length & 0xff).toByte
-      val crc = new java.util.zip.CRC32
-      crc.update(out, 0, 9)
-      val c = crc.getValue
-      out(9) = ((c >> 24) & 0xff).toByte; out(10) = ((c >> 16) & 0xff).toByte
-      out(11) = ((c >> 8) & 0xff).toByte; out(12) = (c & 0xff).toByte
-      System.arraycopy(body, 0, out, 13, body.length)
-      out
-    }
+    def frame(streamId: Int, op: Int, flags: Int, body: Array[Byte]): Array[Byte] =
+      BenchData.frameHeader(streamId, op, flags, body.length) ++ body
     val sock = new java.net.Socket("localhost", port)
     try {
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
       def readOp(): Int = {
-        val h = new Array[Byte](13); in.readFully(h)
-        val len = ((h(5) & 0xff) << 24) | ((h(6) & 0xff) << 16) | ((h(7) & 0xff) << 8) | (h(8) & 0xff)
-        in.skipBytes(len); h(4) & 0xff
+        val (op, len) = BenchData.readFrameHeader(in)
+        in.skipBytes(len); op
       }
       out.write(frame(1, 1, 0, Array.emptyByteArray)); out.flush()
       require(readOp() == 2, "expected ready")

@@ -25,14 +25,7 @@ object StreamProfile {
 
     val root = java.nio.file.Files.createTempDirectory("stream-profile").toString
     val store = new graft.engine.TopicStore(spark, root, clusterSize = 12)
-    val base = Graft.events(spark, sfDir)
-    val mult = math.max(1L, n / math.max(1L, base.count()))
-    val msgs = base
-      .crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        concat(col("user_id").cast("string"), lit("-"), col("rep")).as("key"),
-        encode(rpad(col("props"), 1024, "x"), "UTF-8").as("value"),
-        col("ts").as("timestamp"))
+    val msgs = BenchData.messages(spark, sfDir, n)
     val stage = s"$root/_stage"
     msgs.repartition(32).write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)

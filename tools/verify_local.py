@@ -44,11 +44,23 @@ def main(sf_dir: str, out_dir: str) -> int:
         if hits:
             lint[qn] = hits
     failures = 0
+    # every oracle key MUST have a dumped directory: a query that crashed
+    # inside Verify.scala would otherwise simply vanish from the loop below
+    # and the gate would false-pass with "ALL OK"
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracles) - dumped):
+        print(f"{name:28s} MISSING DUMP (query crashed in Verify?)")
+        failures += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        got = pd.read_parquet(qdir)
+        try:
+            got = pd.read_parquet(qdir)
+        except Exception as e:  # noqa: BLE001 - one corrupt dump must not kill the gate
+            print(f"{name:28s} UNREADABLE DUMP: {e}")
+            failures += 1
+            continue
         if name not in oracles:
             status = f"rows-only ({len(got)} rows)"
             if len(got) == 0:
@@ -86,7 +98,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                                " (un-CAST integer sum in the oracle?)"))
                 continue
             if gf and ef:
-                eq = (gv.astype("float64").fillna(1.5) == ev.astype("float64").fillna(1.5))
+                # NaN-mask compare, NOT a fillna sentinel: any sentinel value
+                # (1.5 was used here once) collides with a legitimate cell of
+                # that value, reporting NULL-vs-value as equal
+                gd, ed = gv.astype("float64"), ev.astype("float64")
+                eq = (gd.isna() & ed.isna()) | (gd == ed)
             else:
                 eq = gv.astype(str) == ev.astype(str)
             if not eq.all():
