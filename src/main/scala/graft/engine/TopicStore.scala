@@ -2619,8 +2619,28 @@ class TopicStore(
     // resolves it by taking the lexically-newest name (the zero-padded
     // monotonic stamp below); a crash between rename and delete leaves
     // both files for the NEXT swap's delete pass to fold.
+    //
+    // The stamp is derived from DURABLE state, not a process clock:
+    // max(wall clock, newest visible stamp + 1). System.nanoTime()'s
+    // origin is per-JVM/per-boot, so after a crash between rename and
+    // delete a successor writer on another host (or after a reboot)
+    // could stamp its fresh table lexically OLDER than the stale
+    // leftover — readers would then prefer the stale chain/offsets
+    // until a delete pass folded it, or forever if that delete throws.
+    // Taking the on-disk maximum + 1 keeps lexical order = write order
+    // across JVMs and reboots (and absorbs legacy nanoTime-stamped
+    // files, whose huge values simply become the floor).
+    val newestStamp = fs.listStatus(dirPath).iterator
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && n.startsWith("part-"))
+      .flatMap { n =>
+        val digits = n.stripPrefix("part-").takeWhile(_.isDigit)
+        scala.util.Try(digits.toLong).toOption
+      }
+      .foldLeft(0L)(math.max)
+    val stamp = math.max(System.currentTimeMillis(), newestStamp + 1L)
     val fin = new Path(dirPath,
-      f"part-${System.nanoTime()}%019d-${java.util.UUID.randomUUID()}.parquet")
+      f"part-$stamp%019d-${java.util.UUID.randomUUID()}.parquet")
     val tmp = new Path(dirPath, s".${fin.getName}.tmp")
     val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
     val w = ExampleParquetWriter.builder(tmp).withConf(conf).withType(schema).build()

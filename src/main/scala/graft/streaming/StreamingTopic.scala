@@ -61,20 +61,42 @@ class StreamingTopic(store: TopicStore) {
     * and cached in the query's foreachBatch closure (a checkpoint cannot
     * be recreated under a running query). Two streams into one topic
     * from different checkpoints never share a ledger (64-bit content
-    * hash keeps the scope dir short and collision-safe); an unreadable
-    * metadata file degrades to the path-keyed identity.
+    * hash keeps the scope dir short and collision-safe). An unreadable
+    * metadata file FAILS the batch after bounded retries: the query has
+    * started, so the file exists — degrading to a path-only identity
+    * would let two recreate-at-same-path incarnations that both hit the
+    * degraded read share one ledger key, silently skipping the new
+    * stream's first batches as "replays" (exactly the loss the query-id
+    * scoping prevents). Failing the micro-batch is safe: foreachBatch
+    * retries it, and produceOnce never ran.
     */
   private def ledgerId(checkpoint: String): String = {
-    val qid =
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    var attempt = 0
+    var qid: String = null
+    var last: Exception = null
+    while (qid == null && attempt < 5) {
       try {
-        val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val in = fs.open(p)
         val txt =
           try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      } catch { case _: Exception => "" }
+        qid = "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          .getOrElse(throw new IllegalStateException(
+            s"checkpoint metadata at $p has no query id field"))
+      } catch {
+        case e: Exception =>
+          last = e
+          attempt += 1
+          if (attempt < 5) Thread.sleep(100L * attempt)
+      }
+    }
+    if (qid == null)
+      throw new IllegalStateException(
+        s"cannot read the streaming query id from $p after $attempt attempts — " +
+          "refusing to fall back to a path-only ledger identity (it can alias a " +
+          "prior incarnation's ledger and silently skip this stream's batches)", last)
     f"ingest-${graft.core.Murmur3x64.hashString(checkpoint + "#" + qid)}%016x"
   }
 
@@ -500,11 +522,13 @@ object StreamOps {
     * on-time arrival can still cover the bucket (an interval covering
     * hour h closes by `h_end + maxSessionUs` under the duration
     * contract), so the timer clears the bucket's list state. The two
-    * explicit contract bounds, both loud-by-construction rather than
-    * silently pair-dropping at random: an interval closing more than
-    * the watermark delay behind the max seen close is LATE (dropped by
-    * the standard watermark filter), and an interval longer than
-    * `maxSessionUs` may reach hour buckets already reclaimed. Both are
+    * explicit contract bounds: an interval LONGER than `maxSessionUs`
+    * fails the query LOUDLY (a `require` in `overlapStream`'s flatMap —
+    * processing it would silently pair with nothing in already-reclaimed
+    * buckets), while an interval closing more than the watermark delay
+    * behind the max seen close is LATE and is dropped SILENTLY by the
+    * standard Structured Streaming watermark filter (late rows never
+    * reach the processor, so the engine cannot make that loud). Both are
     * caller-tunable; the defaults (1 h lateness, 30 d duration) bound
     * state at ~`maxSessionUs/1h` live buckets per active stream key
     * set, independent of stream length. With an exactly-once in-contract
@@ -575,9 +599,21 @@ object StreamOps {
     val spark = sessions.sparkSession
     import spark.implicits._
     sessions
-      .flatMap(ci => (ci.startUs / HourUs to ci.endUs / HourUs)
-        .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs,
-          new java.sql.Timestamp(ci.endUs / 1000L))))
+      .flatMap { ci =>
+        // the duration contract is LOUD: an interval longer than
+        // maxSessionUs can cover hour buckets whose reclaim timers have
+        // already fired, silently pairing with nothing there — fail the
+        // query instead of losing pairs at random
+        require(ci.endUs - ci.startUs <= maxSessionUs,
+          s"interval (user=${ci.user}, sid=${ci.sid}) duration " +
+            s"${ci.endUs - ci.startUs}us exceeds the maxSessionUs duration " +
+            s"contract (${maxSessionUs}us) — raise maxSessionUs or close " +
+            "sessions sooner; processing it would silently drop pairs in " +
+            "already-reclaimed hour buckets")
+        (ci.startUs / HourUs to ci.endUs / HourUs)
+          .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs,
+            new java.sql.Timestamp(ci.endUs / 1000L)))
+      }
       .withWatermark("ts", lateness)
       .groupByKey(_.h)
       .transformWithState(

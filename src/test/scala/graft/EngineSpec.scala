@@ -1481,4 +1481,33 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     maxAfter.foreach { case (p, m) => assert(m < store.producerOffsets("p")(p)) }
   }
+
+  test("meta-swap stamps stay monotonic past a stale future-stamped leftover") {
+    val store = freshStore()
+    store.produceStrings("t", Seq(("k", "v1", ts(0))))
+    val topicMeta = new java.io.File(s"${store.root}/_meta/producer_offsets/t")
+    val scope = topicMeta.listFiles().filter(_.isDirectory).head
+    val cur = scope.listFiles().find(_.getName.startsWith("part-")).get
+    // forge the crash-between-rename-and-delete artifact of a PRIOR
+    // writer whose stamp outran wall-clock (the old nanoTime stamps had
+    // a per-boot origin, so this is exactly the cross-reboot hazard):
+    // a stale table left visible under a lexically-future name
+    val forgedStamp = 8999999999999999999L
+    val forged = new java.io.File(scope, f"part-$forgedStamp%019d-deadbeef.parquet")
+    java.nio.file.Files.copy(cur.toPath, forged.toPath)
+    store.produceStrings("t", Seq(("k", "v2", ts(1))))
+    // the new swap must stamp PAST the leftover — max(clock, newest+1) —
+    // so readers taking the lexically-newest name see the NEW table even
+    // if the delete pass had crashed; here the pass also folds the forge
+    val names = scope.listFiles().map(_.getName)
+      .filter(n => !n.startsWith(".") && n.startsWith("part-"))
+    assert(names.length == 1, s"delete pass should fold the leftover: ${names.toSeq}")
+    val stamp = names.head.stripPrefix("part-").takeWhile(_.isDigit).toLong
+    assert(stamp > forgedStamp,
+      s"stamp $stamp not derived from durable state: lexically older than the " +
+        s"stale leftover $forgedStamp — readers would prefer the stale table")
+    // cold re-read (fresh-JVM simulation) sees the post-swap watermark
+    TopicStore.dropCachesForTests(store.root, spark.sparkContext.hadoopConfiguration)
+    assert(store.producerOffsets("t").values.sum == 2L)
+  }
 }

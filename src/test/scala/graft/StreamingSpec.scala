@@ -364,19 +364,35 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       // F2 (same user as F: pairs with nothing) runs one more batch
       // under the advanced watermark, so bucket 0's timer has fired
-      // before L arrives even if the no-data batch didn't run it
+      // (state-row counts below prove it) even if the no-data batch
+      // didn't run it
+      val rowsBeforeReclaim = q.lastProgress.stateOperators(0).numRowsTotal
       mem.addData(StreamOps.ClosedInterval(9L, 2L, 10L * H, 10L * H + 60000000L))
       q.processAllAvailable()
+      // reclaim is observable in the state store: F2 ADDS one bucket-10
+      // row, the fired bucket-0 timer REMOVES A's row — net zero (or
+      // fewer, if the provider also counts timer rows it released)
+      val rowsAfterReclaim = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(rowsAfterReclaim <= rowsBeforeReclaim,
+        s"bucket 0 was not reclaimed: state grew $rowsBeforeReclaim -> " +
+          s"$rowsAfterReclaim after the timer should have cleared it")
       // L: a CONTRACT-VIOLATING 11 h interval covering buckets 0..10 —
-      // on-time by close (so it is processed: it pairs with F in bucket
-      // 10), but its bucket-0 twin A was already reclaimed
+      // it could pair against already-reclaimed buckets, so the duration
+      // contract must fail the query LOUDLY instead of silently dropping
+      // those pairs
       mem.addData(StreamOps.ClosedInterval(2L, 1L, H / 6, 11L * H))
-      q.processAllAvailable()
-      q.stop()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000L)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+          c.getMessage != null && c.getMessage.contains("duration contract")),
+        s"expected the duration-contract require to fail the query, got $ex")
       val got = spark.sql("SELECT ua, ub FROM ovl_ttl_out").as[(Long, Long)].collect().toSet
-      assert(got.contains((2L, 9L)), s"the in-contract bucket-10 pair must emit, got $got")
       assert(!got.contains((1L, 2L)),
-        "bucket 0 was not reclaimed: the contract-violating interval still paired there")
+        "the contract-violating interval paired in bucket 0 before failing")
       spark.sql("DROP VIEW IF EXISTS ovl_ttl_out")
       ()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
