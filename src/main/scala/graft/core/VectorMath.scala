@@ -29,18 +29,47 @@ object VectorMath {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Loud density guard, hoisted OUT of the math loops: verify the first
+    * `n` elements are non-null ONCE, then the FP loop runs unguarded.
+    * For UnsafeArrayData the check is a word-wise scan of the null
+    * bitset (~n/64 loads, no per-element branch); other ArrayData
+    * implementations take one cheap per-element pass — still far
+    * better than interleaving a null branch with every FMA (and 64x
+    * better for srpSignature, which used to re-check per plane).
+    * The rejection stays loud: silent null-as-zero returned confidently
+    * wrong similarities.
+    */
+  private def requireDense(a: ArrayData, n: Int): Unit = {
+    a match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        // layout: [numElements: 8B][null bitset words][values]; a clear
+        // bitset over ALL elements certainly covers the first n
+        val words = (u.numElements().toLong + 63L) >> 6
+        if (!org.apache.spark.unsafe.bitset.BitSetMethods.anySet(
+            u.getBaseObject, u.getBaseOffset + 8L, words))
+          return
+      case _ => ()
+    }
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in a float vector — embeddings must be dense " +
+            "(a silent null-as-zero would return a confidently wrong similarity)")
+      i += 1
+    }
+  }
+
   /** Catalyst-codegen entry point over ArrayData (ArrayType(FloatType)). */
   def cosineArrayData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
+    requireDense(a, n)
+    requireDense(b, n)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"null element at index $i in a float vector — embeddings must be dense " +
-            "(a silent null-as-zero would return a confidently wrong similarity)")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -54,13 +83,11 @@ object VectorMath {
 
   def dotArrayData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
+    requireDense(a, n)
+    requireDense(b, n)
     var dot = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"null element at index $i in a float vector — embeddings must be dense " +
-            "(a silent null-as-zero would return a confidently wrong similarity)")
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -75,14 +102,12 @@ object VectorMath {
   def srpSignature(v: ArrayData, bits: Int, seed: Long): Long = {
     var sig = 0L
     val n = v.numElements()
+    requireDense(v, n)
     var i = 0
     while (i < bits) {
       var dot = 0.0
       var j = 0
       while (j < n) {
-        if (v.isNullAt(j))
-          throw new IllegalArgumentException(
-            s"null element at index $j in a float vector — embeddings must be dense")
         dot += v.getFloat(j).toDouble * planeComponent(seed, i, j)
         j += 1
       }
@@ -146,13 +171,11 @@ object VectorMath {
     */
   def l2SqArrayData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
+    requireDense(a, n)
+    requireDense(b, n)
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"null element at index $i in a float vector — embeddings must be dense " +
-            "(a silent null-as-zero would return a confidently wrong similarity)")
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       s += d * d
       i += 1

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * runs the UNBLOCKED inequality join (`a.s <= b.e AND b.s <= a.e`)
   * instead, so the blocking + dedup discipline is itself independently
   * verified. At 100 TB the hour bucket bounds every join task to
-  * (sessions live that hour)²; a hot hour adds a second blocking key
-  * (user-id shard) the same way q136 two-levels its rank — and the
+  * (sessions live that hour)²; a hot hour is further sharded by a
+  * SECOND blocking key — `pmod(hash(ua), SaltShards)` on the a side,
+  * the b side replicated per shard (q136's two-level discipline), so
+  * a flash-event hour spreads across `SaltShards` tasks instead of
+  * one — and the
   * per-pair output is aggregated before anything global (top-20s via
   * orderBy+limit = TakeOrderedAndProject, never a global window).
   *
@@ -43,24 +46,48 @@ object OverlapOps {
 
   private[graft] def meetingPairs(s: SparkSession, d: String): DataFrame =
     DocOps.Memo.get(memo, s, d) {
-      val g = SessionOps.sessionTable(s, d)
-      def side(p: String) = g.select(
-        col("user_id").as(s"u$p"), col("sid").as(s"s$p"),
-        col("start_us").as(s"${p}s_us"), col("end_us").as(s"${p}e_us"),
-        explode(sequence(
-          expr("start_us DIV 3600000000"),
-          expr("end_us DIV 3600000000"))).as("h"))
-      val pairs = side("a").join(side("b"), Seq("h"))
-        .filter(col("ua") < col("ub"))
-        .withColumn("ovl_us",
-          least(col("ae_us"), col("be_us")) - greatest(col("as_us"), col("bs_us")))
-        .filter(col("ovl_us") > 0L)
-        // count the pair only in its overlap-start bucket
-        .filter(expr("greatest(as_us, bs_us) DIV 3600000000") === col("h"))
-        .select(col("ua"), col("sa"), col("ub"), col("sb"), col("ovl_us"),
-          (expr("greatest(as_us, bs_us) DIV 3600000000") % 24L).as("hod"))
-      pairs.localCheckpoint(true)
+      pairsFromSessions(SessionOps.sessionTable(s, d)).localCheckpoint(true)
     }
+
+  /** How many user-id shards the hour bucket is salted into: the second
+    * blocking key that keeps a hot hour (flash event) from landing its
+    * sessions-squared probe in ONE join task. The a side carries
+    * `pmod(hash(ua), SaltShards)`, the b side is replicated once per
+    * shard value (the q136 two-level discipline), so every pair still
+    * meets EXACTLY once — in the a-user's shard — and each task's probe
+    * work drops to (n_hour / S) x n_hour. Total comparisons are
+    * unchanged (the output is quadratic in concurrent users by
+    * definition); only the per-task bound shrinks S-fold. The b-side
+    * replication adds S x |sessions x covered-hours| shuffle rows —
+    * session envelopes, not payloads, so bytes stay trivial next to the
+    * probe work it redistributes.
+    */
+  private[graft] val SaltShards = 8
+
+  /** The salted hour-blocked overlap self-join over an explicit session
+    * table (user_id, sid, start_us, end_us) — extracted so the skewed-
+    * hour fixture test drives the EXACT production plan.
+    */
+  private[graft] def pairsFromSessions(g: DataFrame): DataFrame = {
+    def side(p: String) = g.select(
+      col("user_id").as(s"u$p"), col("sid").as(s"s$p"),
+      col("start_us").as(s"${p}s_us"), col("end_us").as(s"${p}e_us"),
+      explode(sequence(
+        expr("start_us DIV 3600000000"),
+        expr("end_us DIV 3600000000"))).as("h"))
+    val a = side("a").withColumn("salt", pmod(hash(col("ua")), lit(SaltShards)))
+    val b = side("b").withColumn("salt",
+      explode(sequence(lit(0), lit(SaltShards - 1))))
+    a.join(b, Seq("h", "salt"))
+      .filter(col("ua") < col("ub"))
+      .withColumn("ovl_us",
+        least(col("ae_us"), col("be_us")) - greatest(col("as_us"), col("bs_us")))
+      .filter(col("ovl_us") > 0L)
+      // count the pair only in its overlap-start bucket
+      .filter(expr("greatest(as_us, bs_us) DIV 3600000000") === col("h"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"), col("ovl_us"),
+        (expr("greatest(as_us, bs_us) DIV 3600000000") % 24L).as("hod"))
+  }
 
   /** Unblocked inequality-join twin of `meetingPairs` for the oracle —
     * shares `SessionOps.sessionCte`.

@@ -48,6 +48,55 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("salted overlap join splits a hot hour and matches the brute-force pair set") {
+    import spark.implicits._
+    // flash-event fixture: 60 users all live inside ONE epoch hour
+    // (pairwise overlaps ~ 60^2/2) plus a quiet tail elsewhere — the
+    // exact shape that put sessions-squared in one join task before the
+    // user-id shard salt
+    val H = 3600000000L
+    val hot = (0 until 60).map { u =>
+      (u.toLong, u.toLong * 1000L, 1000L * H + (u % 7) * 60000000L,
+        1000L * H + 3000000000L + (u % 11) * 60000000L)
+    }
+    val tail = (0 until 20).map { u =>
+      (1000L + u, 99000L + u, (2000L + u) * H + 5L, (2000L + u) * H + 600000000L)
+    }
+    val sessions = (hot ++ tail).toDF("user_id", "sid", "start_us", "end_us")
+
+    val got = graft.operators.OverlapOps.pairsFromSessions(sessions)
+      .select("ua", "sa", "ub", "sb", "ovl_us", "hod")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // exactly once per pair, even with the b side replicated per shard
+    assert(got.distinct.length == got.length, "a pair met in more than one shard")
+
+    // brute-force O(n^2) reference over the fixture
+    val all = hot ++ tail
+    val want = (for {
+      a <- all; b <- all
+      if a._1 < b._1
+      s0 = math.max(a._3, b._3); e0 = math.min(a._4, b._4)
+      if e0 - s0 > 0L
+    } yield (a._1, a._2, b._1, b._2, e0 - s0, (s0 / H) % 24L)).toSet
+    assert(want.size > 1500, s"degenerate fixture: ${want.size} pairs")
+    assert(got.toSet == want,
+      s"salted plan diverged from brute force: got ${got.length}, want ${want.size}")
+
+    // no single-task hour: the hot hour's probe side now spans ALL
+    // SaltShards blocking keys, with no shard holding more than ~2x the
+    // even share (murmur3 spread over 60 users)
+    val S = graft.operators.OverlapOps.SaltShards
+    val shards = sessions
+      .select(col("user_id"), expr("start_us DIV 3600000000").as("h"))
+      .where(col("h") === 1000L)
+      .withColumn("salt", pmod(hash(col("user_id")), lit(S)))
+      .groupBy("salt").count().as[(Int, Long)].collect()
+    assert(shards.length == S, s"hot hour covers ${shards.length}/$S shards")
+    val maxShare = shards.map(_._2).max
+    assert(maxShare <= 2L * 60L / S,
+      s"one shard holds $maxShare of 60 hot-hour sessions — salt not spreading")
+  }
+
   test("bucketed co-located join runs with zero shuffle exchanges") {
     val warehouse = Files.createTempDirectory("graft-buckets").toString
     val orders = Graft.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
