@@ -2354,9 +2354,15 @@ class TopicStore(
     * poll serving an ancestor must never race the delete. Returns
     * deleted file count.
     */
-  def sweepStaleGenerations(topic: String): Int = withTopicMaintenance(topic) {
+  def sweepStaleGenerations(topic: String, requireGroups: Boolean = false): Int =
+    withTopicMaintenance(topic) {
     val chain = generations(topic)
     val groups = knownGroups(topic, chain)
+    // the "no known groups -> reclaim ALL ancestors" branch is an ADMIN
+    // assertion (nobody is consuming); the background sweeper has no
+    // admin asserting, so its cadence passes requireGroups = true and a
+    // group-less topic keeps its ancestors until a human calls this
+    if (requireGroups && groups.isEmpty) return 0
     val reclaimable = chain.init.takeWhile { g =>
       groups.forall { gr =>
         val high = producerOffsetsFor(topic, g)
@@ -2424,6 +2430,15 @@ class TopicStore(
     deleted
   }
 
+  /** Maintenance observability (the C10 companion of the sweeper): a
+    * persistently failing sweep was invisible (the loop retries next
+    * tick), and lineage chain depth is the cost every poll's chain walk
+    * pays. Counters are per store INSTANCE — the instance that runs
+    * `startRetentionSweeper` is the serving store whose `/metrics`
+    * endpoint exports them.
+    */
+  val maintenanceStats = new MaintenanceStats
+
   /** Background retention: sweep every topic on a fixed cadence — the
     * reference's datalog cleaner loop (5-min cadence, 168 h default
     * retention; `internal/data/datalog_cleaner.go:16-100`,
@@ -2460,6 +2475,10 @@ class TopicStore(
       val t = new Thread(r, "graft-retention"); t.setDaemon(true); t
     })
     exec.scheduleWithFixedDelay(() => {
+      // failures are COUNTED, never silently eaten: the sweeper retries
+      // next tick either way, but a persistently failing sweep (e.g. a
+      // permissions change) is now visible on /metrics
+      var maxDepth = 0L
       try {
         sweepStages() // orphaned concurrent-produce staging (age-gated)
         if (pathExists(dataDir)) {
@@ -2467,20 +2486,37 @@ class TopicStore(
             val name = dir.getPath.getName
             if (name.startsWith("topic=")) {
               val topic = unescapeDir(name.stripPrefix("topic="))
-              val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
-              retentionSweep(topic, cutoff)
-              // fold small segment files on the same cadence: the
-              // serving coalescers write one file per touched partition
-              // per flush (the reference rotates 1 GiB segments in
-              // place — parquet cannot append), so without background
-              // compaction the FILE COUNT, not the byte count, becomes
-              // the scan bottleneck. Driver-side k-way merge — cheap.
-              compact(topic)
-              ()
+              try {
+                val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - retentionMs)
+                retentionSweep(topic, cutoff)
+                // fold small segment files on the same cadence: the
+                // serving coalescers write one file per touched partition
+                // per flush (the reference rotates 1 GiB segments in
+                // place — parquet cannot append), so without background
+                // compaction the FILE COUNT, not the byte count, becomes
+                // the scan bottleneck. Driver-side k-way merge — cheap.
+                compact(topic)
+                // reclaim drained-ancestor generations on the same
+                // cadence (the reference's datalog cleaner deletes old-
+                // generation dirs once consumers move past them) —
+                // group-gated here: without a committed group attesting
+                // the drain, the cadence must not take the admin-only
+                // reclaim-all branch (a streaming reader with no group
+                // would lose its history silently)
+                val reclaimed = sweepStaleGenerations(topic, requireGroups = true)
+                maintenanceStats.staleFilesReclaimed.addAndGet(reclaimed.toLong)
+                maxDepth = math.max(maxDepth, generations(topic).size.toLong)
+                ()
+              } catch { case _: InterruptedException => throw new InterruptedException
+                case _: Throwable =>
+                  maintenanceStats.sweepFailures.incrementAndGet(); () }
             }
           }
         }
-      } catch { case _: Throwable => () } // sweep again next tick
+        maintenanceStats.chainDepth.set(maxDepth)
+      } catch { case _: InterruptedException => ()
+        case _: Throwable =>
+          maintenanceStats.sweepFailures.incrementAndGet(); () } // next tick
     }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => { exec.shutdownNow(); () }
   }
@@ -2885,3 +2921,16 @@ object TopicStore {
   * generation pins its topology until the next split/join).
   */
 case class Generation(version: Int, clusterSize: Int)
+
+/** Per-store maintenance counters (see `TopicStore.maintenanceStats`). */
+final class MaintenanceStats {
+  /** Sweeper tick bodies that threw (retention, compaction, or stale-
+    * generation sweep) — a steadily climbing value means a persistent
+    * failure (e.g. a permissions change), not transient contention. */
+  val sweepFailures = new java.util.concurrent.atomic.AtomicLong
+  /** Data files reclaimed by the cadence stale-generation sweep. */
+  val staleFilesReclaimed = new java.util.concurrent.atomic.AtomicLong
+  /** Gauge: longest live generation chain across topics at the last
+    * completed sweep tick (1 = fully reclaimed lineage). */
+  val chainDepth = new java.util.concurrent.atomic.AtomicLong
+}

@@ -65,6 +65,7 @@ class RestServer(
   // ------------------------------------------------------ produce pipeline
 
   val metrics = new EngineMetrics
+  metrics.maintenance = Some(store.maintenanceStats)
 
   /** The shared produce batcher. PUBLIC so a co-hosted binary producer
     * server shares it: one coalescer means one Spark produce job per

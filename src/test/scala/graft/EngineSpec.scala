@@ -1482,6 +1482,51 @@ class EngineSpec extends AnyFunSuite {
     maxAfter.foreach { case (p, m) => assert(m < store.producerOffsets("p")(p)) }
   }
 
+  test("the sweeper tick reclaims drained ancestors, group-gated, and keeps stats") {
+    val store = freshStore()
+    store.produceStrings("t", (0 until 12).map(i => ("k", s"m$i", ts(i))))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    store.poll("g", "t", "c").collect() // drain generation 1 fully
+    store.rescale("t", 6)
+    assert(store.generations("t").map(_.version) == Seq(1, 2))
+    val sweeper = store.startRetentionSweeper(
+      intervalMs = 150L, retentionMs = 1000L * 3600 * 24 * 365 * 10)
+    try {
+      var waited = 0
+      while (store.generations("t").size > 1 && waited < 20000) {
+        Thread.sleep(250); waited += 250
+      }
+      assert(store.generations("t") == Seq(graft.engine.Generation(2, 6)),
+        "cadence never reclaimed the drained ancestor")
+      assert(store.maintenanceStats.staleFilesReclaimed.get() > 0L)
+      assert(store.maintenanceStats.sweepFailures.get() == 0L,
+        "healthy sweeps must not count failures")
+      // the gauge settles at the post-reclaim depth on the next tick
+      waited = 0
+      while (store.maintenanceStats.chainDepth.get() != 1L && waited < 20000) {
+        Thread.sleep(250); waited += 250
+      }
+      assert(store.maintenanceStats.chainDepth.get() == 1L)
+    } finally sweeper.close()
+
+    // group-less topic: the CADENCE must not take the admin-only
+    // reclaim-all branch — a streaming reader with no committed group
+    // would lose history silently; the manual call still reclaims
+    val s2 = freshStore()
+    s2.produceStrings("u", (0 until 6).map(i => ("k", s"m$i", ts(i))))
+    s2.rescale("u", 6)
+    assert(s2.generations("u").map(_.version) == Seq(1, 2))
+    val sw2 = s2.startRetentionSweeper(
+      intervalMs = 150L, retentionMs = 1000L * 3600 * 24 * 365 * 10)
+    try {
+      Thread.sleep(1200) // several ticks
+      assert(s2.generations("u").map(_.version) == Seq(1, 2),
+        "cadence reclaimed a group-less topic's ancestors")
+    } finally sw2.close()
+    assert(s2.sweepStaleGenerations("u") > 0, "manual admin sweep must still reclaim")
+    assert(s2.generations("u").map(_.version) == Seq(2))
+  }
+
   test("meta-swap stamps stay monotonic past a stale future-stamped leftover") {
     val store = freshStore()
     store.produceStrings("t", Seq(("k", "v1", ts(0))))

@@ -535,4 +535,29 @@ class RestServerSpec extends AnyFunSuite {
         s"old group still routes partitions to the moved consumer: ${parts.size}")
     } finally server.stop()
   }
+
+  test("/metrics exports the maintenance sweep counters and chain-depth gauge") {
+    val store = new TopicStore(spark, Files.createTempDirectory("graft-rest").toString)
+    val server = new RestServer(store, port = 0, coalesceMs = 20L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    val sweeper = store.startRetentionSweeper(
+      intervalMs = 150L, retentionMs = 1000L * 3600 * 24 * 365 * 10)
+    try {
+      store.produceStrings("t", (0 until 6).map(i =>
+        ("k", s"m$i", new java.sql.Timestamp(1700000000000L + i))))
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      store.poll("g", "t", "c").collect()
+      store.rescale("t", 6)
+      var waited = 0
+      while (store.maintenanceStats.chainDepth.get() != 1L && waited < 20000) {
+        Thread.sleep(250); waited += 250
+      }
+      val m = get(base, "/metrics")
+      assert(m.statusCode() == 200)
+      assert(m.body().contains("graft_maintenance_sweep_failures_total 0"), m.body())
+      assert("graft_stale_generation_files_reclaimed_total (\\d+)".r
+        .findFirstMatchIn(m.body()).exists(_.group(1).toLong >= 1L), m.body())
+      assert(m.body().contains("graft_topic_chain_depth 1"), m.body())
+    } finally { sweeper.close(); server.stop() }
+  }
 }
