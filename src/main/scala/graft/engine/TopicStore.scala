@@ -293,6 +293,22 @@ class TopicStore(
     try body finally w.unlock()
   }
 
+  // Cross-PROCESS single-writer guard (the in-JVM locks above only
+  // serialize threads of one process): every mutating path — produce,
+  // maintenance, group commit — first asserts this JVM holds the root's
+  // plane lease (graft.engine.PlaneLease: epoch-fenced lease file under
+  // `_meta/_plane`). A second JVM opening the produce plane on a leased
+  // root fails LOUDLY instead of racing the watermark/commit
+  // read-modify-write. Hot-path cost once acquired: one map lookup.
+  // TTL override: spark.graft.planeLeaseTtlMs (session conf).
+  private lazy val planeLeaseTtlMs: Long =
+    spark.conf.getOption("spark.graft.planeLeaseTtlMs").map(_.toLong)
+      .getOrElse(PlaneLease.DefaultTtlMs)
+
+  private def ensurePlaneOwned(): Unit =
+    PlaneLease.ensureOwned(lockRootKey, root,
+      spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+
   // normalized through the root's FileSystem so scheme-variant spellings
   // of one directory ("/x/y", "file:///x/y", trailing slash) share locks
   private lazy val lockRootKey: String =
@@ -394,7 +410,8 @@ class TopicStore(
         p.expressions.exists(e => !e.deterministic)
     }.isEmpty
 
-  private def produceInto(topic: String, records: DataFrame, g: Generation): Long =
+  private def produceInto(topic: String, records: DataFrame, g: Generation): Long = {
+    ensurePlaneOwned()
     inServingPool { produceLock.synchronized { exclusivePlane {
     val bases: Map[Int, Long] = producerOffsetsFor(topic, g)
     val keyed = ringAssigned(records, g)
@@ -458,7 +475,7 @@ class TopicStore(
     // offsets rewrite (streaming ingest may deliver empty micro-batches)
     if (counts.nonEmpty) writeOffsets(producerMeta, producerScopeFor(topic, g), merged)
     merged.values.sum
-  } } }
+  } } } }
 
   /** Horizontal-plane produce: the same contract as [[produce]] (per-key
     * total order, contiguous per-partition offsets, durable before
@@ -500,6 +517,7 @@ class TopicStore(
     */
   def produceConcurrent(topic: String, records: DataFrame): Long = {
     if (!deterministicPlan(records)) return produce(topic, records)
+    ensurePlaneOwned()
     val rl = producePlane.readLock()
     rl.lock()
     try inServingPool {
@@ -608,6 +626,7 @@ class TopicStore(
     */
   def produceLocal(topic: String, rows: Seq[TopicStore.LocalRecord]): Long = {
     if (rows.isEmpty) return 0L
+    ensurePlaneOwned()
     val rl = producePlane.readLock()
     rl.lock()
     try inServingPool {
@@ -1321,7 +1340,8 @@ class TopicStore(
       topic: String,
       next: Map[Int, Long],
       origin: String = "",
-      version: Int = -1): Map[Int, Long] =
+      version: Int = -1): Map[Int, Long] = {
+    ensurePlaneOwned()
     TopicStore.scopedLockFor(s"$lockRootKey|commit|$group/$topic").synchronized {
     // ONE chain read pins both the liveness check and the offsets scope:
     // with separate reads, a sweep removing the generation between them
@@ -1342,7 +1362,7 @@ class TopicStore(
     if (accepted.nonEmpty)
       writeOffsets(groupMeta, scope, cur ++ accepted)
     accepted
-  }
+  } }
 
   private def producerScope(topic: String): String =
     producerScopeFor(topic, generation(topic))
@@ -1753,6 +1773,7 @@ class TopicStore(
     * exclusive ownership of the topic's files.
     */
   def withTopicMaintenance[T](topic: String)(body: => T): T = {
+    ensurePlaneOwned()
     val l = topicLock(topic).writeLock(); l.lock()
     try body finally l.unlock()
   }
@@ -2740,9 +2761,12 @@ object TopicStore {
   // operationally small (an entry is one lock object), so these two stay
   // strongly held; the higher-churn scoped-lock table below is
   // weak-valued instead.
-  // (Cross-JVM coordination is out of scope by design: the engine is a
-  // single serving driver; multi-node deployments get coherence from the
-  // generation dimension + deferred deletes, not file locks.)
+  // (Cross-JVM coordination: these locks serialize THREADS of one
+  // process; the cross-PROCESS single-writer guarantee is the epoch-
+  // fenced plane lease — graft.engine.PlaneLease, asserted by every
+  // mutating path via ensurePlaneOwned — so a second JVM opening the
+  // produce plane on a leased root fails loudly instead of racing the
+  // watermark. Read-only observers need no lease.)
   private val globalTopicLocks = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.locks.ReentrantReadWriteLock]()
   private val globalProduceLocks =

@@ -540,8 +540,10 @@ object DocOps {
     * column, so the whole stage stays inside whole-stage codegen — the
     * batched-UDF shape a REAL decoder needs (per-partition library state,
     * mapInPandas-style batches) lives in q46, which is the legitimate
-    * escape hatch; metadata that is expressible as columns should never
-    * leave codegen for it.
+    * escape hatch — and `Multimodal.q278` runs a REAL codec (javax.imageio
+    * PNG decode + integer bilinear resize) through that exact shape with
+    * a pixel-exact oracle; metadata that is expressible as columns should
+    * never leave codegen for it.
     */
   val q26: Q = (s, d) =>
     docs(s, d)

@@ -11,7 +11,9 @@ import graft.Graft
   * (this container carries no media libs — SURVEY §2.7 / builder brief),
   * but the schema, partitioning, batch iteration and explode patterns are
   * the real ones: swap the stub body for an actual codec and nothing else
-  * changes.
+  * changes — PROVEN by q278, which runs a real codec (javax.imageio PNG
+  * encode -> decode -> integer bilinear resize) through the identical
+  * batch-iterator shape with a pixel-exact oracle.
   *
   * Scale: both ops are embarrassingly parallel over the payload column —
   * no shuffle at all until a downstream aggregation; frame explosion
@@ -105,7 +107,8 @@ object Multimodal {
     * "thumbnail" — the resize kernel of an image-preprocessing stage, with
     * the same batch-iterator shape as q46 (swap the strided byte pick for
     * a real bilinear resampler over decoded pixels and nothing else
-    * changes). Emits the resampled length and an integer checksum of the
+    * changes — q278 IS that swap: a real PNG decode + integer bilinear
+    * resampler in this exact shape, pixel-exact against its oracle). Emits the resampled length and an integer checksum of the
     * sampled bytes so the oracle gate verifies the exact kernel
     * arithmetic, not just row counts. Embarrassingly parallel, no
     * shuffle until the final order.
@@ -247,10 +250,115 @@ object Multimodal {
       |SELECT doc_a, doc_b, hamming FROM pairs
       |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q278
+  /** REAL image-codec kernel (r9): synthesize a deterministic 32x32 RGB
+    * image per document — each channel an integer formula of
+    * (doc_id, x, y) — ENCODE it to actual PNG bytes (javax.imageio; the
+    * opaque binary image column a multimodal pipeline carries), then run
+    * the kernel under test: DECODE the PNG back to pixels and
+    * BILINEAR-resize it 4x down with half-pixel alignment. At an exact
+    * 4x scale the half-pixel sample centers land midway between the 2x2
+    * center pixels of each block, so bilinear = their equal-weight
+    * average — computed per channel in INTEGER arithmetic (floor
+    * division), which makes the kernel engine-exact. PNG is lossless, so
+    * the DuckDB oracle re-derives every output pixel from the FORMULA
+    * alone: the decode + resample arithmetic is verified PIXEL-EXACT
+    * (positional weighted sum included, so a transposed or re-ordered
+    * pixel fails the gate) with no fixture and no codec on the oracle
+    * side. Same mapPartitions batch-iterator shape as q46/q101 —
+    * embarrassingly parallel over documents, no shuffle until the final
+    * order — and swapping the synthetic payload for a real image column
+    * changes nothing downstream of the `png` val.
+    */
+  val q278: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val W = 32
+        val OW = 8
+        it.map { id =>
+          // synthesize + encode: a REAL PNG payload (TYPE_INT_RGB)
+          val img = new java.awt.image.BufferedImage(
+            W, W, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < W) {
+            var x = 0
+            while (x < W) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray
+
+          // the kernel under test: real decode + integer bilinear 4x down
+          val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          require(dec != null && dec.getWidth == W && dec.getHeight == W,
+            s"PNG decode failed for doc $id")
+          var checksum = 0L
+          var wsum = 0L
+          var oy = 0
+          while (oy < OW) {
+            var ox = 0
+            while (ox < OW) {
+              var rs = 0; var gs = 0; var bs = 0
+              var dy = 1
+              while (dy <= 2) {
+                var dx = 1
+                while (dx <= 2) {
+                  val p = dec.getRGB(4 * ox + dx, 4 * oy + dy)
+                  rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              val v = ((rs / 4).toLong << 16) + ((gs / 4).toLong << 8) + (bs / 4).toLong
+              checksum += v
+              wsum += (oy * OW + ox + 1).toLong * v
+              ox += 1
+            }
+            oy += 1
+          }
+          (id, OW, OW, checksum, wsum)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "checksum", "wsum")
+      .orderBy("doc_id")
+  }
+
+  val q278Sql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, g.ox, g.oy, g.dx, g.dy,
+      |    ((d.doc_id * 31 + (4 * g.ox + g.dx) * 7 + (4 * g.oy + g.dy) * 13) % 256) AS r,
+      |    ((d.doc_id * 17 + (4 * g.ox + g.dx) * 11 + (4 * g.oy + g.dy) * 3) % 256) AS g2,
+      |    ((d.doc_id * 23 + (4 * g.ox + g.dx) * 5 + (4 * g.oy + g.dy) * 19) % 256) AS b
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN (
+      |    SELECT ox.ox, oy.oy, dx.dx, dy.dy
+      |    FROM (SELECT UNNEST(range(0, 8)) AS ox) ox,
+      |         (SELECT UNNEST(range(0, 8)) AS oy) oy,
+      |         (SELECT UNNEST([1, 2]) AS dx) dx,
+      |         (SELECT UNNEST([1, 2]) AS dy) dy) g),
+      |agg AS (
+      |  SELECT doc_id, ox, oy,
+      |    (sum(r) // 4) AS r, (sum(g2) // 4) AS g, (sum(b) // 4) AS b
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      |  CAST(sum(r * 65536 + g * 256 + b) AS BIGINT) AS checksum,
+      |  CAST(sum((oy * 8 + ox + 1) * (r * 65536 + g * 256 + b)) AS BIGINT) AS wsum
+      |FROM agg GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q45_frame_sample", q45, Some(q45Sql)),
     ("q46_mm_features", q46, Some(q46Sql)),
     ("q101_resize_stub", q101, Some(q101Sql)),
-    ("q120_phash_dedup", q120, Some(q120Sql))
+    ("q120_phash_dedup", q120, Some(q120Sql)),
+    ("q278_image_decode_resize", q278, Some(q278Sql))
   )
 }

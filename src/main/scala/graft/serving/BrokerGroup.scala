@@ -79,9 +79,14 @@ class ShardRouter(store: TopicStore, shards: IndexedSeq[ProduceChannel])
   * plane.
   *
   * On a real cluster the brokers would be separate JVMs over shared
-  * storage — the store's produce plane (JVM-global locks per root) is the
-  * piece that would move to a coordination service; the serving shape,
-  * routing, and discovery contract are what this class pins.
+  * storage. The cross-process seam exists since r9: the store's produce/
+  * maintenance plane asserts the epoch-fenced PLANE LEASE
+  * (`graft.engine.PlaneLease` — one writer JVM per root, loud rejection
+  * of a second, heartbeat + epoch takeover on crash), so scaling the
+  * ingest plane across processes means fronting ONE lease-holding writer
+  * per root — or sharding topics across roots, each with its own lease;
+  * the serving shape, routing, and discovery contract are what this
+  * class pins.
   */
 class BrokerGroup(
     val store: TopicStore,

@@ -1,0 +1,26 @@
+package graft
+
+/** Forked-JVM probe for the two-process plane-lease test: tries to open
+  * the produce/maintenance plane on the given root exactly as a second
+  * store process would (no SparkSession needed — the lease is pure
+  * Hadoop FS). Exit 0 = acquired, 7 = rejected loudly, 1 = unexpected.
+  */
+object LeaseProbeChild {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rootKey = graft.engine.TopicStore.normalizeRoot(root, conf)
+    try {
+      graft.engine.PlaneLease.ensureOwned(rootKey, root, conf)
+      println("ACQUIRED")
+      System.exit(0)
+    } catch {
+      case e: graft.engine.PlaneLeaseHeldException =>
+        println("HELD " + e.getMessage)
+        System.exit(7)
+      case e: Throwable =>
+        e.printStackTrace()
+        System.exit(1)
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{PlaneFencedException, PlaneLease, PlaneLeaseHeldException, TopicStore}
+
+/** Cross-process single-writer lease specs (the C1 generation-transaction
+  * analog collapsed to a lease per root,
+  * `internal/ownership/process_local.go:16-209`): in-JVM protocol units
+  * plus REAL two-process tests via a forked probe JVM.
+  */
+class PlaneLeaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("lease-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def hconf = new org.apache.hadoop.conf.Configuration()
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  private def leaseDir(root: String) = new java.io.File(s"$root/_meta/_plane")
+
+  private def writeForeignLease(root: String, epoch: Long, owner: String,
+      ageMs: Long = 0L): java.io.File = {
+    val dir = leaseDir(root)
+    dir.mkdirs()
+    val f = new java.io.File(dir, f"lease-$epoch%020d")
+    java.nio.file.Files.write(f.toPath, owner.getBytes("UTF-8"))
+    if (ageMs > 0L) { f.setLastModified(System.currentTimeMillis() - ageMs); () }
+    f
+  }
+
+  test("first mutating op acquires the root's lease; held roots are free") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", Seq(("k", "v", ts(0))))
+    val files = leaseDir(root).listFiles()
+    assert(files != null && files.count(_.getName.startsWith("lease-")) == 1)
+    val lease = files.find(_.getName.startsWith("lease-")).get
+    assert(new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
+      == PlaneLease.ownerId)
+    // same JVM, second store instance over the root: shares the lease
+    val second = new TopicStore(spark, root)
+    second.produceStrings("t", Seq(("k", "v2", ts(1))))
+    assert(leaseDir(root).listFiles().count(_.getName.startsWith("lease-")) == 1)
+  }
+
+  test("a live foreign lease rejects this process's produce loudly") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    writeForeignLease(root, 5L, "other-process@elsewhere")
+    val store = new TopicStore(spark, root)
+    val ex = intercept[PlaneLeaseHeldException] {
+      store.produceStrings("t", Seq(("k", "v", ts(0))))
+    }
+    assert(ex.getMessage.contains("other-process@elsewhere"))
+    assert(ex.getMessage.contains("epoch 5"))
+  }
+
+  test("a stale foreign lease is fenced by claiming the next epoch") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val rootKey = TopicStore.normalizeRoot(root, hconf)
+    writeForeignLease(root, 5L, "dead-process@elsewhere", ageMs = 3600 * 1000L)
+    PlaneLease.ensureOwned(rootKey, root, hconf, ttlMs = 1000L)
+    val names = leaseDir(root).listFiles().map(_.getName).filter(_.startsWith("lease-"))
+    assert(names.toSeq == Seq(f"lease-${6L}%020d"),
+      s"expected the successor epoch to replace the stale lease, got ${names.toSeq}")
+  }
+
+  test("a superseding epoch fences this process's lease at the next heartbeat") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val rootKey = TopicStore.normalizeRoot(root, hconf)
+    PlaneLease.ensureOwned(rootKey, root, hconf)
+    // a usurper (another process after our missed heartbeats) claims +1
+    writeForeignLease(root, 2L, "usurper@elsewhere")
+    PlaneLease.heartbeatTick()
+    val ex = intercept[PlaneFencedException] {
+      PlaneLease.ensureOwned(rootKey, root, hconf)
+    }
+    assert(ex.getMessage.contains("superseded"))
+    PlaneLease.dropForTests(rootKey, hconf) // clear the fence for other suites
+  }
+
+  test("two processes: a forked JVM's acquisition on our leased root exits 7") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val store = new TopicStore(spark, root)
+    store.produceStrings("t", Seq(("k", "v", ts(0)))) // we hold the lease
+    val (code, out) = probe(root)
+    assert(code == 7, s"child must be rejected loudly, exit=$code out=$out")
+    assert(out.contains("HELD") && out.contains(PlaneLease.ownerId.take(12)),
+      s"rejection must name the owner: $out")
+  }
+
+  test("two processes: our produce on a root leased by a forked JVM fails loudly") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val (code, out) = probe(root)
+    assert(code == 0 && out.contains("ACQUIRED"), s"child acquire failed: $code $out")
+    val store = new TopicStore(spark, root)
+    val ex = intercept[PlaneLeaseHeldException] {
+      store.produceStrings("t", Seq(("k", "v", ts(0))))
+    }
+    assert(ex.getMessage.contains("leased by"), ex.getMessage)
+  }
+
+  /** Fork a real probe JVM against `root`: (exit code, combined output). */
+  private def probe(root: String): (Int, String) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.LeaseProbeChild", root)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) { proc.destroyForcibly(); fail(s"probe JVM hung; output so far: $out") }
+    (proc.exitValue(), out)
+  }
+}

@@ -548,8 +548,14 @@ class RestServerSpec extends AnyFunSuite {
       store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
       store.poll("g", "t", "c").collect()
       store.rescale("t", 6)
+      // wait on the RECLAIM itself (a pre-rescale tick can already set
+      // the depth gauge to 1), then on the gauge settling post-reclaim
       var waited = 0
-      while (store.maintenanceStats.chainDepth.get() != 1L && waited < 20000) {
+      while (store.maintenanceStats.staleFilesReclaimed.get() == 0L && waited < 30000) {
+        Thread.sleep(250); waited += 250
+      }
+      waited = 0
+      while (store.maintenanceStats.chainDepth.get() != 1L && waited < 30000) {
         Thread.sleep(250); waited += 250
       }
       val m = get(base, "/metrics")
