@@ -209,18 +209,29 @@ object OverlapOps {
     * times a user's b event lands STRICTLY after an a event within one
     * hour, and how many users exhibit it — the batch analog of the
     * stream-stream interval join (`StreamOps.intervalJoin`), on the
-    * event-TIME band where q39 bands values. One user-key equi-join
-    * with the band predicate: each join task is per-user bounded (a
-    * user's pairs ≤ events × events-per-hour — rate-bounded, not
-    * corpus-bounded; a firehose user adds an hour-bucket second key
-    * the q136 way). |types|² output, pure integer counts.
+    * event-TIME band where q39 bands values. One (user, hour-bucket) equi-join
+    * with the band predicate, the a side replicated to its two candidate
+    * buckets (band ≤ 1 h ⇒ b is in a's bucket or the next, r9): each
+    * join task is bounded by a user's events-per-hour squared —
+    * rate-bounded even for a firehose user, the q259 second-blocking-key
+    * discipline. |types|² output, pure integer counts.
     */
   val q270: Q = (s, d) => {
     val e = graft.Graft.events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // hour-bucket SECOND blocking key (r9, the q259 discipline): the
+    // band is <= 1 h, so a qualifying b lands in a's hour bucket or the
+    // next one — replicate the a side to both, equi-join on
+    // (user, bucket), and the strict band predicate keeps exactness.
+    // Each pair matches EXACTLY once (b's bucket picks one replica), and
+    // a firehose user's task bound drops from (events)^2 to
+    // 2 x (events-per-hour)^2 per (user, hour) key.
     val a = e.select(col("user_id"), col("event_type").as("a_type"), col("us").as("a_us"))
+      .withColumn("hb", explode(array(
+        expr("a_us DIV 3600000000"), expr("a_us DIV 3600000000 + 1"))))
     val b = e.select(col("user_id"), col("event_type").as("b_type"), col("us").as("b_us"))
-    a.join(b, Seq("user_id"))
+      .withColumn("hb", expr("b_us DIV 3600000000"))
+    a.join(b, Seq("user_id", "hb"))
       .filter(col("b_us") > col("a_us") && col("b_us") - col("a_us") <= 3600000000L)
       .groupBy(col("a_type"), col("b_type"))
       .agg(count(lit(1)).as("n_pairs"),
