@@ -1664,6 +1664,10 @@ class TopicStore(
         consumerId: String,
         topics: Seq[String],
         onNewGroup: StartFrom.Value = StartFrom.Latest): Unit = {
+      // registration persists the group row (`_meta/groups`): a write,
+      // so it sits behind the cross-process plane lease like every other
+      // mutating path (consumers register through the serving driver)
+      ensurePlaneOwned()
       // warm the watermark reconcile OUTSIDE the registry lock: the first
       // producerOffsets per (topic, generation) runs a Spark scan, and
       // holding the lock through it would stall every concurrent

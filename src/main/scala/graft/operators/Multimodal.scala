@@ -354,11 +354,92 @@ object Multimodal {
       |  CAST(sum((oy * 8 + ox + 1) * (r * 65536 + g * 256 + b)) AS BIGINT) AS wsum
       |FROM agg GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q279
+  /** REAL audio-codec kernel (r9, the q278 discipline on the audio
+    * modality): synthesize a deterministic 2048-sample 16-bit PCM mono
+    * clip per document (each sample an integer formula of (doc_id, i)),
+    * ENCODE it to actual WAV bytes (javax.sound.sampled — JDK built-in,
+    * the opaque binary audio column a pipeline carries), then the kernel
+    * under test: DECODE the WAV back to samples and window them into
+    * 256-sample frames, emitting per-document integer frame statistics
+    * (total / max absolute amplitude, position-weighted sum — the
+    * energy-profile shape a feature extractor feeds downstream). PCM WAV
+    * is lossless, so the DuckDB oracle re-derives every sample from the
+    * FORMULA alone: the decode + framing arithmetic is verified
+    * SAMPLE-EXACT with no fixture and no codec on the oracle side. Same
+    * mapPartitions batch-iterator shape as q46/q101/q278.
+    */
+  val q279: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val N = 2048
+        val FRAME = 256
+        it.map { id =>
+          // synthesize + encode: a REAL WAV payload (PCM s16le mono 8 kHz)
+          val pcm = new Array[Byte](N * 2)
+          var i = 0
+          while (i < N) {
+            val v = (((id * 31 + i.toLong * i * 7 + i.toLong * 13) % 65536L) - 32768L).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, N.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val wav = bos.toByteArray
+
+          // the kernel under test: real WAV decode + frame statistics
+          val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val df = dec.getFormat
+          require(df.getSampleSizeInBits == 16 && df.getChannels == 1 &&
+            !df.isBigEndian, s"unexpected decoded WAV format for doc $id: $df")
+          val bytes = dec.readAllBytes()
+          require(bytes.length == N * 2,
+            s"WAV decode returned ${bytes.length} bytes for doc $id, wanted ${N * 2}")
+          var totalAbs = 0L
+          var maxAbs = 0L
+          var wsum = 0L
+          i = 0
+          while (i < N) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            val a = math.abs(v)
+            totalAbs += a
+            if (a > maxAbs) maxAbs = a
+            wsum += (i / FRAME + 1).toLong * a
+            i += 1
+          }
+          (id, N / FRAME, totalAbs, maxAbs, wsum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "total_abs", "max_abs", "wsum")
+      .orderBy("doc_id")
+  }
+
+  val q279Sql: String =
+    """WITH sm AS (
+      |  SELECT d.doc_id, i.i,
+      |    ((d.doc_id * 31 + i.i * i.i * 7 + i.i * 13) % 65536) - 32768 AS v
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT UNNEST(range(0, 2048)) AS i) i)
+      |SELECT doc_id, CAST(8 AS INT) AS n_frames,
+      |  CAST(sum(abs(v)) AS BIGINT) AS total_abs,
+      |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
+      |  CAST(sum(((i // 256) + 1) * abs(v)) AS BIGINT) AS wsum
+      |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q45_frame_sample", q45, Some(q45Sql)),
     ("q46_mm_features", q46, Some(q46Sql)),
     ("q101_resize_stub", q101, Some(q101Sql)),
     ("q120_phash_dedup", q120, Some(q120Sql)),
-    ("q278_image_decode_resize", q278, Some(q278Sql))
+    ("q278_image_decode_resize", q278, Some(q278Sql)),
+    ("q279_audio_decode_frames", q279, Some(q279Sql))
   )
 }
