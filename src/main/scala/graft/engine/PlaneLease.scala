@@ -192,6 +192,10 @@ object PlaneLease {
         t.setDaemon(true)
         t
       })
+      // one global beat at DefaultTtl/4: a per-root ttl OVERRIDE shorter
+      // than that is honored for acquisition/takeover decisions but is
+      // not kept alive between beats — short TTLs are a test/dev knob,
+      // not a production cadence
       beater.scheduleWithFixedDelay(() => heartbeatTick(),
         DefaultTtlMs / 4, DefaultTtlMs / 4, TimeUnit.MILLISECONDS)
       ()
