@@ -36,7 +36,13 @@ final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
   * one winner (O_CREAT|O_EXCL via NIO on the local filesystem — Hadoop's
   * local `create(overwrite=false)` is check-then-create and local
   * `rename` overwrites, so neither is exclusive there; HDFS `create`
-  * IS atomic create-exclusive).
+  * IS atomic create-exclusive). HONEST caveat: object stores whose
+  * Hadoop connector lacks atomic create-exclusive (classic S3A does a
+  * HEAD-then-PUT) get a narrow check-then-create window on simultaneous
+  * first acquisition — still a vast improvement over no guard (steady-
+  * state rejection and fencing are unaffected), and closable by a
+  * connector with conditional writes (S3 If-None-Match, GCS
+  * generation-match) without touching callers.
   *
   * Epoch fencing: a crashed owner's lease goes stale after TTL and a
   * successor claims epoch+1. If a paused owner (GC pause, VM migration)
@@ -235,6 +241,13 @@ object PlaneLease {
       } catch { case _: Exception => () } // transient FS hiccup: next tick
     }
   }
+
+  /** The epoch this JVM holds for a root, if any — the `/metrics`
+    * gauge's source (an epoch INCREASE across scrapes means a takeover
+    * happened somewhere: alert-worthy).
+    */
+  private[graft] def heldEpoch(rootKey: String): Option[Long] =
+    Option(held.get(rootKey)).map(_.epoch)
 
   /** Test aid: forget (and delete) this JVM's lease for a root so a new
     * acquisition contends from scratch; clears any fenced mark.

@@ -309,6 +309,11 @@ class TopicStore(
     PlaneLease.ensureOwned(lockRootKey, root,
       spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
 
+  /** The plane-lease epoch this process holds for the root (None before
+    * the first mutating operation) — exported as a `/metrics` gauge.
+    */
+  def planeLeaseEpoch: Option[Long] = PlaneLease.heldEpoch(lockRootKey)
+
   // normalized through the root's FileSystem so scheme-variant spellings
   // of one directory ("/x/y", "file:///x/y", trailing slash) share locks
   private lazy val lockRootKey: String =

@@ -57,6 +57,11 @@ class EngineMetrics {
     * "sweeper swallows Throwables silently" observability gap).
     */
   @volatile var maintenance: Option[graft.engine.MaintenanceStats] = None
+  /** The store's plane-lease epoch supplier (0 = not acquired yet): an
+    * epoch INCREASE across scrapes means a lease takeover happened —
+    * alert-worthy (some process lost its heartbeat).
+    */
+  @volatile var planeLeaseEpoch: () => Long = () => 0L
   val messagesReceived = new AtomicLong
   val groupsFlushed = new AtomicLong
   val recordsDelivered = new AtomicLong
@@ -92,6 +97,8 @@ class EngineMetrics {
             ms.staleFilesReclaimed.get) +
           s"# HELP graft_topic_chain_depth Longest live generation chain at the last sweep tick\n" +
           s"# TYPE graft_topic_chain_depth gauge\ngraft_topic_chain_depth ${ms.chainDepth.get}\n"
-      }
+      } +
+      s"# HELP graft_plane_lease_epoch Plane-lease epoch held for the root (0 = none)\n" +
+      s"# TYPE graft_plane_lease_epoch gauge\ngraft_plane_lease_epoch ${planeLeaseEpoch()}\n"
   }
 }

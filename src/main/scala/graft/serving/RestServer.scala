@@ -66,6 +66,7 @@ class RestServer(
 
   val metrics = new EngineMetrics
   metrics.maintenance = Some(store.maintenanceStats)
+  metrics.planeLeaseEpoch = () => store.planeLeaseEpoch.getOrElse(0L)
 
   /** The shared produce batcher. PUBLIC so a co-hosted binary producer
     * server shares it: one coalescer means one Spark produce job per

@@ -564,6 +564,8 @@ class RestServerSpec extends AnyFunSuite {
       assert("graft_stale_generation_files_reclaimed_total (\\d+)".r
         .findFirstMatchIn(m.body()).exists(_.group(1).toLong >= 1L), m.body())
       assert(m.body().contains("graft_topic_chain_depth 1"), m.body())
+      // fresh root: first acquisition is epoch 1
+      assert(m.body().contains("graft_plane_lease_epoch 1"), m.body())
     } finally { sweeper.close(); server.stop() }
   }
 }
