@@ -89,6 +89,22 @@ class PlaneLeaseSpec extends AnyFunSuite {
     PlaneLease.dropForTests(rootKey, hconf) // clear the fence for other suites
   }
 
+  test("a store takes over a dead process's stale lease and produces at epoch+1") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    writeForeignLease(root, 3L, "crashed-process@elsewhere", ageMs = 3600 * 1000L)
+    val store = new TopicStore(spark, root)
+    spark.conf.set("spark.graft.planeLeaseTtlMs", "1000")
+    try {
+      // the crash-recovery path end-to-end: produce succeeds, the dead
+      // owner's lease is superseded at epoch+1, records are served
+      store.produceStrings("t", Seq(("k", "v", ts(0))))
+      assert(store.planeLeaseEpoch.contains(4L),
+        s"expected takeover at epoch 4, got ${store.planeLeaseEpoch}")
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      assert(store.poll("g", "t", "c").count() == 1L)
+    } finally spark.conf.unset("spark.graft.planeLeaseTtlMs")
+  }
+
   test("two processes: a forked JVM's acquisition on our leased root exits 7") {
     val root = Files.createTempDirectory("graft-lease").toString
     val store = new TopicStore(spark, root)
