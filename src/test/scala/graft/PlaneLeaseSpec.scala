@@ -126,6 +126,35 @@ class PlaneLeaseSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("leased by"), ex.getMessage)
   }
 
+  test("N forked JVMs racing one root: exactly one wins the lease") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // launch all claimants before reading any output, so their acquire
+    // calls genuinely overlap on the create-exclusive epoch name
+    val procs = (0 until 4).map { _ =>
+      val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.LeaseProbeChild", root)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val results = procs.map { proc =>
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); fail(s"claimant hung; output: $out") }
+      (proc.exitValue(), out)
+    }
+    val winners = results.count(_._1 == 0)
+    val rejected = results.count(_._1 == 7)
+    assert(winners == 1 && rejected == 3,
+      s"create-exclusive must pick exactly one winner: ${results.map(r => (r._1, r._2.take(60)))}")
+    // and the surviving lease names the winner, visible to a late arrival
+    val store = new TopicStore(spark, root)
+    val ex = intercept[PlaneLeaseHeldException] {
+      store.produceStrings("t", Seq(("k", "v", ts(0))))
+    }
+    assert(ex.getMessage.contains("leased by"), ex.getMessage)
+  }
+
   /** Fork a real probe JVM against `root`: (exit code, combined output). */
   private def probe(root: String): (Int, String) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
