@@ -44,7 +44,9 @@ final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
   * connector with conditional writes (S3 If-None-Match, GCS
   * generation-match) without touching callers.
   *
-  * Epoch fencing: a crashed owner's lease goes stale after TTL and a
+  * Epoch fencing: a CLEAN exit releases the lease (JVM shutdown hook —
+  * the reference's goodbye gossip), so a restarted driver contends
+  * immediately; a crashed owner's lease goes stale after TTL and a
   * successor claims epoch+1. If a paused owner (GC pause, VM migration)
   * resumes after takeover, its next heartbeat observes the higher epoch
   * and marks the root FENCED: every subsequent mutating call throws
@@ -193,6 +195,18 @@ object PlaneLease {
 
   private def startBeater(): Unit = {
     if (beater == null) {
+      // clean exits RELEASE (the reference's goodbye gossip): a restarted
+      // driver contends immediately instead of waiting out the TTL; a
+      // crash skips the hook and leaves the lease to expire — exactly the
+      // takeover path. Best-effort: a failed delete just means TTL expiry.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val it = held.values().iterator()
+        while (it.hasNext) {
+          val h = it.next()
+          try { h.path.getFileSystem(new Configuration()).delete(h.path, false); () }
+          catch { case _: Exception => () }
+        }
+      }, "graft-plane-lease-release"))
       beater = Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, "graft-plane-lease")
         t.setDaemon(true)

@@ -8,11 +8,17 @@ package graft
 object LeaseProbeChild {
   def main(args: Array[String]): Unit = {
     val root = args(0)
+    // optional ms to stay alive holding the lease (clean exits RELEASE
+    // it via the shutdown hook, so "a live second process" needs a live
+    // process)
+    val holdMs = if (args.length > 1) args(1).toLong else 0L
     val conf = new org.apache.hadoop.conf.Configuration()
     val rootKey = graft.engine.TopicStore.normalizeRoot(root, conf)
     try {
       graft.engine.PlaneLease.ensureOwned(rootKey, root, conf)
       println("ACQUIRED")
+      Console.flush()
+      if (holdMs > 0L) Thread.sleep(holdMs)
       System.exit(0)
     } catch {
       case e: graft.engine.PlaneLeaseHeldException =>

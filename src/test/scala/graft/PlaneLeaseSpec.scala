@@ -115,15 +115,40 @@ class PlaneLeaseSpec extends AnyFunSuite {
       s"rejection must name the owner: $out")
   }
 
-  test("two processes: our produce on a root leased by a forked JVM fails loudly") {
+  test("two processes: our produce on a root leased by a LIVE forked JVM fails loudly") {
     val root = Files.createTempDirectory("graft-lease").toString
-    val (code, out) = probe(root)
+    // the child must stay ALIVE while we probe: clean exits release the
+    // lease (shutdown hook), so this forks with a 60 s hold and reads
+    // only the ACQUIRED line before testing
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.LeaseProbeChild", root, "60000")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+    try {
+      val first = rd.readLine()
+      assert(first == "ACQUIRED", s"child acquire failed: $first")
+      val store = new TopicStore(spark, root)
+      val ex = intercept[PlaneLeaseHeldException] {
+        store.produceStrings("t", Seq(("k", "v", ts(0))))
+      }
+      assert(ex.getMessage.contains("leased by"), ex.getMessage)
+    } finally { proc.destroyForcibly(); () }
+  }
+
+  test("a cleanly exited process's lease is released: successor contends at once") {
+    val root = Files.createTempDirectory("graft-lease").toString
+    val (code, out) = probe(root) // no hold: acquires, exits, hook releases
     assert(code == 0 && out.contains("ACQUIRED"), s"child acquire failed: $code $out")
+    assert(leaseDir(root).listFiles().forall(!_.getName.startsWith("lease-")),
+      "clean exit must release the lease file")
+    // no TTL wait: the successor acquires immediately and produces
     val store = new TopicStore(spark, root)
-    val ex = intercept[PlaneLeaseHeldException] {
-      store.produceStrings("t", Seq(("k", "v", ts(0))))
-    }
-    assert(ex.getMessage.contains("leased by"), ex.getMessage)
+    store.produceStrings("t", Seq(("k", "v", ts(0))))
+    assert(store.planeLeaseEpoch.nonEmpty)
   }
 
   test("N forked JVMs racing one root: exactly one wins the lease") {
@@ -131,28 +156,33 @@ class PlaneLeaseSpec extends AnyFunSuite {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     // launch all claimants before reading any output, so their acquire
-    // calls genuinely overlap on the create-exclusive epoch name
+    // calls genuinely overlap on the create-exclusive epoch name; the
+    // winner HOLDS (60 s) — a clean exit would release the lease and let
+    // a late claimant legitimately acquire afterwards (exclusion is
+    // at-any-instant, not across time)
     val procs = (0 until 4).map { _ =>
-      val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.LeaseProbeChild", root)
+      val pb = new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.LeaseProbeChild", root, "60000")
       pb.redirectErrorStream(true)
       pb.start()
     }
-    val results = procs.map { proc =>
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { proc.destroyForcibly(); fail(s"claimant hung; output: $out") }
-      (proc.exitValue(), out)
-    }
-    val winners = results.count(_._1 == 0)
-    val rejected = results.count(_._1 == 7)
-    assert(winners == 1 && rejected == 3,
-      s"create-exclusive must pick exactly one winner: ${results.map(r => (r._1, r._2.take(60)))}")
-    // and the surviving lease names the winner, visible to a late arrival
-    val store = new TopicStore(spark, root)
-    val ex = intercept[PlaneLeaseHeldException] {
-      store.produceStrings("t", Seq(("k", "v", ts(0))))
-    }
-    assert(ex.getMessage.contains("leased by"), ex.getMessage)
+    try {
+      val firstLines = procs.map { proc =>
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        rd.readLine()
+      }
+      val winners = firstLines.count(_ == "ACQUIRED")
+      val rejected = firstLines.count(l => l != null && l.startsWith("HELD"))
+      assert(winners == 1 && rejected == 3,
+        s"create-exclusive must pick exactly one winner: $firstLines")
+      // the winner is alive and holding: a late store is rejected loudly
+      val store = new TopicStore(spark, root)
+      val ex = intercept[PlaneLeaseHeldException] {
+        store.produceStrings("t", Seq(("k", "v", ts(0))))
+      }
+      assert(ex.getMessage.contains("leased by"), ex.getMessage)
+    } finally procs.foreach { p => p.destroyForcibly(); () }
   }
 
   /** Fork a real probe JVM against `root`: (exit code, combined output). */
