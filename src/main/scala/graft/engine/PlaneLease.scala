@@ -1,11 +1,16 @@
 package graft.engine
 
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.immutable.SortedSet
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
-/** Another live process holds the produce/maintenance plane for this root. */
+/** Another live process holds the produce/maintenance plane (or one of the
+  * requested ring partitions) for this root.
+  */
 final class PlaneLeaseHeldException(msg: String) extends IllegalStateException(msg)
 
 /** This process's plane lease was superseded by a higher epoch — every
@@ -14,53 +19,80 @@ final class PlaneLeaseHeldException(msg: String) extends IllegalStateException(m
   */
 final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
 
-/** Cross-JVM single-writer lease for a store root's produce/maintenance
-  * plane — the shared-storage collapse of the reference's generation
-  * transaction (`internal/ownership/process_local.go:16-209`: propose →
-  * accept → commit an ownership epoch among live processes; here the
-  * "cluster" is ONE writer per root over shared storage, so the protocol
-  * collapses to an epoch-fenced lease file).
+/** Cross-JVM write-plane leases for a store root — the shared-storage
+  * collapse of the reference's generation transaction
+  * (`internal/ownership/process_local.go:16-209`: propose → accept →
+  * commit an ownership epoch among live processes; here process liveness
+  * is a heartbeat on an epoch-named lease file over the shared store).
   *
-  * Within one JVM the store already serializes every mutating path through
-  * the JVM-global produce/maintenance locks; this object extends the
-  * single-writer view ACROSS processes: the first mutating operation on a
-  * root acquires `<root>/_meta/_plane/lease-<epoch>` (owner identity as
-  * content), a background daemon heartbeats it (mtime refresh) at TTL/4,
-  * and a second JVM's acquisition fails LOUDLY while the lease is live —
-  * instead of silently racing the watermark read-modify-write (two JVMs
-  * interleaving produce over one root would reissue offsets: lost acked
-  * records).
+  * Two granularities, mirroring the reference's two ownership shapes:
   *
-  * Mutual exclusion is CREATE-EXCLUSIVE on the fixed per-epoch name: the
-  * epoch number itself is the mutex, so an acquisition race has exactly
-  * one winner (O_CREAT|O_EXCL via NIO on the local filesystem — Hadoop's
-  * local `create(overwrite=false)` is check-then-create and local
-  * `rename` overwrites, so neither is exclusive there; HDFS `create`
-  * IS atomic create-exclusive). HONEST caveat: object stores whose
-  * Hadoop connector lacks atomic create-exclusive (classic S3A does a
-  * HEAD-then-PUT) get a narrow check-then-create window on simultaneous
-  * first acquisition — still a vast improvement over no guard (steady-
-  * state rejection and fencing are unaffected), and closable by a
-  * connector with conditional writes (S3 If-None-Match, GCS
-  * generation-match) without touching callers.
+  *  - ROOT lease (`<root>/_meta/_plane/lease-<epoch>`): ONE writer JVM
+  *    owns every mutating path — produce, maintenance, rescale, consumer
+  *    registry, group commits.
+  *  - PARTITION leases (`<root>/_meta/_plane/part-p<NNNNN>/lease-<epoch>`,
+  *    one directory per ring partition): N writer JVMs own DISJOINT ring
+  *    partitions of one root and produce to them concurrently — the
+  *    reference's horizontal write plane, where each broker owns disjoint
+  *    token ranges and assigns their offsets without coordination
+  *    (`internal/ownership/generator.go:134-144`,
+  *    `internal/discovery/discoverer.go:343-366`). A partition-scoped
+  *    writer may ONLY produce to its owned partitions (watermarks land in
+  *    a per-claim lane table, never the shared root table); root-authority
+  *    writes — rescale, maintenance, registry, group commits, the stream
+  *    ledger — fail loudly and stay with a root-lease owner.
   *
-  * Epoch fencing: a CLEAN exit releases the lease (JVM shutdown hook —
-  * the reference's goodbye gossip), so a restarted driver contends
-  * immediately; a crashed owner's lease goes stale after TTL and a
-  * successor claims epoch+1. If a paused owner (GC pause, VM migration)
-  * resumes after takeover, its next heartbeat observes the higher epoch
-  * and marks the root FENCED: every subsequent mutating call throws
-  * [[PlaneFencedException]] rather than writing with stale authority.
-  * Fencing is heartbeat-granular, not per-write — the hot produce path
-  * pays one map lookup; the window between takeover and the old owner's
-  * next heartbeat is bounded by the heartbeat period (TTL/4), during
-  * which both processes' meta writes remain individually atomic
-  * (rename-first swaps with durable-monotonic stamps), so the exposure
-  * is bounded-duration dual-writer contention, not corruption — the same
-  * trade the reference makes between gossip rounds.
+  * Mutual exclusion is CREATE-EXCLUSIVE on the fixed per-epoch name inside
+  * each directory: the epoch number itself is the mutex, so an acquisition
+  * race has exactly one winner per directory (O_CREAT|O_EXCL via NIO on
+  * the local filesystem; HDFS `create(overwrite=false)` is atomic
+  * create-exclusive; object-store connectors that advertise conditional
+  * creates — `fs.option.create.conditional.overwrite`, S3 If-None-Match /
+  * GCS generation-match under the hood — get the builder path below;
+  * everything else falls back to plain `create(overwrite=false)` with a
+  * once-per-scheme warning, a narrow check-then-create window on
+  * simultaneous FIRST acquisition only).
   *
-  * Read-only observers (the DSv2 source/observer pattern) never call
-  * [[ensureOwned]] and need no lease.
+  * Root/partition exclusion is claim-then-validate, safe under races
+  * because each side validates AFTER creating its own file, so at least
+  * one side always observes the other and backs off (both backing off is
+  * possible — loud and retryable, never dual authority):
+  *  - a root claimant creates its root lease, then scans the partition
+  *    dirs: any LIVE foreign partition lease → release + throw; any STALE
+  *    one is superseded at epoch+1 (file kept, so a paused partition owner
+  *    resuming later fences instead of writing).
+  *  - a partition claimant first supersedes a STALE real root lease with a
+  *    higher-epoch MARKER file (`mode=parts` in the content — it fences a
+  *    paused root owner but does not claim root authority, so concurrent
+  *    partition claimants are not blocked by it), claims its partition
+  *    dirs ascending, then re-validates that no live real root lease
+  *    appeared.
+  *
+  * Liveness is judged by the TTL the OWNER recorded in its lease file
+  * content (falling back to the claimant's TTL for pre-TTL-format files):
+  * a claimant configured with a short test TTL can therefore never judge
+  * a healthy production owner stale.
+  *
+  * Fencing is two-layered:
+  *  - heartbeat-granular: the beat (TTL/4) refreshes mtimes THROUGH THE
+  *    FILESYSTEM RESOLVED AT ACQUISITION (a fresh default Configuration
+  *    here silently broke conf-dependent filesystems — S3A credentials,
+  *    custom `fs.<scheme>.impl` — leaving the owner unrefreshed AND
+  *    unfenced: the exact dual-writer the lease exists to prevent), and
+  *    fences when a higher epoch is visible. Beat failures are counted on
+  *    [[heartbeatFailures]] (a `/metrics` counter), never swallowed into
+  *    silence.
+  *  - per-write: mutating commit points (the store's rename-first meta
+  *    swaps, the concurrent produce's stage commit) call
+  *    [[assertCurrentAtCommit]], which re-lists the relevant lease
+  *    directory and rejects the commit when a higher epoch is visible —
+  *    the reference's per-group generation re-check
+  *    (`internal/producing/coalescer.go:93-106`). This closes the TTL/4
+  *    dual-writer window at the point that matters: a paused owner's next
+  *    COMMIT fails, not merely its next heartbeat.
+  *
+  * Read-only observers (the DSv2 source/observer pattern) never acquire
+  * and need no lease.
   */
 object PlaneLease {
 
@@ -76,98 +108,335 @@ object PlaneLease {
 
   val DefaultTtlMs: Long = 60000L
 
-  private final case class Held(root: String, epoch: Long, path: Path, ttlMs: Long)
+  /** Heartbeat passes that threw (counted per failing lease file, retried
+    * next tick) — exported on `/metrics`; a growing count on a healthy
+    * store means the lease plane itself is broken (credentials, impl
+    * class, permissions) and the single-writer guard is at risk.
+    */
+  val heartbeatFailures = new AtomicLong
 
-  // rootKey -> lease this JVM holds; append-mostly (one entry per root a
+  /** One lease file this JVM holds: the directory it guards (the root
+    * plane dir, or one ring partition's dir) and the epoch claimed there.
+    */
+  private final case class LeaseFile(dir: Path, epoch: Long) {
+    def path: Path = new Path(dir, f"lease-$epoch%020d")
+  }
+
+  /** Everything needed to keep (and release) a claim WITHOUT re-resolving
+    * session state: `fs` is the FileSystem resolved from the acquisition
+    * Configuration — heartbeats and the shutdown release reuse it, so a
+    * root whose filesystem needs session conf keeps beating.
+    */
+  private final case class Held(
+      root: String,
+      files: Vector[LeaseFile],
+      parts: Option[SortedSet[Int]],
+      ttlMs: Long,
+      fs: FileSystem)
+
+  /** Parsed lease-file content. `ttlMs` None for pre-format or in-flight
+    * (empty) files; `marker` for a partition claimant's root-dir fence
+    * marker, which fences a paused root owner but claims no authority.
+    */
+  private final case class LeaseInfo(owner: String, ttlMs: Option[Long], marker: Boolean)
+
+  // rootKey -> claim this JVM holds; append-mostly (one entry per root a
   // JVM ever writes — operationally small, like the store's lock tables)
   private val held = new ConcurrentHashMap[String, Held]()
   private val fencedRoots = ConcurrentHashMap.newKeySet[String]()
+  private val warnedSchemes = ConcurrentHashMap.newKeySet[String]()
   @volatile private var beater: java.util.concurrent.ScheduledExecutorService = _
 
-  /** Fast-path guard for every mutating store operation: no-op when this
-    * JVM already holds the root's lease (one map lookup), acquisition on
-    * first touch, loud [[PlaneLeaseHeldException]] if another live process
-    * holds it, loud [[PlaneFencedException]] forever after a takeover.
+  private def planeDir(root: String) = new Path(new Path(root, "_meta"), "_plane")
+  private def partDir(plane: Path, p: Int) = new Path(plane, f"part-p$p%05d")
+
+  /** Fast-path guard for every root-authority mutating store operation:
+    * no-op when this JVM already holds the root's ROOT lease (one map
+    * lookup), acquisition on first touch, loud [[PlaneLeaseHeldException]]
+    * if another live process holds the plane or any of its partitions,
+    * loud [[PlaneFencedException]] forever after a takeover.
     */
   def ensureOwned(
       rootKey: String,
       root: String,
       conf: Configuration,
+      ttlMs: Long = DefaultTtlMs): Unit =
+    ensure(rootKey, root, conf, ttlMs, None)
+
+  /** Partition-scoped acquisition: claim exactly `parts` (ring partition
+    * ordinals) of the root. Disjoint claimants coexist; an overlapping
+    * claim or a live root-lease owner rejects loudly. The holding JVM may
+    * only produce to these partitions.
+    */
+  def ensureOwnedPartitions(
+      rootKey: String,
+      root: String,
+      conf: Configuration,
+      parts: SortedSet[Int],
       ttlMs: Long = DefaultTtlMs): Unit = {
+    require(parts.nonEmpty && parts.head >= 0,
+      s"partition lease needs a non-empty set of ring ordinals, got $parts")
+    ensure(rootKey, root, conf, ttlMs, Some(parts))
+  }
+
+  private def ensure(
+      rootKey: String,
+      root: String,
+      conf: Configuration,
+      ttlMs: Long,
+      parts: Option[SortedSet[Int]]): Unit = {
     if (fencedRoots.contains(rootKey))
       throw new PlaneFencedException(
         s"this process's plane lease for $root was superseded by a higher epoch " +
           "(another process took over after a missed heartbeat) — refusing to " +
           "write with stale authority; restart the store against the root to " +
           "contend for a fresh lease")
-    if (held.containsKey(rootKey)) return
+    val cur = held.get(rootKey)
+    if (cur != null) {
+      if (cur.parts == parts) return
+      throw new IllegalStateException(
+        s"plane-lease mode change for $root (held=${modeName(cur.parts)}, " +
+          s"requested=${modeName(parts)}): a process claims ONE shape per root " +
+          "for its lifetime — restart the process to change the claim")
+    }
     this.synchronized {
-      if (held.containsKey(rootKey)) return
-      val h = acquire(root, conf, ttlMs)
+      if (held.containsKey(rootKey)) { ensure(rootKey, root, conf, ttlMs, parts); return }
+      val h = parts match {
+        case None => acquireRoot(root, conf, ttlMs)
+        case Some(ps) => acquireParts(root, conf, ps, ttlMs)
+      }
       held.put(rootKey, h)
       startBeater()
     }
   }
 
-  /** Acquire (or take over) the root's lease. Loud on a live foreign
-    * lease; a stale one (mtime older than the TTL) is fenced by claiming
-    * epoch+1 exclusively.
+  private def modeName(parts: Option[SortedSet[Int]]): String =
+    parts.fold("root")(ps => s"partitions ${specOf(ps)}")
+
+  /** Canonical dash-range spec of a partition set ("0-5" / "0-3_8-11"). */
+  def specOf(parts: SortedSet[Int]): String = {
+    val sb = new StringBuilder
+    var runStart = -1; var prev = -2
+    def flush(): Unit = if (runStart >= 0) {
+      if (sb.nonEmpty) sb += '_'
+      sb ++= (if (runStart == prev) s"$runStart" else s"$runStart-$prev")
+    }
+    parts.foreach { p =>
+      if (p != prev + 1) { flush(); runStart = p }
+      prev = p
+    }
+    flush()
+    sb.result()
+  }
+
+  /** Acquire (or take over) the root's ROOT lease: claim the plane dir,
+    * then validate no live foreign partition claims exist (superseding
+    * stale ones so their paused owners fence on resume).
     */
-  private def acquire(root: String, conf: Configuration, ttlMs: Long): Held = {
-    val dir = new Path(new Path(root, "_meta"), "_plane")
-    val fs = dir.getFileSystem(conf)
-    fs.mkdirs(dir)
-    val newest = listLeases(fs, dir).lastOption
-    val claim = newest match {
-      case Some((e, st)) =>
-        val owner = readOwner(fs, st.getPath)
-        if (owner != ownerId) {
-          val age = System.currentTimeMillis() - st.getModificationTime
-          if (age < ttlMs)
+  private def acquireRoot(root: String, conf: Configuration, ttlMs: Long): Held = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    fs.mkdirs(plane)
+    val rootClaim = claimDir(fs, plane, ttlMs, marker = false,
+      what = s"the produce/maintenance plane for $root")
+    val taken = Vector.newBuilder[LeaseFile]
+    taken += rootClaim
+    try {
+      listPartDirs(fs, plane).foreach { d =>
+        newestLease(fs, d.getPath) match {
+          case Some((e, st, info)) if info.owner != ownerId =>
+            if (isLive(st, info, ttlMs))
+              throw new PlaneLeaseHeldException(
+                s"ring partition ${d.getPath.getName.stripPrefix("part-p")} of $root " +
+                  s"is leased by ${ownerName(info)} (epoch $e) — a root-plane writer " +
+                  "would race the partition owner's produce; wait for the " +
+                  "partition-scoped writers to exit")
+            // stale partition owner: supersede at epoch+1 (file KEPT) so a
+            // paused owner resuming later observes the higher epoch and
+            // fences instead of writing
+            val lf = LeaseFile(d.getPath, e + 1)
+            if (!createExclusive(fs, lf.path, leaseContent(ttlMs, marker = false)))
+              throw new PlaneLeaseHeldException(
+                s"lost the race superseding a stale partition lease under ${d.getPath}")
+            foldBelow(fs, d.getPath, e + 1)
+            taken += lf
+          case _ => ()
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        taken.result().foreach(lf =>
+          try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+        throw t
+    }
+    Held(root, taken.result(), None, ttlMs, fs)
+  }
+
+  /** Acquire partition-scoped leases: fence a stale real root owner with
+    * a marker, claim each partition dir ascending, re-validate the root.
+    */
+  private def acquireParts(
+      root: String, conf: Configuration, parts: SortedSet[Int], ttlMs: Long): Held = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    fs.mkdirs(plane)
+    def liveRealRoot(): Option[(Long, LeaseInfo)] =
+      newestLease(fs, plane) match {
+        case Some((e, st, info))
+            if !info.marker && info.owner != ownerId && isLive(st, info, ttlMs) =>
+          Some((e, info))
+        case _ => None
+      }
+    // step 1: a live real root lease blocks; a STALE one is superseded by
+    // a higher-epoch MARKER (fences the paused root owner, blocks nobody)
+    newestLease(fs, plane) match {
+      case Some((e, st, info)) if !info.marker && info.owner != ownerId =>
+        if (isLive(st, info, ttlMs))
+          throw new PlaneLeaseHeldException(
+            s"the produce/maintenance plane for $root is leased ROOT-WIDE by " +
+              s"${ownerName(info)} (epoch $e) — partition-scoped writers cannot " +
+              "coexist with a root-plane owner")
+        if (createExclusive(fs, new Path(plane, f"lease-${e + 1}%020d"),
+            leaseContent(ttlMs, marker = true))) {
+          foldBelow(fs, plane, e + 1)
+        } else {
+          // lost the supersede race: a real claimant winning here means
+          // the root plane is being taken — back off
+          liveRealRoot().foreach { case (e2, i2) =>
             throw new PlaneLeaseHeldException(
-              s"the produce/maintenance plane for $root is leased by " +
-                s"${if (owner.isEmpty) "an in-flight claimant" else owner} " +
-                s"(epoch $e, heartbeat ${age}ms ago, TTL ${ttlMs}ms) — a second " +
-                "writer process would race the watermark/commit plane; point " +
-                "this store at its own root, or wait for the lease to expire " +
-                "if the owner is dead")
+              s"the root plane for $root was claimed (epoch $e2 by ${ownerName(i2)}) " +
+                "while this partition claim was superseding a stale lease")
+          }
+        }
+      case _ => ()
+    }
+    // step 2: claim each partition dir ascending (the partition name is
+    // the mutex — overlapping claimants get exactly one winner per part)
+    val taken = Vector.newBuilder[LeaseFile]
+    var ok = false
+    try {
+      parts.foreach { p =>
+        val d = partDir(plane, p)
+        fs.mkdirs(d)
+        taken += claimDir(fs, d, ttlMs, marker = false,
+          what = s"ring partition $p of $root")
+      }
+      // step 3: validate-after-claim against a racing root claimant (it
+      // validates the partition dirs after creating its root file, so at
+      // least one of us observes the other)
+      liveRealRoot().foreach { case (e, info) =>
+        throw new PlaneLeaseHeldException(
+          s"the root plane for $root was claimed concurrently " +
+            s"(epoch $e by ${ownerName(info)}) — releasing this partition claim")
+      }
+      ok = true
+    } finally {
+      if (!ok) taken.result().foreach(lf =>
+        try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+    }
+    Held(root, taken.result(), Some(parts), ttlMs, fs)
+  }
+
+  /** Claim the next epoch in one lease directory. Loud on a live foreign
+    * lease (or an in-flight claimant's empty file); a stale one — judged
+    * by the TTL its owner recorded — is superseded at epoch+1.
+    */
+  private def claimDir(
+      fs: FileSystem, dir: Path, ttlMs: Long, marker: Boolean, what: String): LeaseFile = {
+    val claim = newestLease(fs, dir) match {
+      case Some((e, st, info)) =>
+        if (info.owner != ownerId && isLive(st, info, ttlMs)) {
+          val age = System.currentTimeMillis() - st.getModificationTime
+          throw new PlaneLeaseHeldException(
+            s"$what is leased by ${ownerName(info)} (epoch $e, heartbeat ${age}ms " +
+              s"ago, TTL ${info.ttlMs.getOrElse(ttlMs)}ms) — a second writer process " +
+              "would race the watermark/commit plane; point this store at its own " +
+              "root, or wait for the lease to expire if the owner is dead")
         }
         e + 1L // stale foreign owner, or our own prior incarnation's leftover
       case None => 1L
     }
-    val fin = new Path(dir, f"lease-$claim%020d")
-    if (!createExclusive(fs, fin, ownerId)) {
-      val winner = readOwner(fs, fin)
+    val fin = LeaseFile(dir, claim)
+    if (!createExclusive(fs, fin.path, leaseContent(ttlMs, marker))) {
+      val winner = readLease(fs, fin.path)
       throw new PlaneLeaseHeldException(
-        s"lost the plane-lease acquisition race for $root at epoch $claim " +
-          s"to ${if (winner.isEmpty) "another claimant" else winner}")
+        s"lost the lease acquisition race for $what at epoch $claim " +
+          s"to ${ownerName(winner)}")
     }
-    // fold superseded epochs (best-effort: a failure just leaves tiny
-    // stale files below the winning epoch)
-    listLeases(fs, dir).filter(_._1 < claim)
-      .foreach { case (_, st) => fs.delete(st.getPath, false) }
-    Held(root, claim, fin, ttlMs)
+    foldBelow(fs, dir, claim)
+    fin
   }
 
-  /** Atomic create-exclusive of `p` with `owner` as content: exactly one
-    * claimant of a name succeeds. The content write happens after the
-    * exclusive create — a reader in that window sees an empty owner and
-    * treats the lease as live-but-unknown (still loud).
+  /** Liveness of a lease file: age under the TTL the OWNER recorded (the
+    * claimant's own TTL only for pre-format files) — a short-TTL claimant
+    * can never judge a healthy long-TTL owner stale. An in-flight
+    * claimant's empty content reads as live-but-unknown (still loud).
     */
-  private def createExclusive(fs: FileSystem, p: Path, owner: String): Boolean =
+  private def isLive(st: FileStatus, info: LeaseInfo, claimantTtlMs: Long): Boolean =
+    System.currentTimeMillis() - st.getModificationTime <
+      info.ttlMs.getOrElse(claimantTtlMs)
+
+  private def ownerName(info: LeaseInfo): String =
+    if (info.owner.isEmpty) "an in-flight claimant" else info.owner
+
+  private def leaseContent(ttlMs: Long, marker: Boolean): String =
+    ownerId + s"\nttl=$ttlMs" + (if (marker) "\nmode=parts" else "")
+
+  /** Delete superseded epochs below `claim` in one dir (best-effort: a
+    * failure just leaves tiny stale files below the winning epoch).
+    */
+  private def foldBelow(fs: FileSystem, dir: Path, claim: Long): Unit =
+    listLeases(fs, dir).filter(_._1 < claim)
+      .foreach { case (_, st) =>
+        try { fs.delete(st.getPath, false); () } catch { case _: Exception => () } }
+
+  /** Conditional-create capability probe: connectors that support atomic
+    * put-if-absent (S3 If-None-Match / GCS generation-match) advertise
+    * the public Hadoop option key as a path capability; the builder path
+    * below then makes first-acquisition races single-winner on object
+    * stores too. (Hadoop's `Options.CreateFileOptionKeys`.)
+    */
+  private[graft] val CondCreateCapability: String =
+    org.apache.hadoop.fs.Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
+
+  /** Atomic create-exclusive of `p` with `content`: exactly one claimant
+    * of a name succeeds. Local FS takes O_CREAT|O_EXCL via NIO (Hadoop's
+    * local `create(overwrite=false)` is check-then-create); a connector
+    * advertising conditional creates takes the builder path (the
+    * connector turns close() into a conditional PUT and throws on a
+    * loser); HDFS `create(overwrite=false)` is atomic natively; anything
+    * else falls back to plain create-no-overwrite with a once-per-scheme
+    * warning about the narrow first-acquisition window.
+    */
+  private[graft] def createExclusive(fs: FileSystem, p: Path, content: String): Boolean =
     try {
+      val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       fs match {
+        case _ if fs.hasPathCapability(p, CondCreateCapability) =>
+          // conditional-write connector: overwrite(false) + the option key
+          // make the PUT atomic put-if-absent; the race loser throws at
+          // close() (the connector's conditional-PUT failure)
+          val out = fs.createFile(p).overwrite(false)
+            .opt(CondCreateCapability, true).build()
+          try out.write(bytes) finally out.close()
+          true
         case _: org.apache.hadoop.fs.LocalFileSystem |
              _: org.apache.hadoop.fs.RawLocalFileSystem =>
           val local = java.nio.file.Paths.get(p.toUri.getPath)
           java.nio.file.Files.createFile(local) // O_CREAT|O_EXCL
-          java.nio.file.Files.write(local,
-            owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.write(local, bytes)
           true
         case _ =>
+          val scheme = Option(p.toUri.getScheme).getOrElse(fs.getScheme)
+          if (scheme != "hdfs" && warnedSchemes.add(scheme))
+            System.err.println(
+              s"graft: filesystem scheme '$scheme' advertises no conditional " +
+                "creates; plane-lease acquisition falls back to " +
+                "create(overwrite=false) — atomic on HDFS, check-then-create " +
+                "on classic object stores (narrow first-acquisition race only; " +
+                "steady-state rejection and fencing are unaffected)")
           val out = fs.create(p, false) // atomic create-exclusive on HDFS
-          try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+          try out.write(bytes) finally out.close()
           true
       }
     } catch {
@@ -176,22 +445,136 @@ object PlaneLease {
       case e: java.io.IOException => if (fs.exists(p)) false else throw e
     }
 
-  private def readOwner(fs: FileSystem, p: Path): String =
+  private def readLease(fs: FileSystem, p: Path): LeaseInfo =
     try {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    } catch { case _: Exception => "" }
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.split('\n').map(_.trim)
+      LeaseInfo(
+        owner = lines.headOption.getOrElse(""),
+        ttlMs = lines.find(_.startsWith("ttl=")).flatMap(_.stripPrefix("ttl=").toLongOption),
+        marker = lines.contains("mode=parts"))
+    } catch { case _: Exception => LeaseInfo("", None, marker = false) }
 
   /** Visible lease files ascending by epoch: (epoch, status). */
-  private def listLeases(fs: FileSystem, dir: Path) =
-    fs.listStatus(dir).toSeq
-      .filter(st => st.getPath.getName.startsWith("lease-"))
+  private def listLeases(fs: FileSystem, dir: Path): Seq[(Long, FileStatus)] =
+    (try fs.listStatus(dir).toSeq
+     catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .filter(st => st.isFile && st.getPath.getName.startsWith("lease-"))
       .flatMap { st =>
         scala.util.Try(st.getPath.getName.stripPrefix("lease-").toLong).toOption
           .map(e => (e, st))
       }
       .sortBy(_._1)
+
+  private def newestLease(fs: FileSystem, dir: Path): Option[(Long, FileStatus, LeaseInfo)] =
+    listLeases(fs, dir).lastOption.map { case (e, st) => (e, st, readLease(fs, st.getPath)) }
+
+  private def listPartDirs(fs: FileSystem, plane: Path): Seq[FileStatus] =
+    (try fs.listStatus(plane).toSeq
+     catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part-p"))
+
+  // ------------------------------------------------------ write authority
+
+  /** Cheap authority check at a mutating operation's ENTRY (no FS I/O):
+    * fenced roots throw; a partition-scoped holder must cover `parts`
+    * (None = root authority, which a partition-scoped writer never has).
+    * A root-lease holder passes for any `parts`.
+    */
+  def assertAuthority(rootKey: String, parts: Option[Set[Int]]): Unit = {
+    assertNotFenced(rootKey)
+    val h = held.get(rootKey)
+    if (h == null) return // acquisition happens first on every mutating path
+    h.parts match {
+      case None => ()
+      case Some(owned) =>
+        parts match {
+          case None =>
+            throw new PlaneLeaseHeldException(
+              s"this process holds a PARTITION-scoped lease (${specOf(owned)}) for " +
+                s"${h.root} — root-authority operations (maintenance, rescale, " +
+                "consumer registry, group commits, the stream ledger, " +
+                "exclusive-plane produce) need the root lease; run them from a " +
+                "root-lease owner process")
+          case Some(ps) =>
+            val missing = ps.filterNot(owned.contains)
+            if (missing.nonEmpty)
+              throw new PlaneLeaseHeldException(
+                s"batch touches ring partitions ${missing.toSeq.sorted.mkString(",")} " +
+                  s"outside this process's partition lease (${specOf(owned)}) for " +
+                  s"${h.root} — route records to the owning writer " +
+                  "(BrokerGroup/ShardRouter), or widen the claim")
+        }
+    }
+  }
+
+  /** Per-write fence at a COMMIT point: re-list the lease directory (root
+    * dir for a root holder; each touched partition dir for a
+    * partition-scoped holder) and reject the commit when a higher epoch
+    * is visible — a paused owner's next commit fails loudly instead of
+    * landing with stale authority, closing the heartbeat-granular
+    * dual-writer window at the point that matters. One tiny-dir
+    * listStatus per commit (per touched partition in partition mode).
+    */
+  def assertCurrentAtCommit(rootKey: String, parts: Option[Set[Int]] = None): Unit = {
+    assertNotFenced(rootKey)
+    val h = held.get(rootKey)
+    if (h == null) return // read-side/test paths that never acquired
+    h.parts match {
+      case None =>
+        // root holder: files.head is the root-dir claim (partition-dir
+        // supersede markers follow it and need no per-write re-check —
+        // partition claimants validate against OUR live root lease)
+        checkDirCurrent(rootKey, h, h.files.head)
+      case Some(owned) =>
+        assertAuthority(rootKey, parts) // subset / root-authority contract
+        val ps = parts.getOrElse(owned.toSet)
+        h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
+          .foreach(lf => checkDirCurrent(rootKey, h, lf))
+    }
+  }
+
+  private def dirPart(dir: Path): Option[Int] =
+    if (dir.getName.startsWith("part-p")) dir.getName.stripPrefix("part-p").toIntOption
+    else None
+
+  private def checkDirCurrent(rootKey: String, h: Held, lf: LeaseFile): Unit = {
+    val usurped = listLeases(h.fs, lf.dir).lastOption.exists(_._1 > lf.epoch)
+    if (usurped) {
+      fencedRoots.add(rootKey)
+      held.remove(rootKey)
+      throw new PlaneFencedException(
+        s"commit rejected: the plane lease for ${h.root} under ${lf.dir.getName} " +
+          s"was superseded past epoch ${lf.epoch} (another process took over after " +
+          "missed heartbeats) — refusing to commit with stale authority")
+    }
+  }
+
+  private def assertNotFenced(rootKey: String): Unit =
+    if (fencedRoots.contains(rootKey))
+      throw new PlaneFencedException(
+        s"this process's plane lease was superseded by a higher epoch " +
+          "(another process took over after a missed heartbeat) — refusing to " +
+          "write with stale authority; restart the store to contend for a " +
+          "fresh lease")
+
+  /** The partition set this JVM's claim covers (None = root authority or
+    * nothing held) — produce routing reads this, not the session conf,
+    * so the contract follows the actual claim.
+    */
+  def heldPartitions(rootKey: String): Option[SortedSet[Int]] =
+    Option(held.get(rootKey)).flatMap(_.parts)
+
+  /** Highest epoch this JVM holds for a root (forensic stamp for the meta
+    * swaps' filenames; 0 before acquisition).
+    */
+  def commitEpoch(rootKey: String): Long =
+    Option(held.get(rootKey)).map(_.files.map(_.epoch).max).getOrElse(0L)
+
+  // ---------------------------------------------------------- heartbeats
 
   private def startBeater(): Unit = {
     if (beater == null) {
@@ -199,12 +582,15 @@ object PlaneLease {
       // driver contends immediately instead of waiting out the TTL; a
       // crash skips the hook and leaves the lease to expire — exactly the
       // takeover path. Best-effort: a failed delete just means TTL expiry.
+      // Uses each claim's ACQUISITION FileSystem — a fresh default
+      // Configuration cannot resolve conf-dependent schemes.
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         val it = held.values().iterator()
         while (it.hasNext) {
           val h = it.next()
-          try { h.path.getFileSystem(new Configuration()).delete(h.path, false); () }
-          catch { case _: Exception => () }
+          h.files.foreach { lf =>
+            try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+          }
         }
       }, "graft-plane-lease-release"))
       beater = Executors.newSingleThreadScheduledExecutor(r => {
@@ -215,17 +601,24 @@ object PlaneLease {
       // one global beat at DefaultTtl/4: a per-root ttl OVERRIDE shorter
       // than that is honored for acquisition/takeover decisions but is
       // not kept alive between beats — short TTLs are a test/dev knob,
-      // not a production cadence
+      // and the owner-recorded TTL in the lease content means a healthy
+      // default-TTL owner can never be judged stale by one
       beater.scheduleWithFixedDelay(() => heartbeatTick(),
         DefaultTtlMs / 4, DefaultTtlMs / 4, TimeUnit.MILLISECONDS)
       ()
     }
   }
 
-  /** One heartbeat pass over every held lease: refresh mtime, detect
-    * takeover (higher epoch visible -> FENCE this root), and drop leases
-    * whose root no longer exists (a torn-down test/dev store).
-    * Package-visible so the fencing test can drive it deterministically.
+  /** One heartbeat pass over every held claim: refresh each lease file's
+    * mtime, detect takeover (higher epoch visible → FENCE this root), and
+    * drop claims whose root no longer exists (a torn-down test/dev
+    * store). All FS access goes through the FileSystem resolved at
+    * ACQUISITION (`Held.fs`) — resolving with a fresh default
+    * Configuration broke every conf-dependent root (S3A credentials,
+    * custom impls): the beat failed silently, the lease expired
+    * unrefreshed, a successor took over, and the live owner never fenced.
+    * Failures now count on [[heartbeatFailures]] and retry next tick.
+    * Package-visible so the fencing tests can drive it deterministically.
     */
   private[graft] def heartbeatTick(): Unit = {
     val it = held.entrySet().iterator()
@@ -233,48 +626,60 @@ object PlaneLease {
       val e = it.next()
       val h = e.getValue
       try {
-        val dir = h.path.getParent
-        val fs = dir.getFileSystem(new Configuration())
-        if (!fs.exists(new Path(h.root))) {
+        if (!h.fs.exists(new Path(h.root))) {
           it.remove() // the store is gone; nothing left to guard
-        } else if (listLeases(fs, dir).lastOption.exists(_._1 > h.epoch)) {
-          // superseded: fence, and do NOT touch the successor's file
-          fencedRoots.add(e.getKey)
-          it.remove()
-        } else if (!fs.exists(h.path)) {
-          // self-heal a swept lease file (e.g. an overzealous cleaner);
-          // exclusive create again — if a claimant beat us to the SAME
-          // epoch name, treat it as a takeover
-          if (!createExclusive(fs, h.path, ownerId)) {
-            fencedRoots.add(e.getKey)
-            it.remove()
-          }
         } else {
-          fs.setTimes(h.path, System.currentTimeMillis(), -1)
+          var fenced = false
+          h.files.foreach { lf =>
+            if (!fenced) {
+              if (listLeases(h.fs, lf.dir).lastOption.exists(_._1 > lf.epoch)) {
+                // superseded: fence, and do NOT touch the successor's file
+                fencedRoots.add(e.getKey)
+                it.remove()
+                fenced = true
+              } else if (!h.fs.exists(lf.path)) {
+                // self-heal a swept lease file (e.g. an overzealous
+                // cleaner); exclusive create again — if a claimant beat us
+                // to the SAME epoch name, treat it as a takeover
+                if (!createExclusive(h.fs, lf.path,
+                    leaseContent(h.ttlMs, marker = false))) {
+                  fencedRoots.add(e.getKey)
+                  it.remove()
+                  fenced = true
+                }
+              } else {
+                h.fs.setTimes(lf.path, System.currentTimeMillis(), -1)
+              }
+            }
+          }
         }
-      } catch { case _: Exception => () } // transient FS hiccup: next tick
+      } catch {
+        case _: InterruptedException => throw new InterruptedException
+        case _: Exception =>
+          heartbeatFailures.incrementAndGet() // visible on /metrics; next tick
+          ()
+      }
     }
   }
 
   /** The epoch this JVM holds for a root, if any — the `/metrics`
     * gauge's source (an epoch INCREASE across scrapes means a takeover
-    * happened somewhere: alert-worthy).
+    * happened somewhere: alert-worthy). Partition-scoped claims report
+    * their highest partition epoch.
     */
   private[graft] def heldEpoch(rootKey: String): Option[Long] =
-    Option(held.get(rootKey)).map(_.epoch)
+    Option(held.get(rootKey)).map(_.files.map(_.epoch).max)
 
-  /** Test aid: forget (and delete) this JVM's lease for a root so a new
+  /** Test aid: forget (and delete) this JVM's claim for a root so a new
     * acquisition contends from scratch; clears any fenced mark.
     */
   private[graft] def dropForTests(rootKey: String, conf: Configuration): Unit = {
     val h = held.remove(rootKey)
     fencedRoots.remove(rootKey)
     if (h != null) {
-      try {
-        val fs = h.path.getFileSystem(conf)
-        fs.delete(h.path, false)
-        ()
-      } catch { case _: Exception => () }
+      h.files.foreach { lf =>
+        try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+      }
     }
   }
 }

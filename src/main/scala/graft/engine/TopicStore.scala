@@ -97,6 +97,7 @@ class TopicStore(
     * a torn marker write is impossible.
     */
   def produceOnce(topic: String, records: DataFrame, streamId: String, batchId: Long): Long = {
+    ensurePlaneOwnedRoot() // the ledger swap is root-authority: fail BEFORE the data write
     val scope = s"${scopeDir(streamId)}/${scopeDir(topic)}"
     val done = readOffsets(streamMeta, scope).getOrElse(0, Long.MinValue)
     if (batchId <= done) return 0L
@@ -293,21 +294,49 @@ class TopicStore(
     try body finally w.unlock()
   }
 
-  // Cross-PROCESS single-writer guard (the in-JVM locks above only
-  // serialize threads of one process): every mutating path — produce,
-  // maintenance, group commit — first asserts this JVM holds the root's
-  // plane lease (graft.engine.PlaneLease: epoch-fenced lease file under
+  // Cross-PROCESS write guard (the in-JVM locks above only serialize
+  // threads of one process): every mutating path — produce, maintenance,
+  // group commit — first asserts this JVM holds the root's plane lease
+  // (graft.engine.PlaneLease: epoch-fenced lease files under
   // `_meta/_plane`). A second JVM opening the produce plane on a leased
   // root fails LOUDLY instead of racing the watermark/commit
   // read-modify-write. Hot-path cost once acquired: one map lookup.
   // TTL override: spark.graft.planeLeaseTtlMs (session conf).
+  //
+  // HORIZONTAL mode: `spark.graft.planeLeasePartitions = "0-5"` (dash
+  // ranges / comma list of ring ordinals) claims only those partitions,
+  // so N processes produce to DISJOINT partitions of one root
+  // concurrently — the reference's broker-per-token-range write plane
+  // (`internal/ownership/generator.go:134-144`). A partition-scoped
+  // process is produce-only: its batches must hash entirely into its
+  // claim (BrokerGroup's ShardRouter computes exactly this routing), its
+  // watermarks land in a per-claim LANE table (writeProducerOffsets),
+  // and every root-authority path — maintenance, rescale, registry,
+  // group commits, the stream ledger, exclusive-plane produce — fails
+  // loudly, staying with a root-lease owner.
   private lazy val planeLeaseTtlMs: Long =
     spark.conf.getOption("spark.graft.planeLeaseTtlMs").map(_.toLong)
       .getOrElse(PlaneLease.DefaultTtlMs)
 
-  private def ensurePlaneOwned(): Unit =
-    PlaneLease.ensureOwned(lockRootKey, root,
+  private lazy val planeLeasePartitions: Option[scala.collection.immutable.SortedSet[Int]] =
+    spark.conf.getOption("spark.graft.planeLeasePartitions")
+      .map(TopicStore.parsePartitionSpec)
+
+  private def ensurePlaneOwned(): Unit = planeLeasePartitions match {
+    case Some(ps) => PlaneLease.ensureOwnedPartitions(lockRootKey, root,
+      spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
+    case None => PlaneLease.ensureOwned(lockRootKey, root,
       spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+  }
+
+  /** Root-authority acquisition: everything that is not a
+    * partition-routed produce (maintenance, rescale, registry, group
+    * commits, the stream ledger) — loud from a partition-scoped process.
+    */
+  private def ensurePlaneOwnedRoot(): Unit = {
+    ensurePlaneOwned()
+    PlaneLease.assertAuthority(lockRootKey, None)
+  }
 
   /** The plane-lease epoch this process holds for the root (None before
     * the first mutating operation) — exported as a `/metrics` gauge.
@@ -349,7 +378,14 @@ class TopicStore(
     // stranding its records the moment the flip lands (caught by
     // EngineSpec "produce racing a rescale"). produceLock is reentrant,
     // so produceInto's own acquisition nests freely.
-    produceLock.synchronized { produceInto(topic, records, generation(topic)) }
+    //
+    // A PARTITION-scoped process routes through the staged concurrent
+    // plane instead: produceInto's direct dynamic-partition append shares
+    // the Hadoop committer's `_temporary` staging with any concurrent
+    // process's append, so cross-process disjoint-partition writes must
+    // take stageCommit's private staging (and the lane watermarks).
+    if (planeLeasePartitions.isDefined) produceConcurrent(topic, records)
+    else produceLock.synchronized { produceInto(topic, records, generation(topic)) }
 
   /** Produce into an EXPLICIT generation — `produce` pins the current one
     * under produceLock, so a produce racing a rescale lands wholly under
@@ -417,6 +453,9 @@ class TopicStore(
 
   private def produceInto(topic: String, records: DataFrame, g: Generation): Long = {
     ensurePlaneOwned()
+    // the exclusive plane's direct append + whole-table watermark swap
+    // are root-authority: a partition-scoped process never takes them
+    PlaneLease.assertAuthority(lockRootKey, None)
     inServingPool { produceLock.synchronized { exclusivePlane {
     val bases: Map[Int, Long] = producerOffsetsFor(topic, g)
     val keyed = ringAssigned(records, g)
@@ -478,7 +517,8 @@ class TopicStore(
     val merged = bases ++ counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
     // empty batch: nothing written, watermarks unchanged — skip the
     // offsets rewrite (streaming ingest may deliver empty micro-batches)
-    if (counts.nonEmpty) writeOffsets(producerMeta, producerScopeFor(topic, g), merged)
+    if (counts.nonEmpty)
+      writeProducerOffsets(producerScopeFor(topic, g), merged, counts.keySet)
     merged.values.sum
   } } } }
 
@@ -521,7 +561,17 @@ class TopicStore(
     * Returns the number of records written by THIS batch.
     */
   def produceConcurrent(topic: String, records: DataFrame): Long = {
-    if (!deterministicPlan(records)) return produce(topic, records)
+    if (!deterministicPlan(records)) {
+      // the exclusive-path fallback re-executes the plan for count and
+      // write; a partition-scoped process has no exclusive plane, so a
+      // nondeterministic source is a contract violation there (loud)
+      if (planeLeasePartitions.isDefined)
+        throw new IllegalStateException(
+          "partition-scoped produce requires a deterministic input plan " +
+            "(sample()/rand()/limit-bearing sources cannot be counted and " +
+            "re-executed identically); materialize the batch first")
+      return produceLock.synchronized { produceInto(topic, records, generation(topic)) }
+    }
     ensurePlaneOwned()
     val rl = producePlane.readLock()
     rl.lock()
@@ -538,6 +588,11 @@ class TopicStore(
         val monitors = counts.keys.toList.sorted.map(p =>
           TopicStore.scopedLockFor(s"$lockRootKey|ppart|${scopeDir(topic)}|v${g.version}|$p"))
         withMonitors(monitors) {
+          // entry authority + pre-data fence: the batch must sit inside a
+          // partition-scoped claim, and a superseded lease is caught
+          // BEFORE the data files land, not only at the watermark swap
+          PlaneLease.assertAuthority(lockRootKey, Some(counts.keySet))
+          PlaneLease.assertCurrentAtCommit(lockRootKey, Some(counts.keySet))
           // bases for THIS batch's partitions are stable: only a holder
           // of these part monitors writes them, and exclusive-plane
           // writers are excluded by the shared plane lock
@@ -545,11 +600,14 @@ class TopicStore(
           stageCommit(offsetsAssigned(keyed, topic, g, bases))
           val scope = producerScopeFor(topic, g)
           val myNext = counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
-          // merge RMW on the shared watermark table: concurrent producers
+          // merge RMW on the shared watermark view: concurrent producers
           // of OTHER partitions interleave here, so re-read and overlay
           // only this batch's partitions under the scope's merge lock
+          // (cross-process disjoint producers never meet: each writes its
+          // own lane table — writeProducerOffsets)
           TopicStore.scopedLockFor(s"$lockRootKey|pwm|$scope").synchronized {
-            writeOffsets(producerMeta, scope, readOffsets(producerMeta, scope) ++ myNext)
+            writeProducerOffsets(scope,
+              readOffsets(producerMeta, scope) ++ myNext, myNext.keySet)
           }
           counts.values.sum
         }
@@ -642,6 +700,9 @@ class TopicStore(
       val monitors = byPart.keys.toList.sorted.map(p =>
         TopicStore.scopedLockFor(s"$lockRootKey|ppart|${scopeDir(topic)}|v${g.version}|$p"))
       withMonitors(monitors) {
+        // entry authority + pre-data fence (see produceConcurrent)
+        PlaneLease.assertAuthority(lockRootKey, Some(byPart.keySet))
+        PlaneLease.assertCurrentAtCommit(lockRootKey, Some(byPart.keySet))
         // may run the one-time reconcile heal (a Spark scan) on first
         // touch of this (topic, generation) — serialized by its own
         // scoped lock, like every other produce plane
@@ -664,7 +725,8 @@ class TopicStore(
         val scope = producerScopeFor(topic, g)
         val myNext = byPart.map { case (p, rs) => p -> (bases.getOrElse(p, 0L) + rs.size) }
         TopicStore.scopedLockFor(s"$lockRootKey|pwm|$scope").synchronized {
-          writeOffsets(producerMeta, scope, readOffsets(producerMeta, scope) ++ myNext)
+          writeProducerOffsets(scope,
+            readOffsets(producerMeta, scope) ++ myNext, myNext.keySet)
         }
         rows.size.toLong
       }
@@ -774,6 +836,7 @@ class TopicStore(
     * retention sweeper calls this each tick. Returns directories removed.
     */
   def sweepStages(maxAgeMs: Long = 60L * 60 * 1000): Int = {
+    ensurePlaneOwnedRoot() // stage deletes mutate the produce plane
     val stageRoot = s"$root/_stage"
     if (!pathExists(stageRoot)) return 0
     val fs = hfs(stageRoot)
@@ -1346,7 +1409,7 @@ class TopicStore(
       next: Map[Int, Long],
       origin: String = "",
       version: Int = -1): Map[Int, Long] = {
-    ensurePlaneOwned()
+    ensurePlaneOwnedRoot()
     TopicStore.scopedLockFor(s"$lockRootKey|commit|$group/$topic").synchronized {
     // ONE chain read pins both the liveness check and the offsets scope:
     // with separate reads, a sweep removing the generation between them
@@ -1461,9 +1524,18 @@ class TopicStore(
                     }
                   }
               }
-              persisted ++ updates
+              // a partition-scoped process heals only ITS partitions:
+              // orphans in another claim's partitions are that owner's
+              // authority (its own first-touch heal advances them)
+              val mine = planeLeasePartitions match {
+                case Some(owned) => updates.filter(kv => owned.contains(kv._1))
+                case None => updates
+              }
+              persisted ++ mine
             }
-          if (healed != persisted) writeOffsets(producerMeta, scope, healed)
+          if (healed != persisted)
+            writeProducerOffsets(scope, healed,
+              healed.keySet.filter(p => healed.get(p) != persisted.get(p)))
         }
         reconciled.add(rscope)
         ()
@@ -1672,7 +1744,7 @@ class TopicStore(
       // registration persists the group row (`_meta/groups`): a write,
       // so it sits behind the cross-process plane lease like every other
       // mutating path (consumers register through the serving driver)
-      ensurePlaneOwned()
+      ensurePlaneOwnedRoot()
       // warm the watermark reconcile OUTSIDE the registry lock: the first
       // producerOffsets per (topic, generation) runs a Spark scan, and
       // holding the lock through it would stall every concurrent
@@ -1782,7 +1854,7 @@ class TopicStore(
     * exclusive ownership of the topic's files.
     */
   def withTopicMaintenance[T](topic: String)(body: => T): T = {
-    ensurePlaneOwned()
+    ensurePlaneOwnedRoot()
     val l = topicLock(topic).writeLock(); l.lock()
     try body finally l.unlock()
   }
@@ -2510,6 +2582,11 @@ class TopicStore(
       // permissions change) is now visible on /metrics
       var maxDepth = 0L
       try {
+        // the sweeper mutates (stage deletes, compaction, reclaim): a
+        // NON-owner's sweeper is rejected loudly here like every other
+        // mutating path, instead of deleting _stage dirs under the
+        // owner's feet — the rejection lands in sweepFailures below
+        ensurePlaneOwnedRoot()
         sweepStages() // orphaned concurrent-produce staging (age-gated)
         if (pathExists(dataDir)) {
           hfs(dataDir).listStatus(hpath(dataDir)).filter(_.isDirectory).foreach { dir =>
@@ -2618,28 +2695,49 @@ class TopicStore(
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
     val p = s"$dir/$scope" // scope components are pre-encoded (scopeDir)
+    def readTable(statuses: Seq[org.apache.hadoop.fs.FileStatus]): Map[Int, Long] = {
+      val files = statuses.filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+        .map(_.getPath)
+      val m = Map.newBuilder[Int, Long]
+      // the newest file ONLY: a rename-first swap in flight leaves the
+      // old table visible beside the new one, and merging the two
+      // would resurrect stale positions for parts the new table moved
+      files.sortBy(_.getName).lastOption.foreach { f =>
+        val r = ParquetReader.builder(new GroupReadSupport(), f)
+          .withConf(spark.sparkContext.hadoopConfiguration).build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            m += (g.getInteger("part", 0) -> g.getLong("next", 0))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      m.result()
+    }
     def readOnce(): Map[Int, Long] =
       if (!pathExists(p)) Map.empty
       else {
         val fs = hfs(p)
-        val files = fs.listStatus(hpath(p)).toSeq.map(_.getPath)
-          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        val m = Map.newBuilder[Int, Long]
-        // the newest file ONLY: a rename-first swap in flight leaves the
-        // old table visible beside the new one, and merging the two
-        // would resurrect stale positions for parts the new table moved
-        files.sortBy(_.getName).lastOption.foreach { f =>
-          val r = ParquetReader.builder(new GroupReadSupport(), f)
-            .withConf(spark.sparkContext.hadoopConfiguration).build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              m += (g.getInteger("part", 0) -> g.getLong("next", 0))
-              g = r.read()
+        val statuses = fs.listStatus(hpath(p)).toSeq
+        val base = readTable(statuses)
+        // partition-scoped writers keep their watermarks in LANE
+        // sub-tables (one per claim — writeProducerOffsets); the merged
+        // view takes the per-partition MAX across base + lanes: lanes
+        // hold disjoint partition sets while live, and a stale lane left
+        // behind after a root-mode fold only ever carries values the
+        // folded base already contains. Non-producer scopes (group
+        // offsets, stream ledger, registry) never have lanes, so this
+        // adds nothing to their read.
+        statuses.filter(st => st.isDirectory && st.getPath.getName.startsWith("lane-"))
+          .foldLeft(base) { (acc, laneDir) =>
+            val lane = readTable(fs.listStatus(laneDir.getPath).toSeq)
+            lane.foldLeft(acc) { case (a, (part, next)) =>
+              if (next > a.getOrElse(part, Long.MinValue)) a + (part -> next) else a
             }
-          } finally r.close()
-        }
-        m.result()
+          }
       }
     offsetCache.computeIfAbsent(metaCacheKey(p), _ => {
       // a concurrent writer's swap (rename new in, delete old) can still
@@ -2671,7 +2769,8 @@ class TopicStore(
   private def swapWriteGroups(
       p: String,
       schema: org.apache.parquet.schema.MessageType,
-      rows: Seq[org.apache.parquet.example.data.Group]): Unit = {
+      rows: Seq[org.apache.parquet.example.data.Group],
+      fenceParts: Option[Set[Int]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     val fs = hfs(p)
@@ -2705,12 +2804,24 @@ class TopicStore(
       }
       .foldLeft(0L)(math.max)
     val stamp = math.max(System.currentTimeMillis(), newestStamp + 1L)
+    // the held lease epoch rides in the name (after the ordering stamp —
+    // readers keep taking the lexically-newest, and at equal stamps a
+    // higher epoch correctly sorts later): forensics for a takeover, and
+    // the per-write fence below makes a stale-epoch commit impossible
     val fin = new Path(dirPath,
-      f"part-$stamp%019d-${java.util.UUID.randomUUID()}.parquet")
+      f"part-$stamp%019d-e${PlaneLease.commitEpoch(lockRootKey)}%012d-" +
+        s"${java.util.UUID.randomUUID()}.parquet")
     val tmp = new Path(dirPath, s".${fin.getName}.tmp")
     val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
     val w = ExampleParquetWriter.builder(tmp).withConf(conf).withType(schema).build()
     try rows.foreach(w.write) finally w.close()
+    // PER-WRITE epoch fence at the commit point (the reference's
+    // per-group generation re-check, `coalescer.go:93-106`): a paused
+    // process whose lease was taken over is rejected HERE — before the
+    // rename makes its stale-authority table visible — not merely at its
+    // next heartbeat. fenceParts names the ring partitions a
+    // partition-scoped writer is committing for; None = root authority.
+    PlaneLease.assertCurrentAtCommit(lockRootKey, fenceParts)
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"meta swap: rename $tmp -> $fin failed")
     fs.listStatus(dirPath).foreach { st =>
@@ -2726,17 +2837,71 @@ class TopicStore(
     }
   }
 
-  private def writeOffsets(dir: String, scope: String, offsets: Map[Int, Long]): Unit = {
+  private def writeOffsets(
+      dir: String, scope: String, offsets: Map[Int, Long],
+      fenceParts: Option[Set[Int]] = None): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     val p = s"$dir/$scope" // scope components are pre-encoded (scopeDir)
     val gf = new SimpleGroupFactory(offsetsSchema)
     swapWriteGroups(p, offsetsSchema,
       offsets.toSeq.sortBy(_._1).map { case (part, next) =>
         gf.newGroup().append("part", part).append("next", next)
-      })
+      }, fenceParts)
     offsetCache.put(metaCacheKey(p), offsets)
     ()
   }
+
+  // producer-watermark scopes known lane-free by this root-lease holder:
+  // once the fold below ran (or found nothing), no lane can appear while
+  // we hold the root lease (partition claimants abort on a live root
+  // lease), so the per-write lane listing is paid once per scope
+  private val laneFreeScopes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Route a producer-watermark write by lease mode. A root-lease holder
+    * swaps the scope's single table (and folds any leftover lane tables
+    * from a previous partition-scoped deployment into it — their values
+    * are contained in the merged view being written). A PARTITION-scoped
+    * holder swaps only its own claim's LANE sub-table
+    * (`<scope>/lane-<spec>`), restricted to the partitions it owns — so
+    * disjoint-partition writer processes never read-modify-write one
+    * shared file; readers merge base + lanes with per-partition max
+    * (readOffsets). `full` is the merged view the JVM-global cache keeps;
+    * `touched` are the partitions this write advances (the per-write
+    * fence scope).
+    */
+  private def writeProducerOffsets(
+      scope: String, full: Map[Int, Long], touched: Set[Int]): Unit =
+    planeLeasePartitions match {
+      case Some(owned) =>
+        val stray = touched.filterNot(owned.contains)
+        require(stray.isEmpty,
+          s"partition-scoped watermark write touches unowned partitions $stray")
+        import org.apache.parquet.example.data.simple.SimpleGroupFactory
+        val lane = s"$producerMeta/$scope/lane-${PlaneLease.specOf(owned)}"
+        val gf = new SimpleGroupFactory(offsetsSchema)
+        swapWriteGroups(lane, offsetsSchema,
+          full.filter(kv => owned.contains(kv._1)).toSeq.sortBy(_._1).map {
+            case (part, next) =>
+              gf.newGroup().append("part", part).append("next", next)
+          }, Some(touched))
+        offsetCache.put(metaCacheKey(s"$producerMeta/$scope"), full)
+        ()
+      case None =>
+        writeOffsets(producerMeta, scope, full, Some(touched))
+        if (!laneFreeScopes.contains(scope)) {
+          val fs = hfs(s"$producerMeta/$scope")
+          val dirPath = hpath(s"$producerMeta/$scope")
+          fs.listStatus(dirPath)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("lane-"))
+            .foreach { st =>
+              if (!fs.delete(st.getPath, true))
+                throw new java.io.IOException(
+                  s"watermark lane fold: could not delete ${st.getPath}")
+            }
+          laneFreeScopes.add(scope)
+          ()
+        }
+    }
 
   /** Encode ONE raw scope component (a topic, group, or stream id) as a
     * `_meta` directory segment — the SAME injective Hive path escaping
@@ -2759,6 +2924,34 @@ object TopicStore {
     * `seq` the request-order tiebreak (the `__seq` column's twin).
     */
   final case class LocalRecord(key: String, value: Array[Byte], tsMicros: Long, seq: Long)
+
+  /** Parse a partition-lease spec — dash ranges and/or comma/underscore
+    * separated ring ordinals ("0-5", "0-3,8,10-11") — into a sorted set.
+    * Loud on anything malformed: a silently-misparsed claim would write
+    * to partitions another process owns.
+    */
+  def parsePartitionSpec(spec: String): scala.collection.immutable.SortedSet[Int] = {
+    val parts = scala.collection.immutable.SortedSet.newBuilder[Int]
+    spec.split("[,_]").map(_.trim).filter(_.nonEmpty).foreach { tok =>
+      tok.split("-") match {
+        case Array(a) => parts += parseOrdinal(a, spec)
+        case Array(a, b) =>
+          val (lo, hi) = (parseOrdinal(a, spec), parseOrdinal(b, spec))
+          require(lo <= hi, s"inverted range '$tok' in partition spec '$spec'")
+          (lo to hi).foreach(parts += _)
+        case _ => throw new IllegalArgumentException(
+          s"malformed token '$tok' in partition spec '$spec'")
+      }
+    }
+    val set = parts.result()
+    require(set.nonEmpty, s"empty partition spec '$spec'")
+    set
+  }
+
+  private def parseOrdinal(s: String, spec: String): Int =
+    s.trim.toIntOption.filter(_ >= 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"ring partition ordinal '$s' in spec '$spec' is not a non-negative int"))
 
   // JVM-global maintenance/read and produce locks, keyed by normalized
   // root (+ topic for the RW lock): every TopicStore instance over the

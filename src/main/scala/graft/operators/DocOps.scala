@@ -535,15 +535,13 @@ object DocOps {
 
   // ---------------------------------------------------------------- q26
   /** Multimodal plumbing: text -> opaque binary payload -> typed metadata.
-    * The "decode" is a deterministic fake (container has no image/audio
-    * libs) whose arithmetic is pure column expressions over the binary
-    * column, so the whole stage stays inside whole-stage codegen — the
-    * batched-UDF shape a REAL decoder needs (per-partition library state,
-    * mapInPandas-style batches) lives in q46, which is the legitimate
-    * escape hatch — and `Multimodal.q278` runs a REAL codec (javax.imageio
-    * PNG decode + integer bilinear resize) through that exact shape with
-    * a pixel-exact oracle; metadata that is expressible as columns should
-    * never leave codegen for it.
+    * The metadata here is pure column expressions over the binary column,
+    * so the whole stage stays inside whole-stage codegen — the deliberate
+    * contrast with the REAL-codec kernels (`Multimodal.q46/q101/q278/q279`:
+    * javax.imageio PNG and javax.sound WAV decode in mapPartitions batch
+    * iterators, each exact against a formula-only oracle), which are the
+    * legitimate escape hatch for work that needs a library; metadata that
+    * is expressible as columns should never leave codegen for it.
     */
   val q26: Q = (s, d) =>
     docs(s, d)

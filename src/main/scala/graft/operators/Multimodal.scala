@@ -7,18 +7,24 @@ import graft.Graft
 
 /** Multimodal-column plumbing beyond q26's metadata stub: the Spark-side
   * shapes a training pipeline needs for image/audio/video payloads held as
-  * opaque binary columns. The decode itself is stubbed deterministically
-  * (this container carries no media libs — SURVEY §2.7 / builder brief),
-  * but the schema, partitioning, batch iteration and explode patterns are
-  * the real ones: swap the stub body for an actual codec and nothing else
-  * changes — PROVEN by q278, which runs a real codec (javax.imageio PNG
-  * encode -> decode -> integer bilinear resize) through the identical
-  * batch-iterator shape with a pixel-exact oracle.
+  * opaque binary columns, running REAL codecs (JDK built-ins — the only
+  * media libraries this container carries: javax.imageio PNG,
+  * javax.sound.sampled PCM WAV). Every kernel here consumes an actual
+  * encoded payload: the image queries synthesize a deterministic image
+  * per document, ENCODE it to real PNG bytes (the opaque binary column a
+  * pipeline stores), then the kernel under test DECODES those bytes back
+  * to pixels before featurizing/resizing. PNG and PCM WAV are lossless,
+  * so every oracle re-derives the expected output from the pixel/sample
+  * FORMULA alone — the decode arithmetic is verified exactly, with no
+  * codec on the oracle side and no fixture.
   *
-  * Scale: both ops are embarrassingly parallel over the payload column —
-  * no shuffle at all until a downstream aggregation; frame explosion
-  * multiplies rows partition-locally exactly like a real frame sampler
-  * feeding a vision encoder.
+  * Scale: all ops are embarrassingly parallel over the payload column —
+  * mapPartitions batch iterators, no shuffle at all until a downstream
+  * aggregation; frame explosion multiplies rows partition-locally exactly
+  * like a real frame sampler feeding a vision encoder. At 100 TB the cost
+  * IS the codec (CPU-bound, linear in payloads); a production swap
+  * replaces the synthetic-payload `synthPng` call with the stored binary
+  * column and changes nothing downstream.
   */
 object Multimodal {
   import Relational.Q
@@ -26,6 +32,42 @@ object Multimodal {
   private def payloads(s: SparkSession, d: String) =
     Graft.table(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Deterministic 32x32 RGB image for a document — each channel an
+    * integer formula of (doc_id, x, y) — encoded to REAL PNG bytes: the
+    * binary image column the decode kernels consume. Formula shared by
+    * q46/q101/q278 and re-derived by their oracles (PNG is lossless).
+    */
+  private[operators] def synthPng(id: Long, w: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < w) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The real decode step: PNG bytes -> pixels (javax.imageio), loud on a
+    * torn payload.
+    */
+  private[operators] def decodePng(png: Array[Byte], w: Int, id: Long)
+      : java.awt.image.BufferedImage = {
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(dec != null && dec.getWidth == w && dec.getHeight == w,
+      s"PNG decode failed for doc $id")
+    dec
+  }
 
   // ---------------------------------------------------------------- q45
   /** Frame sampling: one row per fixed-stride frame of each payload
@@ -56,111 +98,137 @@ object Multimodal {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- q46
-  /** Batched "decode + featurize" over typed partitions: the Scala analog
-    * of a mapInPandas feature extractor — one iterator pass per partition,
-    * emitting a fixed-width feature vector and thumbnail dims per payload.
-    * The stub derives features from payload bytes alone; a real codec
-    * would replace ONLY the lambda body.
+  /** Batched decode + featurize over REAL PNG payloads: the mapInPandas
+    * feature-extractor shape — one iterator pass per partition, each
+    * document's binary image column (a real PNG, synthesized by
+    * [[synthPng]]) DECODED back to pixels (javax.imageio) and reduced to
+    * a fixed-width feature vector (per-channel sums + a position-weighted
+    * luminance term — a transposed or re-ordered pixel fails the gate)
+    * plus the 4x-thumbnail dims taken from the DECODED geometry. PNG is
+    * lossless, so the oracle re-derives every feature from the pixel
+    * formula with no codec — the decode + featurize arithmetic is
+    * verified exactly. (Until r10 this kernel featurized the raw payload
+    * bytes with the codec stubbed; q278 proved the real-codec shape and
+    * this query now runs it.)
     */
   val q46: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    payloads(s, d)
-      // same guard as the oracle's WHERE length(text) > 0: an empty
-      // payload would crash bytes(0)/bytes(len-1) below
-      .where(length(col("payload")) > 0)
-      .as[(Long, Array[Byte])]
+    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val len = bytes.length
-          // fixed-width feature vector, flattened to scalar columns (the
-          // oracle comparator hashes scalars; a real extractor would emit
-          // Array[Float] straight into the embeddings pipeline)
-          val f0 = len.toDouble
-          val f1 = (bytes(0) & 0xff).toDouble
-          val f2 = (bytes(len / 2) & 0xff).toDouble
-          val f3 = (bytes(len - 1) & 0xff).toDouble
-          val thumbW = math.min(len, 128)
-          val thumbH = math.min(len / 2, 128)
-          (id, f0, f1, f2, f3, thumbW, thumbH)
+        val W = 32
+        it.map { id =>
+          val png = synthPng(id, W) // the stored binary image column
+          val dec = decodePng(png, W, id) // the kernel under test
+          var rs = 0L; var gs = 0L; var bs = 0L; var wl = 0L
+          var y = 0
+          while (y < W) {
+            var x = 0
+            while (x < W) {
+              val p = dec.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              rs += r; gs += g; bs += b
+              wl += (y * W + x + 1).toLong * (r + g + b)
+              x += 1
+            }
+            y += 1
+          }
+          (id, rs.toDouble, gs.toDouble, bs.toDouble, wl.toDouble,
+            dec.getWidth / 4, dec.getHeight / 4)
         }
       }
       .toDF("doc_id", "f0", "f1", "f2", "f3", "thumb_w", "thumb_h")
       .orderBy("doc_id")
   }
 
-  // documents text is ASCII (fixture invariant), so byte k == the
-  // codepoint of character k+1 and the SQL mirror is exact
   val q46Sql: String =
-    """SELECT doc_id,
-      |  CAST(length(text) AS DOUBLE) AS f0,
-      |  CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS f1,
-      |  CAST(unicode(substr(text, (length(text) // 2) + 1, 1)) AS DOUBLE) AS f2,
-      |  CAST(unicode(substr(text, length(text), 1)) AS DOUBLE) AS f3,
-      |  LEAST(length(text), 128) AS thumb_w,
-      |  LEAST(length(text) // 2, 128) AS thumb_h
-      |FROM documents WHERE length(text) > 0
-      |ORDER BY doc_id""".stripMargin
+    """WITH px AS (
+      |  SELECT d.doc_id, g.x, g.y,
+      |    ((d.doc_id * 31 + g.x * 7 + g.y * 13) % 256) AS r,
+      |    ((d.doc_id * 17 + g.x * 11 + g.y * 3) % 256) AS g2,
+      |    ((d.doc_id * 23 + g.x * 5 + g.y * 19) % 256) AS b
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN (
+      |    SELECT x.x, y.y
+      |    FROM (SELECT UNNEST(range(0, 32)) AS x) x,
+      |         (SELECT UNNEST(range(0, 32)) AS y) y) g)
+      |SELECT doc_id,
+      |  CAST(sum(r) AS DOUBLE) AS f0,
+      |  CAST(sum(g2) AS DOUBLE) AS f1,
+      |  CAST(sum(b) AS DOUBLE) AS f2,
+      |  CAST(sum((y * 32 + x + 1) * (r + g2 + b)) AS DOUBLE) AS f3,
+      |  CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q101
-  /** Batched resize: strided downsampling of each payload to a <= 64-byte
-    * "thumbnail" — the resize kernel of an image-preprocessing stage, with
-    * the same batch-iterator shape as q46 (swap the strided byte pick for
-    * a real bilinear resampler over decoded pixels and nothing else
-    * changes — q278 IS that swap: a real PNG decode + integer bilinear
-    * resampler in this exact shape, pixel-exact against its oracle). Emits the resampled length and an integer checksum of the
-    * sampled bytes so the oracle gate verifies the exact kernel
-    * arithmetic, not just row counts. Embarrassingly parallel, no
-    * shuffle until the final order.
+  /** Batched nearest-neighbor resize over REAL PNG payloads: decode the
+    * document's PNG (javax.imageio) and take every 4th pixel in each
+    * axis — the stride-pick resize kernel an image-preprocessing stage
+    * runs when bilinear (q278's kernel) is overkill. Emits the decoded
+    * pixel count, the stride, the thumbnail pixel count, and an integer
+    * checksum + position-weighted sum of the PICKED pixels, so the
+    * oracle gate verifies which exact pixels the kernel sampled, not
+    * just row counts. Embarrassingly parallel, no shuffle until the
+    * final order. (Until r10 this kernel strided raw payload bytes with
+    * the codec stubbed; it now consumes the real decode.)
     */
   val q101: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    payloads(s, d)
-      .where(length(col("payload")) > 0)
-      .as[(Long, Array[Byte])]
+    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val len = bytes.length
-          val stride = (len + 63) / 64
-          var i = 0
-          var sum = 0L
+        val W = 32
+        val S = 4
+        it.map { id =>
+          val dec = decodePng(synthPng(id, W), W, id)
+          var checksum = 0L
+          var wsum = 0L
           var n = 0L
-          while (i < len) {
-            sum += (bytes(i) & 0xff).toLong
-            n += 1
-            i += stride
+          var oy = 0
+          while (oy < W / S) {
+            var ox = 0
+            while (ox < W / S) {
+              val p = dec.getRGB(S * ox, S * oy)
+              val v = ((p >> 16) & 0xff).toLong * 65536L +
+                ((p >> 8) & 0xff).toLong * 256L + (p & 0xff).toLong
+              checksum += v
+              wsum += (oy * (W / S) + ox + 1).toLong * v
+              n += 1
+              ox += 1
+            }
+            oy += 1
           }
-          (id, len.toLong, stride, n, sum)
+          (id, (W * W).toLong, S, n, checksum, wsum)
         }
       }
-      .toDF("doc_id", "orig_len", "stride", "out_len", "checksum")
+      .toDF("doc_id", "orig_px", "stride", "out_px", "checksum", "wsum")
       .orderBy("doc_id")
   }
 
   val q101Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text, length(text) AS len
-      |  FROM documents WHERE length(text) > 0),
-      |s AS (
-      |  SELECT doc_id, text, len, ((len + 63) // 64) AS stride FROM d),
-      |p AS (
-      |  SELECT doc_id, text, len, stride,
-      |    unnest(range(0, ((len - 1) // stride) + 1)) AS i
-      |  FROM s)
-      |SELECT doc_id, CAST(len AS BIGINT) AS orig_len, CAST(stride AS INT) AS stride,
-      |  COUNT(*) AS out_len,
-      |  CAST(SUM(unicode(substr(text, i * stride + 1, 1))) AS BIGINT) AS checksum
-      |FROM p GROUP BY doc_id, len, stride
-      |ORDER BY doc_id""".stripMargin
+    """WITH px AS (
+      |  SELECT d.doc_id, g.ox, g.oy,
+      |    ((d.doc_id * 31 + (4 * g.ox) * 7 + (4 * g.oy) * 13) % 256) AS r,
+      |    ((d.doc_id * 17 + (4 * g.ox) * 11 + (4 * g.oy) * 3) % 256) AS g2,
+      |    ((d.doc_id * 23 + (4 * g.ox) * 5 + (4 * g.oy) * 19) % 256) AS b
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN (
+      |    SELECT ox.ox, oy.oy
+      |    FROM (SELECT UNNEST(range(0, 8)) AS ox) ox,
+      |         (SELECT UNNEST(range(0, 8)) AS oy) oy) g)
+      |SELECT doc_id, CAST(1024 AS BIGINT) AS orig_px, CAST(4 AS INT) AS stride,
+      |  COUNT(*) AS out_px,
+      |  CAST(sum(r * 65536 + g2 * 256 + b) AS BIGINT) AS checksum,
+      |  CAST(sum((oy * 8 + ox + 1) * (r * 65536 + g2 * 256 + b)) AS BIGINT) AS wsum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q120
   /** Perceptual-hash near-dup candidates over binary payloads — image
     * dedup's standard shape (compact perceptual signature → Hamming-band
     * candidate join), run on the stub payloads: the signature is a
-    * 64-bucket CHARACTER-BIGRAM histogram hash over the stub payload's
+    * 64-bucket CHARACTER-BIGRAM histogram hash over the payload's
     * code points (= its bytes on this ASCII corpus; a real image tier
-    * hashes decoded pixels — q26/q45/q46's stub discipline) with
+    * hashes decoded pixels — exactly what q46/q101/q278 decode) with
     * bit i = bucket i above the uniform mean — the histogram-family
     * perceptual hash; a positional aHash needs spatially-aligned
     * inputs, which images have and shuffled text deliberately doesn't.
@@ -278,29 +346,9 @@ object Multimodal {
         val W = 32
         val OW = 8
         it.map { id =>
-          // synthesize + encode: a REAL PNG payload (TYPE_INT_RGB)
-          val img = new java.awt.image.BufferedImage(
-            W, W, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < W) {
-            var x = 0
-            while (x < W) {
-              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
-              val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          val png = bos.toByteArray
-
-          // the kernel under test: real decode + integer bilinear 4x down
-          val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-          require(dec != null && dec.getWidth == W && dec.getHeight == W,
-            s"PNG decode failed for doc $id")
+          // synthesize + encode a REAL PNG payload, then the kernel under
+          // test: real decode + integer bilinear 4x down
+          val dec = decodePng(synthPng(id, W), W, id)
           var checksum = 0L
           var wsum = 0L
           var oy = 0
@@ -437,7 +485,7 @@ object Multimodal {
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("q45_frame_sample", q45, Some(q45Sql)),
     ("q46_mm_features", q46, Some(q46Sql)),
-    ("q101_resize_stub", q101, Some(q101Sql)),
+    ("q101_resize_nearest", q101, Some(q101Sql)),
     ("q120_phash_dedup", q120, Some(q120Sql)),
     ("q278_image_decode_resize", q278, Some(q278Sql)),
     ("q279_audio_decode_frames", q279, Some(q279Sql))

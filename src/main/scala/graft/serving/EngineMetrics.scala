@@ -99,6 +99,12 @@ class EngineMetrics {
           s"# TYPE graft_topic_chain_depth gauge\ngraft_topic_chain_depth ${ms.chainDepth.get}\n"
       } +
       s"# HELP graft_plane_lease_epoch Plane-lease epoch held for the root (0 = none)\n" +
-      s"# TYPE graft_plane_lease_epoch gauge\ngraft_plane_lease_epoch ${planeLeaseEpoch()}\n"
+      s"# TYPE graft_plane_lease_epoch gauge\ngraft_plane_lease_epoch ${planeLeaseEpoch()}\n" +
+      // JVM-global like the lease itself: a growing count on a healthy
+      // store means the lease plane is broken (credentials, impl class,
+      // permissions) and the single-writer guard is at risk
+      c("plane_lease_heartbeat_failures_total",
+        "Plane-lease heartbeat passes that threw (retried next tick)",
+        graft.engine.PlaneLease.heartbeatFailures.get)
   }
 }

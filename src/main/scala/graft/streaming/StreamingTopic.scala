@@ -595,22 +595,57 @@ object StreamOps {
   def overlapStream(
       sessions: Dataset[ClosedInterval],
       lateness: String = "1 hour",
-      maxSessionUs: Long = 30L * 24L * HourUs): Dataset[MeetingPair] = {
+      maxSessionUs: Long = 30L * 24L * HourUs): Dataset[MeetingPair] =
+    overlapStreamImpl(sessions, lateness, maxSessionUs, deadLetter = None)
+
+  /** [[overlapStream]] with a DEAD-LETTER branch instead of the poison
+    * pill: a contract-violating interval is COUNTED on the returned
+    * accumulator (named, so it also shows on the Spark UI / progress
+    * metrics) and skipped, rather than failing the query on every
+    * restart/replay until maxSessionUs is raised. The default loud
+    * contract remains the right call when losing pairs at random is
+    * worse than stopping; this variant is for operators who prefer to
+    * quarantine a single bad record and keep the stream moving — the
+    * accumulator is the alert to then go look at the source.
+    */
+  def overlapStreamDeadLetter(
+      sessions: Dataset[ClosedInterval],
+      lateness: String = "1 hour",
+      maxSessionUs: Long = 30L * 24L * HourUs)
+      : (Dataset[MeetingPair], org.apache.spark.util.LongAccumulator) = {
+    val acc = sessions.sparkSession.sparkContext
+      .longAccumulator("graft.overlap.contractViolations")
+    (overlapStreamImpl(sessions, lateness, maxSessionUs, deadLetter = Some(acc)), acc)
+  }
+
+  private def overlapStreamImpl(
+      sessions: Dataset[ClosedInterval],
+      lateness: String,
+      maxSessionUs: Long,
+      deadLetter: Option[org.apache.spark.util.LongAccumulator]): Dataset[MeetingPair] = {
     val spark = sessions.sparkSession
     import spark.implicits._
     sessions
       .flatMap { ci =>
-        // the duration contract is LOUD: an interval longer than
+        // the duration contract defaults to LOUD: an interval longer than
         // maxSessionUs can cover hour buckets whose reclaim timers have
         // already fired, silently pairing with nothing there — fail the
-        // query instead of losing pairs at random
-        require(ci.endUs - ci.startUs <= maxSessionUs,
-          s"interval (user=${ci.user}, sid=${ci.sid}) duration " +
-            s"${ci.endUs - ci.startUs}us exceeds the maxSessionUs duration " +
-            s"contract (${maxSessionUs}us) — raise maxSessionUs or close " +
-            "sessions sooner; processing it would silently drop pairs in " +
-            "already-reclaimed hour buckets")
-        (ci.startUs / HourUs to ci.endUs / HourUs)
+        // query instead of losing pairs at random (or count + skip when
+        // the caller opted into the dead-letter branch)
+        if (ci.endUs - ci.startUs > maxSessionUs) deadLetter match {
+          case Some(acc) =>
+            acc.add(1L)
+            Nil
+          case None =>
+            throw new IllegalArgumentException(
+              s"interval (user=${ci.user}, sid=${ci.sid}) duration " +
+                s"${ci.endUs - ci.startUs}us exceeds the maxSessionUs duration " +
+                s"contract (${maxSessionUs}us) — raise maxSessionUs or close " +
+                "sessions sooner; processing it would silently drop pairs in " +
+                "already-reclaimed hour buckets (overlapStreamDeadLetter " +
+                "counts + skips instead)")
+        }
+        else (ci.startUs / HourUs to ci.endUs / HourUs)
           .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs,
             new java.sql.Timestamp(ci.endUs / 1000L)))
       }

@@ -1,9 +1,11 @@
 package graft
 
-/** Forked-JVM probe for the two-process plane-lease test: tries to open
+/** Forked-JVM probe for the two-process plane-lease tests: tries to open
   * the produce/maintenance plane on the given root exactly as a second
   * store process would (no SparkSession needed — the lease is pure
-  * Hadoop FS). Exit 0 = acquired, 7 = rejected loudly, 1 = unexpected.
+  * Hadoop FS). An optional third arg claims a PARTITION-scoped lease
+  * ("0-5" ring ordinals) instead of the root plane.
+  * Exit 0 = acquired, 7 = rejected loudly, 1 = unexpected.
   */
 object LeaseProbeChild {
   def main(args: Array[String]): Unit = {
@@ -12,10 +14,17 @@ object LeaseProbeChild {
     // it via the shutdown hook, so "a live second process" needs a live
     // process)
     val holdMs = if (args.length > 1) args(1).toLong else 0L
+    val parts = if (args.length > 2) Some(args(2)) else None
     val conf = new org.apache.hadoop.conf.Configuration()
     val rootKey = graft.engine.TopicStore.normalizeRoot(root, conf)
     try {
-      graft.engine.PlaneLease.ensureOwned(rootKey, root, conf)
+      parts match {
+        case Some(spec) =>
+          graft.engine.PlaneLease.ensureOwnedPartitions(rootKey, root, conf,
+            graft.engine.TopicStore.parsePartitionSpec(spec))
+        case None =>
+          graft.engine.PlaneLease.ensureOwned(rootKey, root, conf)
+      }
       println("ACQUIRED")
       Console.flush()
       if (holdMs > 0L) Thread.sleep(holdMs)

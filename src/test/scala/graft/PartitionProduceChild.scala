@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Murmur3x64, TokenRing}
+import graft.engine.TopicStore
+
+/** Forked-JVM writer for the horizontal-produce test: claims a
+  * PARTITION-scoped plane lease for the given ring ordinals and produces
+  * `count` keyed records — every key chosen to hash INTO the claim — via
+  * the driver-side produce path (no Spark jobs: the child pays only
+  * session startup). Prints `WROTE <n>`, then HOLDS the lease until a
+  * stdin line arrives, then exits cleanly (the shutdown hook releases the
+  * partition leases).
+  *
+  * args: root partsSpec topic count keyPrefix
+  */
+object PartitionProduceChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, spec, topic, countStr, keyPrefix) = args
+    val count = countStr.toInt
+    try {
+      val spark = Graft.configure(
+        SparkSession.builder().appName("partition-produce-child").master("local[2]")
+          .config("spark.sql.shuffle.partitions", "2")
+          .config("spark.ui.enabled", "false")
+          .config("spark.graft.planeLeasePartitions", spec)
+      ).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val store = new TopicStore(spark, root)
+      val owned = TopicStore.parsePartitionSpec(spec)
+      val g = store.generation(topic)
+      // keys that hash into the claim, derived with the SAME ring math
+      // the produce plane applies (BrokerGroup's ShardRouter routing)
+      val keys = Iterator.from(0).map(i => s"$keyPrefix$i")
+        .filter { k =>
+          owned.contains(TokenRing.partitionOrdinal(
+            Murmur3x64.hashString(k), g.clusterSize, store.rangesPerToken))
+        }
+        .take(count).toSeq
+      val rows = keys.zipWithIndex.map { case (k, i) =>
+        TopicStore.LocalRecord(k, s"v-$k".getBytes("UTF-8"),
+          1700000000000000L + i * 1000L, i.toLong)
+      }
+      val n = store.produceLocal(topic, rows)
+      println(s"WROTE $n")
+      Console.flush()
+      // hold until the parent says go: clean exit releases the leases
+      scala.io.StdIn.readLine()
+      spark.stop()
+      System.exit(0)
+    } catch {
+      case e: graft.engine.PlaneLeaseHeldException =>
+        println("HELD " + e.getMessage)
+        System.exit(7)
+      case e: Throwable =>
+        e.printStackTrace()
+        System.exit(1)
+    }
+  }
+}

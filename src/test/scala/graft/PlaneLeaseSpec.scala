@@ -46,8 +46,13 @@ class PlaneLeaseSpec extends AnyFunSuite {
     val files = leaseDir(root).listFiles()
     assert(files != null && files.count(_.getName.startsWith("lease-")) == 1)
     val lease = files.find(_.getName.startsWith("lease-")).get
-    assert(new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
-      == PlaneLease.ownerId)
+    val content = new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
+    val lines = content.split('\n').map(_.trim)
+    assert(lines.headOption.contains(PlaneLease.ownerId))
+    // the owner RECORDS its TTL so claimants judge staleness by the
+    // owner's cadence, never their own (a short-TTL test claimant can't
+    // kill a healthy production owner)
+    assert(lines.exists(_.startsWith("ttl=")), s"owner TTL missing: $content")
     // same JVM, second store instance over the root: shares the lease
     val second = new TopicStore(spark, root)
     second.produceStrings("t", Seq(("k", "v2", ts(1))))

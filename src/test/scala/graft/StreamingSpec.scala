@@ -398,6 +398,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("overlap dead-letter branch counts + skips a violating interval; the stream lives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val H = 3600000000L
+      val mem = MemoryStream[StreamOps.ClosedInterval]
+      val (ds, acc) = StreamOps.overlapStreamDeadLetter(mem.toDS(),
+        lateness = "1 second", maxSessionUs = 2L * H)
+      val q = ds.writeStream.format("memory").queryName("ovl_dl_out")
+        .outputMode("update").start()
+      // one contract-violating 11 h interval beside two healthy
+      // overlapping ones: the violator is quarantined (counted, emits no
+      // pairs), the healthy pair still fires, and the query keeps running
+      mem.addData(
+        StreamOps.ClosedInterval(2L, 1L, H / 6, 11L * H),
+        StreamOps.ClosedInterval(1L, 1L, 0L, H / 2),
+        StreamOps.ClosedInterval(3L, 1L, H / 4, H / 3))
+      q.processAllAvailable()
+      assert(q.isActive, "the dead-letter branch must not fail the query")
+      assert(acc.value == 1L, s"expected 1 dead-lettered interval, got ${acc.value}")
+      val got = spark.sql("SELECT ua, ub FROM ovl_dl_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L)),
+        s"healthy pair must fire, violator must pair with nothing: $got")
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS ovl_dl_out")
+      ()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState sessionizer emits closed sessions equal to the batch fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
