@@ -597,7 +597,7 @@ class TopicStore(
           // of these part monitors writes them, and exclusive-plane
           // writers are excluded by the shared plane lock
           val bases = producerOffsetsFor(topic, g)
-          stageCommit(offsetsAssigned(keyed, topic, g, bases))
+          stageCommit(offsetsAssigned(keyed, topic, g, bases), counts.keySet)
           val scope = producerScopeFor(topic, g)
           val myNext = counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
           // merge RMW on the shared watermark view: concurrent producers
@@ -633,12 +633,21 @@ class TopicStore(
     * [[sweepStages]]) or moved-but-unwatermarked files (the documented
     * at-least-once window, healed by the reconcile scan).
     */
-  private def stageCommit(withOffsets: DataFrame): Unit = {
+  private def stageCommit(withOffsets: DataFrame, parts: Set[Int]): Unit = {
     val stage = s"$root/_stage/produce-${java.util.UUID.randomUUID()}"
     val fs = hfs(stage)
     try {
       withOffsets.write.mode(SaveMode.Overwrite)
         .partitionBy("topic", "token", "range", "version").parquet(stage)
+      // re-fence AFTER the (possibly long) staged Spark write, right
+      // before the renames make its files visible: a lease taken over
+      // mid-write is caught here, so a paused producer cannot land data
+      // files a successor's heal has already offset-advanced past. The
+      // residual window is the rename loop itself — microseconds per
+      // file, the same bounded TOCTOU the reference accepts between its
+      // coalescer's generation re-check and its segment write
+      // (`coalescer.go:93-135`); the watermark swap re-checks once more.
+      PlaneLease.assertCurrentAtCommit(lockRootKey, Some(parts))
       val stagePath = fs.makeQualified(hpath(stage))
       val it = fs.listFiles(stagePath, true)
       while (it.hasNext) {
@@ -2824,7 +2833,10 @@ class TopicStore(
     PlaneLease.assertCurrentAtCommit(lockRootKey, fenceParts)
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"meta swap: rename $tmp -> $fin failed")
-    fs.listStatus(dirPath).foreach { st =>
+    // FILES only: a producer-offsets scope may also hold lane-* DIRS
+    // (partition-scoped writers' watermark sub-tables) — those are not
+    // part of this swap; writeProducerOffsets folds them deliberately
+    fs.listStatus(dirPath).filter(_.isFile).foreach { st =>
       val n = st.getPath.getName
       if (!n.startsWith(".") && n != fin.getName && !fs.delete(st.getPath, false))
         throw new java.io.IOException(s"meta swap: could not delete ${st.getPath}")

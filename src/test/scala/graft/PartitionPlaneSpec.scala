@@ -169,6 +169,68 @@ class PartitionPlaneSpec extends AnyFunSuite {
     PlaneLease.dropForTests(rootKeyOf(root), hconf)
   }
 
+  test("crashed partition writer: a root successor supersedes the stale claim, folds its lanes, and offsets stay contiguous") {
+    val root = Files.createTempDirectory("graft-partcrash").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.PartitionProduceChild", root, "0-5", "t", "40", "wc")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      var line = rd.readLine()
+      while (line != null && !line.startsWith("WROTE")) line = rd.readLine()
+      assert(line == "WROTE 40", s"child write failed: $line")
+      // CRASH: no clean exit, no lease release — the takeover path
+      proc.destroyForcibly()
+      proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    } finally { proc.destroyForcibly(); () }
+    // TTL elapses (simulated like the fence tests: age the claim files)
+    leaseDir(root).listFiles().filter(_.getName.startsWith("part-p")).foreach { d =>
+      d.listFiles().filter(_.getName.startsWith("lease-"))
+        .foreach { f => f.setLastModified(System.currentTimeMillis() - 3600 * 1000L); () }
+    }
+    // the successor takes ROOT authority: supersedes each stale partition
+    // claim at epoch+1 (files kept — a resumed child would fence)
+    val store = new TopicStore(spark, root)
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g", "t", "c").count() == 40L)
+    // produce MORE into the same partitions: bases come from the crashed
+    // writer's LANE watermarks (merged on read), and the root writer's
+    // first watermark write FOLDS the lanes into the base table
+    store.produceLocal("t", localRows(keysInto((0 to 5).toSet, 20, "wd")))
+    val scope = new java.io.File(s"$root/_meta/producer_offsets/t/v1")
+    assert(!scope.listFiles().exists(d => d.isDirectory && d.getName.startsWith("lane-")),
+      "the root writer's watermark write must fold lane tables away")
+    assert(store.persistedProducerOffsets("t").values.sum == 60L)
+    // per-partition contiguity ACROSS the writer handover
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(store.dataDir).where(col("topic") === "t")
+      .groupBy(col("token"), col("range"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("offset")).as("d"),
+        min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+      .collect().foreach { r =>
+        val (n, dd, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(n == dd && lo == 0L && hi == n - 1,
+          s"contiguity broken across handover at token=${r.get(0)} range=${r.get(1)}: " +
+            s"n=$n d=$dd lo=$lo hi=$hi")
+      }
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
   test("two writer JVMs produce concurrently to disjoint partitions; overlap rejected; roundtrip + contiguity hold") {
     val root = Files.createTempDirectory("graft-part2jvm").toString
     val javaBin = System.getProperty("java.home") + "/bin/java"
