@@ -96,6 +96,21 @@ final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
   */
 object PlaneLease {
 
+  /** What a mutating operation needs from the lease plane. A ROOT-lease
+    * holder has all three; a partition-scoped holder has only
+    * [[ProduceAuthority]] within its claim; a consumer-plane holder has
+    * only [[ConsumerAuthority]].
+    */
+  sealed trait Authority
+  /** Maintenance, rescale, generation flips, the stream ledger, the
+    * exclusive-plane produce — root-lease holders only.
+    */
+  case object RootAuthority extends Authority
+  /** Producing to (and advancing the watermarks of) exactly `parts`. */
+  final case class ProduceAuthority(parts: Set[Int]) extends Authority
+  /** The consumer plane: registry rows and group-offset commits. */
+  case object ConsumerAuthority extends Authority
+
   /** Stable identity of this process for lease ownership: pid@host plus a
     * random component (two processes can share pid@host across container
     * namespaces; the random suffix keeps identities distinct).
@@ -131,6 +146,7 @@ object PlaneLease {
       root: String,
       files: Vector[LeaseFile],
       parts: Option[SortedSet[Int]],
+      consumer: Boolean,
       ttlMs: Long,
       fs: FileSystem)
 
@@ -149,6 +165,7 @@ object PlaneLease {
 
   private def planeDir(root: String) = new Path(new Path(root, "_meta"), "_plane")
   private def partDir(plane: Path, p: Int) = new Path(plane, f"part-p$p%05d")
+  private def consumerDir(plane: Path) = new Path(plane, "consumer")
 
   /** Fast-path guard for every root-authority mutating store operation:
     * no-op when this JVM already holds the root's ROOT lease (one map
@@ -161,7 +178,22 @@ object PlaneLease {
       root: String,
       conf: Configuration,
       ttlMs: Long = DefaultTtlMs): Unit =
-    ensure(rootKey, root, conf, ttlMs, None)
+    ensure(rootKey, root, conf, ttlMs, None, consumer = false)
+
+  /** CONSUMER-PLANE acquisition: claim the registry/group-commit plane
+    * of the root (`_meta/_plane/consumer/lease-<epoch>`) without any
+    * produce or maintenance authority. Compatible with live
+    * partition-scoped producers (they never touch consumer tables);
+    * mutually exclusive with a root-lease owner (who IS the consumer
+    * plane) and with a second consumer-plane process (group-offset
+    * commits are a cross-process read-modify-write).
+    */
+  def ensureOwnedConsumer(
+      rootKey: String,
+      root: String,
+      conf: Configuration,
+      ttlMs: Long = DefaultTtlMs): Unit =
+    ensure(rootKey, root, conf, ttlMs, None, consumer = true)
 
   /** Partition-scoped acquisition: claim exactly `parts` (ring partition
     * ordinals) of the root. Disjoint claimants coexist; an overlapping
@@ -176,7 +208,7 @@ object PlaneLease {
       ttlMs: Long = DefaultTtlMs): Unit = {
     require(parts.nonEmpty && parts.head >= 0,
       s"partition lease needs a non-empty set of ring ordinals, got $parts")
-    ensure(rootKey, root, conf, ttlMs, Some(parts))
+    ensure(rootKey, root, conf, ttlMs, Some(parts), consumer = false)
   }
 
   private def ensure(
@@ -184,7 +216,8 @@ object PlaneLease {
       root: String,
       conf: Configuration,
       ttlMs: Long,
-      parts: Option[SortedSet[Int]]): Unit = {
+      parts: Option[SortedSet[Int]],
+      consumer: Boolean): Unit = {
     if (fencedRoots.contains(rootKey))
       throw new PlaneFencedException(
         s"this process's plane lease for $root was superseded by a higher epoch " +
@@ -193,25 +226,30 @@ object PlaneLease {
           "contend for a fresh lease")
     val cur = held.get(rootKey)
     if (cur != null) {
-      if (cur.parts == parts) return
+      if (cur.parts == parts && cur.consumer == consumer) return
       throw new IllegalStateException(
-        s"plane-lease mode change for $root (held=${modeName(cur.parts)}, " +
-          s"requested=${modeName(parts)}): a process claims ONE shape per root " +
-          "for its lifetime — restart the process to change the claim")
+        s"plane-lease mode change for $root (held=${modeName(cur.parts, cur.consumer)}, " +
+          s"requested=${modeName(parts, consumer)}): a process claims ONE shape per " +
+          "root for its lifetime — restart the process to change the claim")
     }
     this.synchronized {
-      if (held.containsKey(rootKey)) { ensure(rootKey, root, conf, ttlMs, parts); return }
-      val h = parts match {
-        case None => acquireRoot(root, conf, ttlMs)
-        case Some(ps) => acquireParts(root, conf, ps, ttlMs)
+      if (held.containsKey(rootKey)) {
+        ensure(rootKey, root, conf, ttlMs, parts, consumer); return
       }
+      val h =
+        if (consumer) acquireConsumer(root, conf, ttlMs)
+        else parts match {
+          case None => acquireRoot(root, conf, ttlMs)
+          case Some(ps) => acquireParts(root, conf, ps, ttlMs)
+        }
       held.put(rootKey, h)
       startBeater()
     }
   }
 
-  private def modeName(parts: Option[SortedSet[Int]]): String =
-    parts.fold("root")(ps => s"partitions ${specOf(ps)}")
+  private def modeName(parts: Option[SortedSet[Int]], consumer: Boolean): String =
+    if (consumer) "consumer-plane"
+    else parts.fold("root")(ps => s"partitions ${specOf(ps)}")
 
   /** Canonical dash-range spec of a partition set ("0-5" / "0-3_8-11"). */
   def specOf(parts: SortedSet[Int]): String = {
@@ -242,23 +280,24 @@ object PlaneLease {
     val taken = Vector.newBuilder[LeaseFile]
     taken += rootClaim
     try {
-      listPartDirs(fs, plane).foreach { d =>
-        newestLease(fs, d.getPath) match {
+      // a root claim subsumes every SCOPED claim (partition producers,
+      // the consumer plane): live foreign scoped claims reject the root
+      // claim; stale ones are superseded at epoch+1 (file KEPT) so a
+      // paused scoped owner resuming later observes the higher epoch and
+      // fences instead of writing
+      scopedDirs(fs, plane).foreach { d =>
+        newestLease(fs, d) match {
           case Some((e, st, info)) if info.owner != ownerId =>
             if (isLive(st, info, ttlMs))
               throw new PlaneLeaseHeldException(
-                s"ring partition ${d.getPath.getName.stripPrefix("part-p")} of $root " +
-                  s"is leased by ${ownerName(info)} (epoch $e) — a root-plane writer " +
-                  "would race the partition owner's produce; wait for the " +
-                  "partition-scoped writers to exit")
-            // stale partition owner: supersede at epoch+1 (file KEPT) so a
-            // paused owner resuming later observes the higher epoch and
-            // fences instead of writing
-            val lf = LeaseFile(d.getPath, e + 1)
+                s"${scopedName(d)} of $root is leased by ${ownerName(info)} " +
+                  s"(epoch $e) — a root-plane writer would race the scoped " +
+                  "owner; wait for the scoped processes to exit")
+            val lf = LeaseFile(d, e + 1)
             if (!createExclusive(fs, lf.path, leaseContent(ttlMs, marker = false)))
               throw new PlaneLeaseHeldException(
-                s"lost the race superseding a stale partition lease under ${d.getPath}")
-            foldBelow(fs, d.getPath, e + 1)
+                s"lost the race superseding a stale scoped lease under $d")
+            foldBelow(fs, d, e + 1)
             taken += lf
           case _ => ()
         }
@@ -269,8 +308,74 @@ object PlaneLease {
           try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
         throw t
     }
-    Held(root, taken.result(), None, ttlMs, fs)
+    Held(root, taken.result(), None, consumer = false, ttlMs, fs)
   }
+
+  /** Acquire the CONSUMER-PLANE lease: fence a stale real root owner with
+    * a marker, claim the consumer dir, re-validate the root — the same
+    * claim-then-validate dance as partitions; live partition claims are
+    * COMPATIBLE (producers never touch registry/group tables).
+    */
+  private def acquireConsumer(root: String, conf: Configuration, ttlMs: Long): Held = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    fs.mkdirs(plane)
+    supersedeStaleRoot(fs, plane, root, ttlMs, "consumer-plane")
+    val d = consumerDir(plane)
+    fs.mkdirs(d)
+    val claim = claimDir(fs, d, ttlMs, marker = false,
+      what = s"the consumer plane (registry/group commits) for $root")
+    var ok = false
+    try {
+      liveRealRootLease(fs, plane, ttlMs).foreach { case (e, info) =>
+        throw new PlaneLeaseHeldException(
+          s"the root plane for $root was claimed concurrently " +
+            s"(epoch $e by ${ownerName(info)}) — releasing this consumer-plane claim")
+      }
+      ok = true
+    } finally {
+      if (!ok) { try { fs.delete(claim.path, false); () } catch { case _: Exception => () } }
+    }
+    Held(root, Vector(claim), None, consumer = true, ttlMs, fs)
+  }
+
+  /** A live REAL (non-marker) foreign root lease, if any. */
+  private def liveRealRootLease(
+      fs: FileSystem, plane: Path, ttlMs: Long): Option[(Long, LeaseInfo)] =
+    newestLease(fs, plane) match {
+      case Some((e, st, info))
+          if !info.marker && info.owner != ownerId && isLive(st, info, ttlMs) =>
+        Some((e, info))
+      case _ => None
+    }
+
+  /** A STALE real root lease is superseded by a higher-epoch MARKER
+    * (fences the paused root owner, blocks no scoped claimant); a LIVE
+    * one throws. Shared by the partition and consumer acquisitions.
+    */
+  private def supersedeStaleRoot(
+      fs: FileSystem, plane: Path, root: String, ttlMs: Long, who: String): Unit =
+    newestLease(fs, plane) match {
+      case Some((e, st, info)) if !info.marker && info.owner != ownerId =>
+        if (isLive(st, info, ttlMs))
+          throw new PlaneLeaseHeldException(
+            s"the produce/maintenance plane for $root is leased ROOT-WIDE by " +
+              s"${ownerName(info)} (epoch $e) — $who claimants cannot coexist " +
+              "with a root-plane owner")
+        if (createExclusive(fs, new Path(plane, f"lease-${e + 1}%020d"),
+            leaseContent(ttlMs, marker = true))) {
+          foldBelow(fs, plane, e + 1)
+        } else {
+          // lost the supersede race: a real claimant winning here means
+          // the root plane is being taken — back off
+          liveRealRootLease(fs, plane, ttlMs).foreach { case (e2, i2) =>
+            throw new PlaneLeaseHeldException(
+              s"the root plane for $root was claimed (epoch $e2 by ${ownerName(i2)}) " +
+                s"while this $who claim was superseding a stale lease")
+          }
+        }
+      case _ => ()
+    }
 
   /** Acquire partition-scoped leases: fence a stale real root owner with
     * a marker, claim each partition dir ascending, re-validate the root.
@@ -280,36 +385,9 @@ object PlaneLease {
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
     fs.mkdirs(plane)
-    def liveRealRoot(): Option[(Long, LeaseInfo)] =
-      newestLease(fs, plane) match {
-        case Some((e, st, info))
-            if !info.marker && info.owner != ownerId && isLive(st, info, ttlMs) =>
-          Some((e, info))
-        case _ => None
-      }
     // step 1: a live real root lease blocks; a STALE one is superseded by
     // a higher-epoch MARKER (fences the paused root owner, blocks nobody)
-    newestLease(fs, plane) match {
-      case Some((e, st, info)) if !info.marker && info.owner != ownerId =>
-        if (isLive(st, info, ttlMs))
-          throw new PlaneLeaseHeldException(
-            s"the produce/maintenance plane for $root is leased ROOT-WIDE by " +
-              s"${ownerName(info)} (epoch $e) — partition-scoped writers cannot " +
-              "coexist with a root-plane owner")
-        if (createExclusive(fs, new Path(plane, f"lease-${e + 1}%020d"),
-            leaseContent(ttlMs, marker = true))) {
-          foldBelow(fs, plane, e + 1)
-        } else {
-          // lost the supersede race: a real claimant winning here means
-          // the root plane is being taken — back off
-          liveRealRoot().foreach { case (e2, i2) =>
-            throw new PlaneLeaseHeldException(
-              s"the root plane for $root was claimed (epoch $e2 by ${ownerName(i2)}) " +
-                "while this partition claim was superseding a stale lease")
-          }
-        }
-      case _ => ()
-    }
+    supersedeStaleRoot(fs, plane, root, ttlMs, "partition")
     // step 2: claim each partition dir ascending (the partition name is
     // the mutex — overlapping claimants get exactly one winner per part)
     val taken = Vector.newBuilder[LeaseFile]
@@ -322,9 +400,9 @@ object PlaneLease {
           what = s"ring partition $p of $root")
       }
       // step 3: validate-after-claim against a racing root claimant (it
-      // validates the partition dirs after creating its root file, so at
+      // validates the scoped dirs after creating its root file, so at
       // least one of us observes the other)
-      liveRealRoot().foreach { case (e, info) =>
+      liveRealRootLease(fs, plane, ttlMs).foreach { case (e, info) =>
         throw new PlaneLeaseHeldException(
           s"the root plane for $root was claimed concurrently " +
             s"(epoch $e by ${ownerName(info)}) — releasing this partition claim")
@@ -334,7 +412,7 @@ object PlaneLease {
       if (!ok) taken.result().foreach(lf =>
         try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
     }
-    Held(root, taken.result(), Some(parts), ttlMs, fs)
+    Held(root, taken.result(), Some(parts), consumer = false, ttlMs, fs)
   }
 
   /** Claim the next epoch in one lease directory. Loud on a live foreign
@@ -472,34 +550,45 @@ object PlaneLease {
   private def newestLease(fs: FileSystem, dir: Path): Option[(Long, FileStatus, LeaseInfo)] =
     listLeases(fs, dir).lastOption.map { case (e, st) => (e, st, readLease(fs, st.getPath)) }
 
-  private def listPartDirs(fs: FileSystem, plane: Path): Seq[FileStatus] =
+  /** All SCOPED claim dirs under the plane: per-partition producer dirs
+    * plus the consumer-plane dir.
+    */
+  private def scopedDirs(fs: FileSystem, plane: Path): Seq[Path] =
     (try fs.listStatus(plane).toSeq
      catch { case _: java.io.FileNotFoundException => Seq.empty })
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part-p"))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("part-p") || st.getPath.getName == "consumer"))
+      .map(_.getPath)
+
+  private def scopedName(d: Path): String =
+    if (d.getName == "consumer") "the consumer plane"
+    else s"ring partition ${d.getName.stripPrefix("part-p")}"
 
   // ------------------------------------------------------ write authority
 
   /** Cheap authority check at a mutating operation's ENTRY (no FS I/O):
-    * fenced roots throw; a partition-scoped holder must cover `parts`
-    * (None = root authority, which a partition-scoped writer never has).
-    * A root-lease holder passes for any `parts`.
+    * fenced roots throw; a root-lease holder has every authority; a
+    * partition-scoped holder has [[ProduceAuthority]] within its claim
+    * only; a consumer-plane holder has [[ConsumerAuthority]] only.
     */
-  def assertAuthority(rootKey: String, parts: Option[Set[Int]]): Unit = {
+  def assertAuthority(rootKey: String, a: Authority): Unit = {
     assertNotFenced(rootKey)
     val h = held.get(rootKey)
     if (h == null) return // acquisition happens first on every mutating path
-    h.parts match {
+    if (h.consumer) a match {
+      case ConsumerAuthority => ()
+      case _ =>
+        throw new PlaneLeaseHeldException(
+          s"this process holds the CONSUMER-PLANE lease for ${h.root} — it may " +
+            "register consumers and commit group offsets only; produce, " +
+            "maintenance, rescale and the stream ledger need a root-lease " +
+            "(or, for produce, partition-scoped) owner process")
+    }
+    else h.parts match {
       case None => ()
       case Some(owned) =>
-        parts match {
-          case None =>
-            throw new PlaneLeaseHeldException(
-              s"this process holds a PARTITION-scoped lease (${specOf(owned)}) for " +
-                s"${h.root} — root-authority operations (maintenance, rescale, " +
-                "consumer registry, group commits, the stream ledger, " +
-                "exclusive-plane produce) need the root lease; run them from a " +
-                "root-lease owner process")
-          case Some(ps) =>
+        a match {
+          case ProduceAuthority(ps) =>
             val missing = ps.filterNot(owned.contains)
             if (missing.nonEmpty)
               throw new PlaneLeaseHeldException(
@@ -507,31 +596,45 @@ object PlaneLease {
                   s"outside this process's partition lease (${specOf(owned)}) for " +
                   s"${h.root} — route records to the owning writer " +
                   "(BrokerGroup/ShardRouter), or widen the claim")
+          case _ =>
+            throw new PlaneLeaseHeldException(
+              s"this process holds a PARTITION-scoped lease (${specOf(owned)}) for " +
+                s"${h.root} — root-authority operations (maintenance, rescale, " +
+                "the stream ledger, exclusive-plane produce) and the consumer " +
+                "plane (registry, group commits) live in other processes")
         }
     }
   }
 
   /** Per-write fence at a COMMIT point: re-list the lease directory (root
     * dir for a root holder; each touched partition dir for a
-    * partition-scoped holder) and reject the commit when a higher epoch
-    * is visible — a paused owner's next commit fails loudly instead of
-    * landing with stale authority, closing the heartbeat-granular
-    * dual-writer window at the point that matters. One tiny-dir
-    * listStatus per commit (per touched partition in partition mode).
+    * partition-scoped holder; the consumer dir for a consumer-plane
+    * holder) and reject the commit when a higher epoch is visible — a
+    * paused owner's next commit fails loudly instead of landing with
+    * stale authority, closing the heartbeat-granular dual-writer window
+    * at the point that matters. One tiny-dir listStatus per commit (per
+    * touched partition in partition mode).
     */
-  def assertCurrentAtCommit(rootKey: String, parts: Option[Set[Int]] = None): Unit = {
+  def assertCurrentAtCommit(rootKey: String, a: Authority): Unit = {
     assertNotFenced(rootKey)
     val h = held.get(rootKey)
     if (h == null) return // read-side/test paths that never acquired
-    h.parts match {
+    if (h.consumer) {
+      assertAuthority(rootKey, a)
+      checkDirCurrent(rootKey, h, h.files.head)
+    }
+    else h.parts match {
       case None =>
-        // root holder: files.head is the root-dir claim (partition-dir
-        // supersede markers follow it and need no per-write re-check —
-        // partition claimants validate against OUR live root lease)
+        // root holder: files.head is the root-dir claim (scoped-dir
+        // supersede files follow it and need no per-write re-check —
+        // scoped claimants validate against OUR live root lease)
         checkDirCurrent(rootKey, h, h.files.head)
       case Some(owned) =>
-        assertAuthority(rootKey, parts) // subset / root-authority contract
-        val ps = parts.getOrElse(owned.toSet)
+        assertAuthority(rootKey, a) // subset / authority contract
+        val ps = a match {
+          case ProduceAuthority(x) => x
+          case _ => owned.toSet // unreachable: assertAuthority threw
+        }
         h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
           .foreach(lf => checkDirCurrent(rootKey, h, lf))
     }

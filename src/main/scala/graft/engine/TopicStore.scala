@@ -322,20 +322,54 @@ class TopicStore(
     spark.conf.getOption("spark.graft.planeLeasePartitions")
       .map(TopicStore.parsePartitionSpec)
 
-  private def ensurePlaneOwned(): Unit = planeLeasePartitions match {
-    case Some(ps) => PlaneLease.ensureOwnedPartitions(lockRootKey, root,
-      spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
-    case None => PlaneLease.ensureOwned(lockRootKey, root,
-      spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+  // `spark.graft.planeLeaseRole = consumer` claims the CONSUMER-PLANE
+  // lease instead (registry + group-commit authority, no produce or
+  // maintenance) — compatible with live partition-scoped producers, so a
+  // horizontal deployment is N producer processes + 1 consumer-plane
+  // process over one root. A consumer-plane store reads producer
+  // watermarks as a pure OBSERVER: no reconcile heal (that is a
+  // producer-authority write), and poll refreshes the watermark/
+  // generation caches per call because other processes advance them.
+  private lazy val planeLeaseConsumer: Boolean =
+    spark.conf.getOption("spark.graft.planeLeaseRole") match {
+      case None => false
+      case Some("consumer") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.planeLeaseRole='$other' — the only role is 'consumer' " +
+          "(partition-scoped produce uses spark.graft.planeLeasePartitions)")
+    }
+
+  private def ensurePlaneOwned(): Unit = {
+    require(!(planeLeaseConsumer && planeLeasePartitions.isDefined),
+      "spark.graft.planeLeaseRole=consumer and spark.graft.planeLeasePartitions " +
+        "are mutually exclusive — one claim shape per process per root")
+    if (planeLeaseConsumer)
+      PlaneLease.ensureOwnedConsumer(lockRootKey, root,
+        spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+    else planeLeasePartitions match {
+      case Some(ps) => PlaneLease.ensureOwnedPartitions(lockRootKey, root,
+        spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
+      case None => PlaneLease.ensureOwned(lockRootKey, root,
+        spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+    }
   }
 
-  /** Root-authority acquisition: everything that is not a
-    * partition-routed produce (maintenance, rescale, registry, group
-    * commits, the stream ledger) — loud from a partition-scoped process.
+  /** Root-authority acquisition: maintenance, rescale, the stream
+    * ledger, exclusive-plane produce — loud from a partition-scoped or
+    * consumer-plane process.
     */
   private def ensurePlaneOwnedRoot(): Unit = {
     ensurePlaneOwned()
-    PlaneLease.assertAuthority(lockRootKey, None)
+    PlaneLease.assertAuthority(lockRootKey, PlaneLease.RootAuthority)
+  }
+
+  /** Consumer-plane acquisition: registry rows and group-offset commits —
+    * satisfied by the consumer-plane OR root lease, loud from a
+    * partition-scoped producer process.
+    */
+  private def ensureConsumerPlane(): Unit = {
+    ensurePlaneOwned()
+    PlaneLease.assertAuthority(lockRootKey, PlaneLease.ConsumerAuthority)
   }
 
   /** The plane-lease epoch this process holds for the root (None before
@@ -454,8 +488,9 @@ class TopicStore(
   private def produceInto(topic: String, records: DataFrame, g: Generation): Long = {
     ensurePlaneOwned()
     // the exclusive plane's direct append + whole-table watermark swap
-    // are root-authority: a partition-scoped process never takes them
-    PlaneLease.assertAuthority(lockRootKey, None)
+    // are root-authority: a partition-scoped or consumer-plane process
+    // never takes them
+    PlaneLease.assertAuthority(lockRootKey, PlaneLease.RootAuthority)
     inServingPool { produceLock.synchronized { exclusivePlane {
     val bases: Map[Int, Long] = producerOffsetsFor(topic, g)
     val keyed = ringAssigned(records, g)
@@ -591,8 +626,10 @@ class TopicStore(
           // entry authority + pre-data fence: the batch must sit inside a
           // partition-scoped claim, and a superseded lease is caught
           // BEFORE the data files land, not only at the watermark swap
-          PlaneLease.assertAuthority(lockRootKey, Some(counts.keySet))
-          PlaneLease.assertCurrentAtCommit(lockRootKey, Some(counts.keySet))
+          PlaneLease.assertAuthority(lockRootKey,
+            PlaneLease.ProduceAuthority(counts.keySet))
+          PlaneLease.assertCurrentAtCommit(lockRootKey,
+            PlaneLease.ProduceAuthority(counts.keySet))
           // bases for THIS batch's partitions are stable: only a holder
           // of these part monitors writes them, and exclusive-plane
           // writers are excluded by the shared plane lock
@@ -647,7 +684,7 @@ class TopicStore(
       // file, the same bounded TOCTOU the reference accepts between its
       // coalescer's generation re-check and its segment write
       // (`coalescer.go:93-135`); the watermark swap re-checks once more.
-      PlaneLease.assertCurrentAtCommit(lockRootKey, Some(parts))
+      PlaneLease.assertCurrentAtCommit(lockRootKey, PlaneLease.ProduceAuthority(parts))
       val stagePath = fs.makeQualified(hpath(stage))
       val it = fs.listFiles(stagePath, true)
       while (it.hasNext) {
@@ -710,8 +747,10 @@ class TopicStore(
         TopicStore.scopedLockFor(s"$lockRootKey|ppart|${scopeDir(topic)}|v${g.version}|$p"))
       withMonitors(monitors) {
         // entry authority + pre-data fence (see produceConcurrent)
-        PlaneLease.assertAuthority(lockRootKey, Some(byPart.keySet))
-        PlaneLease.assertCurrentAtCommit(lockRootKey, Some(byPart.keySet))
+        PlaneLease.assertAuthority(lockRootKey,
+          PlaneLease.ProduceAuthority(byPart.keySet))
+        PlaneLease.assertCurrentAtCommit(lockRootKey,
+          PlaneLease.ProduceAuthority(byPart.keySet))
         // may run the one-time reconcile heal (a Spark scan) on first
         // touch of this (topic, generation) — serialized by its own
         // scoped lock, like every other produce plane
@@ -1003,6 +1042,13 @@ class TopicStore(
       maxRecords: Long = Long.MaxValue,
       maxBytes: Long = Long.MaxValue,
       autoCommit: Boolean = true): DataFrame = {
+    // a consumer-plane process's watermarks/generations advance in OTHER
+    // processes (the partition-scoped producers): drop the JVM-global
+    // write-through caches so every poll observes the producers' latest
+    // persisted state — the same refresh the DSv2 observer does before
+    // each latestOffset() (a root-lease store is the single writer and
+    // keeps the memory-speed cache)
+    if (planeLeaseConsumer) refreshOffsets(topic)
     // ONE chain read pins generations, assignments, offsets scopes and
     // the scan filters for the whole poll (same discipline as commit):
     // assignment computed against a newer ring than the captured one
@@ -1418,7 +1464,7 @@ class TopicStore(
       next: Map[Int, Long],
       origin: String = "",
       version: Int = -1): Map[Int, Long] = {
-    ensurePlaneOwnedRoot()
+    ensureConsumerPlane()
     TopicStore.scopedLockFor(s"$lockRootKey|commit|$group/$topic").synchronized {
     // ONE chain read pins both the liveness check and the offsets scope:
     // with separate reads, a sweep removing the generation between them
@@ -1437,7 +1483,7 @@ class TopicStore(
       owns && off >= cur.getOrElse(p, 0L)
     }
     if (accepted.nonEmpty)
-      writeOffsets(groupMeta, scope, cur ++ accepted)
+      writeOffsets(groupMeta, scope, cur ++ accepted, PlaneLease.ConsumerAuthority)
     accepted
   } }
 
@@ -1473,6 +1519,14 @@ class TopicStore(
     // with a per-instance lock, two stores first-touching one scope both
     // pass the contains check and race the heal's delete-then-rename swap
     val rscope = lockRootKey + "|" + scope
+    // a CONSUMER-PLANE process is a watermark OBSERVER: the reconcile
+    // heal is a producer-authority write (it advances the persisted
+    // watermark over crash orphans), owned by the root/partition
+    // producer that first touches the scope — skipping it here means a
+    // consumer-plane poll simply does not surface orphaned records until
+    // their producer heals them (the same observer semantics as
+    // persistedProducerOffsets, which the DSv2 source already uses)
+    if (planeLeaseConsumer) return readOffsets(producerMeta, scope)
     // the heal SCAN reads topic data files and collects eagerly, so the
     // topic read lock pins its listing against a concurrent maintenance
     // swap (a compact deleting merged-away files failed the scan; found
@@ -1737,7 +1791,7 @@ class TopicStore(
           next.foreach { x => g.append("next", x); () }
           v.foreach { x => g.append("snap_version", x); () }
           g
-      })
+      }, PlaneLease.ConsumerAuthority)
     }
 
     /** Idempotent register; Latest groups snapshot current watermarks per
@@ -1753,11 +1807,13 @@ class TopicStore(
       // registration persists the group row (`_meta/groups`): a write,
       // so it sits behind the cross-process plane lease like every other
       // mutating path (consumers register through the serving driver)
-      ensurePlaneOwnedRoot()
+      ensureConsumerPlane()
       // warm the watermark reconcile OUTSIDE the registry lock: the first
       // producerOffsets per (topic, generation) runs a Spark scan, and
       // holding the lock through it would stall every concurrent
-      // policy()/latestSnapshot() lookup on the serving path
+      // policy()/latestSnapshot() lookup on the serving path (a
+      // consumer-plane process reads persisted watermarks instead — the
+      // heal is a producer-authority write, gated in producerOffsetsFor)
       if (onNewGroup == StartFrom.Latest) topics.foreach(producerOffsets)
       registerLocked(group, consumerId, topics, onNewGroup)
     }
@@ -2779,7 +2835,7 @@ class TopicStore(
       p: String,
       schema: org.apache.parquet.schema.MessageType,
       rows: Seq[org.apache.parquet.example.data.Group],
-      fenceParts: Option[Set[Int]] = None): Unit = {
+      fence: PlaneLease.Authority = PlaneLease.RootAuthority): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     val fs = hfs(p)
@@ -2828,9 +2884,10 @@ class TopicStore(
     // per-group generation re-check, `coalescer.go:93-106`): a paused
     // process whose lease was taken over is rejected HERE — before the
     // rename makes its stale-authority table visible — not merely at its
-    // next heartbeat. fenceParts names the ring partitions a
-    // partition-scoped writer is committing for; None = root authority.
-    PlaneLease.assertCurrentAtCommit(lockRootKey, fenceParts)
+    // next heartbeat. `fence` names the authority this table belongs to:
+    // producer watermarks carry the touched partitions, group/registry
+    // tables the consumer plane, everything else root.
+    PlaneLease.assertCurrentAtCommit(lockRootKey, fence)
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"meta swap: rename $tmp -> $fin failed")
     // FILES only: a producer-offsets scope may also hold lane-* DIRS
@@ -2851,14 +2908,14 @@ class TopicStore(
 
   private def writeOffsets(
       dir: String, scope: String, offsets: Map[Int, Long],
-      fenceParts: Option[Set[Int]] = None): Unit = {
+      fence: PlaneLease.Authority = PlaneLease.RootAuthority): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     val p = s"$dir/$scope" // scope components are pre-encoded (scopeDir)
     val gf = new SimpleGroupFactory(offsetsSchema)
     swapWriteGroups(p, offsetsSchema,
       offsets.toSeq.sortBy(_._1).map { case (part, next) =>
         gf.newGroup().append("part", part).append("next", next)
-      }, fenceParts)
+      }, fence)
     offsetCache.put(metaCacheKey(p), offsets)
     ()
   }
@@ -2895,11 +2952,11 @@ class TopicStore(
           full.filter(kv => owned.contains(kv._1)).toSeq.sortBy(_._1).map {
             case (part, next) =>
               gf.newGroup().append("part", part).append("next", next)
-          }, Some(touched))
+          }, PlaneLease.ProduceAuthority(touched))
         offsetCache.put(metaCacheKey(s"$producerMeta/$scope"), full)
         ()
       case None =>
-        writeOffsets(producerMeta, scope, full, Some(touched))
+        writeOffsets(producerMeta, scope, full, PlaneLease.ProduceAuthority(touched))
         if (!laneFreeScopes.contains(scope)) {
           val fs = hfs(s"$producerMeta/$scope")
           val dirPath = hpath(s"$producerMeta/$scope")

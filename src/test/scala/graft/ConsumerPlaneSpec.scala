@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{PlaneFencedException, PlaneLease, PlaneLeaseHeldException, TopicStore}
+
+/** CONSUMER-PLANE leases: a process that owns registry rows and
+  * group-offset commits — and nothing else — coexisting with live
+  * partition-scoped producer processes over one root. Completes the
+  * horizontal deployment story: N producer JVMs + 1 consumer-plane JVM,
+  * no root-lease owner needed while they run. In-JVM protocol units plus
+  * a REAL three-process test (two producer JVMs + one consumer JVM).
+  */
+class ConsumerPlaneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Graft.configure(
+      SparkSession.builder().appName("consumer-plane-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def hconf = new Configuration()
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+  private def leaseDir(root: String) = new java.io.File(s"$root/_meta/_plane")
+  private def rootKeyOf(root: String) = TopicStore.normalizeRoot(root, hconf)
+
+  private def withConsumerConf[T](body: => T): T = {
+    spark.conf.set("spark.graft.planeLeaseRole", "consumer")
+    try body finally spark.conf.unset("spark.graft.planeLeaseRole")
+  }
+
+  private def writeLeaseFile(dir: java.io.File, epoch: Long, content: String,
+      ageMs: Long = 0L): java.io.File = {
+    dir.mkdirs()
+    val f = new java.io.File(dir, f"lease-$epoch%020d")
+    java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    if (ageMs > 0L) { f.setLastModified(System.currentTimeMillis() - ageMs); () }
+    f
+  }
+
+  test("a consumer-plane store registers, polls, commits; produce and maintenance are refused") {
+    val root = Files.createTempDirectory("graft-cons").toString
+    // a root-authority producer seeds the topic, then exits (release)
+    val producer = new TopicStore(spark, root)
+    producer.produceStrings("t", (0 until 10).map(i => (s"k$i", s"v$i", ts(i))))
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    withConsumerConf {
+      val store = new TopicStore(spark, root)
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      // the claim landed in the consumer dir, not the root plane
+      assert(new java.io.File(leaseDir(root), "consumer").listFiles()
+        .exists(_.getName.startsWith("lease-")))
+      assert(!leaseDir(root).listFiles().exists(f =>
+        f.isFile && f.getName.startsWith("lease-")))
+      // poll + auto-commit run under consumer authority
+      assert(store.poll("g", "t", "c").count() == 10L)
+      assert(store.poll("g", "t", "c").count() == 0L,
+        "the auto-commit (a consumer-authority write) must have advanced the group")
+      // everything else is refused loudly
+      val p = intercept[PlaneLeaseHeldException] {
+        store.produceStrings("t", Seq(("k", "v", ts(99))))
+      }
+      assert(p.getMessage.contains("CONSUMER-PLANE"), p.getMessage)
+      intercept[PlaneLeaseHeldException] {
+        store.produceLocal("t", Seq(TopicStore.LocalRecord("k", Array[Byte](1), 1L, 0L)))
+      }
+      intercept[PlaneLeaseHeldException] { store.compact("t") }
+      intercept[PlaneLeaseHeldException] { store.sweepStages() }
+    }
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
+  test("consumer acquisition: live foreign root rejects; stale root superseded via marker; live partition claims coexist") {
+    val root = Files.createTempDirectory("graft-cons").toString
+    val rootLease = writeLeaseFile(leaseDir(root), 4L, "rootwriter@elsewhere\nttl=60000")
+    val ex = intercept[PlaneLeaseHeldException] {
+      PlaneLease.ensureOwnedConsumer(rootKeyOf(root), root, hconf)
+    }
+    assert(ex.getMessage.contains("ROOT-WIDE"), ex.getMessage)
+    // stale root + LIVE foreign partition claims: consumer still acquires
+    // (compatible), and the stale root is fenced with a marker at epoch+1
+    rootLease.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    writeLeaseFile(new java.io.File(leaseDir(root), "part-p00002"), 1L,
+      "partwriter@elsewhere\nttl=60000")
+    PlaneLease.ensureOwnedConsumer(rootKeyOf(root), root, hconf)
+    val rootFiles = leaseDir(root).listFiles().filter(f => f.isFile && f.getName.startsWith("lease-"))
+    assert(rootFiles.map(_.getName).toSeq == Seq(f"lease-${5L}%020d"))
+    assert(new String(java.nio.file.Files.readAllBytes(rootFiles.head.toPath), "UTF-8")
+      .contains("mode=parts"))
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
+  test("root acquisition rejects a live foreign consumer claim; supersedes a stale one") {
+    val root = Files.createTempDirectory("graft-cons").toString
+    val cdir = new java.io.File(leaseDir(root), "consumer")
+    val live = writeLeaseFile(cdir, 3L, "consumer@elsewhere\nttl=60000")
+    val ex = intercept[PlaneLeaseHeldException] {
+      PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
+    }
+    assert(ex.getMessage.contains("consumer plane"), ex.getMessage)
+    assert(!leaseDir(root).listFiles().exists(f => f.isFile && f.getName.startsWith("lease-")),
+      "the failed root claim must roll back")
+    live.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
+    assert(cdir.listFiles().map(_.getName).toSeq.sorted == Seq(f"lease-${4L}%020d"),
+      "the stale consumer claim must be superseded at epoch+1 (file kept)")
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
+  test("a paused consumer-plane owner's next COMMIT is rejected at a higher epoch") {
+    val root = Files.createTempDirectory("graft-cons").toString
+    val producer = new TopicStore(spark, root)
+    producer.produceStrings("t", Seq(("k", "v", ts(0))))
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    withConsumerConf {
+      val store = new TopicStore(spark, root)
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      // a usurper consumer-plane process claims epoch+1; our heartbeat
+      // has not run — the commit-point fence must catch it
+      writeLeaseFile(new java.io.File(leaseDir(root), "consumer"), 2L,
+        "usurper@elsewhere\nttl=60000")
+      val ex = intercept[PlaneFencedException] {
+        store.commit("g", "t", Map(0 -> 1L))
+      }
+      assert(ex.getMessage.contains("superseded"), ex.getMessage)
+    }
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
+  test("three processes: two partition producers + one consumer-plane JVM over one root") {
+    val root = Files.createTempDirectory("graft-3proc").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def fork(main: String, args: String*): Process = {
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp, main) ++ args): _*)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val a = fork("graft.PartitionProduceChild", root, "0-5", "t", "40", "ca")
+    val b = fork("graft.PartitionProduceChild", root, "6-11", "t", "40", "cb")
+    val procs = scala.collection.mutable.ArrayBuffer(a, b)
+    try {
+      def reader(p: Process) = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      def await(rd: java.io.BufferedReader, prefix: String, who: String): String = {
+        var l = rd.readLine()
+        while (l != null && !l.startsWith(prefix)) l = rd.readLine()
+        assert(l != null, s"$who died before $prefix")
+        l
+      }
+      def send(p: Process, s: String): Unit = {
+        p.getOutputStream.write((s + "\n").getBytes("UTF-8")); p.getOutputStream.flush()
+      }
+      val (ra, rb) = (reader(a), reader(b))
+      assert(await(ra, "WROTE", "producer A") == "WROTE 40")
+      assert(await(rb, "WROTE", "producer B") == "WROTE 40")
+      // the consumer-plane process starts WHILE both producers hold their
+      // partition claims — the leases are compatible by design
+      val c = fork("graft.ConsumerPlaneChild", root, "t")
+      procs += c
+      val rc = reader(c)
+      assert(await(rc, "REGISTERED", "consumer") == "REGISTERED")
+      send(c, "POLL")
+      assert(await(rc, "POLLED", "consumer") == "POLLED 80",
+        "the consumer must see both live producers' records")
+      // producers write a second round while the consumer plane is live
+      send(a, "MORE"); send(b, "MORE")
+      assert(await(ra, "WROTE", "producer A") == "WROTE 40")
+      assert(await(rb, "WROTE", "producer B") == "WROTE 40")
+      // the consumer's next drain sees exactly the new records (its own
+      // committed offsets hold across rounds — never re-delivered)
+      send(c, "POLL")
+      assert(await(rc, "POLLED", "consumer") == "POLLED 80")
+      // clean exits release all three claims
+      send(a, ""); send(b, ""); send(c, "")
+      procs.foreach { p =>
+        assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0)
+      }
+    } finally procs.foreach { p => p.destroyForcibly(); () }
+    // a root-authority successor verifies the final state end-to-end
+    val store = new TopicStore(spark, root)
+    store.registry.register("g2", "c2", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g2", "t", "c2").count() == 160L)
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+}

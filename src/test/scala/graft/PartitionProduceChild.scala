@@ -38,15 +38,32 @@ object PartitionProduceChild {
             Murmur3x64.hashString(k), g.clusterSize, store.rangesPerToken))
         }
         .take(count).toSeq
-      val rows = keys.zipWithIndex.map { case (k, i) =>
-        TopicStore.LocalRecord(k, s"v-$k".getBytes("UTF-8"),
-          1700000000000000L + i * 1000L, i.toLong)
-      }
-      val n = store.produceLocal(topic, rows)
+      def rowsFor(ks: Seq[String]): Seq[TopicStore.LocalRecord] =
+        ks.zipWithIndex.map { case (k, i) =>
+          TopicStore.LocalRecord(k, s"v-$k".getBytes("UTF-8"),
+            1700000000000000L + i * 1000L, i.toLong)
+        }
+      val n = store.produceLocal(topic, rowsFor(keys))
       println(s"WROTE $n")
       Console.flush()
-      // hold until the parent says go: clean exit releases the leases
-      scala.io.StdIn.readLine()
+      // hold until the parent says go; each "MORE" line produces another
+      // round of `count` fresh keys (multi-phase tests); anything else
+      // exits cleanly (the shutdown hook releases the leases)
+      var round = 0
+      var line = scala.io.StdIn.readLine()
+      while (line != null && line.startsWith("MORE")) {
+        round += 1
+        val more = Iterator.from(0).map(i => s"$keyPrefix-r$round-$i")
+          .filter { k =>
+            owned.contains(TokenRing.partitionOrdinal(
+              Murmur3x64.hashString(k), g.clusterSize, store.rangesPerToken))
+          }
+          .take(count).toSeq
+        val n2 = store.produceLocal(topic, rowsFor(more))
+        println(s"WROTE $n2")
+        Console.flush()
+        line = scala.io.StdIn.readLine()
+      }
       spark.stop()
       System.exit(0)
     } catch {
