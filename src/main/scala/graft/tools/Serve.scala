@@ -17,9 +17,25 @@ import graft.serving.{BinaryProducerServer, RestServer}
   *
   * With an argument, serves on that fixed port and blocks (manual use:
   * `sbt "runMain graft.tools.Serve 9251"`).
+  *
+  * Flag mode launches ONE member of a multi-process deployment over a
+  * SHARED root (the plane-lease split: N partition-scoped producer
+  * brokers + 1 consumer-plane broker + an optional root-authority
+  * maintenance owner):
+  * {{{
+  * runMain graft.tools.Serve --root /shared/store --port 9251 --partitions 0-5
+  * runMain graft.tools.Serve --root /shared/store --port 9261 --partitions 6-11
+  * runMain graft.tools.Serve --root /shared/store --port 9271 --role consumer
+  * runMain graft.tools.Serve --root /shared/store --port 9281            # root owner
+  * }}}
+  * A partition broker serves produce (records must hash inside its
+  * claim — clients route via each broker's discovery listing); the
+  * consumer broker serves register/poll/commit; only the root owner
+  * runs the retention sweeper and topology watcher.
   */
 object Serve {
   def main(args: Array[String]): Unit = {
+    if (args.exists(_.startsWith("--"))) { serveMember(args); return }
     val spark = Graft.session("graft-serve")
     val store = new TopicStore(spark, Files.createTempDirectory("graft-serve").toString)
     val port = args.headOption.map(_.toInt).getOrElse(0)
@@ -99,6 +115,50 @@ object Serve {
       server.stop()
       spark.stop()
     }
+  }
+
+  /** Flag-mode launcher: one member process of a shared-root deployment.
+    * The claim shape comes from the flags (session conf read by
+    * TopicStore at first mutating touch); root-authority-only loops
+    * (retention sweeper, topology watcher) start only without a scoped
+    * claim, and the binary produce port only where produce is served.
+    */
+  private def serveMember(args: Array[String]): Unit = {
+    val flags = args.grouped(2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val unknown = flags.keys.filterNot(
+      Set("--root", "--port", "--partitions", "--role", "--topology"))
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(",")}")
+    val spark = Graft.session("graft-serve")
+    flags.get("--partitions").foreach(spark.conf.set("spark.graft.planeLeasePartitions", _))
+    flags.get("--role").foreach(spark.conf.set("spark.graft.planeLeaseRole", _))
+    val root = flags.getOrElse("--root",
+      Files.createTempDirectory("graft-serve").toString)
+    val port = flags.get("--port").map(_.toInt).getOrElse(0)
+    val store = new TopicStore(spark, root)
+    val server = new RestServer(store, port = port, coalesceMs = 20L).start()
+    val consumerRole = flags.get("--role").contains("consumer")
+    val mode =
+      if (consumerRole) "consumer-plane"
+      else flags.get("--partitions").map(s => s"partitions $s").getOrElse("root")
+    if (!consumerRole) {
+      val bin = new BinaryProducerServer(server.coalescer,
+        port = if (port == 0) 0 else port + 1).start()
+      server.advertiseProducerBinaryPort(bin.boundPort)
+      println(s"serving http://localhost:${server.boundPort} " +
+        s"(binary producer on :${bin.boundPort}) root=$root mode=$mode")
+    } else println(s"serving http://localhost:${server.boundPort} root=$root mode=$mode")
+    if (mode == "root") {
+      store.startRetentionSweeper()
+      flags.get("--topology").foreach { topoFile =>
+        graft.engine.TopologyWatcher.forFile(store, topoFile, requireDrained = true).start()
+        println(s"watching topology file $topoFile")
+      }
+      ()
+    } else require(!flags.contains("--topology"),
+      "--topology needs root authority (rescale) — run it on the root-owner member")
+    Thread.currentThread().join()
   }
 
   /** Minimal binary-protocol client: startup handshake + one framed

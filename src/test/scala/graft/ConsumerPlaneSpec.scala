@@ -135,6 +135,49 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     PlaneLease.dropForTests(rootKeyOf(root), hconf)
   }
 
+  test("the REST serving front works over a consumer-plane store: register/poll/commit serve, produce is refused") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest}
+    import java.net.http.HttpRequest.BodyPublishers
+    import java.net.http.HttpResponse.BodyHandlers
+    val root = Files.createTempDirectory("graft-cons").toString
+    val producer = new TopicStore(spark, root)
+    producer.produceStrings("t",
+      (0 until 4).map(i => (s"k$i", s"""{"v":$i}""", ts(i))))
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    withConsumerConf {
+      val store = new TopicStore(spark, root)
+      val server = new graft.serving.RestServer(store, port = 0, coalesceMs = 20L).start()
+      val base = s"http://localhost:${server.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def put(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(base + path)).PUT(BodyPublishers.noBody()).build(),
+        BodyHandlers.ofString())
+      def post(path: String, body: String = "") = client.send(
+        HttpRequest.newBuilder(URI.create(base + path))
+          .POST(BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json")
+          .header("Accept", "application/json").build(),
+        BodyHandlers.ofString())
+      try {
+        assert(put("/v1/consumer/register?consumerId=c&group=g&topic=t&onNewGroup=startFromEarliest")
+          .statusCode() == 200)
+        val poll = post("/v1/consumer/poll?consumerId=c")
+        assert(poll.statusCode() == 200, s"poll: ${poll.statusCode()} ${poll.body()}")
+        assert(poll.body().contains("\"v\":0") && poll.body().contains("\"v\":3"), poll.body())
+        assert(post("/v1/consumer/poll?consumerId=c").statusCode() == 204,
+          "the commit plane must persist under the consumer lease")
+        // a produce POST against the consumer-plane member is refused —
+        // clients route produce to a partition/root broker (discovery)
+        val prod = post("/v1/topic/t/messages?partitionKey=x&timestamp=1700000000000000",
+          """{"v":9}""")
+        assert(prod.statusCode() >= 400, s"produce must be refused: ${prod.statusCode()}")
+        assert(post("/v1/consumer/goodbye?consumerId=c").statusCode() == 200)
+      } finally server.stop()
+    }
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
   test("three processes: two partition producers + one consumer-plane JVM over one root") {
     val root = Files.createTempDirectory("graft-3proc").toString
     val javaBin = System.getProperty("java.home") + "/bin/java"
