@@ -25,7 +25,8 @@ final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
   * commit an ownership epoch among live processes; here process liveness
   * is a heartbeat on an epoch-named lease file over the shared store).
   *
-  * Two granularities, mirroring the reference's two ownership shapes:
+  * Three claim shapes, splitting the reference's broker role across
+  * processes:
   *
   *  - ROOT lease (`<root>/_meta/_plane/lease-<epoch>`): ONE writer JVM
   *    owns every mutating path — produce, maintenance, rescale, consumer
@@ -38,9 +39,17 @@ final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
   *    (`internal/ownership/generator.go:134-144`,
   *    `internal/discovery/discoverer.go:343-366`). A partition-scoped
   *    writer may ONLY produce to its owned partitions (watermarks land in
-  *    a per-claim lane table, never the shared root table); root-authority
-  *    writes — rescale, maintenance, registry, group commits, the stream
-  *    ledger — fail loudly and stay with a root-lease owner.
+  *    a per-claim lane table, never the shared root table).
+  *  - CONSUMER-PLANE lease (`<root>/_meta/_plane/consumer/lease-<epoch>`):
+  *    one JVM owns the registry rows and group-offset commits — the
+  *    consumer-serving half of the reference broker — COMPATIBLE with
+  *    live partition producers (disjoint tables), exclusive with a root
+  *    owner and with a second consumer process (group commits are a
+  *    cross-process read-modify-write).
+  *
+  *  Whatever no shape covers — rescale, maintenance, the stream ledger,
+  *  the exclusive-plane produce — stays with a root-lease owner and
+  *  fails loudly elsewhere ([[assertAuthority]]).
   *
   * Mutual exclusion is CREATE-EXCLUSIVE on the fixed per-epoch name inside
   * each directory: the epoch number itself is the mutex, so an acquisition
@@ -663,13 +672,6 @@ object PlaneLease {
           "(another process took over after a missed heartbeat) — refusing to " +
           "write with stale authority; restart the store to contend for a " +
           "fresh lease")
-
-  /** The partition set this JVM's claim covers (None = root authority or
-    * nothing held) — produce routing reads this, not the session conf,
-    * so the contract follows the actual claim.
-    */
-  def heldPartitions(rootKey: String): Option[SortedSet[Int]] =
-    Option(held.get(rootKey)).flatMap(_.parts)
 
   /** Highest epoch this JVM holds for a root (forensic stamp for the meta
     * swaps' filenames; 0 before acquisition).
