@@ -432,7 +432,12 @@ object PlaneLease {
       fs: FileSystem, dir: Path, ttlMs: Long, marker: Boolean, what: String): LeaseFile = {
     val claim = newestLease(fs, dir) match {
       case Some((e, st, info)) =>
-        if (info.owner != ownerId && isLive(st, info, ttlMs)) {
+        // a MARKER (a scoped claimant's fence over a stale root owner)
+        // claims no authority and never blocks: the real exclusion for a
+        // root claimant is the scoped-dir validation that follows its
+        // claim — but the marker's EPOCH still seeds the chain, so the
+        // fenced old owner stays fenced
+        if (info.owner != ownerId && !info.marker && isLive(st, info, ttlMs)) {
           val age = System.currentTimeMillis() - st.getModificationTime
           throw new PlaneLeaseHeldException(
             s"$what is leased by ${ownerName(info)} (epoch $e, heartbeat ${age}ms " +

@@ -115,6 +115,21 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     PlaneLease.dropForTests(rootKeyOf(root), hconf)
   }
 
+  test("a fresh scoped-claimant MARKER never blocks a root claimant once the scoped claims are gone") {
+    val root = Files.createTempDirectory("graft-cons").toString
+    // a scoped claimant fenced a crashed root owner (epoch 7 marker,
+    // FRESH mtime) and has since exited cleanly (its claim dirs are
+    // empty): the next root claimant must acquire at epoch 8 immediately
+    // instead of waiting out the marker's TTL — markers claim nothing
+    writeLeaseFile(leaseDir(root), 7L,
+      "scoped-claimant@elsewhere\nttl=60000\nmode=parts")
+    PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
+    val names = leaseDir(root).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("lease-")).map(_.getName)
+    assert(names.toSeq == Seq(f"lease-${8L}%020d"), names.mkString(","))
+    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+  }
+
   test("a paused consumer-plane owner's next COMMIT is rejected at a higher epoch") {
     val root = Files.createTempDirectory("graft-cons").toString
     val producer = new TopicStore(spark, root)
