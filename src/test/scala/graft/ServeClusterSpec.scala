@@ -1,0 +1,109 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Murmur3x64, TokenRing}
+
+/** The full multi-process SERVING deployment over real HTTP: three forked
+  * `tools.Serve` member JVMs over ONE shared root — two partition-scoped
+  * produce brokers (disjoint ring halves) and one consumer-plane broker —
+  * driven end-to-end by an HTTP client that routes produce by the same
+  * ring math the brokers apply (the reference's client-side routing via
+  * discovery). Proves the plane-lease split is not just an engine
+  * property: the reference's documented REST flow works against it.
+  */
+class ServeClusterSpec extends AnyFunSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(base: String, path: String, body: String = ""): Int =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+      .header("Accept", "application/json").build(),
+      BodyHandlers.ofString()).statusCode()
+
+  private def postBody(base: String, path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(BodyPublishers.ofString(""))
+      .header("Accept", "application/json").build(), BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def put(base: String, path: String): Int =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .PUT(BodyPublishers.noBody()).build(), BodyHandlers.ofString()).statusCode()
+
+  test("three Serve members over one root: routed HTTP produce to two partition brokers, consume via the consumer broker") {
+    val root = Files.createTempDirectory("graft-servecluster").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def forkServe(flags: String*): (Process, String) = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.tools.Serve", "--root", root) ++ flags
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", "2") // light member sessions
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      var line = rd.readLine()
+      while (line != null && !line.startsWith("serving http")) line = rd.readLine()
+      assert(line != null, s"Serve member ${flags.mkString(" ")} died before serving")
+      (proc, line.split(' ')(1)) // "serving <base> ..."
+    }
+    // all three members start concurrently (the claims are compatible)
+    val (pa, fa) = {
+      val p = forkServe("--partitions", "0-5"); p
+    }
+    val (pb2, fb) = forkServe("--partitions", "6-11")
+    val (pc, fc) = forkServe("--role", "consumer")
+    try {
+      // client-side routing: the same murmur3 + ring math the brokers use
+      def partitionOf(k: String): Int =
+        TokenRing.partitionOrdinal(Murmur3x64.hashString(k), 3, 4)
+      def brokerFor(k: String): String = if (partitionOf(k) <= 5) fa else fb
+      val keys = Iterator.from(0).map(i => s"sk$i").take(24).toSeq
+      assert(keys.exists(partitionOf(_) <= 5) && keys.exists(partitionOf(_) > 5),
+        "fixture keys must span both brokers")
+      keys.zipWithIndex.foreach { case (k, i) =>
+        assert(post(brokerFor(k),
+          s"/v1/topic/t/messages?partitionKey=$k&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""") == 200, s"produce $k via ${brokerFor(k)}")
+      }
+      // a MISROUTED produce (a key broker A does not own) fails the ack
+      // loudly instead of corrupting another claim's partitions
+      val stray = Iterator.from(0).map(i => s"x$i").find(partitionOf(_) > 5).get
+      assert(post(fa,
+        s"/v1/topic/t/messages?partitionKey=$stray&timestamp=1700000000000099",
+        """{"i":99}""") >= 400, "misroute must be refused")
+      // the consumer-plane broker serves the whole consume flow
+      assert(put(fc,
+        "/v1/consumer/register?consumerId=c&group=g&topic=t&onNewGroup=startFromEarliest") == 200)
+      val (st, body) = postBody(fc, "/v1/consumer/poll?consumerId=c")
+      assert(st == 200, s"poll $st")
+      val got = "\"i\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toInt).toSet
+      assert(got == (0 until 24).toSet, s"delivered set: $got")
+      assert(postBody(fc, "/v1/consumer/poll?consumerId=c")._1 == 204,
+        "deferred commit must persist under the consumer-plane lease")
+      assert(post(fc, "/v1/consumer/goodbye?consumerId=c") == 200)
+    } finally {
+      Seq(pa, pb2, pc).foreach { p => p.destroyForcibly(); () }
+    }
+  }
+}
