@@ -158,4 +158,17 @@ object CoreProperties extends Properties("graft.core") {
       val isValid = v == 1 || (v % 3 == 0 && Integer.bitCount(v / 3) == 1)
       isValid && v <= TokenRing.MaxRingSize && (n == 2 || v <= n)
     }
+
+  // ---- partition-claim spec codec (lease lane names + session conf) ----
+  // specOf canonicalizes any set; parsePartitionSpec must invert it
+  // exactly — a drifting codec would silently point a writer's lane (or
+  // its claim) at someone else's partitions
+  property("partition spec canonical roundtrip") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 128))) { ps =>
+      val set = scala.collection.immutable.SortedSet(ps: _*)
+      val spec = graft.engine.PlaneLease.specOf(set)
+      graft.engine.TopicStore.parsePartitionSpec(spec) == set &&
+        graft.engine.PlaneLease.specOf(
+          graft.engine.TopicStore.parsePartitionSpec(spec)) == spec
+    }
 }
