@@ -39,6 +39,11 @@ object Multimodal {
     * q46/q101/q278 and re-derived by their oracles (PNG is lossless).
     */
   private[operators] def synthPng(id: Long, w: Int): Array[Byte] = {
+    // ImageIO defaults to DISK-backed stream caching — a temp file per
+    // encode/decode, which at millions of tiny payloads turns a CPU
+    // kernel into an I/O workload. Memory caching is the right mode for
+    // byte-array round-trips; the setter is an idempotent JVM-global.
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -63,6 +68,8 @@ object Multimodal {
     */
   private[operators] def decodePng(png: Array[Byte], w: Int, id: Long)
       : java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false) // see synthPng — a stored-
+    // column pipeline enters here without synthesizing first
     val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     require(dec != null && dec.getWidth == w && dec.getHeight == w,
       s"PNG decode failed for doc $id")
