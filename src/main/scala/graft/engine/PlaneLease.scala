@@ -284,7 +284,7 @@ object PlaneLease {
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
     fs.mkdirs(plane)
-    val rootClaim = claimDir(fs, plane, ttlMs, marker = false,
+    val rootClaim = claimDir(fs, plane, ttlMs,
       what = s"the produce/maintenance plane for $root")
     val taken = Vector.newBuilder[LeaseFile]
     taken += rootClaim
@@ -303,10 +303,9 @@ object PlaneLease {
                   s"(epoch $e) — a root-plane writer would race the scoped " +
                   "owner; wait for the scoped processes to exit")
             val lf = LeaseFile(d, e + 1)
-            if (!createExclusive(fs, lf.path, leaseContent(ttlMs, marker = false)))
+            if (!createExclusive(fs, lf.path, leaseContent(ttlMs)))
               throw new PlaneLeaseHeldException(
                 s"lost the race superseding a stale scoped lease under $d")
-            foldBelow(fs, d, e + 1)
             taken += lf
           case _ => ()
         }
@@ -317,7 +316,14 @@ object PlaneLease {
           try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
         throw t
     }
-    Held(root, taken.result(), None, consumer = false, ttlMs, fs)
+    val files = taken.result()
+    // fold superseded epochs only AFTER the whole acquisition validated: a
+    // rollback above deletes only OUR files, so every pre-existing epoch
+    // (including a scoped claimant's fence marker over a paused root
+    // owner) survives a FAILED acquisition — folding inside claimDir
+    // erased that history and let the paused owner self-heal unfenced
+    files.foreach(lf => foldBelow(fs, lf.dir, lf.epoch))
+    Held(root, files, None, consumer = false, ttlMs, fs)
   }
 
   /** Acquire the CONSUMER-PLANE lease: fence a stale real root owner with
@@ -332,7 +338,7 @@ object PlaneLease {
     supersedeStaleRoot(fs, plane, root, ttlMs, "consumer-plane")
     val d = consumerDir(plane)
     fs.mkdirs(d)
-    val claim = claimDir(fs, d, ttlMs, marker = false,
+    val claim = claimDir(fs, d, ttlMs,
       what = s"the consumer plane (registry/group commits) for $root")
     var ok = false
     try {
@@ -345,6 +351,7 @@ object PlaneLease {
     } finally {
       if (!ok) { try { fs.delete(claim.path, false); () } catch { case _: Exception => () } }
     }
+    foldBelow(fs, d, claim.epoch) // only after the claim validated (see acquireRoot)
     Held(root, Vector(claim), None, consumer = true, ttlMs, fs)
   }
 
@@ -372,7 +379,7 @@ object PlaneLease {
               s"${ownerName(info)} (epoch $e) — $who claimants cannot coexist " +
               "with a root-plane owner")
         if (createExclusive(fs, new Path(plane, f"lease-${e + 1}%020d"),
-            leaseContent(ttlMs, marker = true))) {
+            markerContent(ttlMs, who))) {
           foldBelow(fs, plane, e + 1)
         } else {
           // lost the supersede race: a real claimant winning here means
@@ -405,7 +412,7 @@ object PlaneLease {
       parts.foreach { p =>
         val d = partDir(plane, p)
         fs.mkdirs(d)
-        taken += claimDir(fs, d, ttlMs, marker = false,
+        taken += claimDir(fs, d, ttlMs,
           what = s"ring partition $p of $root")
       }
       // step 3: validate-after-claim against a racing root claimant (it
@@ -421,15 +428,21 @@ object PlaneLease {
       if (!ok) taken.result().foreach(lf =>
         try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
     }
-    Held(root, taken.result(), Some(parts), consumer = false, ttlMs, fs)
+    val files = taken.result()
+    files.foreach(lf => foldBelow(fs, lf.dir, lf.epoch)) // post-validation only
+    Held(root, files, Some(parts), consumer = false, ttlMs, fs)
   }
 
   /** Claim the next epoch in one lease directory. Loud on a live foreign
     * lease (or an in-flight claimant's empty file); a stale one — judged
-    * by the TTL its owner recorded — is superseded at epoch+1.
+    * by the TTL its owner recorded — is superseded at epoch+1. Superseded
+    * epochs are NOT folded here: the caller folds after its WHOLE
+    * acquisition validates, so a failed acquisition (which rolls back only
+    * its own files) leaves every pre-existing epoch — fence markers
+    * included — in place to keep paused former owners fenced.
     */
   private def claimDir(
-      fs: FileSystem, dir: Path, ttlMs: Long, marker: Boolean, what: String): LeaseFile = {
+      fs: FileSystem, dir: Path, ttlMs: Long, what: String): LeaseFile = {
     val claim = newestLease(fs, dir) match {
       case Some((e, st, info)) =>
         // a MARKER (a scoped claimant's fence over a stale root owner)
@@ -449,13 +462,12 @@ object PlaneLease {
       case None => 1L
     }
     val fin = LeaseFile(dir, claim)
-    if (!createExclusive(fs, fin.path, leaseContent(ttlMs, marker))) {
+    if (!createExclusive(fs, fin.path, leaseContent(ttlMs))) {
       val winner = readLease(fs, fin.path)
       throw new PlaneLeaseHeldException(
         s"lost the lease acquisition race for $what at epoch $claim " +
           s"to ${ownerName(winner)}")
     }
-    foldBelow(fs, dir, claim)
     fin
   }
 
@@ -471,8 +483,15 @@ object PlaneLease {
   private def ownerName(info: LeaseInfo): String =
     if (info.owner.isEmpty) "an in-flight claimant" else info.owner
 
-  private def leaseContent(ttlMs: Long, marker: Boolean): String =
-    ownerId + s"\nttl=$ttlMs" + (if (marker) "\nmode=parts" else "")
+  private def leaseContent(ttlMs: Long): String = ownerId + s"\nttl=$ttlMs"
+
+  /** A fence MARKER's content: supersedes a stale root owner's epoch
+    * without claiming root authority. Tagged with the superseder's role
+    * (`by=partition` / `by=consumer-plane`) so a takeover is attributable
+    * from the file alone; `mode=parts` kept for pre-r11 files.
+    */
+  private def markerContent(ttlMs: Long, by: String): String =
+    ownerId + s"\nttl=$ttlMs\nmode=marker\nby=$by"
 
   /** Delete superseded epochs below `claim` in one dir (best-effort: a
     * failure just leaves tiny stale files below the winning epoch).
@@ -547,7 +566,7 @@ object PlaneLease {
       LeaseInfo(
         owner = lines.headOption.getOrElse(""),
         ttlMs = lines.find(_.startsWith("ttl=")).flatMap(_.stripPrefix("ttl=").toLongOption),
-        marker = lines.contains("mode=parts"))
+        marker = lines.contains("mode=parts") || lines.contains("mode=marker"))
     } catch { case _: Exception => LeaseInfo("", None, marker = false) }
 
   /** Visible lease files ascending by epoch: (epoch, status). */
@@ -748,15 +767,15 @@ object PlaneLease {
                 it.remove()
                 fenced = true
               } else if (!h.fs.exists(lf.path)) {
-                // self-heal a swept lease file (e.g. an overzealous
-                // cleaner); exclusive create again — if a claimant beat us
-                // to the SAME epoch name, treat it as a takeover
-                if (!createExclusive(h.fs, lf.path,
-                    leaseContent(h.ttlMs, marker = false))) {
-                  fencedRoots.add(e.getKey)
-                  it.remove()
-                  fenced = true
-                }
+                // our own lease file vanished with no higher epoch visible:
+                // a takeover whose trace was folded/rolled back, or an
+                // external sweep — either way this process cannot prove it
+                // still holds the claim, so FENCE (re-creating at the old
+                // epoch here is how a paused owner regains authority it
+                // already lost)
+                fencedRoots.add(e.getKey)
+                it.remove()
+                fenced = true
               } else {
                 h.fs.setTimes(lf.path, System.currentTimeMillis(), -1)
               }
@@ -783,7 +802,7 @@ object PlaneLease {
   /** Test aid: forget (and delete) this JVM's claim for a root so a new
     * acquisition contends from scratch; clears any fenced mark.
     */
-  private[graft] def dropForTests(rootKey: String, conf: Configuration): Unit = {
+  private[graft] def dropForTests(rootKey: String): Unit = {
     val h = held.remove(rootKey)
     fencedRoots.remove(rootKey)
     if (h != null) {

@@ -51,7 +51,7 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     // a root-authority producer seeds the topic, then exits (release)
     val producer = new TopicStore(spark, root)
     producer.produceStrings("t", (0 until 10).map(i => (s"k$i", s"v$i", ts(i))))
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
     withConsumerConf {
       val store = new TopicStore(spark, root)
       store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
@@ -75,7 +75,7 @@ class ConsumerPlaneSpec extends AnyFunSuite {
       intercept[PlaneLeaseHeldException] { store.compact("t") }
       intercept[PlaneLeaseHeldException] { store.sweepStages() }
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("consumer acquisition: live foreign root rejects; stale root superseded via marker; live partition claims coexist") {
@@ -93,9 +93,11 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     PlaneLease.ensureOwnedConsumer(rootKeyOf(root), root, hconf)
     val rootFiles = leaseDir(root).listFiles().filter(f => f.isFile && f.getName.startsWith("lease-"))
     assert(rootFiles.map(_.getName).toSeq == Seq(f"lease-${5L}%020d"))
-    assert(new String(java.nio.file.Files.readAllBytes(rootFiles.head.toPath), "UTF-8")
-      .contains("mode=parts"))
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    val markerContent =
+      new String(java.nio.file.Files.readAllBytes(rootFiles.head.toPath), "UTF-8")
+    assert(markerContent.contains("mode=marker"), markerContent)
+    assert(markerContent.contains("by=consumer-plane"), markerContent)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("root acquisition rejects a live foreign consumer claim; supersedes a stale one") {
@@ -112,7 +114,7 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
     assert(cdir.listFiles().map(_.getName).toSeq.sorted == Seq(f"lease-${4L}%020d"),
       "the stale consumer claim must be superseded at epoch+1 (file kept)")
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("a fresh scoped-claimant MARKER never blocks a root claimant once the scoped claims are gone") {
@@ -127,14 +129,14 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     val names = leaseDir(root).listFiles()
       .filter(f => f.isFile && f.getName.startsWith("lease-")).map(_.getName)
     assert(names.toSeq == Seq(f"lease-${8L}%020d"), names.mkString(","))
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("a paused consumer-plane owner's next COMMIT is rejected at a higher epoch") {
     val root = Files.createTempDirectory("graft-cons").toString
     val producer = new TopicStore(spark, root)
     producer.produceStrings("t", Seq(("k", "v", ts(0))))
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
     withConsumerConf {
       val store = new TopicStore(spark, root)
       store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
@@ -147,7 +149,7 @@ class ConsumerPlaneSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("superseded"), ex.getMessage)
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("the REST serving front works over a consumer-plane store: register/poll/commit serve, produce is refused") {
@@ -159,7 +161,7 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     val producer = new TopicStore(spark, root)
     producer.produceStrings("t",
       (0 until 4).map(i => (s"k$i", s"""{"v":$i}""", ts(i))))
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
     withConsumerConf {
       val store = new TopicStore(spark, root)
       val server = new graft.serving.RestServer(store, port = 0, coalesceMs = 20L).start()
@@ -190,7 +192,7 @@ class ConsumerPlaneSpec extends AnyFunSuite {
         assert(post("/v1/consumer/goodbye?consumerId=c").statusCode() == 200)
       } finally server.stop()
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("three processes: two partition producers + one consumer-plane JVM over one root") {
@@ -257,6 +259,6 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     val store = new TopicStore(spark, root)
     store.registry.register("g2", "c2", Seq("t"), store.StartFrom.Earliest)
     assert(store.poll("g2", "t", "c2").count() == 160L)
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 }

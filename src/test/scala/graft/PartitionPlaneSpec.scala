@@ -80,7 +80,7 @@ class PartitionPlaneSpec extends AnyFunSuite {
       // the merged read view covers the lane
       assert(store.persistedProducerOffsets("t").values.sum == 40L)
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("a batch hashing outside the claim is rejected loudly, nothing written") {
@@ -94,7 +94,7 @@ class PartitionPlaneSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("outside this process's partition lease"), ex.getMessage)
       assert(store.persistedProducerOffsets("t").isEmpty)
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("root-authority operations are refused to a partition-scoped process") {
@@ -109,7 +109,7 @@ class PartitionPlaneSpec extends AnyFunSuite {
       intercept[PlaneLeaseHeldException] { store.compact("t") }
       intercept[PlaneLeaseHeldException] { store.sweepStages() }
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("one claim shape per process per root: a different spec is refused") {
@@ -123,7 +123,7 @@ class PartitionPlaneSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("mode change"), ex.getMessage)
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("root acquisition rejects a live foreign partition claim; supersedes a stale one") {
@@ -144,7 +144,7 @@ class PartitionPlaneSpec extends AnyFunSuite {
     PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
     val names = pdir.listFiles().map(_.getName).filter(_.startsWith("lease-")).sorted
     assert(names.toSeq == Seq(f"lease-${3L}%020d"), names.mkString(","))
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("partition acquisition rejects a live foreign ROOT lease; supersedes a stale one via marker") {
@@ -165,8 +165,9 @@ class PartitionPlaneSpec extends AnyFunSuite {
     val rootFiles = leaseDir(root).listFiles().filter(f => f.isFile && f.getName.startsWith("lease-"))
     assert(rootFiles.map(_.getName).toSeq == Seq(f"lease-${6L}%020d"))
     val content = new String(java.nio.file.Files.readAllBytes(rootFiles.head.toPath), "UTF-8")
-    assert(content.contains("mode=parts"), content)
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    assert(content.contains("mode=marker"), content)
+    assert(content.contains("by=partition"), content)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("crashed partition writer: a root successor supersedes the stale claim, folds its lanes, and offsets stay contiguous") {
@@ -228,7 +229,7 @@ class PartitionPlaneSpec extends AnyFunSuite {
           s"contiguity broken across handover at token=${r.get(0)} range=${r.get(1)}: " +
             s"n=$n d=$dd lo=$lo hi=$hi")
       }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("two writer JVMs produce concurrently to disjoint partitions; overlap rejected; roundtrip + contiguity hold") {

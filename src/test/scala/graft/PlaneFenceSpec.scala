@@ -94,7 +94,7 @@ class PlaneFenceSpec extends AnyFunSuite {
     intercept[PlaneFencedException] {
       store.produceStrings("t", Seq(("k", "v3", ts(2))))
     }
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("real cross-process takeover: the prior owner's next commit is rejected") {
@@ -132,7 +132,7 @@ class PlaneFenceSpec extends AnyFunSuite {
       } else proc.destroyForcibly()
     }
     assert(acquired, "takeover child never acquired (beater won the race 3 times?)")
-    PlaneLease.dropForTests(rootKeyOf(root), hconf)
+    PlaneLease.dropForTests(rootKeyOf(root))
   }
 
   test("staleness is judged by the OWNER's recorded TTL, not the claimant's") {
@@ -170,7 +170,7 @@ class PlaneFenceSpec extends AnyFunSuite {
         "the beat must not throw on a conf-dependent filesystem")
       assert(System.currentTimeMillis() - lease.lastModified() < 60 * 1000L,
         "the beat must refresh the lease mtime through the held FileSystem")
-    } finally PlaneLease.dropForTests(rootKey, conf)
+    } finally PlaneLease.dropForTests(rootKey)
   }
 
   test("heartbeat failures are counted on /metrics, never swallowed silently") {
@@ -195,7 +195,7 @@ class PlaneFenceSpec extends AnyFunSuite {
       lease.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
       PlaneLease.heartbeatTick()
       assert(System.currentTimeMillis() - lease.lastModified() < 60 * 1000L)
-    } finally PlaneLease.dropForTests(rootKey, conf)
+    } finally PlaneLease.dropForTests(rootKey)
   }
 
   test("a connector advertising conditional creates gets the builder (put-if-absent) path") {
@@ -215,5 +215,54 @@ class PlaneFenceSpec extends AnyFunSuite {
     val content = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(tmp, "claim")), "UTF-8")
     assert(content.startsWith("owner-a"), s"loser must not clobber the winner: $content")
+  }
+
+  test("a FAILED root acquisition must not erase a scoped claimant's fence marker") {
+    // the r10 advisor's dual-writer scenario: a partition claimant fenced a
+    // paused root owner with a marker (epoch 5); a LIVE foreign partition
+    // claim exists; a root claimant then claims epoch 6, folds below, and
+    // FAILS validation against the live partition claim. The old code's
+    // fold-inside-claimDir deleted the marker before validating, so the
+    // rollback left the plane dir empty and the paused owner could
+    // self-heal at its old epoch. The fold must be deferred: after the
+    // failed acquisition the marker is still there.
+    val root = Files.createTempDirectory("graft-fence").toString
+    writeForeignLease(root, 5L,
+      "partwriter@elsewhere\nttl=60000\nmode=marker\nby=partition",
+      ageMs = 3600 * 1000L) // stale marker: never blocks, epoch must persist
+    val pdir = new java.io.File(leaseDir(root), "part-p00001")
+    pdir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(pdir, f"lease-${1L}%020d").toPath,
+      "partwriter@elsewhere\nttl=60000".getBytes("UTF-8")) // LIVE: blocks root
+    val ex = intercept[PlaneLeaseHeldException] {
+      PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
+    }
+    assert(ex.getMessage.contains("ring partition"), ex.getMessage)
+    val planeFiles = leaseDir(root).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("lease-")).map(_.getName)
+    assert(planeFiles.toSeq == Seq(f"lease-${5L}%020d"),
+      s"the failed root claim must roll back ONLY its own file and keep the " +
+        s"fence marker, got ${planeFiles.toSeq}")
+  }
+
+  test("a vanished own lease file fences the holder instead of self-healing at the old epoch") {
+    val root = Files.createTempDirectory("graft-fence").toString
+    val rootKey = rootKeyOf(root)
+    PlaneLease.ensureOwned(rootKey, root, hconf)
+    try {
+      // someone erased the plane dir's history (the failed-acquisition bug,
+      // or an external sweep): this process can no longer prove ownership
+      leaseDir(root).listFiles().filter(_.getName.startsWith("lease-"))
+        .foreach(f => assert(f.delete()))
+      PlaneLease.heartbeatTick()
+      assert(!leaseDir(root).listFiles()
+        .exists(f => f.isFile && f.getName.startsWith("lease-")),
+        "the beat must NOT re-create the lease file at the old epoch")
+      val ex = intercept[PlaneFencedException] {
+        PlaneLease.ensureOwned(rootKey, root, hconf)
+      }
+      assert(ex.getMessage.contains("superseded"), ex.getMessage)
+    } finally PlaneLease.dropForTests(rootKey)
   }
 }

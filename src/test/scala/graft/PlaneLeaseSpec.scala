@@ -91,7 +91,7 @@ class PlaneLeaseSpec extends AnyFunSuite {
       PlaneLease.ensureOwned(rootKey, root, hconf)
     }
     assert(ex.getMessage.contains("superseded"))
-    PlaneLease.dropForTests(rootKey, hconf) // clear the fence for other suites
+    PlaneLease.dropForTests(rootKey) // clear the fence for other suites
   }
 
   test("a store takes over a dead process's stale lease and produces at epoch+1") {
