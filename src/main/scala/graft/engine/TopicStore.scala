@@ -377,6 +377,20 @@ class TopicStore(
     */
   def planeLeaseEpoch: Option[Long] = PlaneLease.heldEpoch(lockRootKey)
 
+  /** The ring-partition claim this process is CONFIGURED with (None =
+    * root shape, owns every partition) — the serving layer's routing
+    * input: a produce for a partition outside the claim is forwarded to
+    * the owning member instead of failing at flush.
+    */
+  private[graft] def configuredPartitionClaim
+      : Option[scala.collection.immutable.SortedSet[Int]] = planeLeasePartitions
+
+  /** Whether this process is configured as a consumer-plane member (no
+    * produce authority at all — the serving layer forwards every
+    * produce).
+    */
+  private[graft] def isConsumerPlaneRole: Boolean = planeLeaseConsumer
+
   // normalized through the root's FileSystem so scheme-variant spellings
   // of one directory ("/x/y", "file:///x/y", trailing slash) share locks
   private lazy val lockRootKey: String =

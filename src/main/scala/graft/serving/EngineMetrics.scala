@@ -63,6 +63,7 @@ class EngineMetrics {
     */
   @volatile var planeLeaseEpoch: () => Long = () => 0L
   val messagesReceived = new AtomicLong
+  val producesForwarded = new AtomicLong
   val groupsFlushed = new AtomicLong
   val recordsDelivered = new AtomicLong
   val pollsServed = new AtomicLong
@@ -79,6 +80,9 @@ class EngineMetrics {
     def c(name: String, help: String, v: Long): String =
       s"# HELP graft_$name $help\n# TYPE graft_$name counter\ngraft_$name $v\n"
     c("messages_received_total", "Records accepted by produce fronts", messagesReceived.get) +
+      c("produces_forwarded_total",
+        "Produce requests forwarded to the owning member (misrouted arrivals)",
+        producesForwarded.get) +
       c("coalescer_groups_total", "Micro-batch groups flushed", groupsFlushed.get) +
       c("records_delivered_total", "Records returned to consumers", recordsDelivered.get) +
       c("polls_served_total", "Poll requests answered", pollsServed.get) +

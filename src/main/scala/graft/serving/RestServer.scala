@@ -290,7 +290,15 @@ class RestServer(
           .filter(_.trim.nonEmpty).map(_.getBytes(UTF_8))
       else Seq(body)
 
-    val ack = produceChannel.submit(topic, key, tsMicros, lines)
+    // loop guard for broker-to-broker forwarding: a request another member
+    // already routed here is submitted to the LOCAL coalescer without
+    // re-consulting the forwarding channel — one hop, like the reference's
+    // SendToLeader; a misdirected forward (stale member directory) fails
+    // loudly at this member's partition lease instead of bouncing
+    val forwarded =
+      Option(ex.getRequestHeaders.getFirst(ForwardingChannel.ForwardedHeader)).isDefined
+    val channel = if (forwarded) coalescer else produceChannel
+    val ack = channel.submit(topic, key, tsMicros, lines)
     try { ack.get(120, TimeUnit.SECONDS); respond(ex, 200, "OK") }
     catch {
       case e: java.util.concurrent.ExecutionException =>

@@ -8,6 +8,7 @@ import java.nio.file.Files
 
 import graft.Graft
 import graft.engine.TopicStore
+import graft.serving
 import graft.serving.{BinaryProducerServer, RestServer}
 
 /** Boots the REST serving shim on an ephemeral port and drives the
@@ -122,14 +123,34 @@ object Serve {
     * TopicStore at first mutating touch); root-authority-only loops
     * (retention sweeper, topology watcher) start only without a scoped
     * claim, and the binary produce port only where produce is served.
+    *
+    * Every member registers itself in the shared-root member directory
+    * (`_meta/_serve/`) and fronts produce with a [[ForwardingChannel]]:
+    * a record hashing outside this member's claim is forwarded to the
+    * owning member and the ack relayed — clients may post to ANY member
+    * (the reference's broker-to-broker `SendToLeader` forward,
+    * `internal/producing/server.go:163-167`).
     */
   private def serveMember(args: Array[String]): Unit = {
-    val flags = args.grouped(2).collect {
-      case Array(k, v) if k.startsWith("--") => k -> v
-    }.toMap
-    val unknown = flags.keys.filterNot(
-      Set("--root", "--port", "--partitions", "--role", "--topology"))
-    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(",")}")
+    val known = Set("--root", "--port", "--partitions", "--role",
+      "--topology", "--advertise")
+    // explicit key/value walk: args.grouped(2) silently dropped a trailing
+    // or misaligned flag (e.g. '--role' with no value started the member
+    // as a ROOT owner with the sweeper) — every flag must have a value
+    // that is not itself a flag, and every token must be a known flag
+    val flags = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"expected a --flag at position $i, got '$k'")
+      require(known.contains(k),
+        s"unknown flag '$k' (known: ${known.toSeq.sorted.mkString(", ")})")
+      require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+        s"flag $k is missing its value")
+      require(!flags.contains(k), s"flag $k given twice")
+      flags(k) = args(i + 1)
+      i += 2
+    }
     val spark = Graft.session("graft-serve")
     flags.get("--partitions").foreach(spark.conf.set("spark.graft.planeLeasePartitions", _))
     flags.get("--role").foreach(spark.conf.set("spark.graft.planeLeaseRole", _))
@@ -142,13 +163,29 @@ object Serve {
     val mode =
       if (consumerRole) "consumer-plane"
       else flags.get("--partitions").map(s => s"partitions $s").getOrElse("root")
-    if (!consumerRole) {
-      val bin = new BinaryProducerServer(server.coalescer,
-        port = if (port == 0) 0 else port + 1).start()
-      server.advertiseProducerBinaryPort(bin.boundPort)
-      println(s"serving http://localhost:${server.boundPort} " +
-        s"(binary producer on :${bin.boundPort}) root=$root mode=$mode")
-    } else println(s"serving http://localhost:${server.boundPort} root=$root mode=$mode")
+    val host = flags.getOrElse("--advertise", "localhost")
+    val base = s"http://$host:${server.boundPort}"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val directory = new serving.MemberDirectory(root, hconf)
+    val forwarding = new serving.ForwardingChannel(
+      store, server.coalescer, directory, Some(server.metrics))
+    server.routeProduceVia(forwarding)
+    val binPort =
+      if (consumerRole) 0
+      else {
+        // binary-framed produce routes through the same forwarding front
+        val bin = new BinaryProducerServer(forwarding,
+          port = if (port == 0) 0 else port + 1).start()
+        server.advertiseProducerBinaryPort(bin.boundPort)
+        bin.boundPort
+      }
+    serving.MemberDirectory.advertise(root, hconf, base, binPort,
+      mode = if (consumerRole) "consumer"
+        else if (flags.contains("--partitions")) "parts" else "root",
+      parts = flags.get("--partitions").map(TopicStore.parsePartitionSpec))
+    if (!consumerRole)
+      println(s"serving $base (binary producer on :$binPort) root=$root mode=$mode")
+    else println(s"serving $base root=$root mode=$mode")
     if (mode == "root") {
       store.startRetentionSweeper()
       flags.get("--topology").foreach { topoFile =>

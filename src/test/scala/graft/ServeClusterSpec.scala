@@ -74,24 +74,43 @@ class ServeClusterSpec extends AnyFunSuite {
     val (pb2, fb) = forkServe("--partitions", "6-11")
     val (pc, fc) = forkServe("--role", "consumer")
     try {
-      // client-side routing: the same murmur3 + ring math the brokers use
+      // the ring math the brokers apply — used here only to PICK the wrong
+      // broker: clients no longer need it (broker-to-broker forwarding)
       def partitionOf(k: String): Int =
         TokenRing.partitionOrdinal(Murmur3x64.hashString(k), 3, 4)
-      def brokerFor(k: String): String = if (partitionOf(k) <= 5) fa else fb
+      def rightBroker(k: String): String = if (partitionOf(k) <= 5) fa else fb
+      def wrongBroker(k: String): String = if (partitionOf(k) <= 5) fb else fa
       val keys = Iterator.from(0).map(i => s"sk$i").take(24).toSeq
       assert(keys.exists(partitionOf(_) <= 5) && keys.exists(partitionOf(_) > 5),
         "fixture keys must span both brokers")
+      // even records post to the owning broker (local coalescer path);
+      // ODD records post to the WRONG broker: the member must forward to
+      // the owner over HTTP and relay the ack — the reference's
+      // SendToLeader (producing/server.go:163-167) — so clients need no
+      // ring routing at all
       keys.zipWithIndex.foreach { case (k, i) =>
-        assert(post(brokerFor(k),
+        val b = if (i % 2 == 0) rightBroker(k) else wrongBroker(k)
+        assert(post(b,
           s"/v1/topic/t/messages?partitionKey=$k&timestamp=${1700000000000000L + i}",
-          s"""{"i":$i}""") == 200, s"produce $k via ${brokerFor(k)}")
+          s"""{"i":$i}""") == 200, s"produce $k via $b (${if (i % 2 == 0) "local" else "forwarded"})")
       }
-      // a MISROUTED produce (a key broker A does not own) fails the ack
-      // loudly instead of corrupting another claim's partitions
+      // the forwarding member counted its relays
+      val metricsBody = client.send(HttpRequest.newBuilder(
+        URI.create(fa + "/metrics")).GET().build(), BodyHandlers.ofString()).body() +
+        client.send(HttpRequest.newBuilder(
+          URI.create(fb + "/metrics")).GET().build(), BodyHandlers.ofString()).body()
+      val fwd = "graft_produces_forwarded_total (\\d+)".r
+        .findAllMatchIn(metricsBody).map(_.group(1).toLong).sum
+      assert(fwd == 12L, s"expected 12 forwarded produces across the brokers, got $fwd")
+      // an ALREADY-FORWARDED arrival outside the claim (stale member
+      // directory) is refused loudly instead of bouncing between members
       val stray = Iterator.from(0).map(i => s"x$i").find(partitionOf(_) > 5).get
-      assert(post(fa,
-        s"/v1/topic/t/messages?partitionKey=$stray&timestamp=1700000000000099",
-        """{"i":99}""") >= 400, "misroute must be refused")
+      val refused = client.send(HttpRequest.newBuilder(URI.create(fa +
+          s"/v1/topic/t/messages?partitionKey=$stray&timestamp=1700000000000099"))
+        .POST(BodyPublishers.ofString("""{"i":99}"""))
+        .header("Content-Type", "application/json")
+        .header("X-Graft-Forwarded", "1").build(), BodyHandlers.ofString())
+      assert(refused.statusCode() >= 400, "a forwarded misroute must be refused, not re-forwarded")
       // the consumer-plane broker serves the whole consume flow
       assert(put(fc,
         "/v1/consumer/register?consumerId=c&group=g&topic=t&onNewGroup=startFromEarliest") == 200)
