@@ -139,6 +139,13 @@ object PlaneLease {
     */
   val heartbeatFailures = new AtomicLong
 
+  /** Lease-directory listings performed by per-commit fencing
+    * ([[assertCurrentAtCommit]]) — the fence's object-store cost model:
+    * each count is one LIST round-trip on S3-shaped stores.
+    * `tools.FlushProfile` prints the per-flush delta.
+    */
+  private[graft] val commitFenceLists = new AtomicLong
+
   /** One lease file this JVM holds: the directory it guards (the root
     * plane dir, or one ring partition's dir) and the epoch claimed there.
     */
@@ -668,9 +675,43 @@ object PlaneLease {
           case ProduceAuthority(x) => x
           case _ => owned.toSet // unreachable: assertAuthority threw
         }
-        h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
-          .foreach(lf => checkDirCurrent(rootKey, h, lf))
+        val toCheck = h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
+        if (toCheck.sizeIs <= 1) toCheck.foreach(lf => checkDirCurrent(rootKey, h, lf))
+        else {
+          // multi-partition commit: ONE recursive listing of the plane dir
+          // covers every touched partition dir — one LIST round-trip on
+          // object stores instead of one per partition (a 12-partition
+          // flush on S3 would otherwise pay 12 sequential LISTs)
+          commitFenceLists.incrementAndGet()
+          val newestByDir = listLeasesRecursive(h.fs, planeDir(h.root))
+          toCheck.foreach { lf =>
+            if (newestByDir.get(lf.dir.getName).exists(_ > lf.epoch))
+              fenceAtCommit(rootKey, h, lf)
+          }
+        }
     }
+  }
+
+  /** Newest visible lease epoch per lease DIRECTORY NAME under the whole
+    * plane dir, from one recursive listing (object stores answer it with
+    * a single prefix LIST).
+    */
+  private def listLeasesRecursive(fs: FileSystem, plane: Path): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      val it = fs.listFiles(plane, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.startsWith("lease-")) {
+          name.stripPrefix("lease-").toLongOption.foreach { e =>
+            val dirName = st.getPath.getParent.getName
+            if (out.getOrElse(dirName, Long.MinValue) < e) out(dirName) = e
+          }
+        }
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    out.toMap
   }
 
   private def dirPart(dir: Path): Option[Int] =
@@ -678,15 +719,18 @@ object PlaneLease {
     else None
 
   private def checkDirCurrent(rootKey: String, h: Held, lf: LeaseFile): Unit = {
-    val usurped = listLeases(h.fs, lf.dir).lastOption.exists(_._1 > lf.epoch)
-    if (usurped) {
-      fencedRoots.add(rootKey)
-      held.remove(rootKey)
-      throw new PlaneFencedException(
-        s"commit rejected: the plane lease for ${h.root} under ${lf.dir.getName} " +
-          s"was superseded past epoch ${lf.epoch} (another process took over after " +
-          "missed heartbeats) — refusing to commit with stale authority")
-    }
+    commitFenceLists.incrementAndGet()
+    if (listLeases(h.fs, lf.dir).lastOption.exists(_._1 > lf.epoch))
+      fenceAtCommit(rootKey, h, lf)
+  }
+
+  private def fenceAtCommit(rootKey: String, h: Held, lf: LeaseFile): Nothing = {
+    fencedRoots.add(rootKey)
+    held.remove(rootKey)
+    throw new PlaneFencedException(
+      s"commit rejected: the plane lease for ${h.root} under ${lf.dir.getName} " +
+        s"was superseded past epoch ${lf.epoch} (another process took over after " +
+        "missed heartbeats) — refusing to commit with stale authority")
   }
 
   private def assertNotFenced(rootKey: String): Unit =

@@ -75,13 +75,19 @@ object FlushProfile {
         "concurrent" -> (() => { store.produceConcurrent("t", df(n)); () }),
         "local     " -> (() => { store.produceLocal("t", local(n)); () }))
       for ((name, fn) <- lanes) {
+        val lists0 = graft.engine.PlaneLease.commitFenceLists.get
         val times = (1 to 5).map { _ =>
           val t0 = System.nanoTime()
           fn()
           (System.nanoTime() - t0) / 1e3 // micros
         }
         val med = times.sorted.apply(times.size / 2) / 1000.0
-        println(f"[flush] $name n=$n%6d  median=${med}%8.1f ms  -> ${n / med * 1000}%8.0f msgs/s/lane")
+        // fence cost model: each count is one lease-dir LIST round-trip
+        // per flush on an object store (PLANS.md carries the S3 math)
+        val listsPerFlush =
+          (graft.engine.PlaneLease.commitFenceLists.get - lists0) / 5.0
+        println(f"[flush] $name n=$n%6d  median=${med}%8.1f ms  -> " +
+          f"${n / med * 1000}%8.0f msgs/s/lane  fence-lists/flush=$listsPerFlush%.1f")
       }
     }
     spark.stop()
