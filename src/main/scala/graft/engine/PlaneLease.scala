@@ -676,12 +676,18 @@ object PlaneLease {
           case _ => owned.toSet // unreachable: assertAuthority threw
         }
         val toCheck = h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
-        if (toCheck.sizeIs <= 1) toCheck.foreach(lf => checkDirCurrent(rootKey, h, lf))
+        if (toCheck.sizeIs <= 1 || localFs(h.fs))
+          // per-dir listings: on the LOCAL filesystem they are the fast
+          // path (a recursive listFiles materializes LocatedFileStatus,
+          // whose eager permission load forks a process per entry — 5x
+          // on the wire bench), and latency-per-round-trip is nil anyway
+          toCheck.foreach(lf => checkDirCurrent(rootKey, h, lf))
         else {
-          // multi-partition commit: ONE recursive listing of the plane dir
-          // covers every touched partition dir — one LIST round-trip on
-          // object stores instead of one per partition (a 12-partition
-          // flush on S3 would otherwise pay 12 sequential LISTs)
+          // multi-partition commit on a remote store: ONE recursive
+          // listing of the plane dir covers every touched partition dir —
+          // a single prefix LIST on S3-shaped connectors instead of one
+          // LIST round-trip per partition (a 12-partition flush would
+          // otherwise pay 12 sequential LISTs)
           commitFenceLists.incrementAndGet()
           val newestByDir = listLeasesRecursive(h.fs, planeDir(h.root))
           toCheck.foreach { lf =>
@@ -690,6 +696,12 @@ object PlaneLease {
           }
         }
     }
+  }
+
+  private def localFs(fs: FileSystem): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case _ => false
   }
 
   /** Newest visible lease epoch per lease DIRECTORY NAME under the whole

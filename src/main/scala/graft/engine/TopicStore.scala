@@ -647,7 +647,7 @@ class TopicStore(
           // bases for THIS batch's partitions are stable: only a holder
           // of these part monitors writes them, and exclusive-plane
           // writers are excluded by the shared plane lock
-          val bases = producerOffsetsFor(topic, g)
+          val bases = producerBasesFor(topic, g)
           stageCommit(offsetsAssigned(keyed, topic, g, bases), counts.keySet)
           val scope = producerScopeFor(topic, g)
           val myNext = counts.map { case (p, n) => p -> (bases.getOrElse(p, 0L) + n) }
@@ -658,7 +658,7 @@ class TopicStore(
           // own lane table — writeProducerOffsets)
           TopicStore.scopedLockFor(s"$lockRootKey|pwm|$scope").synchronized {
             writeProducerOffsets(scope,
-              readOffsets(producerMeta, scope) ++ myNext, myNext.keySet)
+              producerWatermarksForUpdate(scope) ++ myNext, myNext.keySet)
           }
           counts.values.sum
         }
@@ -768,7 +768,7 @@ class TopicStore(
         // may run the one-time reconcile heal (a Spark scan) on first
         // touch of this (topic, generation) — serialized by its own
         // scoped lock, like every other produce plane
-        val bases = producerOffsetsFor(topic, g)
+        val bases = producerBasesFor(topic, g)
         // per-partition files are independent (disjoint dirs, disjoint
         // offset ranges) — write them in parallel on the shared local-
         // produce pool: a ring of 48 partitions otherwise pays 48
@@ -788,7 +788,7 @@ class TopicStore(
         val myNext = byPart.map { case (p, rs) => p -> (bases.getOrElse(p, 0L) + rs.size) }
         TopicStore.scopedLockFor(s"$lockRootKey|pwm|$scope").synchronized {
           writeProducerOffsets(scope,
-            readOffsets(producerMeta, scope) ++ myNext, myNext.keySet)
+            producerWatermarksForUpdate(scope) ++ myNext, myNext.keySet)
         }
         rows.size.toLong
       }
@@ -1621,6 +1621,24 @@ class TopicStore(
     }
     readOffsets(producerMeta, scope)
   }
+
+  /** Watermark bases for a PRODUCE (offset assignment): on a
+    * partition-scoped process, the cached owned view — this process's
+    * own authority, so no per-flush storage re-read (which cost 4x on
+    * the wire path); the first touch still routes through
+    * [[producerOffsetsFor]] for the reconcile heal. Observer paths
+    * (poll, lag, maintenance) keep calling [[producerOffsetsFor]], whose
+    * merged view covers non-owned partitions.
+    */
+  private def producerBasesFor(topic: String, g: Generation): Map[Int, Long] =
+    planeLeasePartitions match {
+      case Some(owned) =>
+        val scope = producerScopeFor(topic, g)
+        if (reconciled.contains(lockRootKey + "|" + scope))
+          ownedWatermarkView(scope, owned)
+        else producerOffsetsFor(topic, g)
+      case None => producerOffsetsFor(topic, g)
+    }
 
   private def reconciled = TopicStore.globalReconciled
 
@@ -2940,6 +2958,40 @@ class TopicStore(
   // lease), so the per-write lane listing is paid once per scope
   private val laneFreeScopes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // lane-view cache key: shares the topic's scope prefix so topic-level
+  // cache invalidation sweeps it too; the '#view' suffix keeps it off any
+  // real path's key
+  private def ownedViewKey(
+      scope: String, owned: scala.collection.immutable.SortedSet[Int]): String =
+    metaCacheKey(s"$producerMeta/$scope/lane-${PlaneLease.specOf(owned)}#view")
+
+  /** The OWNED partitions' current watermarks on a partition-scoped
+    * process — this process's own authority, cached (writeProducerOffsets
+    * maintains it), so the produce hot path pays no per-flush storage
+    * re-read; the first touch seeds it from the merged view.
+    */
+  private def ownedWatermarkView(
+      scope: String, owned: scala.collection.immutable.SortedSet[Int]): Map[Int, Long] = {
+    val k = ownedViewKey(scope, owned)
+    val cur = offsetCache.get(k)
+    if (cur != null) cur
+    else {
+      val v = readOffsets(producerMeta, scope).filter(kv => owned.contains(kv._1))
+      Option(offsetCache.putIfAbsent(k, v)).getOrElse(v)
+    }
+  }
+
+  /** The watermark view a produce's merge-RMW starts from: the cached
+    * owned slice on a partition-scoped process (non-owned partitions are
+    * filtered out of its lane write anyway), the cached merged view
+    * elsewhere.
+    */
+  private def producerWatermarksForUpdate(scope: String): Map[Int, Long] =
+    planeLeasePartitions match {
+      case Some(owned) => ownedWatermarkView(scope, owned)
+      case None => readOffsets(producerMeta, scope)
+    }
+
   /** Route a producer-watermark write by lease mode. A root-lease holder
     * swaps the scope's single table (and folds any leftover lane tables
     * from a previous partition-scoped deployment into it — their values
@@ -2967,7 +3019,17 @@ class TopicStore(
             case (part, next) =>
               gf.newGroup().append("part", part).append("next", next)
           }, PlaneLease.ProduceAuthority(touched))
-        offsetCache.put(metaCacheKey(s"$producerMeta/$scope"), full)
+        // cache the OWNED slice under the lane-view key (only this
+        // process advances it — always fresh) and INVALIDATE the merged
+        // scope view rather than caching `full`: other claimants' lanes
+        // advance in other processes, so a cached merge would go
+        // permanently stale for every non-owned partition (poll and
+        // persistedProducerOffsets on this member would never see them
+        // move). Observer reads re-merge base + lanes from storage; the
+        // produce hot path reads the owned slice from the lane view.
+        offsetCache.put(ownedViewKey(scope, owned),
+          full.filter(kv => owned.contains(kv._1)))
+        offsetCache.remove(metaCacheKey(s"$producerMeta/$scope"))
         ()
       case None =>
         writeOffsets(producerMeta, scope, full, PlaneLease.ProduceAuthority(touched))

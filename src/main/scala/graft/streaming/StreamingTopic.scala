@@ -596,33 +596,41 @@ object StreamOps {
       sessions: Dataset[ClosedInterval],
       lateness: String = "1 hour",
       maxSessionUs: Long = 30L * 24L * HourUs): Dataset[MeetingPair] =
-    overlapStreamImpl(sessions, lateness, maxSessionUs, deadLetter = None)
+    overlapStreamImpl(sessions, lateness, maxSessionUs)
 
   /** [[overlapStream]] with a DEAD-LETTER branch instead of the poison
-    * pill: a contract-violating interval is COUNTED on the returned
-    * accumulator (named, so it also shows on the Spark UI / progress
-    * metrics) and skipped, rather than failing the query on every
-    * restart/replay until maxSessionUs is raised. The default loud
-    * contract remains the right call when losing pairs at random is
-    * worse than stopping; this variant is for operators who prefer to
-    * quarantine a single bad record and keep the stream moving — the
-    * accumulator is the alert to then go look at the source.
+    * pill: a contract-violating interval is quarantined BEFORE the
+    * bucket explode and counted on an OBSERVED METRIC (exactly-once per
+    * streaming epoch — an accumulator here would double-count task
+    * retries/speculation and reset on query restart, i.e. lie in exactly
+    * the failure scenarios the counter exists for). Read the count from
+    * `StreamingQueryProgress.observedMetrics(<returned name>)`, column
+    * `violations`. The default loud contract remains the right call when
+    * losing pairs at random is worse than stopping; this variant is for
+    * operators who prefer to quarantine a bad record and keep the stream
+    * moving — the metric is the alert to then go look at the source.
     */
   def overlapStreamDeadLetter(
       sessions: Dataset[ClosedInterval],
       lateness: String = "1 hour",
       maxSessionUs: Long = 30L * 24L * HourUs)
-      : (Dataset[MeetingPair], org.apache.spark.util.LongAccumulator) = {
-    val acc = sessions.sparkSession.sparkContext
-      .longAccumulator("graft.overlap.contractViolations")
-    (overlapStreamImpl(sessions, lateness, maxSessionUs, deadLetter = Some(acc)), acc)
+      : (Dataset[MeetingPair], String) = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val name = "graft_overlap_dead_letter"
+    val healthy = sessions.toDF()
+      .withColumn("__viol", col("endUs") - col("startUs") > lit(maxSessionUs))
+      .observe(name, sum(when(col("__viol"), 1L).otherwise(0L)).as("violations"))
+      .where(!col("__viol")).drop("__viol")
+      .as[ClosedInterval]
+    (overlapStreamImpl(healthy, lateness, maxSessionUs), name)
   }
 
   private def overlapStreamImpl(
       sessions: Dataset[ClosedInterval],
       lateness: String,
-      maxSessionUs: Long,
-      deadLetter: Option[org.apache.spark.util.LongAccumulator]): Dataset[MeetingPair] = {
+      maxSessionUs: Long): Dataset[MeetingPair] = {
     val spark = sessions.sparkSession
     import spark.implicits._
     sessions
@@ -630,21 +638,16 @@ object StreamOps {
         // the duration contract defaults to LOUD: an interval longer than
         // maxSessionUs can cover hour buckets whose reclaim timers have
         // already fired, silently pairing with nothing there — fail the
-        // query instead of losing pairs at random (or count + skip when
-        // the caller opted into the dead-letter branch)
-        if (ci.endUs - ci.startUs > maxSessionUs) deadLetter match {
-          case Some(acc) =>
-            acc.add(1L)
-            Nil
-          case None =>
-            throw new IllegalArgumentException(
-              s"interval (user=${ci.user}, sid=${ci.sid}) duration " +
-                s"${ci.endUs - ci.startUs}us exceeds the maxSessionUs duration " +
-                s"contract (${maxSessionUs}us) — raise maxSessionUs or close " +
-                "sessions sooner; processing it would silently drop pairs in " +
-                "already-reclaimed hour buckets (overlapStreamDeadLetter " +
-                "counts + skips instead)")
-        }
+        // query instead of losing pairs at random (overlapStreamDeadLetter
+        // filters + counts violators before this point instead)
+        if (ci.endUs - ci.startUs > maxSessionUs)
+          throw new IllegalArgumentException(
+            s"interval (user=${ci.user}, sid=${ci.sid}) duration " +
+              s"${ci.endUs - ci.startUs}us exceeds the maxSessionUs duration " +
+              s"contract (${maxSessionUs}us) — raise maxSessionUs or close " +
+              "sessions sooner; processing it would silently drop pairs in " +
+              "already-reclaimed hour buckets (overlapStreamDeadLetter " +
+              "counts + skips instead)")
         else (ci.startUs / HourUs to ci.endUs / HourUs)
           .map(h => BucketInterval(h, ci.user, ci.sid, ci.startUs, ci.endUs,
             new java.sql.Timestamp(ci.endUs / 1000L)))

@@ -406,7 +406,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       val H = 3600000000L
       val mem = MemoryStream[StreamOps.ClosedInterval]
-      val (ds, acc) = StreamOps.overlapStreamDeadLetter(mem.toDS(),
+      val (ds, obsName) = StreamOps.overlapStreamDeadLetter(mem.toDS(),
         lateness = "1 second", maxSessionUs = 2L * H)
       val q = ds.writeStream.format("memory").queryName("ovl_dl_out")
         .outputMode("update").start()
@@ -419,7 +419,14 @@ class StreamingSpec extends AnyFunSuite {
         StreamOps.ClosedInterval(3L, 1L, H / 4, H / 3))
       q.processAllAvailable()
       assert(q.isActive, "the dead-letter branch must not fail the query")
-      assert(acc.value == 1L, s"expected 1 dead-lettered interval, got ${acc.value}")
+      // the count is an OBSERVED metric (exactly-once per epoch, survives
+      // task retries), summed across the query's progress events
+      val violations = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(obsName)))
+        .map(r => if (r.isNullAt(r.fieldIndex("violations"))) 0L
+          else r.getAs[Long]("violations"))
+        .sum
+      assert(violations == 1L, s"expected 1 dead-lettered interval, got $violations")
       val got = spark.sql("SELECT ua, ub FROM ovl_dl_out").as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 3L)),
         s"healthy pair must fire, violator must pair with nothing: $got")
