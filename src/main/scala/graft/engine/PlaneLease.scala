@@ -19,6 +19,15 @@ final class PlaneLeaseHeldException(msg: String) extends IllegalStateException(m
   */
 final class PlaneFencedException(msg: String) extends IllegalStateException(msg)
 
+/** RETRYABLE: a coordinator requested a drain of the root's scoped claims
+  * (an online rescale/maintenance window — the reference splits ranges
+  * while serving, `internal/ownership/process_local_split_range.go`).
+  * This process's scoped claims were (or are being) released; clients
+  * should retry the operation after the coordinator clears the drain —
+  * the store re-acquires automatically on the next mutating call.
+  */
+final class PlaneDrainingException(msg: String) extends IllegalStateException(msg)
+
 /** Cross-JVM write-plane leases for a store root — the shared-storage
   * collapse of the reference's generation transaction
   * (`internal/ownership/process_local.go:16-209`: propose → accept →
@@ -117,8 +126,19 @@ object PlaneLease {
   case object RootAuthority extends Authority
   /** Producing to (and advancing the watermarks of) exactly `parts`. */
   final case class ProduceAuthority(parts: Set[Int]) extends Authority
-  /** The consumer plane: registry rows and group-offset commits. */
+  /** The consumer plane's PARTITION-AGNOSTIC writes: the group registry
+    * rows. Every consumer-plane holder (full or range-scoped) has it —
+    * the registry swap is convergent across members (rename-first,
+    * last-writer-wins on identical policy rows), so range-scoped members
+    * may register their own consumers, the reference's
+    * consumers-per-broker fan-out (`docs/developer/CONSUMER_ASSIGNMENT.md`).
+    */
   case object ConsumerAuthority extends Authority
+  /** Committing group offsets for exactly `parts` — a range-scoped
+    * consumer holder has it within its claim only (commits land in a
+    * per-claim lane table, like producer watermarks).
+    */
+  final case class ConsumerCommitAuthority(parts: Set[Int]) extends Authority
 
   /** Stable identity of this process for lease ownership: pid@host plus a
     * random component (two processes can share pid@host across container
@@ -176,6 +196,17 @@ object PlaneLease {
   // JVM ever writes — operationally small, like the store's lock tables)
   private val held = new ConcurrentHashMap[String, Held]()
   private val fencedRoots = ConcurrentHashMap.newKeySet[String]()
+  // roots whose scoped claims this JVM observed a drain request for:
+  // claims release (here or in the commit fence / heartbeat that saw it)
+  // and re-acquisition waits for the coordinator to clear the master file
+  private val drainingRoots = ConcurrentHashMap.newKeySet[String]()
+
+  /** The drain-request file a coordinator writes: one master copy in the
+    * plane dir (gates new scoped acquisitions) and one in each scoped
+    * claim dir (current claimants see it for FREE in their per-commit
+    * fence listing).
+    */
+  val DrainFileName = "drain-req"
   private val warnedSchemes = ConcurrentHashMap.newKeySet[String]()
   @volatile private var beater: java.util.concurrent.ScheduledExecutorService = _
 
@@ -193,7 +224,7 @@ object PlaneLease {
       rootKey: String,
       root: String,
       conf: Configuration,
-      ttlMs: Long = DefaultTtlMs): Unit =
+      ttlMs: Long = DefaultTtlMs): Boolean =
     ensure(rootKey, root, conf, ttlMs, None, consumer = false)
 
   /** CONSUMER-PLANE acquisition: claim the registry/group-commit plane
@@ -208,8 +239,28 @@ object PlaneLease {
       rootKey: String,
       root: String,
       conf: Configuration,
-      ttlMs: Long = DefaultTtlMs): Unit =
+      ttlMs: Long = DefaultTtlMs): Boolean =
     ensure(rootKey, root, conf, ttlMs, None, consumer = true)
+
+  /** RANGE-SCOPED consumer-plane acquisition
+    * (`_meta/_plane/consumer/part-p<NNNNN>/lease-<epoch>`): this process
+    * serves polls and commits group offsets for exactly `parts` — the
+    * reference's consumers-per-broker fan-out over disjoint token ranges
+    * (`docs/developer/CONSUMER_ASSIGNMENT.md`). Compatible with live
+    * partition producers AND with other range-scoped consumer members
+    * (disjoint claims); exclusive with a root owner and with a FULL
+    * consumer-plane owner (whose commits cover every partition).
+    */
+  def ensureOwnedConsumerPartitions(
+      rootKey: String,
+      root: String,
+      conf: Configuration,
+      parts: SortedSet[Int],
+      ttlMs: Long = DefaultTtlMs): Boolean = {
+    require(parts.nonEmpty && parts.head >= 0,
+      s"consumer-partition lease needs a non-empty set of ring ordinals, got $parts")
+    ensure(rootKey, root, conf, ttlMs, Some(parts), consumer = true)
+  }
 
   /** Partition-scoped acquisition: claim exactly `parts` (ring partition
     * ordinals) of the root. Disjoint claimants coexist; an overlapping
@@ -221,7 +272,7 @@ object PlaneLease {
       root: String,
       conf: Configuration,
       parts: SortedSet[Int],
-      ttlMs: Long = DefaultTtlMs): Unit = {
+      ttlMs: Long = DefaultTtlMs): Boolean = {
     require(parts.nonEmpty && parts.head >= 0,
       s"partition lease needs a non-empty set of ring ordinals, got $parts")
     ensure(rootKey, root, conf, ttlMs, Some(parts), consumer = false)
@@ -233,16 +284,19 @@ object PlaneLease {
       conf: Configuration,
       ttlMs: Long,
       parts: Option[SortedSet[Int]],
-      consumer: Boolean): Unit = {
+      consumer: Boolean): Boolean = {
     if (fencedRoots.contains(rootKey))
       throw new PlaneFencedException(
         s"this process's plane lease for $root was superseded by a higher epoch " +
           "(another process took over after a missed heartbeat) — refusing to " +
           "write with stale authority; restart the store against the root to " +
           "contend for a fresh lease")
+    // a drain window releases this JVM's scoped claims and holds off
+    // re-acquisition until the coordinator clears it (retryable)
+    if (drainingRoots.contains(rootKey)) handleDraining(rootKey, root, conf)
     val cur = held.get(rootKey)
     if (cur != null) {
-      if (cur.parts == parts && cur.consumer == consumer) return
+      if (cur.parts == parts && cur.consumer == consumer) return false
       throw new IllegalStateException(
         s"plane-lease mode change for $root (held=${modeName(cur.parts, cur.consumer)}, " +
           s"requested=${modeName(parts, consumer)}): a process claims ONE shape per " +
@@ -250,21 +304,47 @@ object PlaneLease {
     }
     this.synchronized {
       if (held.containsKey(rootKey)) {
-        ensure(rootKey, root, conf, ttlMs, parts, consumer); return
+        return ensure(rootKey, root, conf, ttlMs, parts, consumer)
       }
       val h =
-        if (consumer) acquireConsumer(root, conf, ttlMs)
+        if (consumer) parts match {
+          case None => acquireConsumer(root, conf, ttlMs)
+          case Some(ps) => acquireConsumerParts(root, conf, ps, ttlMs)
+        }
         else parts match {
           case None => acquireRoot(root, conf, ttlMs)
           case Some(ps) => acquireParts(root, conf, ps, ttlMs)
         }
       held.put(rootKey, h)
       startBeater()
+      true
     }
   }
 
+  /** A drain was observed on this root: release any held claim (safe —
+    * every concurrent in-flight commit's fence re-lists its dir and
+    * aborts RETRYABLY on the drain file or the vanished own lease), then
+    * hold off until the coordinator clears the master drain file.
+    */
+  private def handleDraining(rootKey: String, root: String, conf: Configuration): Unit = {
+    val h = held.remove(rootKey)
+    if (h != null) h.files.foreach { lf =>
+      try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+    }
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    if (fs.exists(new Path(plane, DrainFileName)))
+      throw new PlaneDrainingException(
+        s"the write plane for $root is draining for a coordinated " +
+          "rescale/maintenance window — this process's scoped claims were " +
+          "released; retry after the coordinator clears the drain (the store " +
+          "re-acquires automatically on the next mutating call)")
+    drainingRoots.remove(rootKey)
+    ()
+  }
+
   private def modeName(parts: Option[SortedSet[Int]], consumer: Boolean): String =
-    if (consumer) "consumer-plane"
+    if (consumer) parts.fold("consumer-plane")(ps => s"consumer partitions ${specOf(ps)}")
     else parts.fold("root")(ps => s"partitions ${specOf(ps)}")
 
   /** Canonical dash-range spec of a partition set ("0-5" / "0-3_8-11"). */
@@ -333,44 +413,144 @@ object PlaneLease {
     Held(root, files, None, consumer = false, ttlMs, fs)
   }
 
-  /** Acquire the CONSUMER-PLANE lease: fence a stale real root owner with
-    * a marker, claim the consumer dir, re-validate the root — the same
-    * claim-then-validate dance as partitions; live partition claims are
-    * COMPATIBLE (producers never touch registry/group tables).
+  /** Acquire the FULL CONSUMER-PLANE lease: fence a stale real root owner
+    * with a marker, claim the consumer dir, re-validate the root — the
+    * same claim-then-validate dance as partitions; live partition
+    * producer claims are COMPATIBLE (producers never touch
+    * registry/group tables), but live RANGE-SCOPED consumer claims
+    * (`consumer/part-p*`) reject (a full owner's commits cover every
+    * partition); stale ones are superseded at epoch+1 (file kept) so a
+    * paused scoped owner fences on resume.
     */
   private def acquireConsumer(root: String, conf: Configuration, ttlMs: Long): Held = {
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
     fs.mkdirs(plane)
+    assertNotDraining(fs, plane, root)
     supersedeStaleRoot(fs, plane, root, ttlMs, "consumer-plane")
     val d = consumerDir(plane)
     fs.mkdirs(d)
     val claim = claimDir(fs, d, ttlMs,
       what = s"the consumer plane (registry/group commits) for $root")
-    var ok = false
+    val taken = Vector.newBuilder[LeaseFile]
+    taken += claim
     try {
       liveRealRootLease(fs, plane, ttlMs).foreach { case (e, info) =>
         throw new PlaneLeaseHeldException(
           s"the root plane for $root was claimed concurrently " +
             s"(epoch $e by ${ownerName(info)}) — releasing this consumer-plane claim")
       }
-      ok = true
-    } finally {
-      if (!ok) { try { fs.delete(claim.path, false); () } catch { case _: Exception => () } }
+      partSubDirs(fs, d).foreach { pd =>
+        newestLease(fs, pd) match {
+          case Some((e, st, info)) if info.owner != ownerId =>
+            if (isLive(st, info, ttlMs))
+              throw new PlaneLeaseHeldException(
+                s"${scopedName(pd)} of $root is leased by ${ownerName(info)} " +
+                  s"(epoch $e) — a full consumer-plane owner would race the " +
+                  "range-scoped member's group commits; wait for the scoped " +
+                  "consumer processes to exit")
+            val lf = LeaseFile(pd, e + 1)
+            if (!createExclusive(fs, lf.path, leaseContent(ttlMs)))
+              throw new PlaneLeaseHeldException(
+                s"lost the race superseding a stale consumer range claim under $pd")
+            taken += lf
+          case _ => ()
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        taken.result().foreach(lf =>
+          try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+        throw t
     }
-    foldBelow(fs, d, claim.epoch) // only after the claim validated (see acquireRoot)
-    Held(root, Vector(claim), None, consumer = true, ttlMs, fs)
+    val files = taken.result()
+    files.foreach(lf => foldBelow(fs, lf.dir, lf.epoch)) // post-validation only
+    Held(root, files, None, consumer = true, ttlMs, fs)
   }
 
-  /** A live REAL (non-marker) foreign root lease, if any. */
-  private def liveRealRootLease(
-      fs: FileSystem, plane: Path, ttlMs: Long): Option[(Long, LeaseInfo)] =
-    newestLease(fs, plane) match {
+  /** Acquire RANGE-SCOPED consumer leases: fence a stale real root owner
+    * and a stale FULL consumer owner with markers, claim each
+    * `consumer/part-p*` dir ascending, re-validate both.
+    */
+  private def acquireConsumerParts(
+      root: String, conf: Configuration, parts: SortedSet[Int], ttlMs: Long): Held = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    fs.mkdirs(plane)
+    assertNotDraining(fs, plane, root)
+    supersedeStaleRoot(fs, plane, root, ttlMs, "consumer-partition")
+    val cd = consumerDir(plane)
+    fs.mkdirs(cd)
+    // a live FULL consumer owner blocks; a stale one is superseded by a
+    // marker in the consumer dir (fences it on resume, claims nothing)
+    newestLease(fs, cd) match {
+      case Some((e, st, info)) if !info.marker && info.owner != ownerId =>
+        if (isLive(st, info, ttlMs))
+          throw new PlaneLeaseHeldException(
+            s"the consumer plane for $root is leased PLANE-WIDE by " +
+              s"${ownerName(info)} (epoch $e) — consumer-partition claimants " +
+              "cannot coexist with a full consumer-plane owner")
+        if (!createExclusive(fs, new Path(cd, f"lease-${e + 1}%020d"),
+            markerContent(ttlMs, "consumer-partition"))) {
+          liveRealDirLease(fs, cd, ttlMs).foreach { case (e2, i2) =>
+            throw new PlaneLeaseHeldException(
+              s"the consumer plane for $root was claimed (epoch $e2 by " +
+                s"${ownerName(i2)}) while this consumer-partition claim was " +
+                "superseding a stale lease")
+          }
+        } else foldBelow(fs, cd, e + 1)
+      case _ => ()
+    }
+    val taken = Vector.newBuilder[LeaseFile]
+    var ok = false
+    try {
+      parts.foreach { p =>
+        val d = new Path(cd, f"part-p$p%05d")
+        fs.mkdirs(d)
+        taken += claimDir(fs, d, ttlMs,
+          what = s"consumer range partition $p of $root")
+      }
+      liveRealRootLease(fs, plane, ttlMs).foreach { case (e, info) =>
+        throw new PlaneLeaseHeldException(
+          s"the root plane for $root was claimed concurrently " +
+            s"(epoch $e by ${ownerName(info)}) — releasing this consumer-partition claim")
+      }
+      liveRealDirLease(fs, cd, ttlMs).foreach { case (e, info) =>
+        throw new PlaneLeaseHeldException(
+          s"the consumer plane for $root was claimed PLANE-WIDE concurrently " +
+            s"(epoch $e by ${ownerName(info)}) — releasing this consumer-partition claim")
+      }
+      ok = true
+    } finally {
+      if (!ok) taken.result().foreach(lf =>
+        try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+    }
+    val files = taken.result()
+    files.foreach(lf => foldBelow(fs, lf.dir, lf.epoch)) // post-validation only
+    Held(root, files, Some(parts), consumer = true, ttlMs, fs)
+  }
+
+  /** A live REAL (non-marker) foreign lease in one directory, if any. */
+  private def liveRealDirLease(
+      fs: FileSystem, dir: Path, ttlMs: Long): Option[(Long, LeaseInfo)] =
+    newestLease(fs, dir) match {
       case Some((e, st, info))
           if !info.marker && info.owner != ownerId && isLive(st, info, ttlMs) =>
         Some((e, info))
       case _ => None
     }
+
+  /** `part-p*` claim dirs directly under `dir`. */
+  private def partSubDirs(fs: FileSystem, dir: Path): Seq[Path] =
+    (try fs.listStatus(dir).toSeq
+     catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("part-p"))
+      .map(_.getPath)
+
+  /** A live REAL (non-marker) foreign root lease, if any. */
+  private def liveRealRootLease(
+      fs: FileSystem, plane: Path, ttlMs: Long): Option[(Long, LeaseInfo)] =
+    liveRealDirLease(fs, plane, ttlMs)
 
   /** A STALE real root lease is superseded by a higher-epoch MARKER
     * (fences the paused root owner, blocks no scoped claimant); a LIVE
@@ -408,6 +588,7 @@ object PlaneLease {
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
     fs.mkdirs(plane)
+    assertNotDraining(fs, plane, root)
     // step 1: a live real root lease blocks; a STALE one is superseded by
     // a higher-epoch MARKER (fences the paused root owner, blocks nobody)
     supersedeStaleRoot(fs, plane, root, ttlMs, "partition")
@@ -590,18 +771,23 @@ object PlaneLease {
   private def newestLease(fs: FileSystem, dir: Path): Option[(Long, FileStatus, LeaseInfo)] =
     listLeases(fs, dir).lastOption.map { case (e, st) => (e, st, readLease(fs, st.getPath)) }
 
-  /** All SCOPED claim dirs under the plane: per-partition producer dirs
-    * plus the consumer-plane dir.
+  /** All SCOPED claim dirs under the plane: per-partition producer dirs,
+    * the consumer-plane dir, and range-scoped consumer claim dirs inside
+    * it (`consumer/part-p*`).
     */
-  private def scopedDirs(fs: FileSystem, plane: Path): Seq[Path] =
-    (try fs.listStatus(plane).toSeq
+  private def scopedDirs(fs: FileSystem, plane: Path): Seq[Path] = {
+    val top = (try fs.listStatus(plane).toSeq
      catch { case _: java.io.FileNotFoundException => Seq.empty })
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith("part-p") || st.getPath.getName == "consumer"))
       .map(_.getPath)
+    top ++ top.filter(_.getName == "consumer").flatMap(partSubDirs(fs, _))
+  }
 
   private def scopedName(d: Path): String =
     if (d.getName == "consumer") "the consumer plane"
+    else if (Option(d.getParent).exists(_.getName == "consumer"))
+      s"consumer range partition ${d.getName.stripPrefix("part-p")}"
     else s"ring partition ${d.getName.stripPrefix("part-p")}"
 
   // ------------------------------------------------------ write authority
@@ -615,14 +801,34 @@ object PlaneLease {
     assertNotFenced(rootKey)
     val h = held.get(rootKey)
     if (h == null) return // acquisition happens first on every mutating path
-    if (h.consumer) a match {
-      case ConsumerAuthority => ()
-      case _ =>
-        throw new PlaneLeaseHeldException(
-          s"this process holds the CONSUMER-PLANE lease for ${h.root} — it may " +
-            "register consumers and commit group offsets only; produce, " +
-            "maintenance, rescale and the stream ledger need a root-lease " +
-            "(or, for produce, partition-scoped) owner process")
+    if (h.consumer) h.parts match {
+      case None => a match {
+        case ConsumerAuthority | ConsumerCommitAuthority(_) => ()
+        case _ =>
+          throw new PlaneLeaseHeldException(
+            s"this process holds the CONSUMER-PLANE lease for ${h.root} — it may " +
+              "register consumers and commit group offsets only; produce, " +
+              "maintenance, rescale and the stream ledger need a root-lease " +
+              "(or, for produce, partition-scoped) owner process")
+      }
+      case Some(owned) => a match {
+        case ConsumerAuthority => () // registry writes: convergent across members
+        case ConsumerCommitAuthority(ps) =>
+          val missing = ps.filterNot(owned.contains)
+          if (missing.nonEmpty)
+            throw new PlaneLeaseHeldException(
+              s"group-offset commit touches ring partitions " +
+                s"${missing.toSeq.sorted.mkString(",")} outside this process's " +
+                s"consumer-partition lease (${specOf(owned)}) for ${h.root} — " +
+                "route the consumer to the member owning those ranges, or " +
+                "widen the claim")
+        case _ =>
+          throw new PlaneLeaseHeldException(
+            s"this process holds a RANGE-SCOPED consumer lease (${specOf(owned)}) " +
+              s"for ${h.root} — it may register consumers and commit group " +
+              "offsets within its claim only; produce, maintenance, rescale " +
+              "and the stream ledger live in other processes")
+      }
     }
     else h.parts match {
       case None => ()
@@ -661,7 +867,15 @@ object PlaneLease {
     if (h == null) return // read-side/test paths that never acquired
     if (h.consumer) {
       assertAuthority(rootKey, a)
-      checkDirCurrent(rootKey, h, h.files.head)
+      h.parts match {
+        case None => checkDirCurrent(rootKey, h, h.files.head)
+        case Some(owned) =>
+          val ps = a match {
+            case ConsumerCommitAuthority(x) => x
+            case _ => owned.toSet // registry write: re-check the whole claim
+          }
+          checkClaimDirs(rootKey, h, ps)
+      }
     }
     else h.parts match {
       case None =>
@@ -675,28 +889,49 @@ object PlaneLease {
           case ProduceAuthority(x) => x
           case _ => owned.toSet // unreachable: assertAuthority threw
         }
-        val toCheck = h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
-        if (toCheck.sizeIs <= 1 || localFs(h.fs))
-          // per-dir listings: on the LOCAL filesystem they are the fast
-          // path (a recursive listFiles materializes LocatedFileStatus,
-          // whose eager permission load forks a process per entry — 5x
-          // on the wire bench), and latency-per-round-trip is nil anyway
-          toCheck.foreach(lf => checkDirCurrent(rootKey, h, lf))
-        else {
-          // multi-partition commit on a remote store: ONE recursive
-          // listing of the plane dir covers every touched partition dir —
-          // a single prefix LIST on S3-shaped connectors instead of one
-          // LIST round-trip per partition (a 12-partition flush would
-          // otherwise pay 12 sequential LISTs)
-          commitFenceLists.incrementAndGet()
-          val newestByDir = listLeasesRecursive(h.fs, planeDir(h.root))
-          toCheck.foreach { lf =>
-            if (newestByDir.get(lf.dir.getName).exists(_ > lf.epoch))
-              fenceAtCommit(rootKey, h, lf)
-          }
-        }
+        checkClaimDirs(rootKey, h, ps)
     }
   }
+
+  /** Fence-check every claim dir whose partition is in `ps`. */
+  private def checkClaimDirs(rootKey: String, h: Held, ps: Set[Int]): Unit = {
+    val toCheck = h.files.filter(lf => dirPart(lf.dir).exists(ps.contains))
+    if (toCheck.sizeIs <= 1 || localFs(h.fs))
+      // per-dir listings: on the LOCAL filesystem they are the fast
+      // path (a recursive listFiles materializes LocatedFileStatus,
+      // whose eager permission load forks a process per entry — 5x
+      // on the wire bench), and latency-per-round-trip is nil anyway
+      toCheck.foreach(lf => checkDirCurrent(rootKey, h, lf))
+    else {
+      // multi-partition commit on a remote store: ONE recursive
+      // listing of the plane dir covers every touched partition dir —
+      // a single prefix LIST on S3-shaped connectors instead of one
+      // LIST round-trip per partition (a 12-partition flush would
+      // otherwise pay 12 sequential LISTs). Producer claim dirs and
+      // consumer claim dirs share the part-p name shape but have
+      // different PARENTS — key the recursive map on parent/name.
+      commitFenceLists.incrementAndGet()
+      val (newestByDir, drainSeen) = listLeasesRecursive(h.fs, planeDir(h.root))
+      if (drainSeen) throwDraining(rootKey, h)
+      toCheck.foreach { lf =>
+        val newest = newestByDir.get(dirKeyOf(lf.dir))
+        if (newest.exists(_ > lf.epoch)) fenceAtCommit(rootKey, h, lf)
+        else if (!newest.contains(lf.epoch)) {
+          if (drainingRoots.contains(rootKey)) throwDraining(rootKey, h)
+          else fenceAtCommit(rootKey, h, lf)
+        }
+      }
+    }
+  }
+
+  /** Disambiguating key for a claim dir inside the plane: its name plus
+    * its parent's when the parent is the consumer dir (producer
+    * `part-p00003` vs consumer `consumer/part-p00003`).
+    */
+  private def dirKeyOf(dir: Path): String =
+    if (Option(dir.getParent).exists(_.getName == "consumer"))
+      s"consumer/${dir.getName}"
+    else dir.getName
 
   private def localFs(fs: FileSystem): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
@@ -708,22 +943,25 @@ object PlaneLease {
     * plane dir, from one recursive listing (object stores answer it with
     * a single prefix LIST).
     */
-  private def listLeasesRecursive(fs: FileSystem, plane: Path): Map[String, Long] = {
+  private def listLeasesRecursive(
+      fs: FileSystem, plane: Path): (Map[String, Long], Boolean) = {
     val out = scala.collection.mutable.Map.empty[String, Long]
+    var drain = false
     try {
       val it = fs.listFiles(plane, true)
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (st.isFile && name.startsWith("lease-")) {
+        if (st.isFile && name == DrainFileName) drain = true
+        else if (st.isFile && name.startsWith("lease-")) {
           name.stripPrefix("lease-").toLongOption.foreach { e =>
-            val dirName = st.getPath.getParent.getName
-            if (out.getOrElse(dirName, Long.MinValue) < e) out(dirName) = e
+            val key = dirKeyOf(st.getPath.getParent)
+            if (out.getOrElse(key, Long.MinValue) < e) out(key) = e
           }
         }
       }
     } catch { case _: java.io.FileNotFoundException => () }
-    out.toMap
+    (out.toMap, drain)
   }
 
   private def dirPart(dir: Path): Option[Int] =
@@ -732,8 +970,36 @@ object PlaneLease {
 
   private def checkDirCurrent(rootKey: String, h: Held, lf: LeaseFile): Unit = {
     commitFenceLists.incrementAndGet()
-    if (listLeases(h.fs, lf.dir).lastOption.exists(_._1 > lf.epoch))
+    val sts = (try h.fs.listStatus(lf.dir).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .filter(_.isFile)
+    // a SCOPED claimant observes a coordinator's drain request here, in
+    // the listing it already pays for: abort this commit RETRYABLY and
+    // release the claims at the next ensure() (root holders ignore drain
+    // files — a drain targets scoped claims so a root claimant can run)
+    if ((h.parts.isDefined || h.consumer) &&
+        sts.exists(_.getPath.getName == DrainFileName))
+      throwDraining(rootKey, h)
+    val epochs = sts.map(_.getPath.getName).filter(_.startsWith("lease-"))
+      .flatMap(n => n.stripPrefix("lease-").toLongOption)
+    if (epochs.nonEmpty && epochs.max > lf.epoch)
       fenceAtCommit(rootKey, h, lf)
+    else if (!epochs.contains(lf.epoch)) {
+      // our own lease file is gone with no higher epoch visible: either
+      // this JVM's drain release raced an in-flight commit (retryable) or
+      // the claim was erased externally (fence — same rule as the beat)
+      if (drainingRoots.contains(rootKey)) throwDraining(rootKey, h)
+      else fenceAtCommit(rootKey, h, lf)
+    }
+  }
+
+  private def throwDraining(rootKey: String, h: Held): Nothing = {
+    drainingRoots.add(rootKey)
+    throw new PlaneDrainingException(
+      s"commit aborted: the write plane for ${h.root} is draining for a " +
+        "coordinated rescale/maintenance window — this claim releases and " +
+        "re-acquires after the coordinator clears the drain; retry the " +
+        "operation")
   }
 
   private def fenceAtCommit(rootKey: String, h: Held, lf: LeaseFile): Nothing = {
@@ -813,6 +1079,18 @@ object PlaneLease {
       try {
         if (!h.fs.exists(new Path(h.root))) {
           it.remove() // the store is gone; nothing left to guard
+        } else if ((h.parts.isDefined || h.consumer) &&
+            h.fs.exists(new Path(planeDir(h.root), DrainFileName))) {
+          // a coordinator requested a drain and this claimant is idle (no
+          // commit has observed it): release here so the drain completes
+          // without waiting out the TTL. Mark draining FIRST — a racing
+          // in-flight commit then aborts retryably on its vanished lease
+          // file instead of passing a vacuous fence.
+          drainingRoots.add(e.getKey)
+          h.files.foreach { lf =>
+            try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+          }
+          it.remove()
         } else {
           var fenced = false
           h.files.foreach { lf =>
@@ -861,10 +1139,90 @@ object PlaneLease {
   private[graft] def dropForTests(rootKey: String): Unit = {
     val h = held.remove(rootKey)
     fencedRoots.remove(rootKey)
+    drainingRoots.remove(rootKey)
     if (h != null) {
       h.files.foreach { lf =>
         try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
       }
+    }
+  }
+
+  // ------------------------------------------------- coordinated draining
+
+  private def assertNotDraining(fs: FileSystem, plane: Path, root: String): Unit =
+    if (fs.exists(new Path(plane, DrainFileName)))
+      throw new PlaneDrainingException(
+        s"the write plane for $root is draining for a coordinated " +
+          "rescale/maintenance window — scoped claims cannot be acquired " +
+          "until the coordinator clears the drain; retry later")
+
+  /** COORDINATOR side of the online rescale: ask every scoped claimant
+    * (partition producers, consumer members) to flush-and-release — the
+    * online half of the reference's serve-while-splitting range flip
+    * (`internal/ownership/process_local_split_range.go:12-132`). Writes
+    * the master drain file (gates NEW scoped acquisitions) plus one copy
+    * in each scoped claim dir, where current claimants observe it for
+    * free in their next per-commit fence listing (idle claimants notice
+    * on the next heartbeat, TTL/4). Refuses when a live ROOT owner
+    * exists — issue the maintenance there instead.
+    */
+  def requestDrain(root: String, conf: Configuration): Unit = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    fs.mkdirs(plane)
+    liveRealRootLease(fs, plane, DefaultTtlMs).foreach { case (e, info) =>
+      throw new IllegalStateException(
+        s"the root plane for $root is owned live by ${ownerName(info)} " +
+          s"(epoch $e) — issue the rescale/maintenance on that process " +
+          "instead of draining")
+    }
+    def put(d: Path): Unit = {
+      val out = fs.create(new Path(d, DrainFileName), true)
+      try out.write(ownerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put(plane)
+    scopedDirs(fs, plane).foreach(put)
+  }
+
+  /** Remove every drain file under the plane (master + per-dir copies) —
+    * scoped claimants may re-acquire afterwards.
+    */
+  def clearDrain(root: String, conf: Configuration): Unit = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    (plane +: scopedDirs(fs, plane)).foreach { d =>
+      try { fs.delete(new Path(d, DrainFileName), false); () }
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** Human-readable names of the scoped claims still LIVE under the root
+    * (non-marker, within their owner-recorded TTL) — the coordinator
+    * polls this after [[requestDrain]] until empty.
+    */
+  def liveScopedClaims(root: String, conf: Configuration): Seq[String] = {
+    val plane = planeDir(root)
+    val fs = plane.getFileSystem(conf)
+    scopedDirs(fs, plane).flatMap { d =>
+      newestLease(fs, d) match {
+        case Some((_, st, info))
+            if !info.marker && info.owner != ownerId &&
+              isLive(st, info, DefaultTtlMs) =>
+          Some(s"${scopedName(d)} (${ownerName(info)})")
+        case _ => None
+      }
+    }
+  }
+
+  /** Release this JVM's claim for a root cleanly (delete lease files,
+    * forget the claim — no fence): the coordinator hands the plane back
+    * after a maintenance window so scoped claimants can re-acquire.
+    */
+  def releaseOwned(rootKey: String): Unit = {
+    val h = held.remove(rootKey)
+    if (h != null) h.files.foreach { lf =>
+      try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
     }
   }
 }

@@ -330,22 +330,36 @@ class TopicStore(
   // watermarks as a pure OBSERVER: no reconcile heal (that is a
   // producer-authority write), and poll refreshes the watermark/
   // generation caches per call because other processes advance them.
-  private lazy val planeLeaseConsumer: Boolean =
+  // `consumer` = the FULL consumer plane; `consumer:<spec>` (dash ranges /
+  // comma list of ring ordinals) = a RANGE-SCOPED consumer member: it
+  // registers its own consumers and serves polls/commits for exactly
+  // those ring partitions, commits landing in a per-claim lane table —
+  // N such members fan the consumer plane out across processes, the
+  // reference's consumers-per-broker assignment
+  // (`docs/developer/CONSUMER_ASSIGNMENT.md`)
+  private lazy val (planeLeaseConsumer: Boolean,
+      consumerClaim: Option[scala.collection.immutable.SortedSet[Int]]) =
     spark.conf.getOption("spark.graft.planeLeaseRole") match {
-      case None => false
-      case Some("consumer") => true
+      case None => (false, None)
+      case Some("consumer") => (true, None)
+      case Some(s) if s.startsWith("consumer:") =>
+        (true, Some(TopicStore.parsePartitionSpec(s.stripPrefix("consumer:"))))
       case Some(other) => throw new IllegalArgumentException(
         s"spark.graft.planeLeaseRole='$other' — the only role is 'consumer' " +
-          "(partition-scoped produce uses spark.graft.planeLeasePartitions)")
+          "(optionally range-scoped: 'consumer:0-5'; partition-scoped " +
+          "produce uses spark.graft.planeLeasePartitions)")
     }
 
   private def ensurePlaneOwned(): Unit = {
     require(!(planeLeaseConsumer && planeLeasePartitions.isDefined),
       "spark.graft.planeLeaseRole=consumer and spark.graft.planeLeasePartitions " +
         "are mutually exclusive — one claim shape per process per root")
-    if (planeLeaseConsumer)
-      PlaneLease.ensureOwnedConsumer(lockRootKey, root,
+    if (planeLeaseConsumer) consumerClaim match {
+      case Some(ps) => PlaneLease.ensureOwnedConsumerPartitions(lockRootKey, root,
+        spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
+      case None => PlaneLease.ensureOwnedConsumer(lockRootKey, root,
         spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+    }
     else planeLeasePartitions match {
       case Some(ps) => PlaneLease.ensureOwnedPartitions(lockRootKey, root,
         spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
@@ -1063,6 +1077,11 @@ class TopicStore(
     // each latestOffset() (a root-lease store is the single writer and
     // keeps the memory-speed cache)
     if (planeLeaseConsumer) refreshOffsets(topic)
+    // a RANGE-SCOPED member additionally refreshes the GROUP-offset view:
+    // the other members' commits land in their own lanes, and the
+    // group-wide lineage gate (groupLag) must see them move or it would
+    // hold this member on a drained ancestor forever
+    if (consumerClaim.isDefined) refreshGroupOffsets(group, topic)
     // ONE chain read pins generations, assignments, offsets scopes and
     // the scan filters for the whole poll (same discipline as commit):
     // assignment computed against a newer ring than the captured one
@@ -1216,6 +1235,8 @@ class TopicStore(
       topic: String,
       consumerId: String,
       maxRecords: Long = Long.MaxValue): Map[Int, Long] = {
+    if (planeLeaseConsumer) refreshOffsets(topic)
+    if (consumerClaim.isDefined) refreshGroupOffsets(group, topic)
     val chain = generations(topic)
     // whole-chain membership check, like poll's: a member with zero
     // current-generation partitions may still own lagging ancestors
@@ -1491,15 +1512,76 @@ class TopicStore(
     if (version >= 0 && !chain.exists(_.version == version)) return Map.empty
     val scope = s"${scopeDir(group)}/${scopeDir(topic)}/v$targetVersion"
     val cur = readOffsets(groupMeta, scope)
-    val accepted = next.filter { case (p, off) =>
+    // a RANGE-SCOPED consumer member applies only its claim's partitions
+    // (commit's contract is "returns the accepted subset"): a seek or a
+    // hand-built commit spanning the ring applies per member, each
+    // trimming to its ranges
+    val inClaim = consumerClaim.fold(next)(owned =>
+      next.filter(kv => owned.contains(kv._1)))
+    val accepted = inClaim.filter { case (p, off) =>
       val reader = lastReaders.get((group, topic, targetVersion, p))
       val owns = origin.isEmpty || reader == null || reader == origin
       owns && off >= cur.getOrElse(p, 0L)
     }
     if (accepted.nonEmpty)
-      writeOffsets(groupMeta, scope, cur ++ accepted, PlaneLease.ConsumerAuthority)
+      writeGroupOffsets(scope, cur ++ accepted, accepted.keySet)
     accepted
   } }
+
+  // group-offset scopes known lane-free by this full-plane holder — the
+  // same once-per-scope fold discipline as the producer watermark lanes:
+  // range-scoped consumer claimants abort on a live full-consumer/root
+  // lease, so no lane can appear while we hold it
+  private val groupLaneFreeScopes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Route a group-offset write by consumer-lease mode. A full-plane
+    * holder (root or full consumer) swaps the scope's single table and
+    * folds leftover lanes from a previous range-scoped deployment (their
+    * values are contained in the merged `full` being written). A
+    * RANGE-SCOPED consumer member swaps only its claim's LANE sub-table
+    * (`<scope>/lane-<spec>`), so disjoint members never read-modify-write
+    * one shared file; readers merge base + lanes per-partition max
+    * (readOffsets) — group commits are monotonic per partition, so the
+    * max IS the latest commit.
+    */
+  private def writeGroupOffsets(
+      scope: String, full: Map[Int, Long], touched: Set[Int]): Unit =
+    consumerClaim match {
+      case Some(owned) =>
+        val stray = touched.filterNot(owned.contains)
+        require(stray.isEmpty,
+          s"range-scoped group-offset write touches unowned partitions $stray")
+        import org.apache.parquet.example.data.simple.SimpleGroupFactory
+        val lane = s"$groupMeta/$scope/lane-${PlaneLease.specOf(owned)}"
+        val gf = new SimpleGroupFactory(offsetsSchema)
+        swapWriteGroups(lane, offsetsSchema,
+          full.filter(kv => owned.contains(kv._1)).toSeq.sortBy(_._1).map {
+            case (part, next) =>
+              gf.newGroup().append("part", part).append("next", next)
+          }, PlaneLease.ConsumerCommitAuthority(touched))
+        // other members' lanes advance in other processes: invalidate the
+        // merged view so the next read re-merges (commits are low-rate —
+        // no owned-slice cache needed, unlike the producer hot path)
+        offsetCache.remove(metaCacheKey(s"$groupMeta/$scope"))
+        ()
+      case None =>
+        writeOffsets(groupMeta, scope, full,
+          PlaneLease.ConsumerCommitAuthority(touched))
+        if (!groupLaneFreeScopes.contains(scope)) {
+          val fs = hfs(s"$groupMeta/$scope")
+          val dirPath = hpath(s"$groupMeta/$scope")
+          fs.listStatus(dirPath)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("lane-"))
+            .foreach { st =>
+              if (!fs.delete(st.getPath, true))
+                throw new java.io.IOException(
+                  s"group-offset lane fold: could not delete ${st.getPath}")
+            }
+          groupLaneFreeScopes.add(scope)
+          ()
+        }
+    }
 
   private def producerScope(topic: String): String =
     producerScopeFor(topic, generation(topic))
@@ -1923,7 +2005,14 @@ class TopicStore(
       // overlapping round-robin ownership (duplicate delivery)
       val ids = synchronized { groups.getOrElse(group, Set.empty) }.toSeq.sorted
       if (!ids.contains(consumerId)) return Seq.empty
-      (0 until partsOf(g)).filter(p => ids(p % ids.size) == consumerId)
+      val mine = (0 until partsOf(g)).filter(p => ids(p % ids.size) == consumerId)
+      // a RANGE-SCOPED consumer member SERVES only its claim: membership
+      // is member-local (consumers register with the member owning their
+      // ranges), so the round-robin runs over this member's consumers and
+      // the claim restricts what they can be handed — disjoint members
+      // together cover the ring, the reference's consumers-per-broker
+      // assignment
+      consumerClaim.fold(mine)(owned => mine.filter(owned.contains))
     }
   }
 
@@ -2745,6 +2834,16 @@ class TopicStore(
     ()
   }
 
+  /** Drop the cached group-offset views for one (group, topic) across
+    * its generation scopes — a range-scoped consumer member calls this
+    * per poll: other members' commits advance in their own lanes.
+    */
+  private def refreshGroupOffsets(group: String, topic: String): Unit = {
+    offsetCache.keySet.removeIf(
+      _.startsWith(metaCacheKey(s"$groupMeta/${scopeDir(group)}/${scopeDir(topic)}/")))
+    ()
+  }
+
   /** Persisted high watermark WITHOUT the crash-heal reconcile — the
     * read-side view for observers (the DSv2 source): an observer must
     * never WRITE to `_meta` (the heal's writeOffsets would race the
@@ -2927,12 +3026,24 @@ class TopicStore(
     // part of this swap; writeProducerOffsets folds them deliberately
     fs.listStatus(dirPath).filter(_.isFile).foreach { st =>
       val n = st.getPath.getName
-      if (!n.startsWith(".") && n != fin.getName && !fs.delete(st.getPath, false))
+      // fold only files lexically OLDER than ours, and tolerate a
+      // concurrent folder having deleted them first: most scopes are
+      // single-writer (lease + lock serialized), but the group REGISTRY
+      // is written concurrently by RANGE-SCOPED consumer members — the
+      // old "delete everything but fin" pass could annihilate a
+      // concurrent winner's newer table (each side deleting the other's)
+      // and threw when the loser's file was already gone. Readers take
+      // the lexically-newest name, so leaving a NEWER file in place is
+      // exactly right: our own write is the superseded one.
+      if (!n.startsWith(".") && n < fin.getName &&
+          !fs.delete(st.getPath, false) && fs.exists(st.getPath))
         throw new java.io.IOException(s"meta swap: could not delete ${st.getPath}")
-      // crashed swaps orphan dot-tmp files nothing reads: per-scope
-      // writes are lock-serialized, so any tmp other than the one just
-      // renamed is dead — reclaim it here (best-effort)
-      if (n.startsWith(".") && n.endsWith(".tmp") && n != tmp.getName) {
+      // crashed swaps orphan dot-tmp files nothing reads — but a
+      // CONCURRENT registry swapper's in-flight tmp is indistinguishable
+      // by name, so reclaim only tmps old enough that their writer is
+      // certainly gone (best-effort)
+      if (n.startsWith(".") && n.endsWith(".tmp") && n != tmp.getName &&
+          System.currentTimeMillis() - st.getModificationTime > 10 * 60 * 1000L) {
         fs.delete(st.getPath, false); ()
       }
     }

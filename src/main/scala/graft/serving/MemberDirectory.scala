@@ -28,8 +28,12 @@ final case class MemberAd(
     mtimeMs: Long,
     ttlMs: Long) {
   def live(nowMs: Long): Boolean = nowMs - mtimeMs < ttlMs
+  /** PRODUCE ownership: a consumer member never receives produce
+    * forwards, even when range-scoped (its `parts` bound what it SERVES
+    * to consumers, not what it writes).
+    */
   def ownsPartition(p: Int): Boolean =
-    mode == "root" || parts.exists(_.contains(p))
+    mode == "root" || (mode == "parts" && parts.exists(_.contains(p)))
 }
 
 /** The serving deployment's DISCOVERY directory over the shared root —

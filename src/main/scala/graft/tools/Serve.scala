@@ -159,9 +159,15 @@ object Serve {
     val port = flags.get("--port").map(_.toInt).getOrElse(0)
     val store = new TopicStore(spark, root)
     val server = new RestServer(store, port = port, coalesceMs = 20L).start()
-    val consumerRole = flags.get("--role").contains("consumer")
+    // "--role consumer" = the full consumer plane; "--role consumer:0-5"
+    // = a range-scoped consumer member (serves polls/commits for those
+    // ring partitions only — N such members fan the consumer plane out)
+    val consumerRole = flags.get("--role").exists(_.startsWith("consumer"))
     val mode =
-      if (consumerRole) "consumer-plane"
+      if (consumerRole) flags("--role").stripPrefix("consumer") match {
+        case "" => "consumer-plane"
+        case spec => s"consumer-plane ranges ${spec.stripPrefix(":")}"
+      }
       else flags.get("--partitions").map(s => s"partitions $s").getOrElse("root")
     val host = flags.getOrElse("--advertise", "localhost")
     val base = s"http://$host:${server.boundPort}"
@@ -182,7 +188,9 @@ object Serve {
     serving.MemberDirectory.advertise(root, hconf, base, binPort,
       mode = if (consumerRole) "consumer"
         else if (flags.contains("--partitions")) "parts" else "root",
-      parts = flags.get("--partitions").map(TopicStore.parsePartitionSpec))
+      parts = flags.get("--partitions").map(TopicStore.parsePartitionSpec)
+        .orElse(flags.get("--role").filter(_.startsWith("consumer:"))
+          .map(r => TopicStore.parsePartitionSpec(r.stripPrefix("consumer:")))))
     if (!consumerRole)
       println(s"serving $base (binary producer on :$binPort) root=$root mode=$mode")
     else println(s"serving $base root=$root mode=$mode")

@@ -261,4 +261,163 @@ class ConsumerPlaneSpec extends AnyFunSuite {
     assert(store.poll("g2", "t", "c2").count() == 160L)
     PlaneLease.dropForTests(rootKeyOf(root))
   }
+
+  test("a RANGE-SCOPED consumer member serves and commits only its claim, via a lane table") {
+    val root = Files.createTempDirectory("graft-consrange").toString
+    val producer = new TopicStore(spark, root)
+    producer.produceStrings("t", (0 until 60).map(i => (s"k$i", s"v$i", ts(i))))
+    val high = producer.persistedProducerOffsets("t")
+    assert(high.keySet.exists(_ <= 5) && high.keySet.exists(_ > 5),
+      "fixture must span both ring halves")
+    PlaneLease.dropForTests(rootKeyOf(root))
+    spark.conf.set("spark.graft.planeLeaseRole", "consumer:0-5")
+    try {
+      val store = new TopicStore(spark, root)
+      store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+      // claims landed under consumer/part-p*, nothing on the root plane
+      val cdir = new java.io.File(leaseDir(root), "consumer")
+      val claimed = cdir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("part-p"))
+        .map(_.getName).sorted
+      assert(claimed.toSeq == (0 to 5).map(p => f"part-p$p%05d"), claimed.mkString(","))
+      assert(!cdir.listFiles().exists(f => f.isFile && f.getName.startsWith("lease-")),
+        "a range-scoped member must not claim the consumer dir itself")
+      // polls serve ONLY the claim
+      val rows = store.poll("g", "t", "c").collect()
+      assert(rows.nonEmpty && rows.forall(_.getAs[Int]("part") <= 5),
+        s"served parts: ${rows.map(_.getAs[Int]("part")).distinct.sorted.mkString(",")}")
+      assert(rows.length.toLong == high.filter(_._1 <= 5).values.sum)
+      assert(store.poll("g", "t", "c").count() == 0L,
+        "the auto-commit must have advanced the claimed partitions")
+      // the commit landed in a LANE sub-table, never the shared base
+      val gdir = new java.io.File(s"$root/_meta/group_offsets/g/t/v1")
+      assert(gdir.listFiles().exists(d => d.isDirectory && d.getName == "lane-0-5"),
+        gdir.listFiles().map(_.getName).mkString(","))
+      assert(!gdir.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "a range-scoped member must not touch the shared group-offset table")
+      // commits are TRIMMED to the claim (commit returns the accepted subset)
+      assert(store.commit("g", "t", Map(7 -> 1L)).isEmpty)
+      // the merged read view equals the watermark for the claimed parts
+      assert(store.groupOffsets("g", "t") == high.filter(_._1 <= 5))
+      // produce and maintenance stay refused
+      intercept[PlaneLeaseHeldException] {
+        store.produceStrings("t", Seq(("k", "v", ts(99))))
+      }
+      intercept[PlaneLeaseHeldException] { store.compact("t") }
+    } finally spark.conf.unset("spark.graft.planeLeaseRole")
+    PlaneLease.dropForTests(rootKeyOf(root))
+  }
+
+  test("range-scoped consumer lease protocol: full-owner exclusion both ways, root scan reaches nested claims") {
+    val root = Files.createTempDirectory("graft-consrange").toString
+    val cdir = new java.io.File(leaseDir(root), "consumer")
+    // live FULL consumer owner blocks a range claim
+    val full = writeLeaseFile(cdir, 3L, "fullconsumer@elsewhere\nttl=60000")
+    val ex = intercept[PlaneLeaseHeldException] {
+      PlaneLease.ensureOwnedConsumerPartitions(rootKeyOf(root), root, hconf,
+        TopicStore.parsePartitionSpec("0-5"))
+    }
+    assert(ex.getMessage.contains("PLANE-WIDE"), ex.getMessage)
+    // stale full owner: fenced with a marker in the consumer dir, claim lands
+    full.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    PlaneLease.ensureOwnedConsumerPartitions(rootKeyOf(root), root, hconf,
+      TopicStore.parsePartitionSpec("0-5"))
+    val cfiles = cdir.listFiles().filter(f => f.isFile && f.getName.startsWith("lease-"))
+    assert(cfiles.map(_.getName).toSeq == Seq(f"lease-${4L}%020d"), cfiles.mkString(","))
+    val marker = new String(java.nio.file.Files.readAllBytes(cfiles.head.toPath), "UTF-8")
+    assert(marker.contains("mode=marker") && marker.contains("by=consumer-partition"), marker)
+    PlaneLease.dropForTests(rootKeyOf(root))
+    // a ROOT claimant scans NESTED consumer claims: a live foreign one rejects
+    writeLeaseFile(new java.io.File(cdir, "part-p00002"), 1L,
+      "scopedconsumer@elsewhere\nttl=60000")
+    val ex2 = intercept[PlaneLeaseHeldException] {
+      PlaneLease.ensureOwned(rootKeyOf(root), root, hconf)
+    }
+    assert(ex2.getMessage.contains("consumer range partition"), ex2.getMessage)
+    // a FULL consumer claimant likewise rejects the live scoped claim
+    val ex3 = intercept[PlaneLeaseHeldException] {
+      PlaneLease.ensureOwnedConsumer(rootKeyOf(root), root, hconf)
+    }
+    assert(ex3.getMessage.contains("consumer range partition"), ex3.getMessage)
+    // stale scoped claim: the full claimant supersedes it at epoch+1 (kept)
+    new java.io.File(new java.io.File(cdir, "part-p00002"), f"lease-${1L}%020d")
+      .setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    PlaneLease.ensureOwnedConsumer(rootKeyOf(root), root, hconf)
+    val pnames = new java.io.File(cdir, "part-p00002").listFiles().map(_.getName).sorted
+    assert(pnames.toSeq == Seq(f"lease-${2L}%020d"), pnames.mkString(","))
+    PlaneLease.dropForTests(rootKeyOf(root))
+  }
+
+  test("two RANGE-SCOPED consumer JVMs drain one group over disjoint ranges") {
+    val root = Files.createTempDirectory("graft-consrange2").toString
+    val producer = new TopicStore(spark, root)
+    producer.produceStrings("t", (0 until 120).map(i => (s"k$i", s"v$i", ts(i))))
+    val high = producer.persistedProducerOffsets("t")
+    PlaneLease.dropForTests(rootKeyOf(root))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def fork(args: String*): Process = {
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.ConsumerPlaneChild") ++ args): _*)
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val a = fork(root, "t", "consumer:0-5", "g", "ca")
+    val b = fork(root, "t", "consumer:6-11", "g", "cb")
+    try {
+      def reader(p: Process) = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+      def await(rd: java.io.BufferedReader, prefix: String, who: String): String = {
+        var l = rd.readLine()
+        while (l != null && !l.startsWith(prefix)) l = rd.readLine()
+        assert(l != null, s"$who died before $prefix")
+        l
+      }
+      def send(p: Process, s: String): Unit = {
+        p.getOutputStream.write((s + "\n").getBytes("UTF-8")); p.getOutputStream.flush()
+      }
+      val (ra, rb) = (reader(a), reader(b))
+      assert(await(ra, "REGISTERED", "consumer A") == "REGISTERED")
+      assert(await(rb, "REGISTERED", "consumer B") == "REGISTERED")
+      send(a, "POLL"); send(b, "POLL")
+      val nA = await(ra, "POLLED", "consumer A").stripPrefix("POLLED ").toLong
+      val pA = await(ra, "PARTS", "consumer A").stripPrefix("PARTS ")
+        .split(",").filter(_.nonEmpty).map(_.toInt).toSet
+      val nB = await(rb, "POLLED", "consumer B").stripPrefix("POLLED ").toLong
+      val pB = await(rb, "PARTS", "consumer B").stripPrefix("PARTS ")
+        .split(",").filter(_.nonEmpty).map(_.toInt).toSet
+      assert(nA + nB == 120L, s"drained $nA + $nB of 120")
+      assert(pA.forall(_ <= 5) && pB.forall(_ > 5),
+        s"claims leaked: A=$pA B=$pB")
+      assert((pA ++ pB) == high.keySet,
+        s"the two members together must cover every produced partition: " +
+          s"A=$pA B=$pB data=${high.keySet}")
+      // lane commits are durable: a second drain round sees nothing
+      send(a, "POLL"); send(b, "POLL")
+      assert(await(ra, "POLLED", "consumer A") == "POLLED 0")
+      assert(await(rb, "POLLED", "consumer B") == "POLLED 0")
+      send(a, ""); send(b, "")
+      Seq(a, b).foreach { p =>
+        assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0)
+      }
+    } finally Seq(a, b).foreach { p => p.destroyForcibly(); () }
+    // a root successor reads the merged committed state: the group is
+    // fully drained, per-partition offsets equal to the watermark
+    val store = new TopicStore(spark, root)
+    assert(store.groupOffsets("g", "t") == high,
+      s"merged lanes must equal the watermark: ${store.groupOffsets("g", "t")} vs $high")
+    store.registry.register("g2", "c2", Seq("t"), store.StartFrom.Earliest)
+    assert(store.poll("g2", "t", "c2").count() == 120L)
+    PlaneLease.dropForTests(rootKeyOf(root))
+  }
 }
