@@ -354,17 +354,31 @@ class TopicStore(
     require(!(planeLeaseConsumer && planeLeasePartitions.isDefined),
       "spark.graft.planeLeaseRole=consumer and spark.graft.planeLeasePartitions " +
         "are mutually exclusive — one claim shape per process per root")
-    if (planeLeaseConsumer) consumerClaim match {
-      case Some(ps) => PlaneLease.ensureOwnedConsumerPartitions(lockRootKey, root,
-        spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
-      case None => PlaneLease.ensureOwnedConsumer(lockRootKey, root,
-        spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
-    }
-    else planeLeasePartitions match {
-      case Some(ps) => PlaneLease.ensureOwnedPartitions(lockRootKey, root,
-        spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
-      case None => PlaneLease.ensureOwned(lockRootKey, root,
-        spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+    val acquired =
+      if (planeLeaseConsumer) consumerClaim match {
+        case Some(ps) => PlaneLease.ensureOwnedConsumerPartitions(lockRootKey, root,
+          spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
+        case None => PlaneLease.ensureOwnedConsumer(lockRootKey, root,
+          spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+      }
+      else planeLeasePartitions match {
+        case Some(ps) => PlaneLease.ensureOwnedPartitions(lockRootKey, root,
+          spark.sparkContext.hadoopConfiguration, ps, planeLeaseTtlMs)
+        case None => PlaneLease.ensureOwned(lockRootKey, root,
+          spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
+      }
+    if (acquired && (planeLeaseConsumer || planeLeasePartitions.isDefined)) {
+      // a scoped claim freshly acquired may follow a coordinated DRAIN
+      // window in which the coordinator rescaled: drop this root's shared
+      // caches so the generation chain and every watermark re-read from
+      // storage instead of serving the pre-drain view (producing to a
+      // superseded generation would break the drain discipline's per-key
+      // order across the flip). First acquisitions pay nothing — the
+      // caches are empty.
+      val prefix = lockRootKey + "|"
+      genCache.keySet.removeIf(_.startsWith(prefix))
+      offsetCache.keySet.removeIf(_.startsWith(prefix))
+      ()
     }
   }
 
@@ -2509,6 +2523,50 @@ class TopicStore(
   // pins its generation under the same lock, so it lands either wholly
   // under v (still live in the chain — nothing strands) or wholly under
   // v+1 after the flip.
+  /** COORDINATED online rescale over a multi-process deployment: ask
+    * every live scoped claimant (partition producers, consumer members)
+    * to flush-and-release via the drain protocol, wait for their claims
+    * to clear, run [[rescale]] under freshly acquired root authority,
+    * then clear the drain so the members re-acquire and continue under
+    * the new generation — the online half of the reference's
+    * serve-while-splitting range flip
+    * (`internal/ownership/process_local_split_range.go:12-132`), with
+    * the drain replacing its in-flight-generation handshake. Claimants
+    * abort in-flight commits RETRYABLY ([[PlaneDrainingException]]) and
+    * their stores re-acquire automatically on the next mutating call;
+    * their clients retry per the at-least-once contract. The caller
+    * should [[releasePlaneLease]] (or exit) afterwards if it is not the
+    * deployment's long-lived root owner.
+    */
+  def rescaleWithDrain(
+      topic: String,
+      newClusterSize: Int,
+      drainTimeoutMs: Long = 60000L): Generation = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    PlaneLease.requestDrain(root, hc)
+    try {
+      val deadline = System.currentTimeMillis() + drainTimeoutMs
+      var live = PlaneLease.liveScopedClaims(root, hc)
+      while (live.nonEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        live = PlaneLease.liveScopedClaims(root, hc)
+      }
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"rescaleWithDrain($topic): drain did not complete within " +
+            s"${drainTimeoutMs}ms — still live: ${live.mkString("; ")} " +
+            "(claimants release at their next commit or heartbeat; raise " +
+            "the timeout or check the members' health)")
+      rescale(topic, newClusterSize)
+    } finally PlaneLease.clearDrain(root, hc)
+  }
+
+  /** Hand this process's plane lease back cleanly (no fence): a
+    * maintenance coordinator releases after its window so the
+    * deployment's scoped members can re-acquire.
+    */
+  def releasePlaneLease(): Unit = PlaneLease.releaseOwned(lockRootKey)
+
   def rescale(
       topic: String,
       newClusterSize: Int,

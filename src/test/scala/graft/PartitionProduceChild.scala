@@ -51,18 +51,51 @@ object PartitionProduceChild {
       // exits cleanly (the shutdown hook releases the leases)
       var round = 0
       var line = scala.io.StdIn.readLine()
-      while (line != null && line.startsWith("MORE")) {
+      while (line != null && (line.startsWith("MORE") || line.startsWith("TICK"))) {
+        if (line.startsWith("TICK")) {
+          // drive a heartbeat pass deterministically (the scheduled beat
+          // runs at TTL/4 = 15 s — too slow for a test): an idle claimant
+          // notices a pending drain here and releases
+          graft.engine.PlaneLease.heartbeatTick()
+          println("TICKED")
+          Console.flush()
+          line = scala.io.StdIn.readLine()
+        } else {
         round += 1
-        val more = Iterator.from(0).map(i => s"$keyPrefix-r$round-$i")
-          .filter { k =>
-            owned.contains(TokenRing.partitionOrdinal(
-              Murmur3x64.hashString(k), g.clusterSize, store.rangesPerToken))
+        // DRAIN-AWARE round: a coordinated rescale may fire mid-round —
+        // the produce aborts retryably (PlaneDrainingException), the
+        // claim is released, and the retry re-acquires once the
+        // coordinator clears the drain. Keys are recomputed per attempt
+        // against the CURRENT generation: after the flip the ring is
+        // bigger, and keys chosen under the old ring may hash outside
+        // the claim (that attempt fails the authority check and the next
+        // one re-derives). A live coordinator root lease between drain
+        // clear and release also just retries.
+        var n2 = -1L
+        var attempts = 0
+        while (n2 < 0 && attempts < 300) {
+          attempts += 1
+          try {
+            val gNow = store.generation(topic)
+            val more = Iterator.from(0).map(i => s"$keyPrefix-r$round-$i")
+              .filter { k =>
+                owned.contains(TokenRing.partitionOrdinal(
+                  Murmur3x64.hashString(k), gNow.clusterSize, store.rangesPerToken))
+              }
+              .take(count).toSeq
+            n2 = store.produceLocal(topic, rowsFor(more))
+          } catch {
+            case _: graft.engine.PlaneDrainingException =>
+              println("DRAINING"); Console.flush(); Thread.sleep(100)
+            case _: graft.engine.PlaneLeaseHeldException =>
+              println("WAITING"); Console.flush(); Thread.sleep(100)
           }
-          .take(count).toSeq
-        val n2 = store.produceLocal(topic, rowsFor(more))
+        }
+        require(n2 >= 0, s"round $round never completed after $attempts attempts")
         println(s"WROTE $n2")
         Console.flush()
         line = scala.io.StdIn.readLine()
+        }
       }
       spark.stop()
       System.exit(0)
