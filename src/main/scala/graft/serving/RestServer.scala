@@ -249,15 +249,54 @@ class RestServer(
           respond(ex, 200, s"""{"purged":$n}""",
             Map("Content-Type" -> "application/json"))
         }
-      case ("PUT" | "POST", "/v1/consumer/register") => handleRegister(ex)
-      case ("POST", "/v1/consumer/poll") => handlePoll(ex)
-      case ("POST", "/v1/consumer/commit") => handleCommit(ex)
-      case ("POST", "/v1/consumer/seek") => handleSeek(ex)
-      case ("POST", "/v1/consumer/goodbye") => handleGoodbye(ex)
+      case ("PUT" | "POST", "/v1/consumer/register") =>
+        if (redirectConsumer(ex)) () else handleRegister(ex)
+      case ("POST", "/v1/consumer/poll") =>
+        if (redirectConsumer(ex)) () else handlePoll(ex)
+      case ("POST", "/v1/consumer/commit") =>
+        if (redirectConsumer(ex)) () else handleCommit(ex)
+      case ("POST", "/v1/consumer/seek") =>
+        if (redirectConsumer(ex)) () else handleSeek(ex)
+      case ("POST", "/v1/consumer/goodbye") =>
+        if (redirectConsumer(ex)) () else handleGoodbye(ex)
       case _ => respond(ex, 404, """{"error":"not found"}""",
         Map("Content-Type" -> "application/json"))
     }
   }
+
+  // set by a Serve deployment member: used to point consumer-API callers
+  // at a consumer-capable member when THIS member has no consumer
+  // authority (a partition-scoped produce broker)
+  @volatile private var memberDirectory: Option[MemberDirectory] = None
+
+  def discoverMembersVia(d: MemberDirectory): Unit = memberDirectory = Some(d)
+
+  /** A consumer-API request on a member WITHOUT consumer authority (a
+    * partition-scoped produce broker) answers 307 with the freshest
+    * consumer-capable member's address — HTTP-native rerouting (307
+    * preserves method + body), the discovery counterpart of the produce
+    * forward: clients that follow redirects need no deployment map. With
+    * RANGE-SCOPED consumer members the redirect targets one of them;
+    * full-coverage clients still subscribe to every consumer member, as
+    * reference clients poll every broker for its ranges.
+    */
+  private def redirectConsumer(ex: HttpExchange): Boolean =
+    memberDirectory match {
+      case Some(d) if store.configuredPartitionClaim.isDefined =>
+        d.consumerMember match {
+          case Some(m) =>
+            val q = Option(ex.getRequestURI.getRawQuery).fold("")("?" + _)
+            respond(ex, 307, "",
+              Map("Location" -> s"${m.base}${ex.getRequestURI.getPath}$q"))
+            true
+          case None =>
+            respond(ex, 503,
+              """{"error":"this member serves produce only and no live consumer-plane member is advertised"}""",
+              Map("Content-Type" -> "application/json"))
+            true
+        }
+      case _ => false
+    }
 
   // ------------------------------------------------------------- handlers
 

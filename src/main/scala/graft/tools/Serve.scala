@@ -176,6 +176,7 @@ object Serve {
     val forwarding = new serving.ForwardingChannel(
       store, server.coalescer, directory, Some(server.metrics))
     server.routeProduceVia(forwarding)
+    server.discoverMembersVia(directory)
     val binPort =
       if (consumerRole) 0
       else {

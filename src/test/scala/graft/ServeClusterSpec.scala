@@ -121,8 +121,87 @@ class ServeClusterSpec extends AnyFunSuite {
       assert(postBody(fc, "/v1/consumer/poll?consumerId=c")._1 == 204,
         "deferred commit must persist under the consumer-plane lease")
       assert(post(fc, "/v1/consumer/goodbye?consumerId=c") == 200)
+      // a consumer-API call on a PRODUCE member redirects (307 + Location)
+      // to the consumer-capable member — HTTP-native discovery
+      val redir = client.send(HttpRequest.newBuilder(URI.create(fa +
+          "/v1/consumer/register?consumerId=r&group=gr&topic=t"))
+        .PUT(BodyPublishers.noBody()).build(), BodyHandlers.ofString())
+      assert(redir.statusCode() == 307, s"expected 307, got ${redir.statusCode()}")
+      assert(redir.headers().firstValue("Location").orElse("")
+        .startsWith(fc), s"Location: ${redir.headers().firstValue("Location")}")
     } finally {
       Seq(pa, pb2, pc).foreach { p => p.destroyForcibly(); () }
+    }
+  }
+
+  test("four Serve members: two partition brokers + two RANGE-SCOPED consumer members over one root") {
+    val root = Files.createTempDirectory("graft-servecluster4").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def forkServe(flags: String*): (Process, String) = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.tools.Serve", "--root", root) ++ flags
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", "2")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      var line = rd.readLine()
+      while (line != null && !line.startsWith("serving http")) line = rd.readLine()
+      assert(line != null, s"Serve member ${flags.mkString(" ")} died before serving")
+      (proc, line.split(' ')(1))
+    }
+    val (pa, fa) = forkServe("--partitions", "0-5")
+    val (pb2, fb) = forkServe("--partitions", "6-11")
+    val (pc1, fc1) = forkServe("--role", "consumer:0-5")
+    val (pc2, fc2) = forkServe("--role", "consumer:6-11")
+    try {
+      // produce 24 records, ALL posted to broker A — forwarding re-homes
+      // the other half to broker B (clients need no ring math at all)
+      (0 until 24).foreach { i =>
+        assert(post(fa,
+          s"/v1/topic/t/messages?partitionKey=fk$i&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""") == 200, s"produce fk$i via A")
+      }
+      // the reference's consumer shape: one group, one consumer id PER
+      // consumer member, each serving its claimed ranges; together they
+      // deliver everything exactly once
+      assert(put(fc1,
+        "/v1/consumer/register?consumerId=c1&group=g&topic=t&onNewGroup=startFromEarliest") == 200)
+      assert(put(fc2,
+        "/v1/consumer/register?consumerId=c2&group=g&topic=t&onNewGroup=startFromEarliest") == 200)
+      def drain(base: String, cid: String): Set[Int] = {
+        val got = scala.collection.mutable.Set.empty[Int]
+        var st = 200
+        while (st == 200) {
+          val (s2, body) = postBody(base, s"/v1/consumer/poll?consumerId=$cid")
+          st = s2
+          if (s2 == 200)
+            "\"i\":(\\d+)".r.findAllMatchIn(body).foreach(m => got += m.group(1).toInt)
+        }
+        assert(st == 204, s"drain($cid) ended with $st")
+        got.toSet
+      }
+      val g1 = drain(fc1, "c1")
+      val g2 = drain(fc2, "c2")
+      assert(g1.nonEmpty && g2.nonEmpty, s"both members must serve: $g1 / $g2")
+      assert((g1 & g2).isEmpty, s"ranges must be disjoint: ${g1 & g2}")
+      assert((g1 ++ g2) == (0 until 24).toSet, s"union must cover: ${g1 ++ g2}")
+      // commits are lane-durable per member: both see empty on re-poll
+      assert(postBody(fc1, "/v1/consumer/poll?consumerId=c1")._1 == 204)
+      assert(postBody(fc2, "/v1/consumer/poll?consumerId=c2")._1 == 204)
+    } finally {
+      Seq(pa, pb2, pc1, pc2).foreach { p => p.destroyForcibly(); () }
     }
   }
 }
