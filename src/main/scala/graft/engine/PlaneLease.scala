@@ -204,9 +204,17 @@ object PlaneLease {
   /** The drain-request file a coordinator writes: one master copy in the
     * plane dir (gates new scoped acquisitions) and one in each scoped
     * claim dir (current claimants see it for FREE in their per-commit
-    * fence listing).
+    * fence listing). A drain older than [[DrainMaxAgeMs]] is IGNORED — a
+    * coordinator that crashed mid-window must not block scoped
+    * acquisitions forever; a legitimately long window re-requests (which
+    * refreshes the files' mtimes).
     */
   val DrainFileName = "drain-req"
+
+  val DrainMaxAgeMs: Long = 10 * 60 * 1000L
+
+  private def drainActive(st: FileStatus): Boolean =
+    System.currentTimeMillis() - st.getModificationTime < DrainMaxAgeMs
   private val warnedSchemes = ConcurrentHashMap.newKeySet[String]()
   @volatile private var beater: java.util.concurrent.ScheduledExecutorService = _
 
@@ -333,7 +341,7 @@ object PlaneLease {
     }
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
-    if (fs.exists(new Path(plane, DrainFileName)))
+    if (activeDrainAt(fs, new Path(plane, DrainFileName)))
       throw new PlaneDrainingException(
         s"the write plane for $root is draining for a coordinated " +
           "rescale/maintenance window — this process's scoped claims were " +
@@ -342,6 +350,11 @@ object PlaneLease {
     drainingRoots.remove(rootKey)
     ()
   }
+
+  /** A drain file exists at `p` and is young enough to honor. */
+  private def activeDrainAt(fs: FileSystem, p: Path): Boolean =
+    try drainActive(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => false }
 
   private def modeName(parts: Option[SortedSet[Int]], consumer: Boolean): String =
     if (consumer) parts.fold("consumer-plane")(ps => s"consumer partitions ${specOf(ps)}")
@@ -952,7 +965,7 @@ object PlaneLease {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        if (st.isFile && name == DrainFileName) drain = true
+        if (st.isFile && name == DrainFileName) drain = drain || drainActive(st)
         else if (st.isFile && name.startsWith("lease-")) {
           name.stripPrefix("lease-").toLongOption.foreach { e =>
             val key = dirKeyOf(st.getPath.getParent)
@@ -978,7 +991,7 @@ object PlaneLease {
     // release the claims at the next ensure() (root holders ignore drain
     // files — a drain targets scoped claims so a root claimant can run)
     if ((h.parts.isDefined || h.consumer) &&
-        sts.exists(_.getPath.getName == DrainFileName))
+        sts.exists(st => st.getPath.getName == DrainFileName && drainActive(st)))
       throwDraining(rootKey, h)
     val epochs = sts.map(_.getPath.getName).filter(_.startsWith("lease-"))
       .flatMap(n => n.stripPrefix("lease-").toLongOption)
@@ -1080,7 +1093,7 @@ object PlaneLease {
         if (!h.fs.exists(new Path(h.root))) {
           it.remove() // the store is gone; nothing left to guard
         } else if ((h.parts.isDefined || h.consumer) &&
-            h.fs.exists(new Path(planeDir(h.root), DrainFileName))) {
+            activeDrainAt(h.fs, new Path(planeDir(h.root), DrainFileName))) {
           // a coordinator requested a drain and this claimant is idle (no
           // commit has observed it): release here so the drain completes
           // without waiting out the TTL. Mark draining FIRST — a racing
@@ -1150,7 +1163,7 @@ object PlaneLease {
   // ------------------------------------------------- coordinated draining
 
   private def assertNotDraining(fs: FileSystem, plane: Path, root: String): Unit =
-    if (fs.exists(new Path(plane, DrainFileName)))
+    if (activeDrainAt(fs, new Path(plane, DrainFileName)))
       throw new PlaneDrainingException(
         s"the write plane for $root is draining for a coordinated " +
           "rescale/maintenance window — scoped claims cannot be acquired " +

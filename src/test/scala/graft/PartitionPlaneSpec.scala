@@ -340,6 +340,18 @@ class PartitionPlaneSpec extends AnyFunSuite {
         "the store must have re-acquired its claim after the drain cleared")
       assert(store.persistedProducerOffsets("t").values.sum == 20L,
         "the aborted round must not have advanced the watermark")
+      // a CRASHED coordinator's abandoned drain ages out instead of
+      // blocking scoped acquisitions forever: an old drain file is ignored
+      PlaneLease.requestDrain(root, hconf)
+      new java.io.File(leaseDir(root), "drain-req")
+        .setLastModified(System.currentTimeMillis() - 2 * PlaneLease.DrainMaxAgeMs)
+      leaseDir(root).listFiles().filter(_.isDirectory).foreach { d =>
+        val f = new java.io.File(d, "drain-req")
+        if (f.exists()) { f.setLastModified(System.currentTimeMillis() - 2 * PlaneLease.DrainMaxAgeMs); () }
+      }
+      assert(store.produceLocal("t", localRows(keysInto((0 to 5).toSet, 10, "dd"))) == 10L,
+        "an aged-out drain must not block the claimant")
+      PlaneLease.clearDrain(root, hconf)
     }
     PlaneLease.dropForTests(rootKeyOf(root))
   }
