@@ -55,10 +55,27 @@ final class PlaneDrainingException(msg: String) extends IllegalStateException(ms
   *    live partition producers (disjoint tables), exclusive with a root
   *    owner and with a second consumer process (group commits are a
   *    cross-process read-modify-write).
+  *  - RANGE-SCOPED CONSUMER leases
+  *    (`<root>/_meta/_plane/consumer/part-p<NNNNN>/lease-<epoch>`): N
+  *    JVMs fan the consumer plane out over disjoint ring partitions —
+  *    each registers its own consumers and commits group offsets for its
+  *    claim only (per-claim lane tables under the group-offset scopes) —
+  *    the reference's consumers-per-broker assignment
+  *    (`docs/developer/CONSUMER_ASSIGNMENT.md`). Compatible with
+  *    partition producers and with each other; exclusive with a root
+  *    owner and with a FULL consumer owner (both ways).
   *
   *  Whatever no shape covers — rescale, maintenance, the stream ledger,
   *  the exclusive-plane produce — stays with a root-lease owner and
   *  fails loudly elsewhere ([[assertAuthority]]).
+  *
+  * COORDINATED DRAIN ([[requestDrain]]/[[clearDrain]]): a maintenance
+  * coordinator asks every scoped claimant to flush-and-release without
+  * operator sequencing — drain files ride the per-commit fence listing
+  * (zero extra round-trips for active claimants; idle ones release at
+  * the next beat), in-flight commits abort RETRYABLY
+  * ([[PlaneDrainingException]]), and claimants re-acquire automatically
+  * after the clear. Abandoned drains age out ([[DrainMaxAgeMs]]).
   *
   * Mutual exclusion is CREATE-EXCLUSIVE on the fixed per-epoch name inside
   * each directory: the epoch number itself is the mutex, so an acquisition
