@@ -341,7 +341,16 @@ class RestServer(
     try { ack.get(120, TimeUnit.SECONDS); respond(ex, 200, "OK") }
     catch {
       case e: java.util.concurrent.ExecutionException =>
-        respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getCause.getMessage))}}""")
+        e.getCause match {
+          case d: graft.engine.PlaneDrainingException =>
+            // RETRYABLE by contract: a coordinated rescale window is in
+            // progress; the store re-acquires when it clears — tell the
+            // client to back off briefly instead of treating it as fatal
+            respond(ex, 503, s"""{"error":${jstr(String.valueOf(d.getMessage))}}""",
+              Map("Retry-After" -> "1", "Content-Type" -> "application/json"))
+          case c =>
+            respond(ex, 500, s"""{"error":${jstr(String.valueOf(c.getMessage))}}""")
+        }
     }
   }
 
