@@ -317,8 +317,15 @@ object PlaneLease {
           "write with stale authority; restart the store against the root to " +
           "contend for a fresh lease")
     // a drain window releases this JVM's scoped claims and holds off
-    // re-acquisition until the coordinator clears it (retryable)
-    if (drainingRoots.contains(rootKey)) handleDraining(rootKey, root, conf)
+    // re-acquisition until the coordinator clears it (retryable). Under
+    // the acquisition lock with a RE-CHECK: two threads racing here after
+    // a clear would otherwise double-release — the second one deleting
+    // the first one's freshly re-acquired lease files (a retryable drain
+    // turned into a permanent fence, or a vacuous-fence window while
+    // held is empty).
+    if (drainingRoots.contains(rootKey)) this.synchronized {
+      if (drainingRoots.contains(rootKey)) handleDraining(rootKey, root, conf)
+    }
     val cur = held.get(rootKey)
     if (cur != null) {
       if (cur.parts == parts && cur.consumer == consumer) return false

@@ -350,7 +350,12 @@ class TopicStore(
           "produce uses spark.graft.planeLeasePartitions)")
     }
 
-  private def ensurePlaneOwned(): Unit = {
+  // one monitor around {acquire + cache clear} per root: without it a
+  // concurrent thread could observe the fresh claim (acquired=false on
+  // its ensure) and read the still-uncleared caches — producing into a
+  // generation a drain-window rescale superseded
+  private def ensurePlaneOwned(): Unit =
+    TopicStore.scopedLockFor(s"$lockRootKey|planeacq").synchronized {
     require(!(planeLeaseConsumer && planeLeasePartitions.isDefined),
       "spark.graft.planeLeaseRole=consumer and spark.graft.planeLeasePartitions " +
         "are mutually exclusive — one claim shape per process per root")
@@ -367,14 +372,16 @@ class TopicStore(
         case None => PlaneLease.ensureOwned(lockRootKey, root,
           spark.sparkContext.hadoopConfiguration, planeLeaseTtlMs)
       }
-    if (acquired && (planeLeaseConsumer || planeLeasePartitions.isDefined)) {
-      // a scoped claim freshly acquired may follow a coordinated DRAIN
-      // window in which the coordinator rescaled: drop this root's shared
-      // caches so the generation chain and every watermark re-read from
-      // storage instead of serving the pre-drain view (producing to a
-      // superseded generation would break the drain discipline's per-key
-      // order across the flip). First acquisitions pay nothing — the
-      // caches are empty.
+    if (acquired) {
+      // EVERY fresh acquisition drops this root's shared caches: the
+      // process may have been preceded by other writers whose state a
+      // pre-acquisition READ already cached — a scoped claim may follow a
+      // coordinated drain window in which the coordinator rescaled
+      // (producing into the superseded generation would break per-key
+      // order across the flip), and a ROOT claim may follow live
+      // range-scoped members whose lane commits a stale cached merge
+      // would erase at the first lane fold. First acquisitions on a
+      // fresh root pay nothing — the caches are empty.
       val prefix = lockRootKey + "|"
       genCache.keySet.removeIf(_.startsWith(prefix))
       offsetCache.keySet.removeIf(_.startsWith(prefix))
@@ -2982,9 +2989,10 @@ class TopicStore(
         // view takes the per-partition MAX across base + lanes: lanes
         // hold disjoint partition sets while live, and a stale lane left
         // behind after a root-mode fold only ever carries values the
-        // folded base already contains. Non-producer scopes (group
-        // offsets, stream ledger, registry) never have lanes, so this
-        // adds nothing to their read.
+        // folded base already contains. GROUP-OFFSET scopes gain lanes
+        // too (range-scoped consumer members, writeGroupOffsets) with the
+        // same max-merge semantics — group commits are monotonic per
+        // partition; the stream ledger and registry never have lanes.
         statuses.filter(st => st.isDirectory && st.getPath.getName.startsWith("lane-"))
           .foldLeft(base) { (acc, laneDir) =>
             val lane = readTable(fs.listStatus(laneDir.getPath).toSeq)

@@ -29,14 +29,8 @@ class ShardRouter(store: TopicStore, shards: IndexedSeq[ProduceChannel])
     extends ProduceChannel {
   require(shards.nonEmpty, "ShardRouter: empty shard list")
 
-  private def shardOf(topic: String, key: String, value: Array[Byte]): Int = {
-    val g = store.generation(topic)
-    val hash =
-      if (key != null && key.nonEmpty) Murmur3x64.hashString(key)
-      else org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(value, org.apache.spark.sql.types.BinaryType, 42L)
-    TokenRing.partitionOrdinal(hash, g.clusterSize, store.rangesPerToken) % shards.size
-  }
+  private def shardOf(topic: String, key: String, value: Array[Byte]): Int =
+    ShardRouter.ringOrdinal(store, topic, key, value) % shards.size
 
   override def submit(
       topic: String,
@@ -57,6 +51,26 @@ class ShardRouter(store: TopicStore, shards: IndexedSeq[ProduceChannel])
         CompletableFuture.allOf(subs: _*).thenApply(_ => java.lang.Boolean.TRUE)
       }
     }
+  }
+}
+
+object ShardRouter {
+  /** The ONE driver-side record→ring-partition routing every serving
+    * front shares (in-process shard routing, cross-process forwarding):
+    * murmur3 of the key for keyed records, Spark's xxhash64 (seed 42) of
+    * the value bytes for keyless — the same functions the produce plan's
+    * codegen'd expressions evaluate, so the advisory route agrees with
+    * the engine's authoritative flush-side assignment
+    * (`TopicStore.localHash`).
+    */
+  def ringOrdinal(
+      store: TopicStore, topic: String, key: String, value: Array[Byte]): Int = {
+    val g = store.generation(topic)
+    val hash =
+      if (key != null && key.nonEmpty) Murmur3x64.hashString(key)
+      else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(value, org.apache.spark.sql.types.BinaryType, 42L)
+    TokenRing.partitionOrdinal(hash, g.clusterSize, store.rangesPerToken)
   }
 }
 

@@ -11,7 +11,6 @@ import scala.collection.immutable.SortedSet
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import graft.core.{Murmur3x64, TokenRing}
 import graft.engine.TopicStore
 
 /** One serving member's advertisement in the shared-root member
@@ -185,14 +184,8 @@ class ForwardingChannel(
   private val client = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
-  private def ordinalOf(topic: String, key: String, value: Array[Byte]): Int = {
-    val g = store.generation(topic)
-    val hash =
-      if (key != null && key.nonEmpty) Murmur3x64.hashString(key)
-      else org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(value, org.apache.spark.sql.types.BinaryType, 42L)
-    TokenRing.partitionOrdinal(hash, g.clusterSize, store.rangesPerToken)
-  }
+  private def ordinalOf(topic: String, key: String, value: Array[Byte]): Int =
+    ShardRouter.ringOrdinal(store, topic, key, value)
 
   private def ownedLocally(p: Int): Boolean =
     !store.isConsumerPlaneRole &&
@@ -260,6 +253,15 @@ class ForwardingChannel(
           .thenCompose { resp =>
             if (resp.statusCode() == 200)
               CompletableFuture.completedFuture(java.lang.Boolean.TRUE)
+            else if (resp.statusCode() == 503)
+              // relay the RETRYABLE contract: the owner is in a drain
+              // window (it answered 503 Retry-After) — surface the same
+              // exception type so the origin member's handler answers 503
+              // too, instead of downgrading to a fatal 500
+              CompletableFuture.failedFuture[java.lang.Boolean](
+                new graft.engine.PlaneDrainingException(
+                  s"forwarded produce for ring partition $part: the owning " +
+                    s"member ${m.base} is draining — retry: ${resp.body()}"))
             else
               CompletableFuture.failedFuture[java.lang.Boolean](
                 new IllegalStateException(

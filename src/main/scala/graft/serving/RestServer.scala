@@ -197,6 +197,14 @@ class RestServer(
     // the FAIR serving pool so analytics jobs can't starve it
     try store.inServingPool { route(ex) }
     catch {
+      case d: graft.engine.PlaneDrainingException =>
+        // RETRYABLE on every endpoint: a coordinated rescale window is in
+        // progress (register/commit/poll on a draining consumer member
+        // land here) — clients back off briefly instead of treating a
+        // routine maintenance window as fatal
+        try respond(ex, 503, s"""{"error":${jstr(String.valueOf(d.getMessage))}}""",
+          Map("Retry-After" -> "1", "Content-Type" -> "application/json"))
+        catch { case _: Throwable => () }
       case e: Throwable =>
         try respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""",
           Map("Content-Type" -> "application/json"))

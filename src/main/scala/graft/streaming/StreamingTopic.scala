@@ -153,6 +153,12 @@ class StreamingTopic(store: TopicStore) {
   */
 object StreamOps {
 
+  /** Distinguishes observed-metric names across [[overlapStreamDeadLetter]]
+    * calls within one JVM (Spark rejects duplicate observation names in a
+    * single query).
+    */
+  private[streaming] val deadLetterSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Tumbling event-time window counts with a watermark for late data. */
   def windowedAgg(
       events: DataFrame,
@@ -618,7 +624,9 @@ object StreamOps {
     val spark = sessions.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, sum, when}
-    val name = "graft_overlap_dead_letter"
+    // unique per call: two dead-letter streams combined in ONE query would
+    // otherwise collide on Spark's duplicate-observed-metrics check
+    val name = s"graft_overlap_dead_letter_${StreamOps.deadLetterSeq.incrementAndGet()}"
     val healthy = sessions.toDF()
       .withColumn("__viol", col("endUs") - col("startUs") > lit(maxSessionUs))
       .observe(name, sum(when(col("__viol"), 1L).otherwise(0L)).as("violations"))
