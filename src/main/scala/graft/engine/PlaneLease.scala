@@ -323,7 +323,7 @@ object PlaneLease {
     // the first one's freshly re-acquired lease files (a retryable drain
     // turned into a permanent fence, or a vacuous-fence window while
     // held is empty).
-    if (drainingRoots.contains(rootKey)) this.synchronized {
+    if (drainingRoots.contains(rootKey)) monitorFor(rootKey).synchronized {
       if (drainingRoots.contains(rootKey)) handleDraining(rootKey, root, conf)
     }
     val cur = held.get(rootKey)
@@ -334,7 +334,11 @@ object PlaneLease {
           s"requested=${modeName(parts, consumer)}): a process claims ONE shape per " +
           "root for its lifetime — restart the process to change the claim")
     }
-    this.synchronized {
+    // PER-ROOT monitor: acquisition and drain handling for one root
+    // serialize with each other (the double-release fix needs exactly
+    // that atomicity) without stalling unrelated roots behind this
+    // root's filesystem round-trips
+    monitorFor(rootKey).synchronized {
       if (held.containsKey(rootKey)) {
         return ensure(rootKey, root, conf, ttlMs, parts, consumer)
       }
@@ -352,6 +356,12 @@ object PlaneLease {
       true
     }
   }
+
+  // one monitor per root for {acquire | drain-release} mutual exclusion;
+  // append-only like `held` (one entry per root a JVM ever touches)
+  private val rootMonitors = new ConcurrentHashMap[String, Object]()
+  private def monitorFor(rootKey: String): Object =
+    rootMonitors.computeIfAbsent(rootKey, _ => new Object)
 
   /** A drain was observed on this root: release any held claim (safe —
     * every concurrent in-flight commit's fence re-lists its dir and
@@ -1064,7 +1074,7 @@ object PlaneLease {
 
   // ---------------------------------------------------------- heartbeats
 
-  private def startBeater(): Unit = {
+  private def startBeater(): Unit = this.synchronized {
     if (beater == null) {
       // clean exits RELEASE (the reference's goodbye gossip): a restarted
       // driver contends immediately instead of waiting out the TTL; a

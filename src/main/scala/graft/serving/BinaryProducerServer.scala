@@ -192,7 +192,21 @@ class BinaryProducerServer(
       coalescer.submit(topic, effectiveKey, tsMicros, msgs.toSeq)
         .whenCompleteAsync((_, err) => {
           if (err == null) respond(streamId, OpProduceResponse, Array.emptyByteArray)
-          else respond(streamId, OpError, errorBody(0, String.valueOf(err.getMessage)))
+          else {
+            // unwrap the future's CompletionException to classify the cause
+            val cause = err match {
+              case c: java.util.concurrent.CompletionException
+                  if c.getCause != null => c.getCause
+              case c => c
+            }
+            val code = cause match {
+              // RETRYABLE (code 1): a coordinated drain window — the
+              // binary twin of the HTTP 503 Retry-After contract
+              case _: graft.engine.PlaneDrainingException => 1
+              case _ => 0
+            }
+            respond(streamId, OpError, errorBody(code, String.valueOf(cause.getMessage)))
+          }
         }, ackWriters)
       ()
     } catch {

@@ -350,12 +350,9 @@ class RestServer(
     catch {
       case e: java.util.concurrent.ExecutionException =>
         e.getCause match {
-          case d: graft.engine.PlaneDrainingException =>
-            // RETRYABLE by contract: a coordinated rescale window is in
-            // progress; the store re-acquires when it clears — tell the
-            // client to back off briefly instead of treating it as fatal
-            respond(ex, 503, s"""{"error":${jstr(String.valueOf(d.getMessage))}}""",
-              Map("Retry-After" -> "1", "Content-Type" -> "application/json"))
+          // the top-level handler owns the retryable-503 shape — rethrow
+          // so every endpoint answers a drain window identically
+          case d: graft.engine.PlaneDrainingException => throw d
           case c =>
             respond(ex, 500, s"""{"error":${jstr(String.valueOf(c.getMessage))}}""")
         }
