@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // host-contention evidence, captured INSIDE the record: two rounds of
+    // official bench readings were loaded-host artifacts that needed a
+    // forensic pass against quiet same-tree runs — the 1-minute system
+    // load average at start and end (and the CPU count to normalize by)
+    // makes the adjudication mechanical. getSystemLoadAverage is the
+    // /proc/loadavg first field; -1.0 where the platform can't say.
+    val loadAvgStart =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val spark = Graft.session("graft-bench")
 
     // dev aids: SPARK_GRAFT_ONLY=q47_ann_ivf,q50_dup_clusters benches a
@@ -142,8 +150,17 @@ object Bench {
     // locale, and a comma-decimal locale would emit INVALID JSON here
     def jd(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    def line(qs: String): String =
+    val loadAvgEnd =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val ncpu = Runtime.getRuntime.availableProcessors
+    // `queries` in the stdout line is the SLOWEST-n_reported subset (the
+    // driver records only a 2,000-byte stdout tail; the full map lives in
+    // BENCH_FULL.json, where n_reported == n_queries) — n_reported makes
+    // the truncation self-describing instead of implying full coverage
+    def line(qs: String, nReported: Int): String =
       s"""{"metric":"total","value":${jd(total, 3)},"unit":"sec","n_queries":$nQ,"n_failed":$nFailed,""" +
+        s""""n_reported":$nReported,""" +
+        s""""load_avg_start":${jd(loadAvgStart, 2)},"load_avg_end":${jd(loadAvgEnd, 2)},"ncpu":$ncpu,""" +
         s""""produce_msgs_per_sec":${jd(prodRate, 0)},"poll_msgs_per_sec":${jd(pollRate, 0)},""" +
         s""""stream_produce_msgs_per_sec":${jd(streamRate, 0)},""" +
         s""""rest_produce_msgs_per_sec":${jd(restRate, 0)},""" +
@@ -154,14 +171,14 @@ object Bench {
     val fullNames = results
       .map { case (k, v) => "\"" + k + "\":" + jd(v, 3) }
       .mkString("{", ",", "}")
-    System.err.println(line(fullNames))
+    System.err.println(line(fullNames, nQ))
     // a SPARK_GRAFT_ONLY subset (or ingest-only) run must not clobber the
     // last FULL run's per-query record — that file is the round's bench
     // evidence (an ingest-only recheck once wiped it to an empty map)
     if (only.isEmpty) {
       try {
         val p = java.nio.file.Path.of(sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
-        java.nio.file.Files.writeString(p, line(fullNames) + "\n")
+        java.nio.file.Files.writeString(p, line(fullNames, nQ) + "\n")
       } catch { case e: Exception =>
         System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
       }
@@ -175,8 +192,9 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + jd(v, 2) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     for (e <- slowestFirst)
-      if (line((kept :+ e).mkString("{", ",", "}")).length <= budget) kept += e
-    val out = line(kept.mkString("{", ",", "}"))
+      if (line((kept :+ e).mkString("{", ",", "}"), kept.size + 1).length <= budget)
+        kept += e
+    val out = line(kept.mkString("{", ",", "}"), kept.size)
     if (out.length > budget)
       System.err.println(s"[bench] WARNING: stdout JSON line is ${out.length} B (> $budget)")
     println(out)

@@ -959,7 +959,9 @@ object PlaneLease {
       // different PARENTS — key the recursive map on parent/name.
       commitFenceLists.incrementAndGet()
       val (newestByDir, drainSeen) = listLeasesRecursive(h.fs, planeDir(h.root))
-      if (drainSeen) throwDraining(rootKey, h)
+      // same master cross-check as the single-dir fence: a drain file in
+      // the recursive listing aborts only while the master copy is live
+      if (drainSeen && masterDrainActive(h)) throwDraining(rootKey, h)
       toCheck.foreach { lf =>
         val newest = newestByDir.get(dirKeyOf(lf.dir))
         if (newest.exists(_ > lf.epoch)) fenceAtCommit(rootKey, h, lf)
@@ -1023,9 +1025,18 @@ object PlaneLease {
     // a SCOPED claimant observes a coordinator's drain request here, in
     // the listing it already pays for: abort this commit RETRYABLY and
     // release the claims at the next ensure() (root holders ignore drain
-    // files — a drain targets scoped claims so a root claimant can run)
+    // files — a drain targets scoped claims so a root claimant can run).
+    // The per-dir copy is honored only while the MASTER drain file is
+    // still active (one extra getFileStatus, paid only when a copy is
+    // visible): the master is the drain's source of truth everywhere
+    // else (acquisition gate, heartbeat release, handleDraining), so an
+    // orphaned per-dir copy — a clearDrain whose per-dir delete failed —
+    // must not trap this claimant in an abort/release/re-acquire loop
+    // for up to DrainMaxAgeMs while the coordinator believes the drain
+    // is over
     if ((h.parts.isDefined || h.consumer) &&
-        sts.exists(st => st.getPath.getName == DrainFileName && drainActive(st)))
+        sts.exists(st => st.getPath.getName == DrainFileName && drainActive(st)) &&
+        masterDrainActive(h))
       throwDraining(rootKey, h)
     val epochs = sts.map(_.getPath.getName).filter(_.startsWith("lease-"))
       .flatMap(n => n.stripPrefix("lease-").toLongOption)
@@ -1039,6 +1050,13 @@ object PlaneLease {
       else fenceAtCommit(rootKey, h, lf)
     }
   }
+
+  /** The MASTER drain file under the plane dir exists and is young enough
+    * to honor — the source of truth a per-dir drain copy is checked
+    * against before a commit aborts on it.
+    */
+  private def masterDrainActive(h: Held): Boolean =
+    activeDrainAt(h.fs, new Path(planeDir(h.root), DrainFileName))
 
   private def throwDraining(rootKey: String, h: Held): Nothing = {
     drainingRoots.add(rootKey)
@@ -1230,18 +1248,47 @@ object PlaneLease {
     }
     put(plane)
     scopedDirs(fs, plane).foreach(put)
+    // second pass: a claimant that passed assertNotDraining just before
+    // the master write may have created its claim dir after the listing
+    // above — re-list once now that the master gates new acquisitions, so
+    // the race window collapses to the one in-flight acquisition. The
+    // residual worst case (a copy-less claimant that acquired inside
+    // that instant) still observes the MASTER at its next heartbeat
+    // (DefaultTtl/4 = 15 s, under rescaleWithDrain's 60 s default
+    // timeout) — callers shortening the drain timeout below TTL/4 must
+    // expect the drain-poll to report that claimant live until then.
+    scopedDirs(fs, plane)
+      .filter(d => !activeDrainAt(fs, new Path(d, DrainFileName)))
+      .foreach(put)
   }
 
-  /** Remove every drain file under the plane (master + per-dir copies) —
-    * scoped claimants may re-acquire afterwards.
+  /** Remove every drain file under the plane — per-dir copies FIRST, the
+    * master LAST: the fence honors a per-dir copy only while the master
+    * exists, and handleDraining gates re-acquisition on the master, so
+    * deleting in this order can never strand a claimant behind an
+    * orphaned per-dir copy. Per-dir delete failures retry and then THROW
+    * (the master is left in place): a silently-swallowed failure here
+    * used to trap the claimant in a retryable-abort loop for up to
+    * [[DrainMaxAgeMs]].
     */
   def clearDrain(root: String, conf: Configuration): Unit = {
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
-    (plane +: scopedDirs(fs, plane)).foreach { d =>
-      try { fs.delete(new Path(d, DrainFileName), false); () }
-      catch { case _: Exception => () }
+    def rm(d: Path): Unit = {
+      val p = new Path(d, DrainFileName)
+      var attempt = 0
+      var last: Exception = null
+      while (attempt < 3) {
+        try { fs.delete(p, false); return }
+        catch { case e: Exception => last = e; attempt += 1; Thread.sleep(50L) }
+      }
+      throw new IllegalStateException(
+        s"clearDrain($root): could not delete the drain copy at $p after " +
+          s"3 attempts — the master drain file is left in place so the " +
+          "window stays coherent; clear manually or retry", last)
     }
+    scopedDirs(fs, plane).foreach(rm)
+    rm(plane)
   }
 
   /** Human-readable names of the scoped claims still LIVE under the root

@@ -200,9 +200,11 @@ class BinaryProducerServer(
               case c => c
             }
             val code = cause match {
-              // RETRYABLE (code 1): a coordinated drain window — the
-              // binary twin of the HTTP 503 Retry-After contract
+              // RETRYABLE (code 1): a coordinated drain window, or no
+              // live advertised owner for the record's ring partition —
+              // the binary twin of the HTTP 503 Retry-After contract
               case _: graft.engine.PlaneDrainingException => 1
+              case _: NoLiveOwnerException => 1
               case _ => 0
             }
             respond(streamId, OpError, errorBody(code, String.valueOf(cause.getMessage)))

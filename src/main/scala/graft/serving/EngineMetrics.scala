@@ -64,6 +64,7 @@ class EngineMetrics {
   @volatile var planeLeaseEpoch: () => Long = () => 0L
   val messagesReceived = new AtomicLong
   val producesForwarded = new AtomicLong
+  val forwardFailovers = new AtomicLong
   val groupsFlushed = new AtomicLong
   val recordsDelivered = new AtomicLong
   val pollsServed = new AtomicLong
@@ -83,6 +84,10 @@ class EngineMetrics {
       c("produces_forwarded_total",
         "Produce requests forwarded to the owning member (misrouted arrivals)",
         producesForwarded.get) +
+      c("forward_failovers_total",
+        "Forwarded produces retried against a refreshed owner after a " +
+          "transport failure or 5xx (a crashed member inside its ad TTL)",
+        forwardFailovers.get) +
       c("coalescer_groups_total", "Micro-batch groups flushed", groupsFlushed.get) +
       c("records_delivered_total", "Records returned to consumers", recordsDelivered.get) +
       c("polls_served_total", "Poll requests answered", pollsServed.get) +

@@ -4,7 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.net.http.HttpRequest.BodyPublishers
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.{CompletableFuture, Executors, TimeUnit}
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, Executors, TimeUnit}
 
 import scala.collection.immutable.SortedSet
 
@@ -75,19 +75,34 @@ class MemberDirectory(root: String, conf: Configuration, cacheMs: Long = 2000L) 
   /** The live member owning ring partition `p` — retried once with a
     * forced refresh on a cache miss (a member that registered after the
     * last listing). Ties (never expected: the lease plane keeps claims
-    * disjoint) break to the freshest advertisement.
+    * disjoint) break to the freshest advertisement. `excluding` drops
+    * members whose `base` already failed this request (the forward's
+    * one-retry failover: a crashed member's ad stays live until its TTL,
+    * so the retry must not re-pick it).
     */
-  def ownerOf(p: Int): Option[MemberAd] =
-    pick(members().filter(_.ownsPartition(p)))
-      .orElse(pick(members(force = true).filter(_.ownsPartition(p))))
+  def ownerOf(p: Int, excluding: Set[String] = Set.empty): Option[MemberAd] = {
+    def fit(ms: Seq[MemberAd]) =
+      ms.filter(m => m.ownsPartition(p) && !excluding.contains(m.base))
+    pick(fit(members())).orElse(pick(fit(members(force = true))))
+  }
 
   /** The live consumer-plane member (a root-mode member also serves the
     * consumer flow).
     */
-  def consumerMember: Option[MemberAd] =
-    pick(members().filter(m => m.mode == "consumer" || m.mode == "root"))
-      .orElse(pick(members(force = true)
-        .filter(m => m.mode == "consumer" || m.mode == "root")))
+  def consumerMember: Option[MemberAd] = consumerMembers.headOption
+
+  /** EVERY live consumer-capable member, freshest first — with
+    * range-scoped consumer members a client must subscribe to all of
+    * them for full topic coverage, so discovery and the consumer 307
+    * both expose the complete set.
+    */
+  def consumerMembers: Seq[MemberAd] = {
+    def fit(ms: Seq[MemberAd]) =
+      ms.filter(m => m.mode == "consumer" || m.mode == "root")
+    val first = fit(members())
+    (if (first.nonEmpty) first else fit(members(force = true)))
+      .sortBy(-_.mtimeMs)
+  }
 
   private def pick(ms: Seq[MemberAd]): Option[MemberAd] =
     ms.sortBy(-_.mtimeMs).headOption
@@ -125,10 +140,31 @@ object MemberDirectory {
     t
   })
 
+  // one advertisement per root per process: a member has ONE address and
+  // ONE claim, and a second ad would double this process in every peer's
+  // routing view (plus leak a refresher task and a shutdown hook per call)
+  private val advertised = ConcurrentHashMap.newKeySet[String]()
+
+  /** Refresh ticks that fell back from `setTimes` to rewriting the ad
+    * file (connectors where `setTimes` is a no-op/unsupported — S3A) —
+    * exported so deployments can see which liveness mechanism is active.
+    */
+  val adRefreshRewrites = new java.util.concurrent.atomic.AtomicLong
+
   /** Publish this process's advertisement and keep it live: one file
-    * under `<root>/_meta/_serve/`, mtime refreshed at TTL/4 (failures
-    * retried next tick), deleted on clean exit so peers stop forwarding
-    * here immediately instead of waiting out the TTL.
+    * under `<root>/_meta/_serve/`, mtime refreshed at TTL/4, deleted on
+    * clean exit so peers stop forwarding here immediately instead of
+    * waiting out the TTL. One ad per root per process (second call
+    * throws).
+    *
+    * LIVENESS CONTRACT: the refresh tries `fs.setTimes` first (one tiny
+    * metadata op on local FS/HDFS); on failure — S3A and most object
+    * stores do not support `setTimes`, which would otherwise silently
+    * expire a healthy member's ad at TTL — it REWRITES the ad file with
+    * identical content (an atomic PUT on object stores; readers tolerate
+    * a torn read on filesystems where rewrite is not atomic by skipping
+    * that listing) and skips straight to rewriting on later ticks.
+    * Failures of BOTH paths are retried next tick; the TTL judges us.
     */
   def advertise(
       root: String,
@@ -140,16 +176,37 @@ object MemberDirectory {
       ttlMs: Long = graft.engine.PlaneLease.DefaultTtlMs): Unit = {
     val dir = new Path(new Path(root, "_meta"), "_serve")
     val fs = dir.getFileSystem(conf)
+    require(advertised.add(fs.makeQualified(dir).toString),
+      s"this process already advertises a serving member under $root — " +
+        "one member (one address, one claim) per root per process")
     fs.mkdirs(dir)
     val p = new Path(dir, s"member-${java.util.UUID.randomUUID().toString.take(12)}")
     val content = (Seq(s"base=$base", s"binaryPort=$binaryPort", s"mode=$mode") ++
       parts.map(ps => s"parts=${graft.engine.PlaneLease.specOf(ps)}") ++
-      Seq(s"ttl=$ttlMs")).mkString("\n")
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(UTF_8)) finally out.close()
+      Seq(s"ttl=$ttlMs")).mkString("\n").getBytes(UTF_8)
+    def rewrite(): Unit = {
+      val out = fs.create(p, true)
+      try out.write(content) finally out.close()
+    }
+    rewrite()
+    val setTimesBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
     refresher.scheduleWithFixedDelay(() => {
-      try { fs.setTimes(p, System.currentTimeMillis(), -1) }
-      catch { case _: Exception => () } // retried next tick; TTL judges us
+      try {
+        if (setTimesBroken.get()) { rewrite(); adRefreshRewrites.incrementAndGet(); () }
+        else {
+          try { fs.setTimes(p, System.currentTimeMillis(), -1) }
+          catch {
+            case _: Exception =>
+              // capability detected once: later ticks rewrite directly
+              setTimesBroken.set(true)
+              System.err.println(
+                s"graft: fs.setTimes failed for the member ad at $p — " +
+                  "falling back to rewriting the ad file each tick " +
+                  "(expected on object-store connectors)")
+              rewrite(); adRefreshRewrites.incrementAndGet()
+          }
+        }
+      } catch { case _: Exception => () } // retried next tick; TTL judges us
     }, ttlMs / 4, ttlMs / 4, TimeUnit.MILLISECONDS)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try { fs.delete(p, false); () } catch { case _: Exception => () }
@@ -157,6 +214,13 @@ object MemberDirectory {
     ()
   }
 }
+
+/** RETRYABLE: no live serving member currently advertises ownership of
+  * the record's ring partition (the owner crashed, or is restarting) —
+  * the REST front answers 503 Retry-After, because a member restart or a
+  * lease takeover fixes it without client reconfiguration.
+  */
+final class NoLiveOwnerException(msg: String) extends IllegalStateException(msg)
 
 /** Broker-to-broker produce forwarding — the reference's
   * `gossiper.SendToLeader` (`internal/producing/server.go:163-167`;
@@ -174,6 +238,16 @@ object MemberDirectory {
   * submits it LOCALLY without re-forwarding (one hop, like the
   * reference), so a stale directory entry fails loudly at the
   * receiver's lease instead of looping.
+  *
+  * FAILOVER: a transport failure or 5xx from the freshest ad (a member
+  * that crashed INSIDE its TTL window — its ad still reads live) retries
+  * ONCE against a force-refreshed listing that EXCLUDES the failed
+  * member; no refreshed owner → retryable [[NoLiveOwnerException]]. A
+  * 503 from the owner is NOT failed over: it is the drain contract (the
+  * partition's owner is draining — no other member owns it), relayed as
+  * [[graft.engine.PlaneDrainingException]]. One-hop delivery keeps the
+  * retry at-least-once, the engine's declared produce semantics — the
+  * first attempt may have landed if the connection died mid-response.
   */
 class ForwardingChannel(
     store: TopicStore,
@@ -181,8 +255,9 @@ class ForwardingChannel(
     directory: MemberDirectory,
     metrics: Option[EngineMetrics] = None) extends ProduceChannel {
 
-  private val client = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  // ONE HttpClient per process (its connection pool and selector thread
+  // are process-level resources), not per channel instance
+  private def client = ForwardingChannel.sharedClient
 
   private def ordinalOf(topic: String, key: String, value: Array[Byte]): Int =
     ShardRouter.ringOrdinal(store, topic, key, value)
@@ -217,12 +292,26 @@ class ForwardingChannel(
       tsMicros: Long,
       lines: Seq[Array[Byte]],
       part: Int): CompletableFuture[java.lang.Boolean] =
-    directory.ownerOf(part) match {
+    attempt(topic, key, tsMicros, lines, part, excluding = Set.empty,
+      retriesLeft = 1)
+
+  private def attempt(
+      topic: String,
+      key: String,
+      tsMicros: Long,
+      lines: Seq[Array[Byte]],
+      part: Int,
+      excluding: Set[String],
+      retriesLeft: Int): CompletableFuture[java.lang.Boolean] =
+    directory.ownerOf(part, excluding) match {
       case None =>
-        CompletableFuture.failedFuture(new IllegalStateException(
-          s"no live serving member owns ring partition $part — this member's " +
-            s"claim is ${claimDesc()}; start (or restart) the owning partition " +
-            "member, or produce through a root-mode member"))
+        CompletableFuture.failedFuture(new NoLiveOwnerException(
+          s"no live serving member owns ring partition $part" +
+            (if (excluding.nonEmpty)
+              s" (excluding the just-failed ${excluding.mkString(", ")})"
+            else "") +
+            s" — this member's claim is ${claimDesc()}; retry once the owning " +
+            "partition member restarts (or a successor claims the range)"))
       case Some(m) =>
         // single-record bodies forward verbatim as JSON (they may contain
         // newlines); multi-line requests only ever come from NDJSON, whose
@@ -249,7 +338,7 @@ class ForwardingChannel(
           .timeout(java.time.Duration.ofSeconds(120))
           .build()
         metrics.foreach(_.producesForwarded.incrementAndGet())
-        client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+        val sent = client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
           .thenCompose { resp =>
             if (resp.statusCode() == 200)
               CompletableFuture.completedFuture(java.lang.Boolean.TRUE)
@@ -257,17 +346,46 @@ class ForwardingChannel(
               // relay the RETRYABLE contract: the owner is in a drain
               // window (it answered 503 Retry-After) — surface the same
               // exception type so the origin member's handler answers 503
-              // too, instead of downgrading to a fatal 500
+              // too, instead of downgrading to a fatal 500. Never failed
+              // over: the drain says the OWNER is busy, not dead, and no
+              // other member owns the partition.
               CompletableFuture.failedFuture[java.lang.Boolean](
                 new graft.engine.PlaneDrainingException(
                   s"forwarded produce for ring partition $part: the owning " +
                     s"member ${m.base} is draining — retry: ${resp.body()}"))
-            else
+            else if (resp.statusCode() >= 500 && retriesLeft > 0) {
+              // the advertised owner is broken (a crash leaves the process
+              // half-up, a proxy answers 502): one failover against a
+              // refreshed listing that excludes it
+              metrics.foreach(_.forwardFailovers.incrementAndGet())
+              attempt(topic, key, tsMicros, lines, part,
+                excluding + m.base, retriesLeft - 1)
+            } else
               CompletableFuture.failedFuture[java.lang.Boolean](
                 new IllegalStateException(
                   s"forwarded produce for ring partition $part to ${m.base} " +
                     s"answered ${resp.statusCode()}: ${resp.body()}"))
           }
+        if (retriesLeft > 0)
+          sent.exceptionallyCompose { t =>
+            val cause = t match {
+              case ce: java.util.concurrent.CompletionException
+                  if ce.getCause != null => ce.getCause
+              case x => x
+            }
+            cause match {
+              case _: java.io.IOException =>
+                // transport failure (connection refused/reset/timeout):
+                // the member crashed inside its ad's TTL window — its ad
+                // still reads live, so the refreshed pick must EXCLUDE it
+                metrics.foreach(_.forwardFailovers.incrementAndGet())
+                attempt(topic, key, tsMicros, lines, part,
+                  excluding + m.base, retriesLeft - 1)
+              case other =>
+                CompletableFuture.failedFuture[java.lang.Boolean](other)
+            }
+          }
+        else sent
     }
 
   private def claimDesc(): String =
@@ -284,4 +402,10 @@ object ForwardingChannel {
     * members.
     */
   val ForwardedHeader = "X-Graft-Forwarded"
+
+  /** The process-wide forwarding client: its connection pool and selector
+    * thread are shared by every channel instance.
+    */
+  lazy val sharedClient: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 }

@@ -205,6 +205,14 @@ class RestServer(
         try respond(ex, 503, s"""{"error":${jstr(String.valueOf(d.getMessage))}}""",
           Map("Retry-After" -> "1", "Content-Type" -> "application/json"))
         catch { case _: Throwable => () }
+      case n: NoLiveOwnerException =>
+        // RETRYABLE: the record's ring partition has no live advertised
+        // owner right now (the owning member crashed and its successor
+        // has not claimed yet) — a restart/takeover fixes it, so clients
+        // back off instead of treating it as fatal
+        try respond(ex, 503, s"""{"error":${jstr(String.valueOf(n.getMessage))}}""",
+          Map("Retry-After" -> "2", "Content-Type" -> "application/json"))
+        catch { case _: Throwable => () }
       case e: Throwable =>
         try respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""",
           Map("Content-Type" -> "application/json"))
@@ -233,10 +241,18 @@ class RestServer(
           Map("Content-Type" -> "text/plain; version=0.0.4"))
       case ("GET", "/v1/brokers") =>
         // single engine address by default (Spark schedules internally,
-        // C6 mapping); a BrokerGroup advertises the whole group
-        respond(ex, 200, clusterListing.getOrElse(
-          s"""{"length":1,"names":["localhost"],"producerPort":$boundPort""" +
-            s""","producerBinaryPort":$advertisedBinaryPort,"consumerPort":$boundPort}"""),
+        // C6 mapping); a BrokerGroup advertises the whole group; a Serve
+        // deployment member lists the whole member directory with each
+        // member's role and range claim — the reference's discovery
+        // endpoint returns enough to reach every broker
+        // (discoverer_client_service.go:30-124); ours returns enough to
+        // reach every RANGE, so a client builds its produce and poll
+        // sets from one call instead of reading `_meta/_serve/` itself
+        respond(ex, 200,
+          memberDirectory.map(memberListing)
+            .orElse(clusterListing).getOrElse(
+              s"""{"length":1,"names":["localhost"],"producerPort":$boundPort""" +
+                s""","producerBinaryPort":$advertisedBinaryPort,"consumerPort":$boundPort}"""),
           Map("Content-Type" -> "application/json"))
       case ("POST", TopicPath(topic)) => handleProduce(ex, topic)
       // beyond parity (no reference analog): GDPR key erasure —
@@ -279,6 +295,27 @@ class RestServer(
 
   def discoverMembersVia(d: MemberDirectory): Unit = memberDirectory = Some(d)
 
+  /** The member-deployment discovery payload: every live member with its
+    * role (`root` / `parts` / `consumer`) and range claim, plus the
+    * legacy single-broker fields describing THIS member for clients of
+    * the single-process shape.
+    */
+  private def memberListing(d: MemberDirectory): String = {
+    val ms = d.members()
+    val rows = ms.map { m =>
+      s"""{"base":${jstr(m.base)},"binaryPort":${m.binaryPort},""" +
+        s""""mode":${jstr(m.mode)},"parts":""" +
+        m.parts.map(ps => jstr(graft.engine.PlaneLease.specOf(ps))).getOrElse("null") +
+        "}"
+    }
+    s"""{"length":${ms.size},"names":[${ms.map(m => jstr(hostOf(m.base))).mkString(",")}],""" +
+      s""""producerPort":$boundPort,"producerBinaryPort":$advertisedBinaryPort,""" +
+      s""""consumerPort":$boundPort,"members":[${rows.mkString(",")}]}"""
+  }
+
+  private def hostOf(base: String): String =
+    try java.net.URI.create(base).getHost catch { case _: Exception => base }
+
   /** A consumer-API request on a member WITHOUT consumer authority (a
     * partition-scoped produce broker) answers 307 with the freshest
     * consumer-capable member's address — HTTP-native rerouting (307
@@ -291,13 +328,18 @@ class RestServer(
   private def redirectConsumer(ex: HttpExchange): Boolean =
     memberDirectory match {
       case Some(d) if store.configuredPartitionClaim.isDefined =>
-        d.consumerMember match {
-          case Some(m) =>
+        d.consumerMembers match {
+          case all @ (m +: _) =>
             val q = Option(ex.getRequestURI.getRawQuery).fold("")("?" + _)
+            // with RANGE-SCOPED consumer members the Location is one of
+            // them — a redirect-following client would silently see only
+            // that member's ranges, so the header carries the COMPLETE
+            // consumer-member set for clients that need full coverage
             respond(ex, 307, "",
-              Map("Location" -> s"${m.base}${ex.getRequestURI.getPath}$q"))
+              Map("Location" -> s"${m.base}${ex.getRequestURI.getPath}$q",
+                "X-Graft-Consumer-Members" -> all.map(_.base).mkString(",")))
             true
-          case None =>
+          case _ =>
             respond(ex, 503,
               """{"error":"this member serves produce only and no live consumer-plane member is advertised"}""",
               Map("Content-Type" -> "application/json"))
@@ -353,6 +395,7 @@ class RestServer(
           // the top-level handler owns the retryable-503 shape — rethrow
           // so every endpoint answers a drain window identically
           case d: graft.engine.PlaneDrainingException => throw d
+          case n: NoLiveOwnerException => throw n
           case c =>
             respond(ex, 500, s"""{"error":${jstr(String.valueOf(c.getMessage))}}""")
         }

@@ -29,11 +29,18 @@ object MultiWriterProfile {
     val writers = args.headOption.map(_.toInt).getOrElse(2)
     val msgs = args.lift(1).map(_.toInt).getOrElse(400000)
     val flush = args.lift(2).map(_.toInt).getOrElse(4000)
+    val loadStart =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val one = run(1, msgs, flush)
     val n = run(writers, msgs, flush)
     val ratio = n / one
+    val loadEnd =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // load averages in the record itself so a loaded-host reading is
+    // adjudicable without a forensic same-tree rerun
     println(f"aggregate: 1 writer $one%,.0f msgs/s; $writers writers $n%,.0f msgs/s " +
-      f"(${ratio}%.2fx; per-writer input held constant at $msgs%,d msgs)")
+      f"(${ratio}%.2fx; per-writer input held constant at $msgs%,d msgs; " +
+      f"load_avg $loadStart%.2f -> $loadEnd%.2f / ${Runtime.getRuntime.availableProcessors} cpus)")
   }
 
   /** Fork `n` writer children over a fresh root; return aggregate msgs/s. */

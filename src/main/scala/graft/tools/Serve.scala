@@ -133,7 +133,7 @@ object Serve {
     */
   private def serveMember(args: Array[String]): Unit = {
     val known = Set("--root", "--port", "--partitions", "--role",
-      "--topology", "--advertise")
+      "--topology", "--advertise", "--ttl")
     // explicit key/value walk: args.grouped(2) silently dropped a trailing
     // or misaligned flag (e.g. '--role' with no value started the member
     // as a ROOT owner with the sweeper) — every flag must have a value
@@ -154,6 +154,12 @@ object Serve {
     val spark = Graft.session("graft-serve")
     flags.get("--partitions").foreach(spark.conf.set("spark.graft.planeLeasePartitions", _))
     flags.get("--role").foreach(spark.conf.set("spark.graft.planeLeaseRole", _))
+    // test/dev knob: short lease + member-ad TTLs so a killed member's
+    // stale claims and stale ad expire inside a test window (production
+    // keeps the 60 s default)
+    flags.get("--ttl").foreach(spark.conf.set("spark.graft.planeLeaseTtlMs", _))
+    val adTtlMs = flags.get("--ttl").map(_.toLong)
+      .getOrElse(graft.engine.PlaneLease.DefaultTtlMs)
     val root = flags.getOrElse("--root",
       Files.createTempDirectory("graft-serve").toString)
     val port = flags.get("--port").map(_.toInt).getOrElse(0)
@@ -191,7 +197,8 @@ object Serve {
         else if (flags.contains("--partitions")) "parts" else "root",
       parts = flags.get("--partitions").map(TopicStore.parsePartitionSpec)
         .orElse(flags.get("--role").filter(_.startsWith("consumer:"))
-          .map(r => TopicStore.parsePartitionSpec(r.stripPrefix("consumer:")))))
+          .map(r => TopicStore.parsePartitionSpec(r.stripPrefix("consumer:")))),
+      ttlMs = adTtlMs)
     if (!consumerRole)
       println(s"serving $base (binary producer on :$binPort) root=$root mode=$mode")
     else println(s"serving $base root=$root mode=$mode")

@@ -7,6 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.serving.MemberDirectory
 
+/** Object-store `setTimes` semantics (S3A throws UnsupportedOperation):
+  * the member-ad refresh must fall back to rewriting the ad file instead
+  * of letting a healthy member's ad silently expire at TTL.
+  */
+class SetTimesLessFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockst:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException(
+      "setTimes is not supported (object-store semantics)")
+}
+
 /** The shared-root serving member directory (`_meta/_serve/`): discovery
   * input for broker-to-broker produce forwarding. Liveness is the ad
   * file's mtime against its recorded TTL; lookups are cached; garbage
@@ -70,5 +81,54 @@ class MemberDirectorySpec extends AnyFunSuite {
     assert(d.ownerOf(8).map(_.base).contains("http://me:9251"))
     assert(d.ownerOf(8).map(_.binaryPort).contains(9252))
     assert(d.ownerOf(4).isEmpty)
+  }
+
+  test("one advertisement per root per process: a second advertise throws") {
+    val root = Files.createTempDirectory("graft-memdir").toString
+    MemberDirectory.advertise(root, new Configuration(),
+      base = "http://one:9251", binaryPort = 0, mode = "root", parts = None)
+    val e = intercept[IllegalArgumentException] {
+      MemberDirectory.advertise(root, new Configuration(),
+        base = "http://two:9261", binaryPort = 0, mode = "root", parts = None)
+    }
+    assert(e.getMessage.contains("already advertises"))
+  }
+
+  test("ownerOf(excluding) skips a just-failed member: the forward's one-retry failover pick") {
+    val root = Files.createTempDirectory("graft-memdir").toString
+    writeAd(root, "member-old",
+      "base=http://older:9251\nbinaryPort=0\nmode=parts\nparts=0-5\nttl=60000",
+      ageMs = 5000L)
+    writeAd(root, "member-new",
+      "base=http://fresher:9261\nbinaryPort=0\nmode=parts\nparts=0-5\nttl=60000")
+    val d = new MemberDirectory(root, new Configuration(), cacheMs = 0L)
+    assert(d.ownerOf(2).map(_.base).contains("http://fresher:9261"),
+      "ties break to the freshest ad")
+    assert(d.ownerOf(2, excluding = Set("http://fresher:9261")).map(_.base)
+      .contains("http://older:9251"),
+      "the failover retry must skip the failed member even though its ad reads live")
+    assert(d.ownerOf(2,
+      excluding = Set("http://fresher:9261", "http://older:9251")).isEmpty)
+  }
+
+  test("ad liveness survives an FS without setTimes: the refresh rewrites the ad file") {
+    val conf = new Configuration()
+    conf.set("fs.mockst.impl", classOf[SetTimesLessFs].getName)
+    conf.setBoolean("fs.mockst.impl.disable.cache", true)
+    val local = Files.createTempDirectory("graft-memdir").toString
+    val root = s"mockst://$local"
+    val before = MemberDirectory.adRefreshRewrites.get
+    MemberDirectory.advertise(root, conf,
+      base = "http://objstore:9251", binaryPort = 0, mode = "parts",
+      parts = Some(graft.engine.TopicStore.parsePartitionSpec("0-5")),
+      ttlMs = 400L)
+    // sleep past several TTLs: with setTimes throwing, only the rewrite
+    // fallback can keep the ad's mtime fresh
+    Thread.sleep(1200L)
+    val d = new MemberDirectory(root, conf, cacheMs = 0L)
+    assert(d.ownerOf(2).map(_.base).contains("http://objstore:9251"),
+      "the ad must stay live past its TTL via the rewrite fallback")
+    assert(MemberDirectory.adRefreshRewrites.get > before,
+      "the refresh must have taken the rewrite path")
   }
 }

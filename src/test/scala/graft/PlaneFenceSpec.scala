@@ -9,7 +9,23 @@ import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{PlaneFencedException, PlaneLease, PlaneLeaseHeldException, TopicStore}
+import graft.engine.{PlaneDrainingException, PlaneFencedException, PlaneLease, PlaneLeaseHeldException, TopicStore}
+
+/** Injects delete failures for paths containing a marker substring — the
+  * clearDrain ordering test's stand-in for a transient object-store
+  * DELETE failure.
+  */
+class FailDeleteFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("mockfd:///")
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    if (FailDeleteFs.failSubstring.exists(p.toString.contains))
+      throw new java.io.IOException("injected delete failure")
+    super.delete(p, recursive)
+  }
+}
+object FailDeleteFs {
+  @volatile var failSubstring: Option[String] = None
+}
 
 /** A local filesystem behind a scheme that ONLY the session Configuration
   * can resolve (`fs.mockhb.impl` set on it, cache disabled) — the test
@@ -264,5 +280,50 @@ class PlaneFenceSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("superseded"), ex.getMessage)
     } finally PlaneLease.dropForTests(rootKey)
+  }
+
+  test("an orphaned per-dir drain copy (no master) does not trap the claimant; the master reinstates the abort") {
+    import scala.collection.immutable.SortedSet
+    val root = Files.createTempDirectory("graft-drainx").toString
+    val rootKey = rootKeyOf(root)
+    PlaneLease.ensureOwnedPartitions(rootKey, root, hconf, SortedSet(0))
+    try {
+      // the advisor's trap: a clearDrain whose per-dir delete failed
+      // leaves a live-looking copy in the claim dir with the master gone —
+      // honoring it would abort every commit retryably for DrainMaxAgeMs
+      val copy = new java.io.File(s"$root/_meta/_plane/part-p00000/${PlaneLease.DrainFileName}")
+      Files.write(copy.toPath, "coordinator".getBytes("UTF-8"))
+      PlaneLease.assertCurrentAtCommit(rootKey, PlaneLease.ProduceAuthority(Set(0)))
+      // with the MASTER present the same copy aborts the commit retryably
+      val master = new java.io.File(s"$root/_meta/_plane/${PlaneLease.DrainFileName}")
+      Files.write(master.toPath, "coordinator".getBytes("UTF-8"))
+      intercept[PlaneDrainingException] {
+        PlaneLease.assertCurrentAtCommit(rootKey, PlaneLease.ProduceAuthority(Set(0)))
+      }
+    } finally PlaneLease.dropForTests(rootKey)
+  }
+
+  test("clearDrain deletes per-dir copies BEFORE the master and surfaces a stuck copy") {
+    val conf = new Configuration()
+    conf.set("fs.mockfd.impl", classOf[FailDeleteFs].getName)
+    conf.setBoolean("fs.mockfd.impl.disable.cache", true)
+    val local = Files.createTempDirectory("graft-drainfd").toString
+    val root = s"mockfd://$local"
+    // a pre-existing scoped claim dir so requestDrain writes a per-dir copy
+    assert(new java.io.File(s"$local/_meta/_plane/part-p00000").mkdirs())
+    PlaneLease.requestDrain(root, conf)
+    val master = new java.io.File(s"$local/_meta/_plane/${PlaneLease.DrainFileName}")
+    val copy = new java.io.File(s"$local/_meta/_plane/part-p00000/${PlaneLease.DrainFileName}")
+    assert(master.exists && copy.exists)
+    FailDeleteFs.failSubstring = Some(s"part-p00000/${PlaneLease.DrainFileName}")
+    try {
+      val e = intercept[IllegalStateException] { PlaneLease.clearDrain(root, conf) }
+      assert(e.getMessage.contains("could not delete"), e.getMessage)
+      assert(master.exists,
+        "the master must stay while a per-dir copy is stuck — deleting it first " +
+          "would strand the claimant behind the orphaned copy")
+    } finally FailDeleteFs.failSubstring = None
+    PlaneLease.clearDrain(root, conf)
+    assert(!master.exists && !copy.exists)
   }
 }
