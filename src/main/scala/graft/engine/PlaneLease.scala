@@ -1176,7 +1176,7 @@ object PlaneLease {
                 it.remove()
                 fenced = true
               } else {
-                h.fs.setTimes(lf.path, System.currentTimeMillis(), -1)
+                refreshLease(h, lf)
               }
             }
           }
@@ -1187,6 +1187,42 @@ object PlaneLease {
           heartbeatFailures.incrementAndGet() // visible on /metrics; next tick
           ()
       }
+    }
+  }
+
+  // schemes whose setTimes threw UnsupportedOperationException: later
+  // beats go straight to the rewrite (S3A and most object-store
+  // connectors do not support setTimes — without the fallback a healthy
+  // owner's lease would silently expire at TTL, inviting a takeover the
+  // commit fence then has to repel)
+  private val setTimesUnsupported = ConcurrentHashMap.newKeySet[String]()
+
+  /** Heartbeat refreshes that fell back from `setTimes` to rewriting the
+    * lease file with identical content (an atomic PUT on object stores).
+    */
+  private[graft] val leaseRefreshRewrites = new AtomicLong
+
+  /** Refresh one held lease file's mtime: `setTimes` where supported (one
+    * tiny metadata op), otherwise rewrite the file with IDENTICAL content
+    * — same owner, same ttl, fresh mtime. A transient failure of either
+    * path propagates to the tick's counter and retries next beat.
+    */
+  private def refreshLease(h: Held, lf: LeaseFile): Unit = {
+    def rewrite(): Unit = {
+      val out = h.fs.create(lf.path, true)
+      try out.write(leaseContent(h.ttlMs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      leaseRefreshRewrites.incrementAndGet()
+      ()
+    }
+    if (setTimesUnsupported.contains(h.fs.getScheme)) rewrite()
+    else try h.fs.setTimes(lf.path, System.currentTimeMillis(), -1)
+    catch {
+      case _: UnsupportedOperationException =>
+        setTimesUnsupported.add(h.fs.getScheme) // definitive: skip next time
+        rewrite()
+      case _: java.io.IOException =>
+        rewrite() // transient or capability-shaped: the rewrite refreshes either way
     }
   }
 

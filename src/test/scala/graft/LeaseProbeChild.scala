@@ -14,16 +14,21 @@ object LeaseProbeChild {
     // it via the shutdown hook, so "a live second process" needs a live
     // process)
     val holdMs = if (args.length > 1) args(1).toLong else 0L
-    val parts = if (args.length > 2) Some(args(2)) else None
+    // "-" = no partition claim; an optional 4th arg records a short TTL
+    // in the lease content (object-store takeover tests wait it out)
+    val parts = if (args.length > 2 && args(2) != "-") Some(args(2)) else None
+    val ttlMs =
+      if (args.length > 3) args(3).toLong
+      else graft.engine.PlaneLease.DefaultTtlMs
     val conf = new org.apache.hadoop.conf.Configuration()
     val rootKey = graft.engine.TopicStore.normalizeRoot(root, conf)
     try {
       parts match {
         case Some(spec) =>
           graft.engine.PlaneLease.ensureOwnedPartitions(rootKey, root, conf,
-            graft.engine.TopicStore.parsePartitionSpec(spec))
+            graft.engine.TopicStore.parsePartitionSpec(spec), ttlMs)
         case None =>
-          graft.engine.PlaneLease.ensureOwned(rootKey, root, conf)
+          graft.engine.PlaneLease.ensureOwned(rootKey, root, conf, ttlMs)
       }
       println("ACQUIRED")
       Console.flush()
