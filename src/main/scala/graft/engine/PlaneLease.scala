@@ -1183,7 +1183,8 @@ object PlaneLease {
         }
       } catch {
         case _: InterruptedException => throw new InterruptedException
-        case _: Exception =>
+        case ex: Exception =>
+          if (sys.env.contains("GRAFT_DEBUG_HB")) ex.printStackTrace()
           heartbeatFailures.incrementAndGet() // visible on /metrics; next tick
           ()
       }
@@ -1215,11 +1216,14 @@ object PlaneLease {
       leaseRefreshRewrites.incrementAndGet()
       ()
     }
-    if (setTimesUnsupported.contains(h.fs.getScheme)) rewrite()
+    // NB: FileSystem.getScheme is unimplemented on some bases
+    // (RawLocalFileSystem) — the URI scheme is always present
+    val scheme = Option(h.fs.getUri.getScheme).getOrElse("")
+    if (setTimesUnsupported.contains(scheme)) rewrite()
     else try h.fs.setTimes(lf.path, System.currentTimeMillis(), -1)
     catch {
       case _: UnsupportedOperationException =>
-        setTimesUnsupported.add(h.fs.getScheme) // definitive: skip next time
+        setTimesUnsupported.add(scheme) // definitive: skip next time
         rewrite()
       case _: java.io.IOException =>
         rewrite() // transient or capability-shaped: the rewrite refreshes either way

@@ -85,6 +85,11 @@ class ObjStoreFs extends FileSystem {
       .map(n => URLDecoder.decode(n, UTF_8)).sorted
 
   private def isBucketRoot(key: String): Boolean = !key.contains('/')
+  /** S3-style directory markers: `mkdirs` PUTs a zero-byte `key/` object
+    * (like S3A), so a freshly-created empty directory LISTS as empty per
+    * the FileSystem contract instead of FileNotFound.
+    */
+  private def isDirMarker(key: String): Boolean = key.endsWith("/")
 
   private def fileStatus(key: String): FileStatus = {
     val f = fileFor(key)
@@ -111,7 +116,7 @@ class ObjStoreFs extends FileSystem {
     val kids = allKeys().filter(_.startsWith(prefix))
     if (kids.isEmpty && !isBucketRoot(k))
       throw new FileNotFoundException(s"s3x: no objects under $p")
-    val names = kids.map(_.stripPrefix(prefix))
+    val names = kids.map(_.stripPrefix(prefix)).filter(_.nonEmpty)
     val files = names.filter(!_.contains('/')).map(n => fileStatus(prefix + n))
     val dirs = names.filter(_.contains('/')).map(_.takeWhile(_ != '/'))
       .distinct.map(d => dirStatus(prefix + d))
@@ -128,7 +133,7 @@ class ObjStoreFs extends FileSystem {
     val k = keyOf(p)
     val prefix = k + "/"
     val out = allKeys().filter(key => key == k || key.startsWith(prefix))
-      .filter(key => fileFor(key).exists())
+      .filter(key => !isDirMarker(key) && fileFor(key).exists())
       .map(key => new LocatedFileStatus(fileStatus(key), Array.empty[BlockLocation]))
       .iterator
     new RemoteIterator[LocatedFileStatus] {
@@ -137,7 +142,12 @@ class ObjStoreFs extends FileSystem {
     }
   }
 
-  override def mkdirs(p: Path, permission: FsPermission): Boolean = true
+  override def mkdirs(p: Path, permission: FsPermission): Boolean = {
+    val k = keyOf(p)
+    if (!isBucketRoot(k) && !fileFor(k + "/").exists())
+      java.nio.file.Files.write(fileFor(k + "/").toPath, Array.emptyByteArray)
+    true
+  }
 
   override def hasPathCapability(p: Path, capability: String): Boolean =
     (conditional && capability == graft.engine.PlaneLease.CondCreateCapability) ||
@@ -242,8 +252,10 @@ class ObjStoreFs extends FileSystem {
     else {
       val prefix = k + "/"
       val kids = allKeys().filter(_.startsWith(prefix))
+      val real = kids.filterNot(_ == prefix) // the dir's own marker is not content
       if (kids.isEmpty) false
-      else if (!recursive) throw new IOException(s"s3x: non-empty prefix at $p")
+      else if (real.nonEmpty && !recursive)
+        throw new IOException(s"s3x: non-empty prefix at $p")
       else { kids.foreach(fileFor(_).delete()); true }
     }
   }

@@ -38,6 +38,16 @@ import graft.serving.MemberDirectory
   */
 class ObjectStoreSemanticsSpec extends AnyFunSuite {
 
+  lazy val spark: org.apache.spark.sql.SparkSession = {
+    val s = Graft.configure(
+      org.apache.spark.sql.SparkSession.builder()
+        .appName("objstore-spec").master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   private def freshRoot(): String =
     s"s3x://bucket-${java.util.UUID.randomUUID().toString.take(12)}/store"
 
@@ -53,8 +63,12 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
     val c = conf()
     val root = new Path(freshRoot())
     val fs = root.getFileSystem(c)
-    assert(fs.mkdirs(new Path(root, "a/b")), "mkdirs is a virtual no-op")
+    // a NEVER-created prefix listing is FileNotFound (the S3A shape) ...
     intercept[java.io.FileNotFoundException] { fs.listStatus(new Path(root, "a/b")) }
+    // ... while mkdirs PUTs a zero-byte dir marker (like S3A), so a fresh
+    // empty directory lists as EMPTY per the FileSystem contract
+    assert(fs.mkdirs(new Path(root, "a/b")))
+    assert(fs.listStatus(new Path(root, "a/b")).isEmpty)
     val f = new Path(root, "a/b/obj")
     val out = fs.create(f, true)
     out.write("hello".getBytes(UTF_8))
@@ -163,6 +177,27 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
     assert(d.ownerOf(3).map(_.base).contains("http://s3member:9251"),
       "the ad must outlive its TTL on a store without setTimes")
     assert(MemberDirectory.adRefreshRewrites.get > before)
+  }
+
+  test("engine produce -> register -> poll roundtrip over object-store semantics") {
+    val root = freshRoot()
+    val store = new TopicStore(spark, root)
+    val now = System.currentTimeMillis()
+    // the broker-local flush path: parquet written through the Hadoop FS
+    // API (tmp + rename = copy+delete here), meta swaps rename-first,
+    // offsets assigned under the lease — all over the flat key store
+    store.produceLocal("t", (0 until 32).map(i => TopicStore.LocalRecord(
+      s"k${i % 4}", s"v$i".getBytes("UTF-8"), (now + i) * 1000L, i.toLong)))
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    val got = store.poll("g", "t", "c").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSet
+    assert(got == (0 until 32).map(i => s"v$i").toSet, s"delivered: $got")
+    // an independent group re-reads the same content from offset zero —
+    // the segment files and watermarks round-trip through the flat store
+    store.registry.register("g2", "c2", Seq("t"), store.StartFrom.Earliest)
+    val again = store.poll("g2", "t", "c2").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSet
+    assert(again == got, "a second group must re-read identical content")
   }
 
   test("coordinated drain over the object store: retryable abort, gated re-acquisition, clean clear") {

@@ -39,9 +39,17 @@ class MockHbFileSystem extends RawLocalFileSystem {
       throw new java.io.IOException("injected setTimes failure")
     super.setTimes(p, mtime, atime)
   }
+  // the heartbeat's rewrite FALLBACK takes create(p, overwrite=true):
+  // failing it too makes the whole refresh fail (the counted case)
+  override def create(p: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (MockHbFileSystem.failRefresh)
+      throw new java.io.IOException("injected create failure")
+    super.create(p, overwrite)
+  }
 }
 object MockHbFileSystem {
   @volatile var failSetTimes = false
+  @volatile var failRefresh = false
 }
 
 /** A filesystem advertising the public conditional-create capability
@@ -199,9 +207,13 @@ class PlaneFenceSpec extends AnyFunSuite {
     PlaneLease.ensureOwned(rootKey, root, conf)
     try {
       val before = PlaneLease.heartbeatFailures.get
+      // BOTH refresh mechanisms fail (setTimes AND the rewrite fallback):
+      // only then is the beat a failure — a setTimes-only failure is
+      // covered by the rewrite and must NOT count (asserted below)
       MockHbFileSystem.failSetTimes = true
+      MockHbFileSystem.failRefresh = true
       try PlaneLease.heartbeatTick()
-      finally MockHbFileSystem.failSetTimes = false
+      finally { MockHbFileSystem.failSetTimes = false; MockHbFileSystem.failRefresh = false }
       assert(PlaneLease.heartbeatFailures.get > before,
         "a throwing beat must increment the failure counter")
       // the failing lease is retried (not dropped): the next healthy
@@ -211,6 +223,19 @@ class PlaneFenceSpec extends AnyFunSuite {
       lease.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
       PlaneLease.heartbeatTick()
       assert(System.currentTimeMillis() - lease.lastModified() < 60 * 1000L)
+      // setTimes-only failure: the rewrite fallback carries the refresh
+      // (object-store liveness) — fresh mtime, rewrite counted, NO failure
+      lease.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+      val failuresBefore = PlaneLease.heartbeatFailures.get
+      val rewritesBefore = PlaneLease.leaseRefreshRewrites.get
+      MockHbFileSystem.failSetTimes = true
+      try PlaneLease.heartbeatTick()
+      finally MockHbFileSystem.failSetTimes = false
+      assert(System.currentTimeMillis() - lease.lastModified() < 60 * 1000L,
+        "the rewrite fallback must refresh the lease when setTimes fails")
+      assert(PlaneLease.leaseRefreshRewrites.get > rewritesBefore)
+      assert(PlaneLease.heartbeatFailures.get == failuresBefore,
+        "a working fallback is not a heartbeat failure")
     } finally PlaneLease.dropForTests(rootKey)
   }
 

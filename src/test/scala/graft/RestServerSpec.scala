@@ -139,6 +139,36 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("/v1/brokers on a deployment member lists every member with role and range claim") {
+    val root = Files.createTempDirectory("graft-rest-disc").toString
+    val store = new TopicStore(spark, root)
+    val server = new RestServer(store, port = 0, coalesceMs = 20L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // fabricated member directory: two partition brokers + one
+      // range-scoped consumer member
+      val dir = new java.io.File(s"$root/_meta/_serve")
+      assert(dir.mkdirs())
+      def ad(name: String, content: String): Unit =
+        Files.write(new java.io.File(dir, name).toPath, content.getBytes("UTF-8"))
+      ad("member-aa", "base=http://hosta:9251\nbinaryPort=9252\nmode=parts\nparts=0-5\nttl=60000")
+      ad("member-bb", "base=http://hostb:9261\nbinaryPort=9262\nmode=parts\nparts=6-11\nttl=60000")
+      ad("member-cc", "base=http://hostc:9271\nbinaryPort=0\nmode=consumer\nparts=0-11\nttl=60000")
+      server.discoverMembersVia(new graft.serving.MemberDirectory(
+        root, spark.sparkContext.hadoopConfiguration, cacheMs = 0L))
+      val body = get(base, "/v1/brokers").body()
+      assert(body.contains("\"length\":3"), body)
+      assert(body.contains(
+        """{"base":"http://hosta:9251","binaryPort":9252,"mode":"parts","parts":"0-5"}"""), body)
+      assert(body.contains(
+        """{"base":"http://hostb:9261","binaryPort":9262,"mode":"parts","parts":"6-11"}"""), body)
+      assert(body.contains(
+        """{"base":"http://hostc:9271","binaryPort":0,"mode":"consumer","parts":"0-11"}"""), body)
+      // the legacy single-broker fields survive for old clients
+      assert(body.contains("\"producerPort\":"), body)
+    } finally server.stop()
+  }
+
   test("ndjson produce splits lines and preserves order; goodbye commits") {
     val server = startServer()
     val base = s"http://localhost:${server.boundPort}"
