@@ -1210,6 +1210,13 @@ object PlaneLease {
     */
   private def refreshLease(h: Held, lf: LeaseFile): Unit = {
     def rewrite(): Unit = {
+      // refresh an EXISTING file only — blindly re-creating would
+      // RESURRECT a lease an external sweep (or a fold) erased, the
+      // exact self-heal-at-the-old-epoch the vanished-lease fence rule
+      // forbids. Missing file -> counted failure now, fence next tick.
+      if (!h.fs.exists(lf.path))
+        throw new java.io.FileNotFoundException(
+          s"lease file ${lf.path} vanished — not resurrecting")
       val out = h.fs.create(lf.path, true)
       try out.write(leaseContent(h.ttlMs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()

@@ -338,9 +338,33 @@ class ForwardingChannel(
           .timeout(java.time.Duration.ofSeconds(120))
           .build()
         metrics.foreach(_.producesForwarded.incrementAndGet())
-        val sent = client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
-          .thenCompose { resp =>
-            if (resp.statusCode() == 200)
+        // handle() first so the transport-vs-status decision is made in
+        // ONE place that never wraps the recursive failover call — an
+        // exceptionallyCompose around the whole chain would re-catch the
+        // retry attempt's own transport failure and fail over twice
+        client.sendAsync(req, HttpResponse.BodyHandlers.ofString())
+          .handle[(HttpResponse[String], Throwable)]((resp, err) => (resp, err))
+          .thenCompose { case (resp, err) =>
+            if (err != null) {
+              val cause = err match {
+                case ce: java.util.concurrent.CompletionException
+                    if ce.getCause != null => ce.getCause
+                case x => x
+              }
+              cause match {
+                case _: java.io.IOException if retriesLeft > 0 =>
+                  // transport failure (connection refused/reset/timeout):
+                  // the member crashed inside its ad's TTL window — its
+                  // ad still reads live, so the refreshed pick must
+                  // EXCLUDE it
+                  metrics.foreach(_.forwardFailovers.incrementAndGet())
+                  attempt(topic, key, tsMicros, lines, part,
+                    excluding + m.base, retriesLeft - 1)
+                case other =>
+                  CompletableFuture.failedFuture[java.lang.Boolean](other)
+              }
+            }
+            else if (resp.statusCode() == 200)
               CompletableFuture.completedFuture(java.lang.Boolean.TRUE)
             else if (resp.statusCode() == 503)
               // relay the RETRYABLE contract: the owner is in a drain
@@ -366,26 +390,6 @@ class ForwardingChannel(
                   s"forwarded produce for ring partition $part to ${m.base} " +
                     s"answered ${resp.statusCode()}: ${resp.body()}"))
           }
-        if (retriesLeft > 0)
-          sent.exceptionallyCompose { t =>
-            val cause = t match {
-              case ce: java.util.concurrent.CompletionException
-                  if ce.getCause != null => ce.getCause
-              case x => x
-            }
-            cause match {
-              case _: java.io.IOException =>
-                // transport failure (connection refused/reset/timeout):
-                // the member crashed inside its ad's TTL window — its ad
-                // still reads live, so the refreshed pick must EXCLUDE it
-                metrics.foreach(_.forwardFailovers.incrementAndGet())
-                attempt(topic, key, tsMicros, lines, part,
-                  excluding + m.base, retriesLeft - 1)
-              case other =>
-                CompletableFuture.failedFuture[java.lang.Boolean](other)
-            }
-          }
-        else sent
     }
 
   private def claimDesc(): String =
