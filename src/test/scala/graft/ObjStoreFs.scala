@@ -79,10 +79,42 @@ class ObjStoreFs extends FileSystem {
 
   private def pathOf(key: String): Path = new Path(s"s3x://$key")
   private def enc(key: String): String = URLEncoder.encode(key, UTF_8)
-  private def fileFor(key: String): java.io.File = new java.io.File(backing, enc(key))
-  private def allKeys(): Seq[String] =
-    Option(backing.list()).getOrElse(Array.empty[String]).toSeq
-      .map(n => URLDecoder.decode(n, UTF_8)).sorted
+
+  /** Keys are stored REVERSIBLY as url-encoded text split into 200-char
+    * path chunks (deep Spark-committer keys url-encode past the 255-byte
+    * filename limit as one flat name). Non-final chunks are directories
+    * suffixed `~` — a character URLEncoder always escapes (%7E), so a
+    * chunk-dir name can never collide with a final-chunk file name and
+    * the join-then-decode walk is unambiguous.
+    */
+  private val ChunkLen = 200
+  private def fileFor(key: String): java.io.File = {
+    val parts = enc(key).grouped(ChunkLen).toSeq
+    val dir = parts.init.foldLeft(backing)((d, c) => new java.io.File(d, c + "~"))
+    new java.io.File(dir, parts.last)
+  }
+  private def allKeys(): Seq[String] = {
+    val base = backing.toPath
+    if (!backing.exists()) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val walk = java.nio.file.Files.walk(base)
+    try {
+      walk.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = base.relativize(p)
+          val name = rel.getFileName.toString
+          if (!(name.startsWith("put-") && name.endsWith(".tmp"))) {
+            val joined = (0 until rel.getNameCount).map { i =>
+              val s = rel.getName(i).toString
+              if (s.endsWith("~")) s.dropRight(1) else s
+            }.mkString
+            out += URLDecoder.decode(joined, UTF_8)
+          }
+        }
+      }
+    } finally walk.close()
+    out.sorted.toSeq
+  }
 
   private def isBucketRoot(key: String): Boolean = !key.contains('/')
   /** S3-style directory markers: `mkdirs` PUTs a zero-byte `key/` object
@@ -144,8 +176,12 @@ class ObjStoreFs extends FileSystem {
 
   override def mkdirs(p: Path, permission: FsPermission): Boolean = {
     val k = keyOf(p)
-    if (!isBucketRoot(k) && !fileFor(k + "/").exists())
-      java.nio.file.Files.write(fileFor(k + "/").toPath, Array.emptyByteArray)
+    if (!isBucketRoot(k) && !fileFor(k + "/").exists()) {
+      val marker = fileFor(k + "/").toPath
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      ()
+    }
     true
   }
 
@@ -186,6 +222,7 @@ class ObjStoreFs extends FileSystem {
         val tmp = java.io.File.createTempFile("put-", ".tmp", backing)
         java.nio.file.Files.write(tmp.toPath, buf.toByteArray)
         val dest = fileFor(k).toPath
+        java.nio.file.Files.createDirectories(dest.getParent)
         if (overwrite || !conditional)
           java.nio.file.Files.move(tmp.toPath, dest,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -228,20 +265,22 @@ class ObjStoreFs extends FileSystem {
   override def rename(src: Path, dst: Path): Boolean = {
     val sk = keyOf(src)
     val dk = keyOf(dst)
+    def copyDel(from: String, to: String): Unit = {
+      val bytes = java.nio.file.Files.readAllBytes(fileFor(from).toPath)
+      val dest = fileFor(to).toPath
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.write(dest, bytes)
+      fileFor(from).delete()
+      ()
+    }
     if (fileFor(sk).exists()) {
       // copy-then-delete, non-atomic — exactly the object-store shape
-      val bytes = java.nio.file.Files.readAllBytes(fileFor(sk).toPath)
-      java.nio.file.Files.write(fileFor(dk).toPath, bytes)
-      fileFor(sk).delete()
+      copyDel(sk, dk)
     } else {
       val prefix = sk + "/"
       val moved = allKeys().filter(_.startsWith(prefix))
       if (moved.isEmpty) return false
-      moved.foreach { key =>
-        val bytes = java.nio.file.Files.readAllBytes(fileFor(key).toPath)
-        java.nio.file.Files.write(fileFor(dk + "/" + key.stripPrefix(prefix)).toPath, bytes)
-        fileFor(key).delete()
-      }
+      moved.foreach(key => copyDel(key, dk + "/" + key.stripPrefix(prefix)))
     }
     true
   }

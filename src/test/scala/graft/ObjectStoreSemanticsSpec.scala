@@ -200,6 +200,30 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
     assert(again == got, "a second group must re-read identical content")
   }
 
+  test("SPARK produce plane + DSv2 batch read over object-store semantics") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    val store = new TopicStore(spark, root)
+    import spark.implicits._
+    // the EXCLUSIVE-plane produce: a real Spark write job — executors
+    // resolve s3x:// via ServiceLoader, segment parquet goes through
+    // Spark's committer (task temp files + renames), watermarks and meta
+    // swaps ride the same flat store
+    val batch = (0 until 60)
+      .map(i => (s"k${i % 5}", s"sv$i", new java.sql.Timestamp(1700000000000L + i * 1000L)))
+      .toDF("key", "svalue", "timestamp")
+      .withColumn("value", encode(col("svalue"), "UTF-8"))
+      .select("key", "value", "timestamp")
+    assert(store.produce("t", batch) == 60L)
+    // the DSv2 connector reads the topic back through the same scheme
+    val viaSource = spark.read.format("graft")
+      .option("root", root).option("topic", "t").load()
+      .select("value").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSet
+    assert(viaSource == (0 until 60).map(i => s"sv$i").toSet,
+      s"DSv2 read returned ${viaSource.size} values")
+  }
+
   test("coordinated drain over the object store: retryable abort, gated re-acquisition, clean clear") {
     val c = conf()
     val root = freshRoot()
