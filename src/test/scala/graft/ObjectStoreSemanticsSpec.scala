@@ -262,6 +262,54 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
       "per-key offsets stay contiguous across the restarted incarnation")
   }
 
+  test("LIFECYCLE maintenance over the object store: rescale, compaction, GDPR purge, generation sweep") {
+    val root = freshRoot()
+    val store = new TopicStore(spark, root)
+    def rec(i: Int, key: String) = TopicStore.LocalRecord(
+      key, s"$key#$i".getBytes(UTF_8), (1700000000L + i) * 1000000L, i.toLong)
+    val expectedV1 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val expectedV2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    // several small flushes -> many small segment files in generation v1
+    for (b <- 0 until 4) {
+      val rows = (0 until 8).map(i =>
+        rec(b * 8 + i, if (i == 7) "gdpr" else s"k${i % 3}"))
+      store.produceLocal("t", rows)
+      expectedV1 ++= rows.filter(_.key != "gdpr").map(r => new String(r.value, UTF_8))
+    }
+    // metadata-only rescale: v1 stays a live ancestor, v2 takes writes
+    store.rescale("t", 2)
+    for (b <- 0 until 2) {
+      val rows = (0 until 8).map(i =>
+        rec(100 + b * 8 + i, if (i == 7) "gdpr" else s"k${i % 3}"))
+      store.produceLocal("t", rows)
+      expectedV2 ++= rows.filter(_.key != "gdpr").map(r => new String(r.value, UTF_8))
+    }
+    // compaction: driver-side k-way merges rewrite small segments and
+    // delete the originals — every step a PUT or DELETE on the flat store
+    assert(store.compact("t", smallFileBytes = 64L * 1024 * 1024) > 0,
+      "compaction must merge the small flush files")
+    // GDPR purge rewrites touched leaves across BOTH live generations
+    assert(store.purgeKeys("t", Seq("gdpr")) == 6L)
+    // the audit: every surviving record exactly once, spanning the lineage
+    store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+    def pollVals() = store.poll("g", "t", "c").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8)).toSeq
+    val got = pollVals()
+    assert(got.sorted == (expectedV1 ++ expectedV2).sorted,
+      s"survivors after compact+purge: ${got.size} vs ${(expectedV1 ++ expectedV2).size}")
+    // second poll finalizes the deferred auto-commit; the group is now
+    // past the ancestor, so the sweep reclaims v1's data from the store
+    assert(pollVals().isEmpty)
+    assert(store.sweepStaleGenerations("t") >= 1, "v1 must be reclaimable")
+    assert(pollVals().isEmpty, "the committed group survives the sweep")
+    // a FRESH group's Earliest now anchors at v2 — v1's records are gone
+    store.registry.register("g2", "c2", Seq("t"), store.StartFrom.Earliest)
+    val fresh = store.poll("g2", "t", "c2").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8)).toSeq
+    assert(fresh.sorted == expectedV2.sorted,
+      s"post-sweep reader sees only the live generation: ${fresh.size}")
+  }
+
   test("coordinated drain over the object store: retryable abort, gated re-acquisition, clean clear") {
     val c = conf()
     val root = freshRoot()
