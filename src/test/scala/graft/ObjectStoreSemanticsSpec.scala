@@ -310,6 +310,46 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
       s"post-sweep reader sees only the live generation: ${fresh.size}")
   }
 
+  test("SERVING plane: a socketed REST member rooted on the object store") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.net.http.HttpRequest.BodyPublishers
+    import java.net.http.HttpResponse.BodyHandlers
+    val root = freshRoot()
+    val store = new TopicStore(spark, root)
+    // the real HTTP surface over the flat store: the coalescer's
+    // broker-local flush, the registry swap, the deferred-commit lane and
+    // the poll page all ride s3x:// behind a live socket
+    val server = new graft.serving.RestServer(store, port = 0, coalesceMs = 20L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    val client = HttpClient.newHttpClient()
+    def send(method: String, path: String, body: String = ""): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(base + path))
+      val req = (method match {
+        case "PUT" => b.PUT(BodyPublishers.ofString(body))
+        case "GET" => b.GET()
+        case _ => b.POST(BodyPublishers.ofString(body))
+      }).header("Content-Type", "application/json")
+        .header("Accept", "application/json").build()
+      client.send(req, BodyHandlers.ofString())
+    }
+    try {
+      for (i <- 0 until 8)
+        assert(send("POST",
+          s"/v1/topic/t/messages?partitionKey=k${i % 2}&timestamp=${1700000000000000L + i}",
+          s"""{"n":$i}""").statusCode() == 200)
+      assert(send("PUT",
+        "/v1/consumer/register?consumerId=c&group=g&topic=t&onNewGroup=startFromEarliest")
+        .statusCode() == 200)
+      val poll = send("POST", "/v1/consumer/poll?consumerId=c")
+      assert(poll.statusCode() == 200)
+      for (i <- 0 until 8)
+        assert(poll.body().contains(s""""n":$i"""), s"missing n=$i in ${poll.body()}")
+      // the deferred commit lands on the object store: nothing new -> 204
+      assert(send("POST", "/v1/consumer/poll?consumerId=c").statusCode() == 204)
+    } finally server.stop()
+  }
+
   test("coordinated drain over the object store: retryable abort, gated re-acquisition, clean clear") {
     val c = conf()
     val root = freshRoot()
