@@ -371,7 +371,7 @@ object PlaneLease {
   private def handleDraining(rootKey: String, root: String, conf: Configuration): Unit = {
     val h = held.remove(rootKey)
     if (h != null) h.files.foreach { lf =>
-      try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+      deleteLease(h.fs, lf)
     }
     val plane = planeDir(root)
     val fs = plane.getFileSystem(conf)
@@ -447,7 +447,7 @@ object PlaneLease {
     } catch {
       case t: Throwable =>
         taken.result().foreach(lf =>
-          try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+          deleteLease(fs, lf))
         throw t
     }
     val files = taken.result()
@@ -507,7 +507,7 @@ object PlaneLease {
     } catch {
       case t: Throwable =>
         taken.result().foreach(lf =>
-          try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+          deleteLease(fs, lf))
         throw t
     }
     val files = taken.result()
@@ -570,7 +570,7 @@ object PlaneLease {
       ok = true
     } finally {
       if (!ok) taken.result().foreach(lf =>
-        try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+        deleteLease(fs, lf))
     }
     val files = taken.result()
     files.foreach(lf => foldBelow(fs, lf.dir, lf.epoch)) // post-validation only
@@ -661,7 +661,7 @@ object PlaneLease {
       ok = true
     } finally {
       if (!ok) taken.result().foreach(lf =>
-        try { fs.delete(lf.path, false); () } catch { case _: Exception => () })
+        deleteLease(fs, lf))
     }
     val files = taken.result()
     files.foreach(lf => foldBelow(fs, lf.dir, lf.epoch)) // post-validation only
@@ -728,13 +728,22 @@ object PlaneLease {
   private def markerContent(ttlMs: Long, by: String): String =
     ownerId + s"\nttl=$ttlMs\nmode=marker\nby=$by"
 
-  /** Delete superseded epochs below `claim` in one dir (best-effort: a
-    * failure just leaves tiny stale files below the winning epoch).
+  /** Delete a lease file and its `beat-` twin, best-effort. */
+  private def deleteLease(fs: FileSystem, lf: LeaseFile): Unit = {
+    try { fs.delete(lf.path, false); () } catch { case _: Exception => () }
+    try { fs.delete(beatPath(lf), false); () } catch { case _: Exception => () }
+  }
+
+  /** Delete superseded epochs below `claim` (and their beat twins) in
+    * one dir (best-effort: a failure just leaves tiny stale files below
+    * the winning epoch).
     */
   private def foldBelow(fs: FileSystem, dir: Path, claim: Long): Unit =
     listLeases(fs, dir).filter(_._1 < claim)
-      .foreach { case (_, st) =>
-        try { fs.delete(st.getPath, false); () } catch { case _: Exception => () } }
+      .foreach { case (e, st) =>
+        try { fs.delete(st.getPath, false); () } catch { case _: Exception => () }
+        try { fs.delete(new Path(dir, f"beat-$e%020d"), false); () }
+        catch { case _: Exception => () } }
 
   /** Conditional-create capability probe: connectors that support atomic
     * put-if-absent (S3 If-None-Match / GCS generation-match) advertise
@@ -804,16 +813,35 @@ object PlaneLease {
         marker = lines.contains("mode=parts") || lines.contains("mode=marker"))
     } catch { case _: Exception => LeaseInfo("", None, marker = false) }
 
-  /** Visible lease files ascending by epoch: (epoch, status). */
-  private def listLeases(fs: FileSystem, dir: Path): Seq[(Long, FileStatus)] =
-    (try fs.listStatus(dir).toSeq
+  /** Visible lease files ascending by epoch: (epoch, status). A lease's
+    * liveness mtime is the freshest of the file itself and its `beat-`
+    * twin (see [[refreshLease]] — on stores without `setTimes` the beat
+    * twin carries liveness so the AUTHORITY file is never re-PUT). The
+    * twin rides the SAME listing: no extra round-trip. An orphaned beat
+    * (its lease vanished) pairs with nothing and confers nothing; it is
+    * also always OLDER than any later lease at a reused epoch, so the
+    * max() can never extend a fresh lease with stale history.
+    */
+  private def listLeases(fs: FileSystem, dir: Path): Seq[(Long, FileStatus)] = {
+    val sts = (try fs.listStatus(dir).toSeq
      catch { case _: java.io.FileNotFoundException => Seq.empty })
-      .filter(st => st.isFile && st.getPath.getName.startsWith("lease-"))
+    val beats: Map[Long, Long] = sts
+      .filter(st => st.isFile && st.getPath.getName.startsWith("beat-"))
+      .flatMap(st => st.getPath.getName.stripPrefix("beat-").toLongOption
+        .map(_ -> st.getModificationTime))
+      .toMap
+    sts.filter(st => st.isFile && st.getPath.getName.startsWith("lease-"))
       .flatMap { st =>
-        scala.util.Try(st.getPath.getName.stripPrefix("lease-").toLong).toOption
-          .map(e => (e, st))
+        st.getPath.getName.stripPrefix("lease-").toLongOption.map { e =>
+          val eff = beats.get(e).filter(_ > st.getModificationTime)
+            .map(bm => new FileStatus(st.getLen, false, st.getReplication,
+              st.getBlockSize, bm, st.getPath))
+            .getOrElse(st)
+          (e, eff)
+        }
       }
       .sortBy(_._1)
+  }
 
   private def newestLease(fs: FileSystem, dir: Path): Option[(Long, FileStatus, LeaseInfo)] =
     listLeases(fs, dir).lastOption.map { case (e, st) => (e, st, readLease(fs, st.getPath)) }
@@ -1105,7 +1133,7 @@ object PlaneLease {
         while (it.hasNext) {
           val h = it.next()
           h.files.foreach { lf =>
-            try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+            deleteLease(h.fs, lf)
           }
         }
       }, "graft-plane-lease-release"))
@@ -1153,7 +1181,7 @@ object PlaneLease {
           // file instead of passing a vacuous fence.
           drainingRoots.add(e.getKey)
           h.files.foreach { lf =>
-            try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+            deleteLease(h.fs, lf)
           }
           it.remove()
         } else {
@@ -1198,42 +1226,49 @@ object PlaneLease {
   // commit fence then has to repel)
   private val setTimesUnsupported = ConcurrentHashMap.newKeySet[String]()
 
-  /** Heartbeat refreshes that fell back from `setTimes` to rewriting the
-    * lease file with identical content (an atomic PUT on object stores).
+  /** Heartbeat refreshes that fell back from `setTimes` to PUTting the
+    * lease's `beat-` twin (the object-store liveness path).
     */
-  private[graft] val leaseRefreshRewrites = new AtomicLong
+  private[graft] val leaseRefreshBeats = new AtomicLong
 
-  /** Refresh one held lease file's mtime: `setTimes` where supported (one
-    * tiny metadata op), otherwise rewrite the file with IDENTICAL content
-    * — same owner, same ttl, fresh mtime. A transient failure of either
-    * path propagates to the tick's counter and retries next beat.
+  /** The liveness twin of a lease file: same epoch, `beat-` prefix, in
+    * the same dir — so every listing that sees the lease sees the beat
+    * for free, and name-prefix filters keep it out of epoch chains.
+    */
+  private[graft] def beatPath(lf: LeaseFile): Path =
+    new Path(lf.dir, f"beat-${lf.epoch}%020d")
+
+  /** Refresh one held lease file's liveness: `setTimes` where supported
+    * (one tiny metadata op that FAILS on a vanished file — inherently
+    * resurrection-safe), otherwise PUT the `beat-` twin. The AUTHORITY
+    * file is NEVER re-PUT: a rewrite is check-then-PUT, and in the window
+    * between the existence check and the PUT an external sweep's delete
+    * would be silently undone — the resurrection-at-the-old-epoch the
+    * vanished-lease fence rule forbids. A resurrected BEAT twin is inert:
+    * liveness readers pair it with a PRESENT lease file of the same
+    * epoch, and the owner's next tick fences on the vanished lease. A
+    * transient failure of either path propagates to the tick's counter
+    * and retries next beat.
     */
   private def refreshLease(h: Held, lf: LeaseFile): Unit = {
-    def rewrite(): Unit = {
-      // refresh an EXISTING file only — blindly re-creating would
-      // RESURRECT a lease an external sweep (or a fold) erased, the
-      // exact self-heal-at-the-old-epoch the vanished-lease fence rule
-      // forbids. Missing file -> counted failure now, fence next tick.
-      if (!h.fs.exists(lf.path))
-        throw new java.io.FileNotFoundException(
-          s"lease file ${lf.path} vanished — not resurrecting")
-      val out = h.fs.create(lf.path, true)
-      try out.write(leaseContent(h.ttlMs).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def beat(): Unit = {
+      val out = h.fs.create(beatPath(lf), true)
+      try out.write(ownerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      leaseRefreshRewrites.incrementAndGet()
+      leaseRefreshBeats.incrementAndGet()
       ()
     }
     // NB: FileSystem.getScheme is unimplemented on some bases
     // (RawLocalFileSystem) — the URI scheme is always present
     val scheme = Option(h.fs.getUri.getScheme).getOrElse("")
-    if (setTimesUnsupported.contains(scheme)) rewrite()
+    if (setTimesUnsupported.contains(scheme)) beat()
     else try h.fs.setTimes(lf.path, System.currentTimeMillis(), -1)
     catch {
       case _: UnsupportedOperationException =>
         setTimesUnsupported.add(scheme) // definitive: skip next time
-        rewrite()
+        beat()
       case _: java.io.IOException =>
-        rewrite() // transient or capability-shaped: the rewrite refreshes either way
+        beat() // transient or capability-shaped: the beat refreshes either way
     }
   }
 
@@ -1254,7 +1289,7 @@ object PlaneLease {
     drainingRoots.remove(rootKey)
     if (h != null) {
       h.files.foreach { lf =>
-        try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+        deleteLease(h.fs, lf)
       }
     }
   }
@@ -1363,7 +1398,7 @@ object PlaneLease {
   def releaseOwned(rootKey: String): Unit = {
     val h = held.remove(rootKey)
     if (h != null) h.files.foreach { lf =>
-      try { h.fs.delete(lf.path, false); () } catch { case _: Exception => () }
+      deleteLease(h.fs, lf)
     }
   }
 }

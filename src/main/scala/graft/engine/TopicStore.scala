@@ -2551,6 +2551,7 @@ class TopicStore(
       drainTimeoutMs: Long = 60000L): Generation = {
     val hc = spark.sparkContext.hadoopConfiguration
     PlaneLease.requestDrain(root, hc)
+    var clearing = false
     try {
       val deadline = System.currentTimeMillis() + drainTimeoutMs
       var live = PlaneLease.liveScopedClaims(root, hc)
@@ -2564,8 +2565,22 @@ class TopicStore(
             s"${drainTimeoutMs}ms — still live: ${live.mkString("; ")} " +
             "(claimants release at their next commit or heartbeat; raise " +
             "the timeout or check the members' health)")
-      rescale(topic, newClusterSize)
-    } finally PlaneLease.clearDrain(root, hc)
+      val gen = rescale(topic, newClusterSize)
+      clearing = true
+      PlaneLease.clearDrain(root, hc) // a clear failure here IS the error
+      gen
+    } catch {
+      case primary: Throwable =>
+        // clearDrain can itself throw (a stuck per-dir copy): never let
+        // the cleanup failure REPLACE the body's diagnosis — the operator
+        // needs to know WHICH claimants never drained, with the cleanup
+        // error attached as suppressed
+        if (!clearing) {
+          try PlaneLease.clearDrain(root, hc)
+          catch { case cleanup: Throwable => primary.addSuppressed(cleanup) }
+        }
+        throw primary
+    }
   }
 
   /** Hand this process's plane lease back cleanly (no fence): a

@@ -176,42 +176,62 @@ object MemberDirectory {
       ttlMs: Long = graft.engine.PlaneLease.DefaultTtlMs): Unit = {
     val dir = new Path(new Path(root, "_meta"), "_serve")
     val fs = dir.getFileSystem(conf)
-    require(advertised.add(fs.makeQualified(dir).toString),
+    val regKey = fs.makeQualified(dir).toString
+    require(advertised.add(regKey),
       s"this process already advertises a serving member under $root — " +
         "one member (one address, one claim) per root per process")
-    fs.mkdirs(dir)
-    val p = new Path(dir, s"member-${java.util.UUID.randomUUID().toString.take(12)}")
-    val content = (Seq(s"base=$base", s"binaryPort=$binaryPort", s"mode=$mode") ++
-      parts.map(ps => s"parts=${graft.engine.PlaneLease.specOf(ps)}") ++
-      Seq(s"ttl=$ttlMs")).mkString("\n").getBytes(UTF_8)
-    def rewrite(): Unit = {
-      val out = fs.create(p, true)
-      try out.write(content) finally out.close()
-    }
-    rewrite()
-    val setTimesBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
-    refresher.scheduleWithFixedDelay(() => {
-      try {
-        if (setTimesBroken.get()) { rewrite(); adRefreshRewrites.incrementAndGet(); () }
-        else {
-          try { fs.setTimes(p, System.currentTimeMillis(), -1) }
-          catch {
-            case _: Exception =>
-              // capability detected once: later ticks rewrite directly
-              setTimesBroken.set(true)
-              System.err.println(
-                s"graft: fs.setTimes failed for the member ad at $p — " +
-                  "falling back to rewriting the ad file each tick " +
-                  "(expected on object-store connectors)")
-              rewrite(); adRefreshRewrites.incrementAndGet()
+    try {
+      fs.mkdirs(dir)
+      val p = new Path(dir, s"member-${java.util.UUID.randomUUID().toString.take(12)}")
+      val content = (Seq(s"base=$base", s"binaryPort=$binaryPort", s"mode=$mode") ++
+        parts.map(ps => s"parts=${graft.engine.PlaneLease.specOf(ps)}") ++
+        Seq(s"ttl=$ttlMs")).mkString("\n").getBytes(UTF_8)
+      // set by the shutdown hook BEFORE it deletes the ad: a refresher
+      // tick racing the hook must not rewrite (resurrect) the deleted ad
+      // of an exiting process — it would read live until TTL
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def rewrite(): Unit = {
+        val out = fs.create(p, true)
+        try out.write(content) finally out.close()
+      }
+      rewrite()
+      val setTimesBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
+      refresher.scheduleWithFixedDelay(() => {
+        try {
+          if (closed.get()) ()
+          else if (setTimesBroken.get()) { rewrite(); adRefreshRewrites.incrementAndGet(); () }
+          else {
+            try { fs.setTimes(p, System.currentTimeMillis(), -1) }
+            catch {
+              case _: UnsupportedOperationException =>
+                // capability detected once: later ticks rewrite directly.
+                // Latched ONLY on the definitive signal — a transient
+                // IOException must not switch a setTimes-capable FS to
+                // the non-atomic rewrite (whose torn-read window makes
+                // peers drop the ad intermittently); it rewrites THIS
+                // tick to keep liveness and retries setTimes next tick
+                setTimesBroken.set(true)
+                System.err.println(
+                  s"graft: fs.setTimes unsupported for the member ad at $p — " +
+                    "falling back to rewriting the ad file each tick " +
+                    "(expected on object-store connectors)")
+                rewrite(); adRefreshRewrites.incrementAndGet()
+              case _: Exception =>
+                rewrite(); adRefreshRewrites.incrementAndGet()
+            }
           }
-        }
-      } catch { case _: Exception => () } // retried next tick; TTL judges us
-    }, ttlMs / 4, ttlMs / 4, TimeUnit.MILLISECONDS)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try { fs.delete(p, false); () } catch { case _: Exception => () }
-    }, "graft-member-ad-release"))
-    ()
+        } catch { case _: Exception => () } // retried next tick; TTL judges us
+      }, ttlMs / 4, ttlMs / 4, TimeUnit.MILLISECONDS)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        closed.set(true)
+        try { fs.delete(p, false); () } catch { case _: Exception => () }
+      }, "graft-member-ad-release"))
+      ()
+    } catch {
+      // a failed first write must not poison the one-ad-per-process
+      // guard: roll the registration back so a caller's retry can land
+      case e: Throwable => advertised.remove(regKey); throw e
+    }
   }
 }
 
@@ -380,10 +400,35 @@ class ForwardingChannel(
             else if (resp.statusCode() >= 500 && retriesLeft > 0) {
               // the advertised owner is broken (a crash leaves the process
               // half-up, a proxy answers 502): one failover against a
-              // refreshed listing that excludes it
+              // refreshed listing that excludes it. If NO successor is
+              // advertised the receiver was answering a PERSISTENT 5xx,
+              // not dying — surface the original diagnosis instead of
+              // downgrading it to an indefinitely-retryable "no live
+              // owner" 503 that clients would retry forever
               metrics.foreach(_.forwardFailovers.incrementAndGet())
               attempt(topic, key, tsMicros, lines, part,
                 excluding + m.base, retriesLeft - 1)
+                .handle[(java.lang.Boolean, Throwable)]((ok, e) => (ok, e))
+                .thenCompose { case (ok, e) =>
+                  val c = e match {
+                    case ce: java.util.concurrent.CompletionException
+                        if ce.getCause != null => ce.getCause
+                    case x => x
+                  }
+                  c match {
+                    case null => CompletableFuture.completedFuture(ok)
+                    case nlo: NoLiveOwnerException =>
+                      val orig = new IllegalStateException(
+                        s"forwarded produce for ring partition $part to " +
+                          s"${m.base} answered ${resp.statusCode()}: " +
+                          s"${resp.body()} (and no successor member is " +
+                          "advertised after one failover)")
+                      orig.addSuppressed(nlo)
+                      CompletableFuture.failedFuture[java.lang.Boolean](orig)
+                    case other =>
+                      CompletableFuture.failedFuture[java.lang.Boolean](other)
+                  }
+                }
             } else
               CompletableFuture.failedFuture[java.lang.Boolean](
                 new IllegalStateException(

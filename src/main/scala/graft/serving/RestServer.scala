@@ -293,12 +293,24 @@ class RestServer(
   // authority (a partition-scoped produce broker)
   @volatile private var memberDirectory: Option[MemberDirectory] = None
 
-  def discoverMembersVia(d: MemberDirectory): Unit = memberDirectory = Some(d)
+  // this member's advertised base URL (set by a Serve deployment member):
+  // the legacy single-broker discovery fields describe THIS member
+  @volatile private var advertisedBase: Option[String] = None
+
+  def discoverMembersVia(d: MemberDirectory, selfBase: String = ""): Unit = {
+    memberDirectory = Some(d)
+    if (selfBase.nonEmpty) advertisedBase = Some(selfBase)
+  }
 
   /** The member-deployment discovery payload: every live member with its
-    * role (`root` / `parts` / `consumer`) and range claim, plus the
-    * legacy single-broker fields describing THIS member for clients of
-    * the single-process shape.
+    * role (`root` / `parts` / `consumer`) and range claim in `members`,
+    * plus the legacy single-broker fields describing THIS member ONLY
+    * for clients of the single-process shape. The legacy `names` array
+    * deliberately lists just this member: its companion `producerPort`/
+    * `consumerPort` scalars can describe one member's ports, so pairing
+    * them with OTHER members' hosts would send a legacy client to ports
+    * where nothing listens — deployment-aware clients read `members`,
+    * where every row carries its own base URL and binary port.
     */
   private def memberListing(d: MemberDirectory): String = {
     val ms = d.members()
@@ -308,13 +320,16 @@ class RestServer(
         m.parts.map(ps => jstr(graft.engine.PlaneLease.specOf(ps))).getOrElse("null") +
         "}"
     }
-    s"""{"length":${ms.size},"names":[${ms.map(m => jstr(hostOf(m.base))).mkString(",")}],""" +
+    s"""{"length":1,"names":[${jstr(hostOf(advertisedBase.getOrElse("localhost")))}],""" +
       s""""producerPort":$boundPort,"producerBinaryPort":$advertisedBinaryPort,""" +
       s""""consumerPort":$boundPort,"members":[${rows.mkString(",")}]}"""
   }
 
   private def hostOf(base: String): String =
-    try java.net.URI.create(base).getHost catch { case _: Exception => base }
+    // URI.create("host:port") parses with scheme "host" and a NULL host —
+    // fall back to the raw base rather than NPE-ing the whole listing
+    try Option(java.net.URI.create(base).getHost).getOrElse(base)
+    catch { case _: Exception => base }
 
   /** A consumer-API request on a member WITHOUT consumer authority (a
     * partition-scoped produce broker) answers 307 with the freshest

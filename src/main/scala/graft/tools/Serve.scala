@@ -182,7 +182,7 @@ object Serve {
     val forwarding = new serving.ForwardingChannel(
       store, server.coalescer, directory, Some(server.metrics))
     server.routeProduceVia(forwarding)
-    server.discoverMembersVia(directory)
+    server.discoverMembersVia(directory, selfBase = base)
     val binPort =
       if (consumerRole) 0
       else {

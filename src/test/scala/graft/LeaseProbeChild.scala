@@ -32,7 +32,19 @@ object LeaseProbeChild {
       }
       println("ACQUIRED")
       Console.flush()
-      if (holdMs > 0L) Thread.sleep(holdMs)
+      // optional 5th arg: beat every N ms while holding (drives
+      // heartbeatTick directly — the scheduled beater's DefaultTtl/4
+      // cadence is too slow for short-TTL takeover-repel tests)
+      val beatEveryMs = if (args.length > 4) args(4).toLong else 0L
+      if (holdMs > 0L) {
+        if (beatEveryMs > 0L) {
+          val until = System.currentTimeMillis() + holdMs
+          while (System.currentTimeMillis() < until) {
+            Thread.sleep(beatEveryMs)
+            graft.engine.PlaneLease.heartbeatTick()
+          }
+        } else Thread.sleep(holdMs)
+      }
       System.exit(0)
     } catch {
       case e: graft.engine.PlaneLeaseHeldException =>

@@ -18,6 +18,22 @@ class SetTimesLessFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       "setTimes is not supported (object-store semantics)")
 }
 
+/** Fails exactly the next create() — the transient-startup-error shape
+  * for the advertise-rollback test.
+  */
+class FailNextCreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfc:///")
+  override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (FailNextCreateFs.failNext.compareAndSet(true, false))
+      throw new java.io.IOException("injected create failure")
+    super.create(p, overwrite)
+  }
+}
+object FailNextCreateFs {
+  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** The shared-root serving member directory (`_meta/_serve/`): discovery
   * input for broker-to-broker produce forwarding. Liveness is the ad
   * file's mtime against its recorded TTL; lookups are cached; garbage
@@ -130,5 +146,24 @@ class MemberDirectorySpec extends AnyFunSuite {
       "the ad must stay live past its TTL via the rewrite fallback")
     assert(MemberDirectory.adRefreshRewrites.get > before,
       "the refresh must have taken the rewrite path")
+  }
+
+  test("a failed first advertise rolls back the one-ad-per-process guard so a retry can land") {
+    val conf = new Configuration()
+    conf.set("fs.mockfc.impl", classOf[FailNextCreateFs].getName)
+    conf.setBoolean("fs.mockfc.impl.disable.cache", true)
+    val local = Files.createTempDirectory("graft-memdir").toString
+    val root = s"mockfc://$local"
+    FailNextCreateFs.failNext.set(true)
+    intercept[java.io.IOException] {
+      MemberDirectory.advertise(root, conf,
+        base = "http://one:9251", binaryPort = 0, mode = "root", parts = None)
+    }
+    // the transient startup failure must not poison the guard forever
+    MemberDirectory.advertise(root, conf,
+      base = "http://one:9251", binaryPort = 0, mode = "root", parts = None)
+    val d = new MemberDirectory(root, conf, cacheMs = 0L)
+    assert(d.ownerOf(3).map(_.base).contains("http://one:9251"),
+      "the retried advertise must publish a resolvable ad")
   }
 }

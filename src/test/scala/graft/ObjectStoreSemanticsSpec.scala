@@ -96,19 +96,28 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
       val lease = fs.listStatus(plane).filter(_.getPath.getName.startsWith("lease-")).head
       val beforeMtime = lease.getModificationTime
       val beforeFailures = PlaneLease.heartbeatFailures.get
-      val beforeRewrites = PlaneLease.leaseRefreshRewrites.get
-      Thread.sleep(20) // let the rewrite land a visibly newer mtime
+      val beforeBeats = PlaneLease.leaseRefreshBeats.get
+      Thread.sleep(20) // let the beat land a visibly newer mtime
       PlaneLease.heartbeatTick()
       val after = fs.listStatus(plane).filter(_.getPath.getName.startsWith("lease-")).head
-      assert(after.getModificationTime > beforeMtime,
-        "the beat must refresh the lease's mtime via the rewrite fallback")
-      assert(PlaneLease.leaseRefreshRewrites.get > beforeRewrites,
-        "the refresh must have taken the rewrite path (setTimes throws here)")
+      // the AUTHORITY file is never re-PUT on the object store (a
+      // check-then-PUT rewrite could resurrect an externally swept
+      // lease in the window); the `beat-` twin carries liveness instead
+      assert(after.getModificationTime == beforeMtime,
+        "the authority file must stay untouched by the liveness beat")
+      val beat = fs.listStatus(plane).filter(_.getPath.getName.startsWith("beat-")).head
+      assert(beat.getModificationTime > beforeMtime,
+        "the beat twin must carry a fresher mtime than the lease file")
+      assert(beat.getPath.getName.stripPrefix("beat-") ==
+        after.getPath.getName.stripPrefix("lease-"),
+        "the twin pairs by epoch with the lease it beats for")
+      assert(PlaneLease.leaseRefreshBeats.get > beforeBeats,
+        "the refresh must have taken the beat path (setTimes throws here)")
       assert(PlaneLease.heartbeatFailures.get == beforeFailures,
         "a working fallback is not a heartbeat failure")
       assert(new String(fs.open(after.getPath).readAllBytes(), UTF_8)
         .startsWith(PlaneLease.ownerId),
-        "the rewrite must preserve the owner identity")
+        "the lease file keeps the owner identity")
       // takeover: a higher epoch visible on the object store fences us
       val usurper = new Path(plane, f"lease-${2L}%020d")
       val out = fs.create(usurper, true)
@@ -370,6 +379,54 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
         "the claim must re-acquire after the coordinator clears the drain")
       PlaneLease.assertCurrentAtCommit(rootKey, PlaneLease.ProduceAuthority(Set(0)))
     } finally PlaneLease.dropForTests(rootKey)
+  }
+
+  test("a BEATING owner repels takeover past its lease file's age; a killed one is superseded at beat-staleness") {
+    // the pairing property end to end: on a store without setTimes the
+    // authority file's mtime never advances (it is never re-PUT) — the
+    // beat twin alone must keep the claim live against a real contender
+    // in another JVM, and must stop doing so once the owner dies
+    val root = freshRoot()
+    val c = conf()
+    val rootKey = TopicStore.normalizeRoot(root, c)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // child: 8 s recorded TTL, beats every second — after 10 s its lease
+    // FILE is past TTL but its beat twin is at most ~1 s old
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.LeaseProbeChild",
+      root, "120000", "-", "8000", "1000")
+    pb.environment().put("GRAFT_S3X_BACKING", ObjStoreFs.backingDir)
+    pb.redirectErrorStream(true)
+    val child = pb.start()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(child.getInputStream, "UTF-8"))
+    var line = rd.readLine()
+    while (line != null && !line.startsWith("ACQUIRED") && !line.startsWith("HELD"))
+      line = rd.readLine()
+    assert(line != null && line.startsWith("ACQUIRED"),
+      s"child must acquire the fresh object-store root, got: $line")
+    try {
+      Thread.sleep(10000L) // > the child's 8 s TTL: the lease FILE is stale
+      val fs = new Path(root).getFileSystem(c)
+      val plane = new Path(root, "_meta/_plane")
+      val lease = fs.listStatus(plane).filter(_.getPath.getName.startsWith("lease-")).head
+      assert(System.currentTimeMillis() - lease.getModificationTime > 8000L,
+        "precondition: the authority file's own mtime must be past the TTL")
+      val ex = intercept[PlaneLeaseHeldException] {
+        PlaneLease.ensureOwned(rootKey, root, c)
+      }
+      assert(ex.getMessage.contains("leased"), ex.getMessage)
+      // kill the child: the beats stop, and the claim goes stale at
+      // beat-twin age — not at the (long-stale) lease-file age
+      child.destroyForcibly(); child.waitFor()
+      Thread.sleep(9000L)
+      PlaneLease.ensureOwned(rootKey, root, c)
+      assert(PlaneLease.heldEpoch(rootKey).contains(2L),
+        s"takeover must claim epoch 2, got ${PlaneLease.heldEpoch(rootKey)}")
+    } finally {
+      child.destroyForcibly()
+      PlaneLease.dropForTests(rootKey)
+    }
   }
 
   test("forked-JVM takeover over the object store: live child rejects, dead child's stale lease is superseded") {

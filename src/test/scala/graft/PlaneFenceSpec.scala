@@ -223,17 +223,27 @@ class PlaneFenceSpec extends AnyFunSuite {
       lease.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
       PlaneLease.heartbeatTick()
       assert(System.currentTimeMillis() - lease.lastModified() < 60 * 1000L)
-      // setTimes-only failure: the rewrite fallback carries the refresh
-      // (object-store liveness) — fresh mtime, rewrite counted, NO failure
+      // setTimes-only failure: the beat-twin fallback carries the refresh
+      // (object-store liveness) — the AUTHORITY file is never re-PUT
+      // (check-then-PUT could resurrect an externally swept lease); a
+      // fresh `beat-` twin carries the mtime instead, counted, NO failure
       lease.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
       val failuresBefore = PlaneLease.heartbeatFailures.get
-      val rewritesBefore = PlaneLease.leaseRefreshRewrites.get
+      val beatsBefore = PlaneLease.leaseRefreshBeats.get
       MockHbFileSystem.failSetTimes = true
       try PlaneLease.heartbeatTick()
       finally MockHbFileSystem.failSetTimes = false
-      assert(System.currentTimeMillis() - lease.lastModified() < 60 * 1000L,
-        "the rewrite fallback must refresh the lease when setTimes fails")
-      assert(PlaneLease.leaseRefreshRewrites.get > rewritesBefore)
+      val beat = new java.io.File(s"$tmp/_meta/_plane").listFiles()
+        .filter(_.getName.startsWith("beat-")).headOption
+      assert(beat.exists(b =>
+        System.currentTimeMillis() - b.lastModified() < 60 * 1000L),
+        "the beat twin must carry the refresh when setTimes fails")
+      assert(System.currentTimeMillis() - lease.lastModified() >= 3000 * 1000L,
+        "the authority file itself must NOT be re-PUT by the fallback")
+      assert(beat.get.getName.stripPrefix("beat-") ==
+        lease.getName.stripPrefix("lease-"),
+        "the twin pairs by epoch with the lease it beats for")
+      assert(PlaneLease.leaseRefreshBeats.get > beatsBefore)
       assert(PlaneLease.heartbeatFailures.get == failuresBefore,
         "a working fallback is not a heartbeat failure")
     } finally PlaneLease.dropForTests(rootKey)

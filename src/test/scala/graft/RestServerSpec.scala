@@ -154,10 +154,20 @@ class RestServerSpec extends AnyFunSuite {
       ad("member-aa", "base=http://hosta:9251\nbinaryPort=9252\nmode=parts\nparts=0-5\nttl=60000")
       ad("member-bb", "base=http://hostb:9261\nbinaryPort=9262\nmode=parts\nparts=6-11\nttl=60000")
       ad("member-cc", "base=http://hostc:9271\nbinaryPort=0\nmode=consumer\nparts=0-11\nttl=60000")
+      // a schemeless base (URI.getHost == null) must not 500 the listing
+      ad("member-dd", "base=hostd:9281\nbinaryPort=0\nmode=consumer\nparts=0-11\nttl=60000")
       server.discoverMembersVia(new graft.serving.MemberDirectory(
-        root, spark.sparkContext.hadoopConfiguration, cacheMs = 0L))
-      val body = get(base, "/v1/brokers").body()
-      assert(body.contains("\"length\":3"), body)
+        root, spark.sparkContext.hadoopConfiguration, cacheMs = 0L),
+        selfBase = s"http://localhost:${server.boundPort}")
+      val resp = get(base, "/v1/brokers")
+      assert(resp.statusCode() == 200, resp.body())
+      val body = resp.body()
+      // the legacy scalar fields can only describe ONE member's ports, so
+      // the legacy names array lists only THIS member — pairing other
+      // members' hosts with this member's ports would misroute old
+      // clients; deployment-aware clients read `members`
+      assert(body.contains("\"length\":1"), body)
+      assert(body.contains("\"names\":[\"localhost\"]"), body)
       assert(body.contains(
         """{"base":"http://hosta:9251","binaryPort":9252,"mode":"parts","parts":"0-5"}"""), body)
       assert(body.contains(
@@ -167,6 +177,62 @@ class RestServerSpec extends AnyFunSuite {
       // the legacy single-broker fields survive for old clients
       assert(body.contains("\"producerPort\":"), body)
     } finally server.stop()
+  }
+
+  test("forward failover on a persistent 500 surfaces the receiver's diagnosis, not a retryable no-owner 503") {
+    import java.util.concurrent.ExecutionException
+    // a fake sole owner answering a deterministic 500 to every produce:
+    // the one-failover retry finds no successor, and the client must see
+    // the receiver's diagnosis — not an indefinitely-retryable "no live
+    // owner" 503 that hides the real failure forever
+    val fake = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    fake.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = "deterministic handler failure".getBytes("UTF-8")
+      ex.sendResponseHeaders(500, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    fake.start()
+    val root = Files.createTempDirectory("graft-fwd500").toString
+    spark.conf.set("spark.graft.planeLeasePartitions", "0")
+    try {
+      val store = new TopicStore(spark, root)
+      // a key routed OUTSIDE this member's claim {0}; the fake ad owns
+      // exactly that partition
+      val key = (1 to 64).map(i => s"k$i").find(k =>
+        graft.serving.ShardRouter.ringOrdinal(store, "t", k, null) != 0).get
+      val p = graft.serving.ShardRouter.ringOrdinal(store, "t", key, null)
+      val dir = new java.io.File(s"$root/_meta/_serve")
+      assert(dir.mkdirs())
+      Files.write(new java.io.File(dir, "member-fake").toPath,
+        (s"base=http://localhost:${fake.getAddress.getPort}\nbinaryPort=0\n" +
+          s"mode=parts\nparts=$p\nttl=60000").getBytes("UTF-8"))
+      val d = new graft.serving.MemberDirectory(
+        root, spark.sparkContext.hadoopConfiguration, cacheMs = 0L)
+      val never = new graft.serving.ProduceChannel {
+        override def submit(t: String, k: String, ts: Long,
+            ls: Seq[Array[Byte]]) =
+          throw new IllegalStateException("local channel must not be used")
+      }
+      val fwd = new graft.serving.ForwardingChannel(store, never, d, None)
+      val exn = intercept[ExecutionException] {
+        fwd.submit("t", key, 1700000000000000L,
+          Seq("""{"x":1}""".getBytes("UTF-8"))).get()
+      }
+      val cause = exn.getCause
+      assert(!cause.isInstanceOf[graft.serving.NoLiveOwnerException],
+        s"must not downgrade a persistent 500 to a retryable no-owner: $cause")
+      assert(cause.getMessage.contains("answered 500"), cause.getMessage)
+      assert(cause.getMessage.contains("deterministic handler failure"),
+        cause.getMessage)
+      assert(cause.getSuppressed
+        .exists(_.isInstanceOf[graft.serving.NoLiveOwnerException]),
+        "the exhausted-failover cause rides along as suppressed")
+    } finally {
+      spark.conf.unset("spark.graft.planeLeasePartitions")
+      fake.stop(0)
+    }
   }
 
   test("ndjson produce splits lines and preserves order; goodbye commits") {
