@@ -728,7 +728,12 @@ object PlaneLease {
   private def markerContent(ttlMs: Long, by: String): String =
     ownerId + s"\nttl=$ttlMs\nmode=marker\nby=$by"
 
-  /** Delete a lease file and its `beat-` twin, best-effort. */
+  /** Delete a lease file and its `beat-` twin, best-effort. The twin
+    * delete is UNCONDITIONAL (one cheap extra RPC on lease-release paths,
+    * which are rare — exit, drain, fold): twin presence cannot be
+    * inferred from the setTimes-capability latch, because a transient
+    * IOException beats the twin WITHOUT latching the scheme.
+    */
   private def deleteLease(fs: FileSystem, lf: LeaseFile): Unit = {
     try { fs.delete(lf.path, false); () } catch { case _: Exception => () }
     try { fs.delete(beatPath(lf), false); () } catch { case _: Exception => () }
@@ -740,10 +745,7 @@ object PlaneLease {
     */
   private def foldBelow(fs: FileSystem, dir: Path, claim: Long): Unit =
     listLeases(fs, dir).filter(_._1 < claim)
-      .foreach { case (e, st) =>
-        try { fs.delete(st.getPath, false); () } catch { case _: Exception => () }
-        try { fs.delete(new Path(dir, f"beat-$e%020d"), false); () }
-        catch { case _: Exception => () } }
+      .foreach { case (e, _) => deleteLease(fs, LeaseFile(dir, e)) }
 
   /** Conditional-create capability probe: connectors that support atomic
     * put-if-absent (S3 If-None-Match / GCS generation-match) advertise

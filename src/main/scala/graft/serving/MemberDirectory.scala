@@ -158,13 +158,18 @@ object MemberDirectory {
     * throws).
     *
     * LIVENESS CONTRACT: the refresh tries `fs.setTimes` first (one tiny
-    * metadata op on local FS/HDFS); on failure — S3A and most object
-    * stores do not support `setTimes`, which would otherwise silently
-    * expire a healthy member's ad at TTL — it REWRITES the ad file with
-    * identical content (an atomic PUT on object stores; readers tolerate
-    * a torn read on filesystems where rewrite is not atomic by skipping
-    * that listing) and skips straight to rewriting on later ticks.
+    * metadata op on local FS/HDFS); on UnsupportedOperationException —
+    * S3A and most object stores do not support `setTimes`, which would
+    * otherwise silently expire a healthy member's ad at TTL — it
+    * REWRITES the ad file with identical content (an atomic PUT on
+    * object stores; readers tolerate a torn read on filesystems where
+    * rewrite is not atomic by skipping that listing) and skips straight
+    * to rewriting on later ticks. A TRANSIENT failure (IOException)
+    * rewrites this tick only and retries `setTimes` next tick — it must
+    * NOT latch a setTimes-capable FS onto the non-atomic rewrite path.
     * Failures of BOTH paths are retried next tick; the TTL judges us.
+    * The ad is advisory (authority stays with the lease), which is why a
+    * rewrite is acceptable here where the lease path beats a twin.
     */
   def advertise(
       root: String,
@@ -188,9 +193,15 @@ object MemberDirectory {
         Seq(s"ttl=$ttlMs")).mkString("\n").getBytes(UTF_8)
       // set by the shutdown hook BEFORE it deletes the ad: a refresher
       // tick racing the hook must not rewrite (resurrect) the deleted ad
-      // of an exiting process — it would read live until TTL
+      // of an exiting process — it would read live until TTL. The flag
+      // alone is check-then-act (a tick that passed the check could PUT
+      // after the hook's delete), so rewrite and delete also EXCLUDE
+      // each other on a monitor: the hook's delete waits out any
+      // in-flight PUT and no PUT starts after closed is set.
       val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
-      def rewrite(): Unit = {
+      val adLock = new Object
+      def rewrite(): Unit = adLock.synchronized {
+        if (closed.get()) return
         val out = fs.create(p, true)
         try out.write(content) finally out.close()
       }
@@ -224,7 +235,9 @@ object MemberDirectory {
       }, ttlMs / 4, ttlMs / 4, TimeUnit.MILLISECONDS)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         closed.set(true)
-        try { fs.delete(p, false); () } catch { case _: Exception => () }
+        adLock.synchronized {
+          try { fs.delete(p, false); () } catch { case _: Exception => () }
+        }
       }, "graft-member-ad-release"))
       ()
     } catch {
@@ -285,6 +298,15 @@ class ForwardingChannel(
   private def ownedLocally(p: Int): Boolean =
     !store.isConsumerPlaneRole &&
       store.configuredPartitionClaim.forall(_.contains(p))
+
+  /** Strip the CompletionException wrapper a failed stage arrives in
+    * (null-safe: a successful stage hands `handle` a null throwable).
+    */
+  private def unwrapCompletion(t: Throwable): Throwable = t match {
+    case ce: java.util.concurrent.CompletionException
+        if ce.getCause != null => ce.getCause
+    case x => x
+  }
 
   override def submit(
       topic: String,
@@ -366,11 +388,7 @@ class ForwardingChannel(
           .handle[(HttpResponse[String], Throwable)]((resp, err) => (resp, err))
           .thenCompose { case (resp, err) =>
             if (err != null) {
-              val cause = err match {
-                case ce: java.util.concurrent.CompletionException
-                    if ce.getCause != null => ce.getCause
-                case x => x
-              }
+              val cause = unwrapCompletion(err)
               cause match {
                 case _: java.io.IOException if retriesLeft > 0 =>
                   // transport failure (connection refused/reset/timeout):
@@ -401,28 +419,27 @@ class ForwardingChannel(
               // the advertised owner is broken (a crash leaves the process
               // half-up, a proxy answers 502): one failover against a
               // refreshed listing that excludes it. If NO successor is
-              // advertised the receiver was answering a PERSISTENT 5xx,
-              // not dying — surface the original diagnosis instead of
-              // downgrading it to an indefinitely-retryable "no live
-              // owner" 503 that clients would retry forever
+              // advertised, the downgrade decision splits by shape: a
+              // true 500 is the receiver's own handler answering — a
+              // PERSISTENT failure whose diagnosis must reach the client
+              // instead of an indefinitely-retryable "no live owner" 503;
+              // a gateway 502/504 is a proxy in front of a DYING member
+              // whose successor may simply not have advertised yet, so
+              // the retryable no-owner contract stands (clients ride out
+              // the takeover window exactly as on a transport failure)
               metrics.foreach(_.forwardFailovers.incrementAndGet())
               attempt(topic, key, tsMicros, lines, part,
                 excluding + m.base, retriesLeft - 1)
                 .handle[(java.lang.Boolean, Throwable)]((ok, e) => (ok, e))
                 .thenCompose { case (ok, e) =>
-                  val c = e match {
-                    case ce: java.util.concurrent.CompletionException
-                        if ce.getCause != null => ce.getCause
-                    case x => x
-                  }
-                  c match {
+                  unwrapCompletion(e) match {
                     case null => CompletableFuture.completedFuture(ok)
-                    case nlo: NoLiveOwnerException =>
+                    case nlo: NoLiveOwnerException
+                        if resp.statusCode() == 500 =>
                       val orig = new IllegalStateException(
                         s"forwarded produce for ring partition $part to " +
-                          s"${m.base} answered ${resp.statusCode()}: " +
-                          s"${resp.body()} (and no successor member is " +
-                          "advertised after one failover)")
+                          s"${m.base} answered 500: ${resp.body()} (and no " +
+                          "successor member is advertised after one failover)")
                       orig.addSuppressed(nlo)
                       CompletableFuture.failedFuture[java.lang.Boolean](orig)
                     case other =>

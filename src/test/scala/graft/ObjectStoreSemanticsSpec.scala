@@ -391,10 +391,11 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
     val rootKey = TopicStore.normalizeRoot(root, c)
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    // child: 8 s recorded TTL, beats every second — after 10 s its lease
-    // FILE is past TTL but its beat twin is at most ~1 s old
+    // child: 8 s recorded TTL, beats every 500 ms — after 10 s its lease
+    // FILE is past TTL but its beat twin is a fraction of the TTL old
+    // (the wide beat/TTL ratio keeps a loaded host from flaking this)
     val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.LeaseProbeChild",
-      root, "120000", "-", "8000", "1000")
+      root, "120000", "-", "8000", "500")
     pb.environment().put("GRAFT_S3X_BACKING", ObjStoreFs.backingDir)
     pb.redirectErrorStream(true)
     val child = pb.start()
@@ -419,7 +420,7 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
       // kill the child: the beats stop, and the claim goes stale at
       // beat-twin age — not at the (long-stale) lease-file age
       child.destroyForcibly(); child.waitFor()
-      Thread.sleep(9000L)
+      Thread.sleep(12000L) // TTL + 4 s slack past the last beat
       PlaneLease.ensureOwned(rootKey, root, c)
       assert(PlaneLease.heldEpoch(rootKey).contains(2L),
         s"takeover must claim epoch 2, got ${PlaneLease.heldEpoch(rootKey)}")

@@ -185,11 +185,12 @@ class RestServerSpec extends AnyFunSuite {
     // the one-failover retry finds no successor, and the client must see
     // the receiver's diagnosis — not an indefinitely-retryable "no live
     // owner" 503 that hides the real failure forever
+    val fakeStatus = new java.util.concurrent.atomic.AtomicInteger(500)
     val fake = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(0), 0)
     fake.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       val b = "deterministic handler failure".getBytes("UTF-8")
-      ex.sendResponseHeaders(500, b.length)
+      ex.sendResponseHeaders(fakeStatus.get(), b.length)
       ex.getResponseBody.write(b)
       ex.close()
     })
@@ -229,6 +230,16 @@ class RestServerSpec extends AnyFunSuite {
       assert(cause.getSuppressed
         .exists(_.isInstanceOf[graft.serving.NoLiveOwnerException]),
         "the exhausted-failover cause rides along as suppressed")
+      // a GATEWAY 502 is a proxy in front of a DYING member whose
+      // successor may not have advertised yet: the retryable no-owner
+      // contract must stand so clients ride out the takeover window
+      fakeStatus.set(502)
+      val exn2 = intercept[ExecutionException] {
+        fwd.submit("t", key, 1700000000000001L,
+          Seq("""{"x":2}""".getBytes("UTF-8"))).get()
+      }
+      assert(exn2.getCause.isInstanceOf[graft.serving.NoLiveOwnerException],
+        s"a 502 with no successor must stay retryable: ${exn2.getCause}")
     } finally {
       spark.conf.unset("spark.graft.planeLeasePartitions")
       fake.stop(0)
