@@ -381,6 +381,74 @@ class ObjectStoreSemanticsSpec extends AnyFunSuite {
     } finally PlaneLease.dropForTests(rootKey)
   }
 
+  test("DEPLOYMENT over the object store: forked partition brokers forward produce; the consumer plane reads it back") {
+    // the reference's deployment shape, end to end on object-store
+    // semantics: two REAL Serve processes (partition-scoped claims,
+    // member ads, coalescer flushes, forwarding) over an s3x:// root,
+    // every produce posted to the WRONG broker so each one crosses the
+    // forward + flat-store flush path, then consumed from THIS process
+    // as a consumer-plane member of the same deployment
+    val root = freshRoot()
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def forkServe(flags: String*): (Process, String) = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.tools.Serve", "--root", root) ++ flags
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", "2")
+      pb.environment().put("GRAFT_S3X_BACKING", ObjStoreFs.backingDir)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      var line = rd.readLine()
+      while (line != null && !line.startsWith("serving http")) line = rd.readLine()
+      assert(line != null, s"Serve member ${flags.mkString(" ")} died before serving")
+      (proc, line.split(' ')(1))
+    }
+    val (pa, fa) = forkServe("--partitions", "0-5")
+    val (pb2, fb) = forkServe("--partitions", "6-11")
+    val http = java.net.http.HttpClient.newHttpClient()
+    def post(base: String, path: String, body: String): Int =
+      http.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(base + path))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    try {
+      def partitionOf(k: String): Int = graft.core.TokenRing.partitionOrdinal(
+        graft.core.Murmur3x64.hashString(k), 3, 4)
+      def wrongBroker(k: String): String = if (partitionOf(k) <= 5) fb else fa
+      val keys = Iterator.from(0).map(i => s"ok$i").take(12).toSeq
+      keys.zipWithIndex.foreach { case (k, i) =>
+        assert(post(wrongBroker(k),
+          s"/v1/topic/t/messages?partitionKey=$k&timestamp=${1700000000000000L + i}",
+          s"""{"i":$i}""") == 200,
+          s"produce $k via the wrong broker must forward and flush to the flat store")
+      }
+      spark.conf.set("spark.graft.planeLeaseRole", "consumer")
+      try {
+        val store = new TopicStore(spark, root)
+        store.registry.register("g", "c", Seq("t"), store.StartFrom.Earliest)
+        val got = store.poll("g", "t", "c").collect()
+          .map(r => new String(r.getAs[Array[Byte]]("value"), UTF_8))
+        val is = got.flatMap(v =>
+          "\"i\":(\\d+)".r.findFirstMatchIn(v).map(_.group(1).toInt)).toSet
+        assert(is == (0 until 12).toSet,
+          s"the consumer plane must read every forwarded record back: $is")
+      } finally spark.conf.unset("spark.graft.planeLeaseRole")
+    } finally { pa.destroyForcibly(); pb2.destroyForcibly(); () }
+  }
+
   test("a BEATING owner repels takeover past its lease file's age; a killed one is superseded at beat-staleness") {
     // the pairing property end to end: on a store without setTimes the
     // authority file's mtime never advances (it is never re-PUT) — the
