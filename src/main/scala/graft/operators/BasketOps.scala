@@ -12,17 +12,18 @@ import graft.Graft
   * communities on the co-purchase graph (q235), and item-item cosine
   * similarity (q236).
   *
-  * Scale notes (the 100 TB story): the pair generator is a self-join
-  * on l_orderkey over the DISTINCT (order, part) item set — pairs per
-  * order are bounded by the basket size squared (TPC-H baskets are
-  * ≤ 7 items), so the pair table is O(orders), not O(orders²); it
-  * map-side combines to the part×part support table (bounded by the
-  * part dimension squared, and in practice by co-occurrence sparsity)
-  * which is memoized and feeds the whole pack. q235's LPA runs 5
-  * synchronous iterations of (edges ⋈ labels → per-node majority) —
-  * each iteration is one shuffle on the part key with a
-  * part-partitioned tie-break window, localCheckpoint-truncated like
-  * q50's loop; the oracle unrolls the same 5 iterations as CTEs.
+  * Scale notes (the 100 TB story): the pair generator (r12) is ONE
+  * map-side-combined `collect_set` shuffle to per-order distinct part
+  * sets — the basket is ≤ 7 parts in TPC-H, so pair expansion is
+  * row-local and bounded by basket² per order; the pair table is
+  * O(orders), not O(orders²), and map-side combines to the part×part
+  * support table (bounded by co-occurrence sparsity) which is memoized
+  * and feeds the whole pack. (Before r12 this was DISTINCT + a
+  * self-join on l_orderkey: three lineitem-sized aggregations and a
+  * join where one suffices.) q235's LPA runs 5 synchronous iterations
+  * of (edges ⋈ labels → per-node majority) — each iteration is one
+  * shuffle on the part key; the oracle unrolls the same 5 iterations
+  * as CTEs.
   *
   * Exactness: supports are integers; LPA's majority vote is an
   * integer decision (count desc, then min label — row_number with
@@ -34,11 +35,17 @@ import graft.Graft
 object BasketOps {
   import Relational.Q
 
-  /** Distinct (order, part) items. */
-  private def items(s: SparkSession, d: String): DataFrame =
+  /** Per-order distinct part set, ascending (r12). One map-side-combined
+    * `collect_set` shuffle replaces the old DISTINCT-then-self-join-on-
+    * l_orderkey plan: the basket (≤ 7 parts in TPC-H) is row-local, so
+    * pair generation needs no join and the lineitem scan happens once —
+    * guide §2.4 (remove shuffles outright) + §2.3 (shuffle fewer bytes:
+    * (ok, pk) pairs once instead of the item set three times).
+    */
+  private def baskets(s: SparkSession, d: String): DataFrame =
     Graft.table(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
 
   private val ItemsSqlCte: String =
     """items AS (
@@ -50,10 +57,20 @@ object BasketOps {
 
   private def pairSupport(s: SparkSession, d: String): DataFrame =
     DocOps.Memo.get(pairMemo, s, d) {
-      val it = items(s, d)
-      val a = it.select(col("ok"), col("pk").as("pa"))
-      val b = it.select(col("ok").as("ok2"), col("pk").as("pb"))
-      a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+      // spread before the ×basket² explode: AQE coalesces on pre-explode
+      // bytes and cannot see the fan-out (q268's note; guide §2.5) — the
+      // partition count derives from the runtime, not a local constant;
+      // round-robin because a same-key repartition is elided as
+      // redundant. Pairs come from two chained codegen explodes with an
+      // ascending filter (`ps` sorted + distinct ⇒ pb > pa enumerates
+      // each pair once) — NOT a transform/slice/flatten lambda chain,
+      // which is interpreted (CodegenFallback) and was measured at 2.6×
+      // this stage's total CPU on the q268 twin.
+      baskets(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("ps"), explode(col("ps")).as("pa"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
+        .filter(col("pb") > col("pa"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
         .localCheckpoint(true)
     }
@@ -84,9 +101,14 @@ object BasketOps {
     * integer pair tiebreak.
     */
   val q234: Q = (s, d) => {
-    val it = items(s, d)
-    val supp = it.groupBy(col("pk")).agg(count(lit(1)).as("sp"))
-    val nOrd = it.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+    // supp/n off the SAME basket aggregation (one canonical subtree —
+    // ReuseExchange feeds both from one shuffle of lineitem): per-part
+    // distinct-membership counts = explode of the distinct in-basket
+    // sets; n = one row per distinct order by construction (r12)
+    val bk = baskets(s, d)
+    val supp = bk.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("sp"))
+    val nOrd = bk.agg(count(lit(1)).as("n"))
     val pr = pairSupport(s, d).where(col("sab") >= 3)
     val rules = pr.select(col("pa").as("ante"), col("pb").as("cons"), col("sab"))
       .union(pr.select(col("pb").as("ante"), col("pa").as("cons"), col("sab")))
@@ -136,18 +158,29 @@ object BasketOps {
       val nb = edges
         .join(lab.select(col("p").as("v2"), col("lb")), col("v") === col("v2"))
         .groupBy(col("u"), col("lb")).agg(count(lit(1)).as("c"))
-      // majority vote as a PURE AGGREGATE instead of a row_number window:
-      // max(struct(c, -lb)) picks the same (count desc, label asc) winner
-      // — labels are integral part keys, so -lb inverts the order exactly
-      // — but map-side combines and skips the per-iteration whole-row
-      // sort the window needed (5 sorts dropped from the plan; r8 quiet-
-      // host measurement 6.5 s -> see PLANS.md q235 row)
+      // majority vote as a PURE AGGREGATE instead of a row_number window
+      // (r8), and since r12 over a PRIMITIVE encoding instead of a
+      // struct: max((c << 36) - lb) picks the same (count desc, label
+      // asc) winner — for equal counts the smaller label gives the
+      // larger value — and decodes exactly because m = (c << 36) -
+      // (lb + 1) with 0 < lb + 1 < 2^36 pins c = (m >> 36) + 1 (the +1
+      // matters: part keys START AT 0 in this corpus). A struct-typed max
+      // has no mutable agg buffer, so Spark planned SortAggregate and
+      // re-SORTED the whole (u, lb, c) stream twice per iteration
+      // (measured: the two SortAggregates were the top CPU stages of the
+      // round-12 baseline profile); the long encoding keeps the same
+      // integer decision inside codegen'd HashAggregate. Exactness
+      // bounds: labels are l_partkey ∈ [0, 2^36 − 1) (68.7 B parts ≈
+      // sf 340 K) and per-(u, lb) neighbor counts < 2^27 — both orders
+      // of magnitude above the 100 TB point (sf 100 K), same promotion
+      // note discipline as q267's DECIMAL remark.
       // no per-iteration checkpoint: 5 iterations grow the plan linearly
       // (unlike q50's doubling star rounds) and one final action runs it
       lab = nb
         .groupBy(col("u"))
-        .agg(max(struct(col("c"), (-col("lb")).as("nl"))).as("w"))
-        .select(col("u").as("p"), (-col("w.nl")).as("lb"))
+        .agg(max(shiftleft(col("c"), 36) - (col("lb") + lit(1L))).as("m"))
+        .select(col("u").as("p"),
+          ((shiftright(col("m"), 36) + lit(1L)) * lit(1L << 36) - col("m") - lit(1L)).as("lb"))
     }
     lab.groupBy(col("lb")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("lb"))
@@ -183,7 +216,12 @@ object BasketOps {
     * sab/sqrt(sa·sb), top-20 by the rounded value + pair tiebreak.
     */
   val q236: Q = (s, d) => {
-    val supp = items(s, d).groupBy(col("pk")).agg(count(lit(1)).as("sp"))
+    // plain distinct + count, NOT the basket collect_set: q236 shares no
+    // other basket-frame consumer (pairs are memo-warm), and a set-buffer
+    // ObjectHashAggregate costs more than the two narrow hash aggs here
+    val supp = Graft.table(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("sp"))
     pairSupport(s, d)
       .join(supp.select(col("pk").as("ka"), col("sp").as("sa")), col("pa") === col("ka"))
       .join(supp.select(col("pk").as("kb"), col("sp").as("sb")), col("pb") === col("kb"))

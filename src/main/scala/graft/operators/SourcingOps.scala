@@ -16,10 +16,11 @@ import graft.Graft
   * q266/q267 then aggregate per part (same part key prefix, one
   * shuffle) and land on bounded histograms (suppliers-per-part is
   * bounded by the supplier catalog a part can have; HHI basis points
-  * ≤ 10001 cells). q268 self-joins the rollup on the PART key — each
-  * join task is (suppliers of that part)², the q233 basket-bounded
-  * pair discipline — and aggregates to supplier pairs before the
-  * top-15 TakeOrderedAndProject.
+  * ≤ 10001 cells). q268 (r12) collect_sets the per-part supplier set
+  * in one map-side-combined shuffle and expands pairs ROW-LOCALLY —
+  * (suppliers of that part)² per row, the q233 basket-bounded pair
+  * discipline without the former part-key self-join — then aggregates
+  * to supplier pairs before the top-15 TakeOrderedAndProject.
   *
   * Exactness: l_quantity is integral (verified at both scales) so
   * every share/HHI decision is integer arithmetic — the HHI bucket is
@@ -91,12 +92,42 @@ object SourcingOps {
     * from the per-supplier part counts.
     */
   val q268: Q = (s, d) => {
-    val e = edges(s, d).select(col("l_partkey").as("pk"), col("l_suppkey"))
-    val sizes = e.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
-    val a = e.select(col("pk"), col("l_suppkey").as("sa"))
-    val b = e.select(col("pk"), col("l_suppkey").as("sb"))
-    val shared = a.join(b, Seq("pk")).filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("shared_parts"))
+    // r12: q268 needs only the DISTINCT (part, supplier) set — not the
+    // qty rollup — and suppliers-per-part is catalog-bounded, so the
+    // per-part supplier set is row-local: ONE map-side-combined
+    // collect_set shuffle + row-local pair expansion replaces the old
+    // plan's THREE independent lineitem aggregations (a side, b side,
+    // sizes) and the part-key join (guide §2.3/§2.4). `ss` is sorted
+    // and distinct, so sa < sb by construction — identical pairs to the
+    // old join's `sa < sb` filter; sizes come from the same subtree
+    // (ReuseExchange shares the one shuffle).
+    val perPart = Graft.table(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    val sizes = perPart.select(explode(col("ss")).as("l_suppkey"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    // the pair explode multiplies rows by |ss|² AFTER the aggregation,
+    // which AQE's coalescing cannot see (it sizes partitions on the
+    // pre-explode bytes and funneled the fan-out into 2 tasks here):
+    // spread the rollup to the cluster's parallelism first — the count
+    // derives from the runtime, not a local constant (guide §2.5).
+    // Round-robin, NOT by l_partkey: a same-key repartition is elided
+    // as redundant against the aggregation's partitioning and the
+    // coalesced read returns; rows here are part-rollup-sized, so the
+    // extra exchange is trivial next to the fan-out it parallelizes.
+    val spread = perPart.repartition(s.sparkContext.defaultParallelism)
+    // two chained explodes + an ascending filter, NOT a nested
+    // transform/slice/flatten lambda chain: higher-order functions are
+    // interpreted (CodegenFallback) and allocate per element, measured
+    // 2.6× the total CPU of this whole query — the explode generators
+    // stay inside whole-stage codegen. `ss` is sorted + distinct, so
+    // sb > sa enumerates each unordered pair exactly once.
+    val shared = spread
+      .select(col("ss"), explode(col("ss")).as("sa"))
+      .select(col("sa"), explode(col("ss")).as("sb"))
+      .filter(col("sb") > col("sa"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("shared_parts"))
     shared
       .join(sizes.select(col("l_suppkey").as("sa"), col("n_parts").as("na")), Seq("sa"))
       .join(sizes.select(col("l_suppkey").as("sb"), col("n_parts").as("nb")), Seq("sb"))
