@@ -135,4 +135,46 @@ object Shingles {
     }
     sig
   }
+
+  /** Character-bigram histogram perceptual hash (q120's signature) as ONE
+    * codegen'd pass: over the text's positive code points, bucket each
+    * consecutive pair at (a*31 + b) mod `buckets` and set bit i of the
+    * result iff count_i * buckets > total pairs (strictly above the
+    * uniform mean, cross-multiplied — pure integer decision). Returns
+    * null (boxed) when fewer than two positive code points exist — the
+    * same rows the relational formulation's `size(codes) > 1` filter
+    * dropped. Bit-identical to the former built-in chain
+    * `filter(zip_with(filter(transform(split(text, ''), ascii), c > 0),
+    * slice(...), (a, b) -> (a*31 + b) % 64), ...)` + the two-aggregation
+    * mean test, which was interpreted (higher-order functions have no
+    * codegen), allocated four arrays per row, and ran FOUR TIMES over the
+    * corpus in q120's plan (two join sides × the tot/st aggregations).
+    */
+  def charBigramPhash(text: UTF8String, buckets: Int): java.lang.Long = {
+    val s = text.toString
+    val counts = new Array[Int](buckets)
+    var n = 0
+    var prev = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp > 0) {
+        if (prev > 0) {
+          counts((prev * 31 + cp) % buckets) += 1
+          n += 1
+        }
+        prev = cp
+      }
+    }
+    // n >= 1 iff at least two positive code points exist
+    if (n == 0) return null
+    var sig = 0L
+    var b = 0
+    while (b < buckets) {
+      if (counts(b).toLong * buckets > n) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
 }

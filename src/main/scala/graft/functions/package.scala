@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable, TopicStatsTable}
+import org.apache.spark.sql.graft.{CharBigramPhash, CosineSimilarity, GraftColumns, GramBuckets, L2Sq, MinHashSig, Murmur3Token, PosGramHashes, RingPartitionsTable, ShingleHashes, SimHashSig, TopicLagTable, TopicListTable, TopicOffsetsForTimeTable, TopicRecordsTable, TopicStatsTable}
 
 /** Column-level entry points for the graft expressions, plus SQL
   * registration.
@@ -40,6 +40,10 @@ package object functions {
   def gram_buckets(text: Column, k: Int, buckets: Int): Column =
     GraftColumns.gramBuckets(text, k, buckets)
 
+  /** Character-bigram histogram perceptual hash (null below 2 code points). */
+  def char_bigram_phash(text: Column, buckets: Int): Column =
+    GraftColumns.charBigramPhash(text, buckets)
+
   /** Ring partition ordinal (broker*rangesPerToken + range) of a token. */
   def ring_partition(token: Column, clusterSize: Int, rangesPerToken: Int): Column =
     GraftColumns.ringPartition(token, clusterSize, rangesPerToken)
@@ -71,6 +75,9 @@ package object functions {
       "gram_buckets", exprs => GramBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    registry.createOrReplaceTempFunction(
+      "char_bigram_phash", exprs => CharBigramPhash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     val tvf = spark.sessionState.tableFunctionRegistry
     tvf.createOrReplaceTempFunction(
       "ring_partitions", exprs => RingPartitionsTable.plan(exprs), "built-in")

@@ -250,29 +250,30 @@ object Multimodal {
     * engine-exact and the WHOLE operator — signature included — is
     * re-derived relationally by the DuckDB oracle with no fixture.
     *
-    * Shape: bigram buckets are one row-local array pass (zip_with over
-    * the shifted codes); the per-(doc, bucket) aggregation map-side
-    * combines the stream to ≤ 64 rows per document before any shuffle,
-    * so what moves is signature-sized, never payloads. Banding, the
-    * candidate join, and the pair distinct also run on signature-sized
-    * data.
+    * Shape (r12): the signature is ONE codegen'd row-local pass
+    * (`char_bigram_phash` — histogram + integer mean test in a local
+    * array), so nothing document-sized ever shuffles; banding, the
+    * candidate join, and the pair distinct all run on signature-sized
+    * data. The oracle still re-derives the signature relationally
+    * (explode → counts → mean test), so the kernel is independently
+    * verified with no fixture.
     */
   val q120: Q = (s, d) => {
-    val base = Graft.table(s, d, "documents")
-      .withColumn("codes", expr("filter(transform(split(text, ''), x -> ascii(x)), c -> c > 0)"))
-      .withColumn("nc", expr("CAST(size(codes) AS INT)"))
-      .where(col("nc") > 1)
-      // bigram buckets: (code_i * 31 + code_{i+1}) % 64, row-local; the
-      // zip against the 1-shifted slice pads the tail with null — filtered
-      .withColumn("buckets", expr(
-        "filter(zip_with(codes, slice(codes, 2, nc), (a, b) -> (a * 31 + b) % 64), x -> x IS NOT NULL)"))
-    val bgr = base.select(col("doc_id"), explode(col("buckets")).as("bucket"))
-    val tot = bgr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val st = bgr.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val sigs = st.join(tot, "doc_id")
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("cnt") * 64 > col("n"),
-        expr("shiftleft(1L, CAST(bucket AS INT))")).otherwise(lit(0L))).as("phash"))
+    // r12: the ENTIRE signature is row-local — `char_bigram_phash` is
+    // one codegen'd pass over the text (histogram + integer mean test in
+    // a local int[64]), null for <2-positive-code-point docs (the old
+    // `size(codes) > 1` gate). The previous formulation composed the
+    // histogram relationally (explode → tot/st aggregations → join →
+    // re-aggregate): three corpus-sized exchanges, and the interpreted
+    // higher-order bigram chain evaluated FOUR times over the corpus in
+    // the plan (both join sides × both aggregations) — its two 1-task
+    // stages were q120's top CPU in the round-12 baseline profile. At
+    // 100 TB this is strictly better: payload text is read once per join
+    // side and only signature-sized rows ever shuffle.
+    val sigs = Graft.table(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.char_bigram_phash(col("text"), 64).as("phash"))
+      .where(col("phash").isNotNull)
 
     val chunked = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(c =>

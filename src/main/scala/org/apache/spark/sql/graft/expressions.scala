@@ -267,6 +267,47 @@ case class SimHashSig(child: Expression)
   override def prettyName: String = "simhash_sig"
 }
 
+/** Character-bigram histogram perceptual hash of text (q120's image-dedup
+  * signature analog) as ONE codegen'd evaluation — see
+  * [[graft.core.Shingles.charBigramPhash]] for the exact semantics and why
+  * the built-in higher-order-function composition was replaced (it was
+  * interpreted and evaluated four times over the corpus in the plan).
+  * NULL when the text has fewer than two positive code points, which
+  * carries the relational form's `size(codes) > 1` participation filter.
+  */
+case class CharBigramPhash(child: Expression, buckets: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+  require(buckets >= 2 && buckets <= 64, "bucket count must be in [2, 64]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Shingles.charBigramPhash(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("phash")
+      // boxed call: the sentinel-free null (short texts) cannot ride a
+      // primitive — one box per ROW (document), not per element
+      s"""
+         |java.lang.Long $boxed = graft.core.Shingles.charBigramPhash($c, $buckets);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramPhash =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_bigram_phash"
+}
+
 /** Ring placement of a murmur3 token: flat partition ordinal
   * `brokerIdx * rangesPerToken + rangeIdx` on a `clusterSize`-broker ring —
   * the reference's `GetPrimaryTokenIndex` (token.go:49-66) as a codegen'd
@@ -332,4 +373,7 @@ object GraftColumns {
 
   def gramBuckets(text: Column, k: Int, buckets: Int): Column =
     column(GramBuckets(expression(text), k, buckets))
+
+  def charBigramPhash(text: Column, buckets: Int): Column =
+    column(CharBigramPhash(expression(text), buckets))
 }
