@@ -99,6 +99,24 @@ object VectorMath {
     * Gaussian-ish vector derived from murmur3(seed, i, j) — no RNG state, so
     * executors regenerate identical planes (cluster-safe, nothing shipped).
     */
+  /** Left fold `start + Σ w(j)` over an int-bucket array in element order —
+    * the hashed-linear-model margin kernel (q105): identical association to
+    * `aggregate(transform(bs, j -> element_at(w, j+1)), start, (a,x) -> a+x)`,
+    * which is interpreted (higher-order functions have no codegen) and
+    * re-materialized a boxed array per row per training iteration.
+    */
+  def bucketWeightSum(bs: ArrayData, w: Array[Double], start: Double): Double = {
+    val n = bs.numElements()
+    requireDense(bs, n)
+    var acc = start
+    var i = 0
+    while (i < n) {
+      acc += w(bs.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
   def srpSignature(v: ArrayData, bits: Int, seed: Long): Long = {
     var sig = 0L
     val n = v.numElements()

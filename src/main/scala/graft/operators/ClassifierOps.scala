@@ -67,11 +67,16 @@ object ClassifierOps {
   private[graft] def clfGrams(s: SparkSession, d: String): DataFrame =
     feats(s, d).select(col("doc_id"), explode(col("bs")).as("bucket"))
 
-  /** Margin under literal weights: start + Σ_{j∈doc} w_j, row-local. */
+  /** Margin under literal weights: start + Σ_{j∈doc} w_j, row-local.
+    * r12: one codegen'd fold (`bucket_weight_sum`) instead of
+    * `aggregate(transform(bs, j -> element_at(w, j+1)), start, +)` —
+    * the higher-order composition is interpreted (CodegenFallback) and
+    * materialized a boxed 512-slot lookup per row, paid once per
+    * document per training iteration (12×) plus scoring. Fold order and
+    * start term are identical, so margins are bit-identical doubles.
+    */
   private def marginCol(w: Array[Double], start: Double): Column =
-    aggregate(
-      transform(col("bs"), j => element_at(typedlit(w.toSeq), j + 1)),
-      lit(start), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftColumns.bucketWeightSum(col("bs"), w, start)
 
   private def sigmoidCol(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
 

@@ -267,6 +267,39 @@ case class SimHashSig(child: Expression)
   override def prettyName: String = "simhash_sig"
 }
 
+/** Margin of a hashed linear model: `start + Σ_j∈bs weights(j)` folded in
+  * array element order (q105's per-document scoring kernel, evaluated once
+  * per document per training iteration). The weights ride along as a plan
+  * reference object — driver metadata, exactly like broadcast literals —
+  * so the fold runs inside whole-stage codegen with no per-row array
+  * materialization; the `aggregate(transform(...))` composition it
+  * replaces is interpreted (higher-order functions have no codegen).
+  * Summation order and start term are identical, so margins are
+  * bit-identical doubles.
+  */
+case class BucketWeightSum(child: Expression, weights: Array[Double], start: Double)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.core.VectorMath.bucketWeightSum(
+      input.asInstanceOf[ArrayData], weights, start)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.VectorMath.bucketWeightSum($c, $w, $start)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
+    copy(child = newChild)
+
+  override def prettyName: String = "bucket_weight_sum"
+}
+
 /** Character-bigram histogram perceptual hash of text (q120's image-dedup
   * signature analog) as ONE codegen'd evaluation — see
   * [[graft.core.Shingles.charBigramPhash]] for the exact semantics and why
@@ -376,4 +409,7 @@ object GraftColumns {
 
   def charBigramPhash(text: Column, buckets: Int): Column =
     column(CharBigramPhash(expression(text), buckets))
+
+  def bucketWeightSum(bs: Column, weights: Array[Double], start: Double): Column =
+    column(BucketWeightSum(expression(bs), weights, start))
 }
