@@ -53,7 +53,15 @@ object EmbeddingOps {
   // ---------------------------------------------------------------- q28
   /** Exact all-pairs cosine >= 0.4 (this corpus' near-dup band). */
   val q28: Q = (s, d) => {
-    val a = emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    // r12: spread the probe side when the scan produced fewer splits
+    // than cores — the O(n²) pair work is per ROW and invisible to
+    // input-split sizing, and the one-small-file corpus ran the whole
+    // nested-loop probe on a single task (guide §2.5). No-op once the
+    // scan is at least core-parallel; only (id, vector) rows move.
+    val e = emb(s, d)
+    val p = s.sparkContext.defaultParallelism
+    val spread = if (e.rdd.getNumPartitions < p) e.repartition(p) else e
+    val a = spread.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))

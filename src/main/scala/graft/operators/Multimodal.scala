@@ -33,6 +33,22 @@ object Multimodal {
     Graft.table(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** Doc-id input stream for the codec kernels, spread to the cluster's
+    * parallelism when the scan produced fewer splits (r12): the codec
+    * cost is per ROW and invisible to input-split sizing, so a
+    * one-small-file corpus put the ENTIRE decode workload on one task
+    * (measured: q46/q101/q278 each ran as a single ~1.2 s task at sf0.1
+    * with 31 cores idle — guide §2.5 input skew). A no-op whenever the
+    * scan is already at least core-parallel (the 100 TB case); what the
+    * round-robin exchange moves is doc_id longs, never payloads.
+    */
+  private def kernelIds(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ids = Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
+    val p = s.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids
+  }
+
   /** Deterministic 32x32 RGB image for a document — each channel an
     * integer formula of (doc_id, x, y) — encoded to REAL PNG bytes: the
     * binary image column the decode kernels consume. Formula shared by
@@ -121,7 +137,7 @@ object Multimodal {
   val q46: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
+    kernelIds(s, d)
       .mapPartitions { it =>
         val W = 32
         it.map { id =>
@@ -182,7 +198,7 @@ object Multimodal {
   val q101: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
+    kernelIds(s, d)
       .mapPartitions { it =>
         val W = 32
         val S = 4
@@ -349,7 +365,7 @@ object Multimodal {
   val q278: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
+    kernelIds(s, d)
       .mapPartitions { it =>
         val W = 32
         val OW = 8
@@ -428,6 +444,12 @@ object Multimodal {
   val q279: Q = (s, d) => {
     val spark = s
     import spark.implicits._
+    // NOT kernelIds-spread (r12, measured): javax.sound's AudioSystem
+    // routes every write/getAudioInputStream through the JDK's global
+    // service-provider registry, whose lookup SYNCHRONIZES — 32 parallel
+    // tasks showed 52 s of task run time against 2.3 s of CPU (a lock
+    // convoy) and ran 2.7× slower than the single-task scan. The PNG
+    // kernels (q46/q101/q278) have no such global lock and do spread.
     Graft.table(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val N = 2048
