@@ -233,11 +233,13 @@ object Pipeline {
     * concentrates on documents with many near-duplicates, the signal
     * dedup QA teams use to find template farms. Each iteration is ONE
     * shuffle (contributions aggregated by destination) plus a broadcast-
-    * able left join back to the node set, with `localCheckpoint`
-    * truncating the lineage every round (q50's discipline) so the plan
-    * stays O(1) across iterations at any graph size. Edges come from the
-    * memoized LSH-verified pair set — the pipeline runs once across
-    * q20/q50/q51/q77.
+    * able left join back to the node set; the degree join is hoisted out
+    * of the loop into one checkpointed (src, dst, deg) frame (r12 — it is
+    * iteration-invariant, so the old plan paid it 8×), and the 8 rounds
+    * unroll into ONE action (linear plan growth, q235's discipline —
+    * the former per-round eager localCheckpoint cost 8 blocking driver
+    * jobs). Edges come from the memoized LSH-verified pair set — the
+    * pipeline runs once across q20/q50/q51/q77.
     *
     * Exactness: the damping constants are the same double literals on
     * both engines (0.15 is written as a literal, never derived as
@@ -253,27 +255,35 @@ object Pipeline {
     val pairs = DocOps.verifiedPairs(s, d).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
+    // r12: the degree join is ITERATION-INVARIANT — hoist it out of the
+    // loop into the pinned edge frame (one join instead of eight; the
+    // per-edge division pr/deg keeps the same operands, so values are
+    // unchanged). One eager checkpoint pins (src, dst, deg) for all
+    // rounds; the old per-iteration localCheckpoint is gone too — 8
+    // blocking driver jobs replaced by one action over the unrolled
+    // 8-round plan (q235's discipline: linear plan growth, one action;
+    // the old comment's plan-size concern is about DATA-size, which the
+    // unroll does not touch).
+    val deg = edges.groupBy(col("doc_a").as("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges
+      .join(deg, edges("doc_a") === col("src"))
+      .select(col("doc_a"), col("doc_b"), col("deg"))
+      .localCheckpoint(true)
     val nodes = DocOps.docs(s, d).select(col("doc_id"))
     val n = nodes.count().toDouble
-    val deg = edges.groupBy(col("doc_a").as("src")).agg(count(lit(1)).as("deg"))
     val init = nodes.withColumn("pr", lit(1.0 / n))
     val ranked = (1 to PrIters).foldLeft(init) { case (pr, _) =>
-      val inflow = edges
-        .join(pr, edges("doc_a") === pr("doc_id"))
-        .join(deg, edges("doc_a") === col("src"))
+      val inflow = edgesDeg
+        .join(pr, edgesDeg("doc_a") === pr("doc_id"))
         .select(col("doc_b"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("doc_b")).agg(sum(col("c")).as("inflow"))
       nodes.join(inflow, nodes("doc_id") === col("doc_b"), "left")
         .select(col("doc_id"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
     }
-    val out = ranked
+    ranked
       .select(col("doc_id"), round(col("pr"), 6).as("pr"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   val q77Sql: String = {
