@@ -75,7 +75,17 @@ object OverlapOps {
       explode(sequence(
         expr("start_us DIV 3600000000"),
         expr("end_us DIV 3600000000"))).as("h"))
+    // r12: spread the probe side across (h, salt) explicitly — the
+    // session table is aggregate-sized, so AQE coalesced it to ONE
+    // partition and the broadcast hour-join ran the entire quadratic
+    // pair fan-out on a single task (measured 12.2 s of single-core CPU
+    // at sf0.1 — the salt's per-task bound never engaged). The
+    // partition count derives from the runtime; the exchange moves
+    // session envelopes, and the blocking keys are exactly the join
+    // keys, so a shuffle join reuses it outright (guide §2.5).
     val a = side("a").withColumn("salt", pmod(hash(col("ua")), lit(SaltShards)))
+      .repartition(g.sparkSession.sparkContext.defaultParallelism,
+        col("h"), col("salt"))
     val b = side("b").withColumn("salt",
       explode(sequence(lit(0), lit(SaltShards - 1))))
     a.join(b, Seq("h", "salt"))
