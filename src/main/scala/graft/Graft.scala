@@ -98,8 +98,24 @@ object Graft {
     spark
   }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Testdata-table reader. The resolved RELATION (file listing + footer
+    * schema, no data) is memoized per (session, path) — r12: every
+    * `spark.read.parquet` re-lists the path and re-reads the parquet
+    * footer for schema inference, a driver-side fixed cost paid on every
+    * one of the bench's 279×3 query invocations. The corpus dirs are
+    * immutable for a session's lifetime, which is the contract this
+    * memo assumes: a path rewritten mid-session must not be read through
+    * `table` (none is today — store/topic reads go through
+    * [[Graft.topic]]/DSv2, which resolve fresh every call).
+    */
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tableMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    tableMemo.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
+  }
 
   /** A topic's LIVE log as a DataFrame — the programmatic twin of the
     * `topic_records(root, topic)` SQL TVF: record envelope off the

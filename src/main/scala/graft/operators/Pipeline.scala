@@ -544,7 +544,14 @@ object Pipeline {
 
   val q275: Q = (s, d) => {
     val pairs = DocOps.verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val rows = Seq(2, 3).flatMap { k =>
+    // r12: per-round stats are LAZY 1-row aggregates over the pinned
+    // edge frames, unioned and computed in ONE final action — the old
+    // shape ran nEdges.count() + a distinct-node count as two extra
+    // driver jobs per round per k (24 blocking jobs for 8 peels; the
+    // checkpoint job per round is the only one the sequential algorithm
+    // actually needs). n_edges = half the endpoint-stream count —
+    // integer-exact, every edge contributes two endpoints.
+    val statFrames = Seq(2, 3).flatMap { k =>
       var e = pairs
       (1 to PeelRounds).map { r =>
         val deg = e.select(col("doc_a").as("v"))
@@ -555,14 +562,14 @@ object Pipeline {
           .join(keep.select(col("v").as("doc_a")), Seq("doc_a"), "left_semi")
           .join(keep.select(col("v").as("doc_b")), Seq("doc_b"), "left_semi")
           .localCheckpoint(true)
-        val nEdges = e.count()
-        val nNodes = e.select(col("doc_a").as("v"))
-          .unionAll(e.select(col("doc_b").as("v"))).distinct().count()
-        (k, r, nNodes, nEdges)
+        e.select(col("doc_a").as("v")).unionAll(e.select(col("doc_b").as("v")))
+          .agg(count_distinct(col("v")).as("n_nodes"),
+            expr("count(1) DIV 2").as("n_edges"))
+          .select(lit(k).as("k"), lit(r).as("round"),
+            col("n_nodes"), col("n_edges"))
       }
     }
-    import s.implicits._
-    rows.toDF("k", "round", "n_nodes", "n_edges").orderBy("k", "round")
+    statFrames.reduce(_ unionAll _).orderBy("k", "round")
   }
 
   val q275Sql: String = {
