@@ -73,6 +73,12 @@ object BasketOps {
         .filter(col("pb") > col("pa"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sab"))
         .localCheckpoint(true)
+        // strip the origin stats: the checkpoint inherits the PRE-explode
+        // size estimate (Generate fan-out is invisible to the size
+        // visitor), which made the planner BROADCAST the 3M-row pair
+        // table against the 20k-row supp rollup in q236 (2× measured;
+        // an OOM at scale) — see GraftPlans.withConservativeStats
+        .transform(org.apache.spark.sql.graft.GraftPlans.withConservativeStats)
     }
 
   private val PairSqlCte: String =

@@ -372,6 +372,32 @@ case class RingPartition(child: Expression, clusterSize: Int, rangesPerToken: In
   override def prettyName: String = "ring_partition"
 }
 
+/** Plan-level helpers needing `private[sql]` access. */
+object GraftPlans {
+  import org.apache.spark.sql.DataFrame
+
+  /** Rebuild an (already materialized, e.g. localCheckpoint'd) DataFrame
+    * on its own InternalRow RDD but WITHOUT the origin plan's statistics.
+    *
+    * Why: `Dataset.localCheckpoint` snapshots the ORIGIN plan's size
+    * estimate onto the resulting LogicalRDD, and Catalyst's size visitor
+    * does not model Generate fan-out — so a pair table exploded from
+    * per-key sets inherits the (tiny) pre-explode estimate and becomes a
+    * broadcast-join CANDIDATE. Measured on q236 (r12): the planner
+    * broadcast the 3M-row pair checkpoint and probed it with the 20k-row
+    * dimension rollup, 2× the query; at real scale that build side is an
+    * OOM. The rebuilt frame's LogicalRDD has no stats, so it falls back
+    * to the conservative default (never broadcast), and the planner
+    * picks the dimension side — the correct relative choice wherever any
+    * broadcast applies, degrading to a shuffle join when nothing fits.
+    */
+  def withConservativeStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+}
+
 /** Public Column-level bridge (Column <-> Expression conversion is
   * `private[sql]` on Spark 4, so the bridge lives here).
   */
