@@ -458,8 +458,16 @@ object StatsOps {
     val ord = Graft.table(s, d, "orders")
       .withColumn("xb", col("o_custkey").bitwiseAND(lit(65535L)))
       .withColumn("yb", floor(col("o_totalprice")).cast("long").bitwiseAND(lit(65535L)))
+      // r12: the bit interleave as a FLAT 32-term integer expression —
+      // the old aggregate(sequence(0,15), ...) lambda fold is interpreted
+      // (higher-order functions have no codegen) and materialized a
+      // 16-element sequence per row; same terms in the same order, pure
+      // integer adds, so zval is identical
       .withColumn("zval", expr(
-        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + (((xb >> i) & 1) << (2*i)) + (((yb >> i) & 1) << (2*i + 1)))"))
+        (0 to 15).flatMap(i => Seq(
+          s"(((xb >> $i) & 1) << ${2 * i})",
+          s"(((yb >> $i) & 1) << ${2 * i + 1})"))
+          .mkString("0L + ", " + ", "")))
     ord.withColumn("z_bucket", shiftright(col("zval"), 26))
       .groupBy(col("z_bucket"))
       .agg(
