@@ -112,6 +112,13 @@ object Bench {
     // without this the first ~8 timed queries absorb the warmup's
     // collection debt (measured q06 6.9 s in-run vs 1.4 s isolated)
     System.gc(); Thread.sleep(3000)
+    // memo-build accounting (r13): the warmup above ran at sf0.001, so
+    // every memoized intermediate for THIS sfDir is built inside the
+    // timed loop's first runs — where the median-of-3 silently drops it.
+    // Snapshot the build counter here and emit the loop's delta as
+    // memo_build_sec so the stdout line carries the cost the per-query
+    // medians exclude (additions-only; no timing methodology changed).
+    val memoNanos0 = operators.DocOps.memoBuildNanos
     var sinceGc = 0
     val results = queries.map { case (name, fn) =>
       // periodic untimed quiesce: each timed query should measure its
@@ -157,9 +164,10 @@ object Bench {
     // driver records only a 2,000-byte stdout tail; the full map lives in
     // BENCH_FULL.json, where n_reported == n_queries) — n_reported makes
     // the truncation self-describing instead of implying full coverage
+    val memoBuildSec = (operators.DocOps.memoBuildNanos - memoNanos0) / 1e9
     def line(qs: String, nReported: Int): String =
       s"""{"metric":"total","value":${jd(total, 3)},"unit":"sec","n_queries":$nQ,"n_failed":$nFailed,""" +
-        s""""n_reported":$nReported,""" +
+        s""""n_reported":$nReported,"memo_build_sec":${jd(memoBuildSec, 3)},""" +
         s""""load_avg_start":${jd(loadAvgStart, 2)},"load_avg_end":${jd(loadAvgEnd, 2)},"ncpu":$ncpu,""" +
         s""""produce_msgs_per_sec":${jd(prodRate, 0)},"poll_msgs_per_sec":${jd(pollRate, 0)},""" +
         s""""stream_produce_msgs_per_sec":${jd(streamRate, 0)},""" +

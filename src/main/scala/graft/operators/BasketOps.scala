@@ -154,15 +154,42 @@ object BasketOps {
     */
   val q235: Q = (s, d) => {
     val pr = pairSupport(s, d)
+    // NO per-frame checkpoints (r13): the five iteration joins share ONE
+    // edge shuffle via exchange reuse (the five hash(v) exchange subtrees
+    // are canonically identical, so AQE materializes one and reads it five
+    // times — verified in the final adaptive plan: 1 Exchange + 4
+    // ReusedExchange). r12's eager edge/label checkpoints bought nothing
+    // the reuse doesn't, and cost two extra blocking jobs plus a SECOND
+    // full shuffle of the edge frame (the checkpoint's LogicalRDD comes
+    // back with UnknownPartitioning, so EnsureRequirements re-exchanged
+    // what the checkpoint had just materialized).
     val edges = pr.select(col("pa").as("u"), col("pb").as("v"))
       .union(pr.select(col("pb").as("u"), col("pa").as("v")))
-      .localCheckpoint(true)
     var lab = edges.select(col("u").as("p")).distinct()
       .select(col("p"), col("p").as("lb"))
-      .localCheckpoint(true)
     for (_ <- 1 to 5) {
+      // One exchange per iteration — the synchronous-LPA floor (each round
+      // must re-cluster messages by destination u). Three moves get there:
+      //  * shuffle-hash on the label side (guide §3.1): node-sized/N build,
+      //    no sort of either side — the r12 plan's SMJ re-sorted the edge
+      //    frame every iteration, and at runtime AQE flipped it to a
+      //    BROADCAST of the 128 MiB edge stage probed by a label side it
+      //    had coalesced to 1-2 partitions (the join's ×degree fan-out is
+      //    invisible to AQE's byte-based coalescing — measured 2-task,
+      //    ~2 s serial stages, the r12 wall regression's root cause).
+      //  * repartition the join output on u ALONE: hash(u) satisfies both
+      //    groupBy(u, lb) and groupBy(u), so the vote runs exchange-free,
+      //    and the new labels emerge hash(u)-partitioned = exactly the
+      //    next join's v2 key → the next build side needs no exchange
+      //    either (guide §2.4: operations keyed the same way share one
+      //    exchange). This trades away the (u, lb) map-side combine,
+      //    measured at only 73 → 54.7 MiB (1.33×) here — the labels are
+      //    near-distinct per edge until LPA converges — for one fewer
+      //    exchange AND one fewer stage barrier per iteration.
       val nb = edges
-        .join(lab.select(col("p").as("v2"), col("lb")), col("v") === col("v2"))
+        .join(lab.select(col("p").as("v2"), col("lb")).hint("shuffle_hash"),
+          col("v") === col("v2"))
+        .repartition(col("u"))
         .groupBy(col("u"), col("lb")).agg(count(lit(1)).as("c"))
       // majority vote as a PURE AGGREGATE instead of a row_number window
       // (r8), and since r12 over a PRIMITIVE encoding instead of a

@@ -705,13 +705,31 @@ object DocOps {
     * verified near-dup pair set) to a parquet table, which is exactly
     * what `tools/Curate` does between its stages.
     */
+  /** Bench-facing read of [[Memo.buildNanos]] (Memo itself stays
+    * operator-private).
+    */
+  private[graft] def memoBuildNanos: Long = Memo.buildNanos.get
+
   private[operators] object Memo {
+    /** Wall time (ns) spent MATERIALIZING memoized intermediates — every
+      * eager checkpoint built behind a Memo.get. The bench's median-of-3
+      * per-query timing structurally excludes a memo build (it lands in
+      * run 1, the median drops it), so Bench reads this counter around
+      * the timed loop and emits the delta as `memo_build_sec` — the
+      * warm-cache accounting hole the r12 verdict flagged, closed on the
+      * harness side without touching any per-query methodology.
+      */
+    private[graft] val buildNanos = new java.util.concurrent.atomic.AtomicLong
+
     def get[V <: AnyRef](
         memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
         s: SparkSession,
         d: String)(f: => V): V = {
       memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      memo.computeIfAbsent((s, d), _ => f)
+      memo.computeIfAbsent((s, d), _ => {
+        val t0 = System.nanoTime()
+        try f finally buildNanos.addAndGet(System.nanoTime() - t0)
+      })
     }
   }
 
