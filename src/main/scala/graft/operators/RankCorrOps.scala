@@ -45,6 +45,13 @@ object RankCorrOps {
     val keys = grpCols.map(col)
     val cnt = df.groupBy((keys :+ col(vCol)): _*).agg(count(lit(1)).as("c"))
       .withColumn("sb", expr(s"$vCol DIV ${1L << sbShift}"))
+      // ONE (keys, sb) exchange shared by the in-bucket window AND the
+      // carry aggregation below (r13, guide §2.4): hash(keys, sb)
+      // satisfies both their clusterings, where the previous plan
+      // exchanged the count table twice — once for each. The repartition
+      // moves the already-aggregated (keys, v, c) rows, so map-side
+      // combine on the value counts is untouched.
+      .repartition((keys :+ col("sb")): _*)
     val wIn = Window.partitionBy((keys :+ col("sb")): _*).orderBy(col(vCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wB = Window.partitionBy(keys: _*).orderBy(col("sb"))
@@ -167,9 +174,15 @@ object RankCorrOps {
       .withColumn("rky", col("cpy") + row_number().over(wTy))
       .select(col("t"), col("n"), expr("((rkx - 1) * 10) DIV n").as("dx"),
         expr("((rky - 1) * 10) DIV n").as("dy"))
+    // <= 100 rows per event type; the tail's exchanges all ride AQE's
+    // coalesced reads + broadcasts over this metadata-sized table, which
+    // measured FASTER than pinning a hash(t) partitioning through the
+    // checkpoint (GraftPlans.checkpointKeyed was tried here in r13:
+    // 1.32 -> 1.67-2.10 s — the pinned 32-way layout defeats AQE's
+    // 1-2-partition coalescing, and task overhead dominates at 500 rows)
     val cells = dec.groupBy(col("t"), col("n"), col("dx"), col("dy"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // <= 100 rows per event type
+      .localCheckpoint(true)
     val a = cells.select(col("t"), col("dx").as("xa"), col("dy").as("ya"),
       col("c").cast("decimal(38,0)").as("ca"))
     val b = cells.select(col("t").as("tb"), col("dx").as("xb"),
