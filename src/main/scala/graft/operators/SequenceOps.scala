@@ -43,10 +43,20 @@ object SequenceOps {
       .withColumn("tb", expr("us DIV 3600000000"))
     val wInB = Window.partitionBy(col("user_id"), col("tb"))
       .orderBy(col("us"), col("event_id"))
+    // the bucket's last event rides the SAME window as the lag (r13): a
+    // lead-is-null marker replaces the old max(struct(us, event_id, typ))
+    // aggregate, which has no mutable agg buffer and planned a
+    // SortAggregate PAIR (partial+final, each with its own sort) over a
+    // second full scan of events — the same struct-max pathology q235's
+    // vote paid before r12. Identical rows: the window already orders by
+    // (us, event_id), which is unique per event, so "no successor in the
+    // bucket" IS the (us, event_id)-max row the aggregate picked.
     val local = ev
       .withColumn("prev_in", lag(struct(col("us"), col("event_id"), col("typ")), 1).over(wInB))
-    val bmeta = local.groupBy(col("user_id"), col("tb"))
-      .agg(max(struct(col("us"), col("event_id"), col("typ"))).as("last"))
+      .withColumn("is_last", lead(col("us"), 1).over(wInB).isNull)
+    val bmeta = local.where(col("is_last"))
+      .select(col("user_id"), col("tb"),
+        struct(col("us"), col("event_id"), col("typ")).as("last"))
     val wMeta = Window.partitionBy(col("user_id")).orderBy(col("tb"))
     val prevB = bmeta
       .withColumn("prev_last", lag(col("last"), 1).over(wMeta))
