@@ -44,7 +44,17 @@ object SessionOps {
 
   /** The q15 gaps-and-islands at the 6 h gap: events + `us` + `sid`. */
   private def sessionized(s: SparkSession, d: String): DataFrame = {
+    // explicit-count repartition on the window key (r13): the implicit
+    // ENSURE_REQUIREMENTS exchange is AQE-coalescible on its POST-SHUFFLE
+    // bytes (a few MB here), and the whole lag+sum window plus each
+    // consumer's pipelined filters/joins/partial aggregates then ran as
+    // 1-task serial stages (profiled on q271: three ~0.7 s single-task
+    // stages) — the same fan-out-invisible-to-AQE class as the r12
+    // q259/q268 spreads (guide §2.5). A user-count repartition is exempt
+    // from coalescing, and the count derives from the runtime, so on a
+    // real cluster it is the same width AQE would pick for big inputs.
     val e = Graft.events(s, d).withColumn("us", unix_micros(col("ts")))
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     e.withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("is_new",
