@@ -177,7 +177,7 @@ object RankCorrOps {
     // <= 100 rows per event type; the tail's exchanges all ride AQE's
     // coalesced reads + broadcasts over this metadata-sized table, which
     // measured FASTER than pinning a hash(t) partitioning through the
-    // checkpoint (GraftPlans.checkpointKeyed was tried here in r13:
+    // checkpoint (a declared-hash(t) LogicalRDD rewrap was tried in r13:
     // 1.32 -> 1.67-2.10 s — the pinned 32-way layout defeats AQE's
     // 1-2-partition coalescing, and task overhead dominates at 500 rows)
     val cells = dec.groupBy(col("t"), col("n"), col("dx"), col("dy"))
