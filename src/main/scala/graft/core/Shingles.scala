@@ -143,12 +143,18 @@ object Shingles {
     * uniform mean, cross-multiplied — pure integer decision). Returns
     * null (boxed) when fewer than two positive code points exist — the
     * same rows the relational formulation's `size(codes) > 1` filter
-    * dropped. Bit-identical to the former built-in chain
+    * dropped. Bit-identical FOR BMP TEXT to the former built-in chain
     * `filter(zip_with(filter(transform(split(text, ''), ascii), c > 0),
     * slice(...), (a, b) -> (a*31 + b) % 64), ...)` + the two-aggregation
     * mean test, which was interpreted (higher-order functions have no
     * codegen), allocated four arrays per row, and ran FOUR TIMES over the
     * corpus in q120's plan (two join sides × the tot/st aggregations).
+    * On SUPPLEMENTARY code points the two diverge — Spark's ascii()
+    * returns the first UTF-16 code unit (a surrogate) where this pass
+    * and DuckDB's ord() oracle both use the full code point — so the
+    * codepoint form here is the one that matches the DECLARED oracle on
+    * non-BMP text (CharBigramPhashSpec pins an emoji case against the
+    * oracle arithmetic); the corpus itself is ASCII.
     */
   def charBigramPhash(text: UTF8String, buckets: Int): java.lang.Long = {
     val s = text.toString

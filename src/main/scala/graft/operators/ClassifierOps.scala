@@ -75,6 +75,11 @@ object ClassifierOps {
     * document per training iteration (12×) plus scoring. Fold order and
     * start term are identical, so margins are bit-identical doubles.
     */
+  // INVARIANT (the expression indexes weights(j) unchecked): every bucket
+  // in `bs` comes from gram_buckets(text, 1, ClfBuckets) ∈ [0, ClfBuckets)
+  // and w.length == ClfBuckets at every call site, so the raw index can
+  // never leave [0, w.length) — documented per the r12 advice rather than
+  // bounds-checked, keeping the per-element fold branch-free.
   private def marginCol(w: Array[Double], start: Double): Column =
     org.apache.spark.sql.graft.GraftColumns.bucketWeightSum(col("bs"), w, start)
 

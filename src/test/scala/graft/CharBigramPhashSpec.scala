@@ -59,6 +59,37 @@ class CharBigramPhashSpec extends AnyFunSuite {
     viaExpr.foreach { case (id, p) => assert(p == viaBuiltin(id), s"doc $id") }
   }
 
+  test("supplementary code points follow the oracle's ord() semantics") {
+    import spark.implicits._
+    // non-BMP input: Spark's ascii() returns the first UTF-16 code unit (a
+    // surrogate) here, so the old built-in chain DIVERGES on such text —
+    // the expression must instead match the DECLARED DuckDB oracle, whose
+    // ord() is the full code point. Expected value re-derived below via an
+    // independent path (String.codePoints) running the oracle arithmetic.
+    val texts = Seq(
+      (1L, "a😀b😀"), // a 😀 b 😀
+      (2L, "😀😁😀ab"),
+      (3L, "héllo wörld 🎉"))
+    def oracle(t: String): Long = {
+      val cps = t.codePoints().toArray.filter(_ > 0)
+      val counts = new Array[Int](64)
+      var n = 0
+      cps.sliding(2).foreach {
+        case Array(a, b) => counts((a * 31 + b) % 64) += 1; n += 1
+        case _ => ()
+      }
+      (0 until 64).foldLeft(0L) { (sig, i) =>
+        if (counts(i).toLong * 64 > n) sig | (1L << i) else sig
+      }
+    }
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), char_bigram_phash(col("text"), 64).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == oracle(t), s"doc $id: ${got(id)} != oracle ${oracle(t)}")
+    }
+  }
+
   test("null for <2 positive code points; SQL registration works") {
     import spark.implicits._
     functions.registerAll(spark)
